@@ -1,0 +1,543 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** The relational query suite: one named query per capability category of
+  * SURVEY.md §2b, each paired with an ANSI-SQL oracle executed by DuckDB over
+  * the same parquet (the driver's t2 gate).
+  *
+  * The reference framework has no relational operators — projection/filter are
+  * expressible only inside its pickled map fn (`/root/reference/Worker.fs:20`),
+  * aggregation only as the per-key fold (`/root/reference/Worker.fs:89-96`),
+  * and joins/windows/sorts/set-ops are ABSENT. This suite is the capability
+  * surface those slots imply, declared as Column expressions (never closures)
+  * so Catalyst can push filters to the parquet scan, prune columns, reorder
+  * joins, and plan partial aggregation — all things the reference's opaque
+  * pickled functions made impossible (SURVEY.md §4).
+  *
+  * Oracle-parity conventions (see also `Verify.scala`):
+  *   - Double sums are order-sensitive, and Spark sums in parallel while DuckDB
+  *     sums serially. Every aggregate over a double column therefore routes
+  *     through exact DECIMAL arithmetic and casts the final value back to
+  *     DOUBLE — bit-identical on both engines.
+  *   - Every query ends in a total ORDER BY (all key columns) so row order is
+  *     deterministic on both sides.
+  *   - Output column names are aliased identically in the Spark plan and the
+  *     oracle SQL.
+  */
+object Relational {
+
+  // ---- decimal-exact arithmetic helpers (Spark side) ----------------------
+  /** money column → exact decimal; 8 integer digits is ample for this schema */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
+  /** (1 - x) / (1 + x) factors, renarrowed so products stay within p<=38 */
+  private def oneMinus(c: Column): Column =
+    (lit(1) - c.cast(DecimalType(6, 4))).cast(DecimalType(7, 4))
+  private def onePlus(c: Column): Column =
+    (lit(1) + c.cast(DecimalType(6, 4))).cast(DecimalType(7, 4))
+  /** exact decimal sum, surfaced as double (single final rounding) */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  private def dsumExpr(c: Column): Column = sum(c).cast(DoubleType)
+  private def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  // ---- same helpers, oracle (DuckDB SQL) side -----------------------------
+  private def sqlDec(c: String) = s"CAST($c AS DECIMAL(12,4))"
+  private def sqlOneMinus(c: String) =
+    s"CAST(1 - CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
+  private def sqlOnePlus(c: String) =
+    s"CAST(1 + CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
+  private def sqlDsum(c: String) = s"CAST(SUM(${sqlDec(c)}) AS DOUBLE)"
+  private def sqlDavg(c: String) =
+    s"CAST(SUM(${sqlDec(c)}) AS DOUBLE) / COUNT(*)"
+
+  private val revenueExpr: Column =
+    dec(col("l_extendedprice")) * oneMinus(col("l_discount"))
+  private val sqlRevenue =
+    s"${sqlDec("l_extendedprice")} * ${sqlOneMinus("l_discount")}"
+
+  // =========================================================================
+  // q01 — pricing summary (flagship): scan → pushed filter → hash aggregation
+  // (partial+final) over two low-cardinality keys. This is the reference's
+  // frequency-count shape (`/root/reference/Example-Job.fs:52-61`) upgraded to
+  // a full multi-aggregate. TPC-H Q1 silhouette.
+  // =========================================================================
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExpr(revenueExpr).as("sum_disc_price"),
+        dsumExpr(revenueExpr * onePlus(col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM($sqlRevenue * ${sqlOnePlus("l_tax")}) AS DOUBLE) AS sum_charge,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  ${sqlDavg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // =========================================================================
+  // q02 — projection + predicate pushdown: row-level filter & computed column.
+  // The reference expresses filters by emitting zero pairs from the map fn
+  // (SURVEY.md §2b); here the predicate reaches the parquet reader.
+  // =========================================================================
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") <  lit("1997-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(DoubleType).as("disc_amount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(${sqlDec("l_extendedprice")} * ${sqlDec("l_discount")} AS DOUBLE) AS disc_amount
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // =========================================================================
+  // q03 — multi-way equi join (5 tables) + aggregation. ABSENT in the
+  // reference (SURVEY.md §2b "joins"). Dimension tables (region, nation) are
+  // broadcast; the orders⋈lineitem join shuffles on the order key. TPC-H Q5
+  // silhouette.
+  // =========================================================================
+  def q03JoinRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA"))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit("1998-01-01").cast(TimestampType))
+    val lineitem = Tables.lineitem(spark, dir)
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumExpr(revenueExpr).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  val q03Sql: String =
+    s"""SELECT n_name,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  // =========================================================================
+  // q04 — explicit broadcast join on a fact⋈dim pair: no shuffle of the big
+  // side at all. At 100 TB `part` fits in memory per executor; lineitem never
+  // moves. (Left to AQE this would usually broadcast anyway — made explicit
+  // here as the scale-posture idiom.)
+  // =========================================================================
+  def q04BroadcastJoinBrand(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsumExpr(revenueExpr).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+
+  val q04Sql: String =
+    s"""SELECT p_brand,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
+  // =========================================================================
+  // q05 — left semi join (EXISTS): customers having at least one open order.
+  // =========================================================================
+  def q05SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val openOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+    Tables.customer(spark, dir)
+      .join(openOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q05Sql: String =
+    s"""SELECT c_mktsegment,
+       |  COUNT(*) AS n_customers,
+       |  ${sqlDavg("c_acctbal")} AS avg_bal
+       |FROM customer
+       |WHERE EXISTS (SELECT 1 FROM orders
+       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  // =========================================================================
+  // q06 — left anti join (NOT EXISTS): customers who never placed a large
+  // order, rolled up by nation.
+  // =========================================================================
+  def q06AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+
+  val q06Sql: String =
+    """SELECT n_name, COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // =========================================================================
+  // q07 — window functions: ranking + analytic (lag) with a deterministic
+  // tie-break; scalable top-k-per-group (ABSENT in the reference). At scale
+  // this shuffles once on the partition key — no driver-side sort.
+  // =========================================================================
+  def q07WindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+              col("o_totalprice"), col("prev_price"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+      |    LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS prev_price
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // =========================================================================
+  // q08 — global sort + limit (top-k). Spark plans TakeOrderedAndProject:
+  // per-partition top-k then a k-sized driver merge — no full sort at scale.
+  // =========================================================================
+  def q08TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  val q08Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  // =========================================================================
+  // q09 — set operations: UNION / INTERSECT / EXCEPT (all distinct-semantics,
+  // matching SQL). ABSENT in the reference — its dict merge is a *disjoint*
+  // union (`/root/reference/Orchestrator.fs:166-168`), not a relational one.
+  // =========================================================================
+  private def buyersOfYear(spark: SparkSession, dir: String, y: Int): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(f"$y-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit(f"${y + 1}-01-01").cast(TimestampType))
+      .select(col("o_custkey").as("custkey"))
+
+  def q09SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val b95 = buyersOfYear(spark, dir, 1995)
+    val b96 = buyersOfYear(spark, dir, 1996)
+    val b97 = buyersOfYear(spark, dir, 1997)
+    val b98 = buyersOfYear(spark, dir, 1998)
+    b95.union(b96).intersect(b97).except(b98).orderBy("custkey")
+  }
+
+  // NOTE: INTERSECT binds tighter than UNION/EXCEPT in SQL, so the chain is
+  // nested explicitly to mirror the DataFrame call order ((A∪B)∩C)∖D.
+  val q09Sql: String =
+    """SELECT custkey FROM (
+      |  SELECT custkey FROM (
+      |    SELECT custkey FROM (
+      |      SELECT o_custkey AS custkey FROM orders
+      |        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |      UNION
+      |      SELECT o_custkey FROM orders
+      |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    )
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  )
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |) ORDER BY custkey""".stripMargin
+
+  // =========================================================================
+  // q10 — distinct aggregation (exact). Spark plans the expand+two-phase
+  // distinct aggregate; at scale prefer approx_count_distinct (see
+  // Pipeline.approxDistinct for the HLL variant, oracle-exempt).
+  // =========================================================================
+  def q10DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_customers"),
+           countDistinct(col("o_orderstatus")).as("n_statuses"),
+           dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+
+  val q10Sql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS n_orders,
+       |  COUNT(DISTINCT o_custkey) AS n_customers,
+       |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       |  ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // =========================================================================
+  // q11 — ROLLUP (hierarchical grouping sets). NULL group keys are coalesced
+  // to 'ALL' so ordering semantics match across engines.
+  // =========================================================================
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  val q11Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |  COALESCE(l_linestatus, 'ALL') AS ls,
+       |  COUNT(*) AS n,
+       |  ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  // =========================================================================
+  // q12 — CUBE (all grouping sets).
+  // =========================================================================
+  def q12Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val q12Sql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  // =========================================================================
+  // q13 — scalar string/math functions (codegen'd Column expressions; the
+  // reference had only host-language arithmetic inside its pickled fns).
+  // =========================================================================
+  def q13StringMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") * 2 + 1).as("size2"),
+        floor(col("p_retailprice")).as("price_floor"),
+        (dec(col("p_retailprice")) * dec(lit(1.1)))
+          .cast(DoubleType).as("price_up"))
+      .orderBy("p_partkey")
+
+  val q13Sql: String =
+    s"""SELECT p_partkey,
+       |  LOWER(p_name) AS name_lower,
+       |  LENGTH(p_name) AS name_len,
+       |  SUBSTRING(p_type, 1, 5) AS type_prefix,
+       |  CONCAT_WS(':', p_brand, p_type) AS brand_type,
+       |  p_size * 2 + 1 AS size2,
+       |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+       |  CAST(${sqlDec("p_retailprice")} * ${sqlDec("1.1")} AS DOUBLE) AS price_up
+       |FROM part
+       |ORDER BY p_partkey""".stripMargin
+
+  // =========================================================================
+  // q14 — date/time functions: extraction, truncation, day arithmetic.
+  // =========================================================================
+  def q14DateMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        datediff(col("o_orderdate").cast(DateType),
+                 lit("1995-01-01").cast(DateType)).as("days_since_epoch"),
+        date_trunc("month", col("o_orderdate"))
+          .cast(DateType).as("order_month"))
+      .orderBy("o_orderkey")
+
+  val q14Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS o_quarter,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
+      |  CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // =========================================================================
+  // q15 — semi-structured JSON extraction over events.props.
+  // =========================================================================
+  def q15Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           davg(col("value")).as("avg_value"))
+      .orderBy("event_type")
+
+  val q15Sql: String =
+    s"""SELECT event_type,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  ${sqlDavg("value")} AS avg_value
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  // =========================================================================
+  // q16 — the SQL entry point: the same engine surface via spark.sql over
+  // registered views (TPC-H Q3 silhouette: join + agg + top-k by revenue).
+  // =========================================================================
+  def q16SqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT l_orderkey,
+         |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+         |  CAST(o_orderdate AS DATE) AS order_date
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 20""".stripMargin)
+  }
+
+  val q16Sql: String =
+    s"""SELECT l_orderkey,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+       |  CAST(o_orderdate AS DATE) AS order_date
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 20""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_revenue_by_nation" -> (q03JoinRevenueByNation _),
+    "q04_broadcast_join_brand" -> (q04BroadcastJoinBrand _),
+    "q05_semi_join" -> (q05SemiJoin _),
+    "q06_anti_join" -> (q06AntiJoin _),
+    "q07_window_top_orders" -> (q07WindowTopOrders _),
+    "q08_top_orders" -> (q08TopOrders _),
+    "q09_set_ops" -> (q09SetOps _),
+    "q10_distinct_agg" -> (q10DistinctAgg _),
+    "q11_rollup" -> (q11Rollup _),
+    "q12_cube" -> (q12Cube _),
+    "q13_string_math" -> (q13StringMath _),
+    "q14_date_math" -> (q14DateMath _),
+    "q15_json" -> (q15Json _),
+    "q16_sql_shipping_priority" -> (q16SqlShippingPriority _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_revenue_by_nation" -> q03Sql,
+    "q04_broadcast_join_brand" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_window_top_orders" -> q07Sql,
+    "q08_top_orders" -> q08Sql,
+    "q09_set_ops" -> q09Sql,
+    "q10_distinct_agg" -> q10Sql,
+    "q11_rollup" -> q11Sql,
+    "q12_cube" -> q12Sql,
+    "q13_string_math" -> q13Sql,
+    "q14_date_math" -> q14Sql,
+    "q15_json" -> q15Sql,
+    "q16_sql_shipping_priority" -> q16Sql)
+}

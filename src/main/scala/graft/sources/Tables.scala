@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Scans for the driver-generated star schema (`TESTDATA.md` / `FIXTURES.md`).
+  *
+  * The reference's only source is a generic paginated pull loader — a cursor
+  * advanced `take` records at a time (`/root/reference/Loader.fs:9-38`),
+  * EOF-detected by an empty batch (`/root/reference/Orchestrator.fs:80-88`).
+  * Here a source is a declarative Spark scan: Catalyst pushes predicates and
+  * column pruning down into the vectorized parquet reader (check
+  * `PushedFilters`/`ReadSchema` in `.explain("formatted")`), and partition
+  * granularity replaces the reference's `chunkSize` batching. At 100 TB the
+  * same call reads a partitioned/bucketed table across executors; nothing in
+  * the API changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table of the star schema rooted at `dir`.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; we read it as a nanos long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
+    * timestamp with integer division (nanos exceed 2^53, so double division
+    * would lose precision). DuckDB truncates ns→µs the same way. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql(...)` queries run
+    * against the same parquet the DuckDB oracle reads. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline operators, composed
+  * entirely from codegen'd built-ins (`org.apache.spark.sql.functions`) so
+  * they stay inside whole-stage codegen and visible to Catalyst — unlike the
+  * reference, whose only extension point was an opaque pickled function
+  * (`/root/reference/Worker.fs:20`).
+  *
+  * Tokenization contract (shared with the DuckDB oracles, see
+  * `queries/Pipeline.scala`): lowercase, split on runs of non-alphanumerics,
+  * drop empty tokens.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens; empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles over a token array, space-joined.
+    * size < n → single shingle of all tokens (so short docs still hash). */
+  def tokenShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Character k-gram shingles of the raw string (near-dup at char level). */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) <= k, array(text))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - k + 1),
+        i => text.substr(i, lit(k))))
+
+  /** Total characters across tokens (exact-int arithmetic). */
+  def tokenChars(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t))
+
+  /** BPE-ish subword count: words are split into ceil(len/4) units — a cheap,
+    * deterministic stand-in for a real tokenizer's token count. */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("int"))
+
+  /** Tiny per-language stopword inventories (public, conventional lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "ein", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "he", "zai", "ta", "men"))
+
+  /** Number of tokens that are stopwords of `lang` (with multiplicity). */
+  def stopwordCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /** Language-ID by stopword-hit scoring: argmax over languages, ties broken
+    * by language-code order. An n-gram heuristic in the classic style —
+    * deterministic, oracle-reproducible. */
+  def langIdExpr(toks: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => l -> stopwordCount(toks, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in sorted order) achieving the max score
+    scores.reverse.foldLeft(lit(langs.last)) { case (acc, (l, s)) =>
+      when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Ratio of alphabetic characters in the raw text (0 when empty). */
+  def alphaRatio(text: Column): Column = {
+    val alpha = length(regexp_replace(lower(text), "[^a-z]", ""))
+    when(length(text) === 0, lit(0.0)).otherwise(alpha / length(text))
+  }
+
+  /** Ratio of punctuation characters in the raw text. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()-]", ""))
+    when(length(text) === 0, lit(0.0)).otherwise(punct / length(text))
+  }
+
+  /** Mean token length (0 when no tokens). */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(tokenChars(toks) / size(toks))
+
+  /** Heuristic quality score in [0,1]: favors mid-length docs, high alpha
+    * ratio, some stopword presence, and sane mean word length. The exact
+    * blend is arbitrary but fixed; it exists to rank/filter corpus docs. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(size(toks) / lit(100.0), lit(1.0))
+    val alphaScore = alphaRatio(text)
+    val stopScore = least(
+      stopwordCount(toks, "en") / greatest(size(toks), lit(1)) * 5.0, lit(1.0))
+    val wordLen = meanTokenLen(toks)
+    val wordLenScore = when(wordLen >= 3 && wordLen <= 10, lit(1.0))
+      .otherwise(lit(0.5))
+    (lenScore * 0.3 + alphaScore * 0.3 + stopScore * 0.2 + wordLenScore * 0.2)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.core.MapReduceJob
 import graft.sources.Tables
 
@@ -34,9 +35,43 @@ object CoreJobs {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Faithful port of the reference's single shipped job — the dice-roll
+    * win/lose frequency count (`/root/reference/Example-Job.fs`). Differences,
+    * per SURVEY.md §5/FIXTURES.md: the unseeded `System.Random` stream
+    * (`Example-Job.fs:37,40`) becomes a deterministic LCG over
+    * `spark.range`, so the oracle can reproduce it exactly; we keep the
+    * code's actual win condition `roll = 3` (`Example-Job.fs:52-53` — its
+    * comment says "Win if 6" but the code tests 3). Arithmetic stays within
+    * int range so DuckDB (which errors on BIGINT overflow rather than
+    * wrapping) computes the identical stream. */
+  def mapReduceDice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 100000L
+    val job = MapReduceJob[Long, String, Long](
+      source = s => {
+        import s.implicits._
+        s.range(n).select(
+          (((col("id") * 48271L + 11L) % 2147483647L) % 6L + 1L).as("roll"))
+          .as[Long]
+      },
+      mapFn = roll => Seq((if (roll == 3L) "Win" else "Lose") -> 1L),
+      reduceFn = _ + _)
+    job.run(spark).toDF("outcome", "n").orderBy("outcome")
+  }
+
+  val mapReduceDiceSql: String =
+    """SELECT CASE WHEN (i * 48271 + 11) % 2147483647 % 6 + 1 = 3
+      |            THEN 'Win' ELSE 'Lose' END AS outcome,
+      |  COUNT(*) AS n
+      |FROM range(100000) t(i)
+      |GROUP BY 1
+      |ORDER BY outcome""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q17_mapreduce_flag_counts" -> (mapReduceFlagCounts _))
+    "q17_mapreduce_flag_counts" -> (mapReduceFlagCounts _),
+    "q18_mapreduce_dice" -> (mapReduceDice _))
 
   val oracleSql: Map[String, String] = Map(
-    "q17_mapreduce_flag_counts" -> mapReduceFlagCountsSql)
+    "q17_mapreduce_flag_counts" -> mapReduceFlagCountsSql,
+    "q18_mapreduce_dice" -> mapReduceDiceSql)
 }

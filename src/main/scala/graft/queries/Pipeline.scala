@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{HashFunctions, TextFunctions => TF}
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** LLM-data-pipeline queries (SURVEY.md §2c north-star extensions): dedup,
+  * similarity search, text analysis, fingerprinting — over `documents` and
+  * `embeddings`.
+  *
+  * Oracle policy: everything SQL-expressible carries a DuckDB oracle that
+  * replicates the computation **operation-for-operation** (same tokenization
+  * regex, same fold order for float sums, same tie-breaks), so values match
+  * exactly. Operators built on custom hash expressions (MinHash / SimHash /
+  * LSH / fingerprints) are not reproducible in SQL and are declared without
+  * an oracle → the driver records a rows-only check; their semantics are
+  * asserted in the scalatest suites instead.
+  */
+object Pipeline {
+
+  /** Shared tokenization contract, oracle side. Must mirror
+    * [[graft.functions.TextFunctions.tokens]] exactly. */
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+  // =========================================================================
+  // p01 — exact deduplication: one representative (min id) per distinct text.
+  // =========================================================================
+  def p01DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", Seq("text"))
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy("keep_id")
+
+  val p01Sql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_id""".stripMargin
+
+  // =========================================================================
+  // p02 — token statistics per document (counts are exact ints; means are a
+  // single int/int double division — identical on both engines).
+  // =========================================================================
+  def p02TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      TF.meanTokenLen(toks).as("mean_token_len"),
+      TF.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  val p02Sql: String =
+    s"""SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |       ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks)
+       |  END AS mean_token_len,
+       |  list_reduce(list_prepend(0, list_transform(toks, t -> CAST(ceil(length(t)/4.0) AS INT))), (a,b) -> a+b) AS n_subwords
+       |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
+  // p03 — quality scoring per document: alpha/punct ratios + a fixed blended
+  // score. The oracle reproduces the double arithmetic term-for-term.
+  // =========================================================================
+  def p03TextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TF.alphaRatio(col("text")).as("alpha_ratio"),
+      TF.punctRatio(col("text")).as("punct_ratio"),
+      TF.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val p03Sql: String = {
+    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $sqlToks AS toks FROM documents
+       |), m AS (
+       |  SELECT doc_id, text, toks,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / length(text) END AS punct_ratio,
+       |    least(len(toks) / 100.0, 1.0) AS len_score,
+       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
+       |  FROM base
+       |)
+       |SELECT doc_id, alpha_ratio, punct_ratio,
+       |  len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
+       |    (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // =========================================================================
+  // p04 — corpus language/source statistics (group-by over text metrics).
+  // =========================================================================
+  def p04LangStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), TF.tokenCount(col("text")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           (sum(col("nt")) / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  val p04Sql: String =
+    s"""SELECT lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(len($sqlToks)) AS BIGINT) / COUNT(*) AS avg_tokens
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // =========================================================================
+  // p05 — language identification (stopword-hit argmax, ties → first lang in
+  // code order), evaluated against the labeled lang column.
+  // =========================================================================
+  def p05LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TF.langIdExpr(TF.tokens(col("text"))).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  val p05Sql: String = {
+    val langs = TF.stopwords.keys.toSeq.sorted
+    val scoreDefs = langs.map { l =>
+      val words = TF.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($words))) AS s_$l"
+    }.mkString(",\n    ")
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT lang, $sqlToks AS toks FROM documents),
+       |s AS (SELECT lang,
+       |    $scoreDefs
+       |  FROM t),
+       |p AS (SELECT lang, CASE $cases END AS predicted
+       |      FROM (SELECT *, $best AS best FROM s))
+       |SELECT lang, predicted, COUNT(*) AS n
+       |FROM p GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+  }
+
+  // =========================================================================
+  // p06 — brute-force cosine top-k similarity search (exact ANN baseline).
+  // The oracle replicates the left-to-right fold of the dot/norm sums, so
+  // doubles match bit-for-bit.
+  // =========================================================================
+  def p06KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def sqlFoldDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  val p06Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id,
+       |    ${sqlFoldDot("qv", "cv")} AS dt,
+       |    sqrt(${sqlFoldDot("qv", "qv")}) AS nq,
+       |    sqrt(${sqlFoldDot("cv", "cv")}) AS nc
+       |  FROM c CROSS JOIN q
+       |  WHERE query_id != neighbor_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dt / (nq * nc) END AS sim
+       |  FROM s),
+       |t AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM r)
+       |SELECT query_id, "rank", neighbor_id, sim FROM t
+       |WHERE "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  // =========================================================================
+  // p07 — exact n-gram Jaccard similarity over adjacent doc pairs (the
+  // verification kernel of near-dup, oracle-checked on its own).
+  // =========================================================================
+  def p07NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      array_distinct(TF.tokenShingles(TF.tokens(col("text")), 2)).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.jaccardExpr(col("sh_a"), col("sh_b")).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  val p07Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    END) AS sh FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))
+       |  END AS jaccard
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       |ORDER BY doc_a""".stripMargin
+
+  // =========================================================================
+  // p08–p12 — custom-hash operators: no SQL oracle (driver rows-only check);
+  // semantics asserted in scalatest.
+  // =========================================================================
+
+  /** MinHash-LSH near-duplicate candidate pairs, Jaccard-verified. */
+  def p08DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-duplicate pairs (Hamming ≤ 3 on 64-bit fingerprints). */
+  def p09DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** LSH-bucketed approximate nearest neighbors (recall measured in tests
+    * against p06's exact result). */
+  def p10KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        k = 5, dim = 64, tables = 8, bits = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH buckets.
+    * Threshold 0.4 ≈ the 99.9th percentile of pair similarity on the
+    * synthetic embeddings (their max is ~0.51), so output is non-trivial. */
+  def p11EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(Tables.embeddings(spark, dir),
+        threshold = 0.4, dim = 64, tables = 8, bits = 8)
+      .orderBy("id_a", "id_b")
+
+  /** 64-bit content fingerprints + SimHash per document. */
+  def p12Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        HashFunctions.fingerprint64(col("text")).as("fingerprint"),
+        HashFunctions.simhash64(TF.tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  // =========================================================================
+  // p13 — tumbling-window event aggregation (batch form of the streaming
+  // pipeline; see graft.streaming for the readStream variant).
+  // =========================================================================
+  def p13EventWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(12, 4))).cast(DoubleType)
+             .as("total_value"))
+      .select(col("w.start").cast(DateType).as("day"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("day", "event_type")
+
+  val p13Sql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_dedup_exact" -> (p01DedupExact _),
+    "p02_token_stats" -> (p02TokenStats _),
+    "p03_text_quality" -> (p03TextQuality _),
+    "p04_lang_stats" -> (p04LangStats _),
+    "p05_lang_id" -> (p05LangId _),
+    "p06_knn_brute" -> (p06KnnBrute _),
+    "p07_ngram_jaccard" -> (p07NgramJaccard _),
+    "p08_dedup_minhash" -> (p08DedupMinhash _),
+    "p09_dedup_simhash" -> (p09DedupSimhash _),
+    "p10_knn_lsh" -> (p10KnnLsh _),
+    "p11_embed_neardup" -> (p11EmbedNearDup _),
+    "p12_fingerprint" -> (p12Fingerprint _),
+    "p13_event_windows" -> (p13EventWindows _))
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_dedup_exact" -> p01Sql,
+    "p02_token_stats" -> p02Sql,
+    "p03_text_quality" -> p03Sql,
+    "p04_lang_stats" -> p04Sql,
+    "p05_lang_id" -> p05Sql,
+    "p06_knn_brute" -> p06Sql,
+    "p07_ngram_jaccard" -> p07Sql,
+    "p13_event_windows" -> p13Sql)
+}

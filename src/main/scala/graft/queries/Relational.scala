@@ -504,6 +504,53 @@ object Relational {
        |ORDER BY revenue DESC, l_orderkey ASC
        |LIMIT 20""".stripMargin
 
+  // =========================================================================
+  // q19 — sessionization: gap-based session assignment per user (lag +
+  // running conditional sum), then per-session stats. The batch twin of the
+  // stateful-streaming path (graft.streaming); at scale this is one shuffle
+  // on user_id and two window passes over it.
+  // =========================================================================
+  def q19Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc,
+      col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+             .as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q19Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |                               ORDER BY ts ASC, event_id ASC) AS prev_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM t),
+      |g AS (
+      |  SELECT user_id, us,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM s)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+      |FROM g
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -521,7 +568,8 @@ object Relational {
     "q13_string_math" -> (q13StringMath _),
     "q14_date_math" -> (q14DateMath _),
     "q15_json" -> (q15Json _),
-    "q16_sql_shipping_priority" -> (q16SqlShippingPriority _))
+    "q16_sql_shipping_priority" -> (q16SqlShippingPriority _),
+    "q19_sessionize" -> (q19Sessionize _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -539,5 +587,6 @@ object Relational {
     "q13_string_math" -> q13Sql,
     "q14_date_math" -> q14Sql,
     "q15_json" -> q15Sql,
-    "q16_sql_shipping_priority" -> q16Sql)
+    "q16_sql_shipping_priority" -> q16Sql,
+    "q19_sessionize" -> q19Sql)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{Hash64, HashFunctions, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercase, alphanumeric, no empties") {
+    val got = Seq("Hello, World! 42x  ", "", "--!--").toDF("text")
+      .select(TF.tokens(col("text"))).as[Seq[String]].collect()
+    assert(got(0) === Seq("hello", "world", "42x"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq.empty)
+  }
+
+  test("tokenShingles: n-grams, short-doc fallback") {
+    val df = Seq("a b c d", "a").toDF("text")
+    val got = df.select(TF.tokenShingles(TF.tokens(col("text")), 2))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b", "b c", "c d"))
+    assert(got(1) === Seq("a"))
+  }
+
+  test("charShingles slide over the raw string") {
+    val got = Seq("abcd").toDF("text")
+      .select(TF.charShingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) === Seq("abc", "bcd"))
+  }
+
+  test("langId picks the language with most stopword hits, tie → code order") {
+    val df = Seq(
+      "the cat and the dog of it",        // en stopwords
+      "der hund und die katze ist",       // de stopwords
+      "xyzzy qwerty")                     // no hits anywhere → tie → "de"
+      .toDF("text")
+    val got = df.select(TF.langIdExpr(TF.tokens(col("text")))).as[String].collect()
+    assert(got(0) === "en")
+    assert(got(1) === "de")
+    assert(got(2) === "de")
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val got = SparkEntry.queries("p03_text_quality")(spark, sfDir)
+      .select(col("quality")).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprint64 is stable and collision-free on distinct strings") {
+    val g1 = Seq("a", "b", "a").toDF("text")
+      .select(HashFunctions.fingerprint64(col("text"))).as[Long].collect()
+    assert(g1(0) === g1(2))
+    assert(g1(0) !== g1(1))
+    // stable across sessions: value pinned (FNV-1a + SplitMix64 of "a")
+    assert(g1(0) === Hash64.mix(Hash64.fnv1a("a".getBytes("UTF-8"))))
+  }
+
+  test("simhash: identical token sets → identical hash; near sets → small hamming") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(5, "changed")
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq(base, near, far).toDF("toks")
+    val hs = df.select(HashFunctions.simhash64(col("toks"))).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) < 16, "near-dup should have small hamming")
+    assert(ham(hs(0), hs(2)) > 16, "unrelated should have large hamming")
+  }
+
+  test("minhash signature estimates jaccard") {
+    val a = (1 to 100).map(_.toString)
+    val b = (1 to 80).map(_.toString) ++ (201 to 220).map(_.toString) // J = 80/120
+    val df = Seq(a, b).toDF("sh")
+    val sigs = df.select(HashFunctions.minhashSignature(col("sh"), 256))
+      .as[Seq[Long]].collect()
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 80.0 / 120.0) < 0.12, s"estimate $est too far")
+  }
+
+  test("cosine: exact on known vectors, zero-guard on degenerate") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(VF.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    assert(got(2) === 0.0)
+  }
+
+  test("seededPlanes are deterministic and in [-1,1]") {
+    val p1 = VF.seededPlanes(4, 8, 42L)
+    val p2 = VF.seededPlanes(4, 8, 42L)
+    assert(p1 === p2)
+    assert(p1.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    assert(VF.seededPlanes(4, 8, 43L) !== p1)
+  }
+}

@@ -280,6 +280,22 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  // =========================================================================
+  // p14 — multimodal pipeline: binary payload column + typed metadata →
+  // batched decode (stubbed codec, real plumbing) → per-kind feature stats.
+  // No oracle: the decode stage is custom Scala (rows-only check + scalatest).
+  // =========================================================================
+  def p14Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.fromDocuments(spark, Tables.documents(spark, dir))
+    Multimodal.extractFeatures(media)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+           avg(col("n_bytes")).as("avg_bytes"),
+           avg(col("feat_norm")).as("avg_feat_norm"))
+      .orderBy("kind")
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -294,7 +310,8 @@ object Pipeline {
     "p10_knn_lsh" -> (p10KnnLsh _),
     "p11_embed_neardup" -> (p11EmbedNearDup _),
     "p12_fingerprint" -> (p12Fingerprint _),
-    "p13_event_windows" -> (p13EventWindows _))
+    "p13_event_windows" -> (p13EventWindows _),
+    "p14_multimodal" -> (p14Multimodal _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,

@@ -1,0 +1,58 @@
+package graft
+
+import graft.multimodal.{MediaCodec, Multimodal}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.fromDocuments(spark, Tables.documents(spark, sfDir))
+
+  test("media table: every doc becomes a payload with typed metadata") {
+    val rows = media.collect()
+    assert(rows.length === 500)
+    assert(rows.forall(r => r.payload.nonEmpty && Multimodal.kinds.contains(r.kind)))
+    assert(rows.forall(r => r.meta.width >= 32 && r.meta.height >= 32))
+  }
+
+  test("batched decode emits one feature row per record, deterministic") {
+    val f1 = Multimodal.extractFeatures(media, batchSize = 7).collect()
+      .sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, batchSize = 64).collect()
+      .sortBy(_.media_id)
+    assert(f1.length === 500)
+    // batch size must not change results (only the decode batch shape)
+    assert(f1.map(_.feat_norm).toSeq === f2.map(_.feat_norm).toSeq)
+    assert(f1.forall(_.feature.length === 8))
+    // features are L1-ish normalized probabilities from the stub
+    assert(f1.forall(f => f.feature.forall(x => x >= 0f && x <= 1.01f)))
+  }
+
+  test("decode stub derives n_bytes from the payload") {
+    val r = media.filter(_.media_id == 0L).head()
+    assert(MediaCodec.decodeStub(r).n_bytes === r.payload.length)
+  }
+
+  test("resize rewrites metadata, preserves payloads") {
+    val resized = Multimodal.resize(media, 224, 224).collect()
+    assert(resized.forall(r => r.meta.width === 224 && r.meta.height === 224))
+    assert(resized.map(_.payload.length).sum ===
+      media.collect().map(_.payload.length).sum)
+  }
+
+  test("frame sampling strides over video payloads only") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame.length === 64))
+    val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
+  }
+
+  test("p14 aggregates per kind") {
+    val got = SparkEntry.queries("p14_multimodal")(spark, sfDir).collect()
+    assert(got.length === 3)
+  }
+}

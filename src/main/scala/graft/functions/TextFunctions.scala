@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased alphanumeric tokens; empties removed. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+  /** Lowercased alphanumeric tokens; empties removed. Native expression —
+    * the Column-composed equivalent is
+    * `filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")`. */
+  def tokens(text: Column): Column = TextExpressions.tokenize(text)
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
@@ -26,10 +27,7 @@ object TextFunctions {
   /** Word n-gram shingles over a token array, space-joined.
     * size < n → single shingle of all tokens (so short docs still hash). */
   def tokenShingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    TextExpressions.tokenShingles(toks, n)
 
   /** Character k-gram shingles of the raw string (near-dup at char level). */
   def charShingles(text: Column, k: Int): Column =
@@ -44,8 +42,10 @@ object TextFunctions {
 
   /** BPE-ish subword count: words are split into ceil(len/4) units — a cheap,
     * deterministic stand-in for a real tokenizer's token count. */
-  def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0),
+  def subwordCount(text: Column): Column = subwordCountFromTokens(tokens(text))
+
+  def subwordCountFromTokens(toks: Column): Column =
+    aggregate(toks, lit(0),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("int"))
 
   /** Tiny per-language stopword inventories (public, conventional lists). */
@@ -62,13 +62,22 @@ object TextFunctions {
 
   /** Language-ID by stopword-hit scoring: argmax over languages, ties broken
     * by language-code order. An n-gram heuristic in the classic style —
-    * deterministic, oracle-reproducible. */
-  def langIdExpr(toks: Column): Column = {
-    val langs = stopwords.keys.toSeq.sorted
-    val scores = langs.map(l => l -> stopwordCount(toks, l))
+    * deterministic, oracle-reproducible.
+    *
+    * Prefer staging: compute [[stopwordCount]] per language into columns
+    * first, then apply [[langIdFromScores]] on the column references —
+    * higher-order functions are interpreted (no codegen CSE), so inlining
+    * this whole tree re-tokenizes per language. */
+  def langIdExpr(toks: Column): Column =
+    langIdFromScores(stopwords.keys.toSeq.sorted.map(l =>
+      l -> stopwordCount(toks, l)))
+
+  /** Argmax over per-language score columns; ties → first lang in sorted
+    * code order. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language (in sorted order) achieving the max score
-    scores.reverse.foldLeft(lit(langs.last)) { case (acc, (l, s)) =>
+    scores.reverse.foldLeft(lit(scores.last._1)) { case (acc, (l, s)) =>
       when(s === best, lit(l)).otherwise(acc)
     }
   }

@@ -55,35 +55,46 @@ object Dedup {
 
     val shingles = array_distinct(TextFunctions.tokenShingles(
       TextFunctions.tokens(col(textCol)), shingleSize))
-    val sig = docs.select(col(idCol).as("id"), shingles.as("sh"))
-      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes, seed))
+    val shingleTable = docs.select(col(idCol).as("id"), shingles.as("sh"))
+    val sig = shingleTable.select(col("id"),
+      HashFunctions.minhashSignature(col("sh"), numHashes, seed).as("sig"))
 
-    // one row per (doc, band): bucket = hash of the band's signature slice
-    val banded = sig.select(col("id"), col("sh"),
+    // one row per (doc, band): bucket = hash of the band's signature slice.
+    // Only (id, band, bucket) ever enters the exchange — the heavy shingle
+    // arrays stay behind and are re-joined for candidate verification only.
+    val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    // guard: drop degenerate buckets before the self-join fans out
-    val wb = Window.partitionBy(col("band"), col("bucket"))
-    val pruned = banded
-      .withColumn("__bsz", count(lit(1)).over(wb))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-
-    val a = pruned.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = pruned.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketPairs(banded, Seq("band", "bucket"), maxBucketSize)
 
     candidates
+      .join(shingleTable.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingleTable.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccardExpr(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) from bucket groups, without a
+    * self-join: collect ids per bucket (bounded by `maxBucketSize` — the
+    * degenerate-bucket guard *and* the memory bound), then expand the
+    * in-bucket combinations with one array expression. One aggregation
+    * exchange instead of a window pass plus a join exchange. */
+  private[operators] def bucketPairs(bucketRows: DataFrame,
+      bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val ids = col("__ids")
+    bucketRows
+      .groupBy(bucketKeys.map(col): _*)
+      .agg(collect_list(col("id")).as("__ids"))
+      .filter(size(ids).between(2, maxBucketSize))
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact Jaccard over two (distinct-element) arrays, as int arithmetic
@@ -104,24 +115,14 @@ object Dedup {
     val hashed = docs.select(col(idCol).as("id"),
       HashFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sh64"))
 
-    val chunked = hashed.select(col("id"), col("sh64"),
+    val chunked = hashed.select(col("id"),
         posexplode(array((0 until 4).map(c =>
           shiftrightunsigned(col("sh64"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
 
-    val wb = Window.partitionBy(col("chunk"), col("ckey"))
-    val pruned = chunked
-      .withColumn("__bsz", count(lit(1)).over(wb))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-
-    val a = pruned.select(col("chunk"), col("ckey"),
-      col("id").as("id_a"), col("sh64").as("h_a"))
-    val b = pruned.select(col("chunk"), col("ckey"),
-      col("id").as("id_b"), col("sh64").as("h_b"))
-    a.join(b, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    bucketPairs(chunked, Seq("chunk", "ckey"), maxBucketSize)
+      .join(hashed.select(col("id").as("id_a"), col("sh64").as("h_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sh64").as("h_b")), "id_b")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -42,20 +42,16 @@ object Similarity {
   }
 
   /** Corpus bucketed by `tables` independent sign-bit LSH tables of
-    * `bits` hyperplanes each: one row per (vector, table). */
+    * `bits` hyperplanes each: one row per (vector, table). The whole plane
+    * bank is evaluated in one pass per row
+    * ([[graft.functions.VectorExpressions.hyperplaneBuckets]]). */
   def lshBuckets(
       df: DataFrame, tables: Int, bits: Int, dim: Int, seed: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tableCols = (0 until tables).map { t =>
-      val planes = seededPlanes(bits, dim, seed + t * 7919L)
-      struct(lit(t).as("table"),
-        hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    }
-    df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(array(tableCols: _*)).as("tb"))
-      .select(col("id"), col("v"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(graft.functions.VectorExpressions
+          .hyperplaneBuckets(col(vecCol), tables, bits, dim, seed)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 
   /** Approximate top-k: candidates = corpus vectors sharing any LSH bucket
     * with the query (union over `tables` tables), exact-cosine reranked.
@@ -64,17 +60,22 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // candidate ids only through the bucket join; vectors re-attached after
+    // dedup so payloads cross the wire once per surviving candidate
     val cb = lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol)
     val qb = broadcast(lshBuckets(queries, tables, bits, dim, seed, idCol, vecCol)
-      .withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv"))
+      .withColumnRenamed("id", "query_id"))
     val candidates = cb.join(qb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("qv"),
-        col("id").as("neighbor_id"), col("v").as("cv"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates.withColumn("sim", cosine(col("qv"), col("cv")))
+    candidates.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
@@ -86,15 +87,12 @@ object Similarity {
   def embeddingNearDupPairs(
       corpus: DataFrame, threshold: Double, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,
+      maxBucketSize: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol)
-    val a = cb.select(col("table"), col("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = cb.select(col("table"), col("bucket"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    Dedup.bucketPairs(cb, Seq("table", "bucket"), maxBucketSize)
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .withColumn("sim", cosine(col("v_a"), col("v_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

@@ -44,16 +44,18 @@ object Pipeline {
   // p02 — token statistics per document (counts are exact ints; means are a
   // single int/int double division — identical on both engines).
   // =========================================================================
-  def p02TokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TF.tokens(col("text"))
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct"),
-      TF.meanTokenLen(toks).as("mean_token_len"),
-      TF.subwordCount(col("text")).as("n_subwords"))
+  def p02TokenStats(spark: SparkSession, dir: String): DataFrame =
+    // tokenize once into a column; downstream exprs reference the attribute
+    // (HOFs are interpreted, so inlined copies would each re-tokenize)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        TF.meanTokenLen(col("toks")).as("mean_token_len"),
+        TF.subwordCountFromTokens(col("toks")).as("n_subwords"))
       .orderBy("doc_id")
-  }
 
   val p02Sql: String =
     s"""SELECT doc_id,
@@ -70,13 +72,24 @@ object Pipeline {
   // p03 — quality scoring per document: alpha/punct ratios + a fixed blended
   // score. The oracle reproduces the double arithmetic term-for-term.
   // =========================================================================
-  def p03TextQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      TF.alphaRatio(col("text")).as("alpha_ratio"),
-      TF.punctRatio(col("text")).as("punct_ratio"),
-      TF.qualityScore(col("text")).as("quality"))
+  def p03TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TF.alphaRatio(col("text")).as("alpha_ratio"),
+        TF.punctRatio(col("text")).as("punct_ratio"),
+        least(size(toks) / 100.0, lit(1.0)).as("len_score"),
+        least(TF.stopwordCount(toks, "en") / greatest(size(toks), lit(1)) * 5.0,
+          lit(1.0)).as("stop_score"),
+        TF.meanTokenLen(toks).as("wl"))
+      .select(col("doc_id"), col("alpha_ratio"), col("punct_ratio"),
+        (col("len_score") * 0.3 + col("alpha_ratio") * 0.3 +
+          col("stop_score") * 0.2 +
+          when(col("wl") >= 3 && col("wl") <= 10, lit(1.0)).otherwise(lit(0.5))
+            * 0.2).as("quality"))
       .orderBy("doc_id")
+  }
 
   val p03Sql: String = {
     val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
@@ -126,12 +139,18 @@ object Pipeline {
   // p05 — language identification (stopword-hit argmax, ties → first lang in
   // code order), evaluated against the labeled lang column.
   // =========================================================================
-  def p05LangId(spark: SparkSession, dir: String): DataFrame =
+  def p05LangId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = TF.stopwords.keys.toSeq.sorted
     Tables.documents(spark, dir)
-      .select(col("lang"), TF.langIdExpr(TF.tokens(col("text"))).as("predicted"))
+      .select(col("lang"), TF.tokens(col("text")).as("toks"))
+      .select(col("lang") +: langs.map(l =>
+        TF.stopwordCount(col("toks"), l).as(s"s_$l")): _*)
+      .select(col("lang"),
+        TF.langIdFromScores(langs.map(l => l -> col(s"s_$l"))).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
+  }
 
   val p05Sql: String = {
     val langs = TF.stopwords.keys.toSeq.sorted

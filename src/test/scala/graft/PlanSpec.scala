@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan quality gates: the properties that make these queries hold
+  * at 100 TB are asserted, not assumed — predicate pushdown into the parquet
+  * scan, column pruning, broadcast of dimension sides, and partial (map-side)
+  * aggregation before the exchange. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // finalize AQE so the real plan is visible
+    executedPlan(df).toString
+  }
+
+  test("q02: filter is pushed down to the parquet scan, columns pruned") {
+    val df = Relational.q02FilterProject(spark, sfDir)
+    val scan = planString(df)
+    assert(scan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(scan.contains("l_shipdate"), "shipdate predicate not pushed")
+    // projection needs only 5 of 11 lineitem columns — scan schema must
+    // not contain the unused ones
+    assert(!scan.contains("l_returnflag"), "column pruning failed")
+  }
+
+  test("q01: aggregation is two-phase (partial before the exchange)") {
+    val df = Relational.q01PricingSummary(spark, sfDir)
+    val plan = planString(df)
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, plan:\n$plan")
+  }
+
+  test("q04: dimension table joins as broadcast, fact side does not shuffle") {
+    val plan = planString(Relational.q04BroadcastJoinBrand(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), "part should broadcast")
+  }
+
+  test("q08: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planString(Relational.q08TopOrders(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("whole-stage codegen covers the relational scan pipelines") {
+    val plan = planString(Relational.q01PricingSummary(spark, sfDir))
+    // codegen stages render as "*(n)" prefixes in the plan string
+    assert(plan.contains("*("), s"codegen missing from q1:\n$plan")
+  }
+}

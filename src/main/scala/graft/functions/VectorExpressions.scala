@@ -60,7 +60,49 @@ case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Double]]
     copy(child = c)
 }
 
+/** Cosine similarity in one native pass. Bit-compatible with the composed
+  * Column form (and the DuckDB oracle): dot, ‖a‖², ‖b‖² accumulate
+  * left-to-right from 0.0 in doubles, result = dot/(√‖a‖²·√‖b‖²), 0.0 when
+  * either norm is zero. Inputs: array<float> or array<double>. */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val leftFloat = isFloat(left)
+  @transient private lazy val rightFloat = isFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CosineSimilarityExpr = copy(left = l, right = r)
+}
+
 object VectorExpressions {
+  /** Native cosine similarity (see [[CosineSimilarityExpr]]). */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarityExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Buckets of `vec` in `tables` LSH tables of `bits` hyperplanes each,
     * derived deterministically from `seed` (table t uses seed + t·7919). */
   def hyperplaneBuckets(vec: Column, tables: Int, bits: Int, dim: Int,

@@ -27,13 +27,12 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity with zero-vector guard (0.0 for degenerate inputs).
-    * Formula is dot/(√‖a‖²·√‖b‖²) with that exact operation order. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    val na = norm(ad); val nb = norm(bd)
-    when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dot(ad, bd) / (na * nb))
-  }
+    * Formula is dot/(√‖a‖²·√‖b‖²) with that exact operation order.
+    * Delegates to the native single-pass expression
+    * ([[CosineSimilarityExpr]]) — bit-identical to the composed
+    * `dot(ad,bd)/(norm(ad)*norm(bd))` form, without the interpreted
+    * higher-order-function overhead. */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
   /** Euclidean (L2) distance. */
   def l2Distance(a: Column, b: Column): Column =

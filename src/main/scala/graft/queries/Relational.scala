@@ -551,6 +551,100 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // =========================================================================
+  // q20 — full outer join with null-handling: order counts per customer
+  // including customers without orders and (synthetic) orders without
+  // customers.
+  // =========================================================================
+  def q20OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 250000.0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        coalesce(col("n_big"), lit(0)).as("n_big"))
+      .orderBy("custkey")
+  }
+
+  val q20Sql: String =
+    """WITH big AS (
+      |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      |  WHERE o_totalprice > 250000.0 GROUP BY o_custkey)
+      |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |  COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+      |  CAST(COALESCE(n_big, 0) AS BIGINT) AS n_big
+      |FROM customer FULL OUTER JOIN big ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  // =========================================================================
+  // q21 — array aggregation + array scalar functions, made deterministic
+  // (sorted before joining) so the oracle can reproduce it.
+  // =========================================================================
+  def q21ArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 1000)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",")
+          .as("line_numbers"),
+        array_max(collect_list(col("l_quantity"))).as("max_qty"),
+        array_min(collect_list(col("l_quantity"))).as("min_qty"))
+      .orderBy("l_orderkey")
+
+  val q21Sql: String =
+    """SELECT l_orderkey,
+      |  COUNT(*) AS n_lines,
+      |  array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+      |  list_max(list(l_quantity)) AS max_qty,
+      |  list_min(list(l_quantity)) AS min_qty
+      |FROM lineitem
+      |WHERE l_orderkey <= 1000
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  // =========================================================================
+  // q22 — salted two-phase aggregation over the reference's worst-case skew
+  // shape (few hot keys). Result provably equals a direct groupBy (the merge
+  // is associative; sums are decimal-exact) — the oracle is the plain GROUP
+  // BY, which is the point.
+  // =========================================================================
+  def q22SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedCountSum(
+        Tables.lineitem(spark, dir),
+        keys = Seq("l_returnflag"),
+        sumCols = Map(
+          "sum_qty" -> dec(col("l_quantity")),
+          "sum_price" -> dec(col("l_extendedprice"))),
+        salts = 16)
+      .select(col("l_returnflag"), col("n"),
+        col("sum_qty").cast(DoubleType).as("sum_qty"),
+        col("sum_price").cast(DoubleType).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  val q22Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // =========================================================================
+  // q23 — approximate distinct (HyperLogLog++): the 100 TB stand-in for
+  // q10's exact countDistinct. No oracle (sketch implementations differ);
+  // the exact/approx relative error is asserted in scalatest instead.
+  // =========================================================================
+  def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+           approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -569,7 +663,11 @@ object Relational {
     "q14_date_math" -> (q14DateMath _),
     "q15_json" -> (q15Json _),
     "q16_sql_shipping_priority" -> (q16SqlShippingPriority _),
-    "q19_sessionize" -> (q19Sessionize _))
+    "q19_sessionize" -> (q19Sessionize _),
+    "q20_outer_join" -> (q20OuterJoin _),
+    "q21_array_agg" -> (q21ArrayAgg _),
+    "q22_salted_agg" -> (q22SaltedAgg _),
+    "q23_approx_distinct" -> (q23ApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -588,5 +686,8 @@ object Relational {
     "q14_date_math" -> q14Sql,
     "q15_json" -> q15Sql,
     "q16_sql_shipping_priority" -> q16Sql,
-    "q19_sessionize" -> q19Sql)
+    "q19_sessionize" -> q19Sql,
+    "q20_outer_join" -> q20Sql,
+    "q21_array_agg" -> q21Sql,
+    "q22_salted_agg" -> q22Sql)
 }

@@ -14,6 +14,17 @@ class QueriesSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
 
+  test("approx_count_distinct stays within its error bound of exact") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val Array(approx, exact) = li
+      .agg(approx_count_distinct(col("l_orderkey")).as("a"),
+        countDistinct(col("l_orderkey")).as("e"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL surface for the engine's custom expressions: after
+  * `GraftFunctions.register(spark)`, `spark.sql` queries can call
+  * `tokenize`, `token_shingles`, `simhash64`, `minhash_signature`,
+  * `fingerprint64`, `cosine_similarity`, and `hyperplane_buckets` directly —
+  * the library is usable from pure SQL, not only the Scala API.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "tokenize",
+      args => TokenizeExpr(args.head))
+    ColumnBridge.registerFunction(spark, "token_shingles",
+      args => TokenShinglesExpr(args.head, intArg(args(1), "n")))
+    ColumnBridge.registerFunction(spark, "simhash64",
+      args => TokenSimHash64(args.head))
+    ColumnBridge.registerFunction(spark, "fingerprint64",
+      args => Fingerprint64(args.head))
+    ColumnBridge.registerFunction(spark, "cosine_similarity",
+      args => CosineSimilarityExpr(args.head, args(1)))
+    ColumnBridge.registerFunction(spark, "minhash_signature", {
+      case Seq(c) => MinHashSignature(c, 64, 42L)
+      case Seq(c, n) => MinHashSignature(c, intArg(n, "numHashes"), 42L)
+      case Seq(c, n, s) =>
+        MinHashSignature(c, intArg(n, "numHashes"), longArg(s, "seed"))
+      case args => throw new IllegalArgumentException(
+        s"minhash_signature takes 1-3 args, got ${args.size}")
+    })
+  }
+}

@@ -41,6 +41,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Two-phase exact top-k: map-side partial top-k per partition via a
+    * bounded-buffer `Aggregator`, merged reduce-side — only k rows per
+    * (query, partition) cross the exchange, vs the full |Q|·|corpus| scored
+    * set a window sort would shuffle. Same results and tie-break as
+    * [[bruteForceTopK]] (asserted in tests); the 100 TB path. */
+  def bruteForceTopKTwoPhase(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .as[(Long, Long, Double)]
+
+    // "less" = better: (sim desc, id asc) — identical tie-break to the
+    // window variant
+    val betterFirst: Ordering[(Double, Long)] =
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    val topK = new org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+      override def zero: Seq[(Double, Long)] = Vector.empty
+      override def reduce(b: Seq[(Double, Long)], r: (Long, Long, Double)) =
+        (b :+ ((r._3, r._2))).sorted(betterFirst).take(k)
+      override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]) =
+        (a ++ b).sorted(betterFirst).take(k)
+      override def finish(b: Seq[(Double, Long)]) = b
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+        implicitly[org.apache.spark.sql.Encoder[Seq[(Double, Long)]]]
+      override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+        implicitly[org.apache.spark.sql.Encoder[Seq[(Double, Long)]]]
+    }
+
+    scored.groupByKey(_._1).agg(topK.toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("neighbor_id"), col("col._1").as("sim"))
+  }
+
   /** Corpus bucketed by `tables` independent sign-bit LSH tables of
     * `bits` hyperplanes each: one row per (vector, table). The whole plane
     * bank is evaluated in one pass per row

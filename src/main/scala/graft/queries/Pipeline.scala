@@ -315,6 +315,38 @@ object Pipeline {
       .orderBy("kind")
   }
 
+  // =========================================================================
+  // p15 — the engine's custom expressions through the pure-SQL surface:
+  // register, then run a dedup-flavored SQL query using them. Oracle covers
+  // the SQL-reproducible part (token counts per source); the hash columns
+  // are engine-defined (rows-only beyond the oracled columns, so this query
+  // only exposes oracle-reproducible aggregates).
+  // =========================================================================
+  def p15SqlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(size(tokenize(text))) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT fingerprint64(text)) AS distinct_fingerprints
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+  }
+
+  /** Oracle for p15: fingerprints are engine-defined but injective on
+    * distinct texts by construction (asserted in FunctionsSpec), so
+    * COUNT(DISTINCT fingerprint64(text)) ≡ COUNT(DISTINCT text). */
+  val p15Sql: String =
+    s"""SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len($sqlToks)) AS BIGINT) AS total_tokens,
+       |  COUNT(DISTINCT text) AS distinct_fingerprints
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -330,7 +362,8 @@ object Pipeline {
     "p11_embed_neardup" -> (p11EmbedNearDup _),
     "p12_fingerprint" -> (p12Fingerprint _),
     "p13_event_windows" -> (p13EventWindows _),
-    "p14_multimodal" -> (p14Multimodal _))
+    "p14_multimodal" -> (p14Multimodal _),
+    "p15_sql_functions" -> (p15SqlFunctions _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -340,5 +373,6 @@ object Pipeline {
     "p05_lang_id" -> p05Sql,
     "p06_knn_brute" -> p06Sql,
     "p07_ngram_jaccard" -> p07Sql,
-    "p13_event_windows" -> p13Sql)
+    "p13_event_windows" -> p13Sql,
+    "p15_sql_functions" -> p15Sql)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,7 +30,8 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Micro-batched scan of an events directory; `maxFilesPerTrigger` is the
+  /** Micro-batched scan of the events table under `dir` (the sf directory —
+    * only `events.parquet` is ingested); `maxFilesPerTrigger` is the
     * streaming analogue of the reference's `chunkSize` pull batching. */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
@@ -38,6 +39,7 @@ object EventStream {
     spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -53,6 +55,50 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
+      nEvents: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      duration_us: Long)
+
+  /** Stateful gap-based sessionization over the stream:
+    * `flatMapGroupsWithState` keeps one open session per user across
+    * micro-batches and emits a session row whenever a gap > `gapMinutes`
+    * closes it. The streaming twin of the batch `q19_sessionize` query —
+    * the reference's per-worker mutable state dict
+    * (`/root/reference/Worker.fs:32`) reborn as fault-tolerant, bounded,
+    * checkpointed state. The user's final session stays open (unemitted)
+    * until more data or a timeout policy closes it. */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.map(_._2).toVector.sorted
+      var closed = Vector.empty[SessionOut]
+      var st = state.getOption.orNull
+      sorted.foreach { us =>
+        st = st match {
+          case null => SessionState(1L, us, us, 1L)
+          case s if us - s.lastUs > gapUs =>
+            closed :+= SessionOut(userId, s.sessionId, s.nEvents,
+              s.lastUs - s.startUs)
+            SessionState(s.sessionId + 1, us, us, 1L)
+          case s => s.copy(lastUs = us, nEvents = s.nEvents + 1)
+        }
+      }
+      if (st != null) state.update(st)
+      closed.iterator
+    }
+
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Run a streaming transform over a bounded directory synchronously
     * (availableNow + memory sink), returning the materialized result —

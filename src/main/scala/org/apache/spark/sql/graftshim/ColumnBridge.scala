@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register an expression builder as a session-scoped SQL function
+    * (`sessionState.functionRegistry` is likewise `private[sql]`). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
 }

@@ -96,6 +96,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 99L)))
   }
 
+  test("two-phase top-k agrees exactly with the window top-k") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val window = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val twoPhase = Similarity.bruteForceTopKTwoPhase(queries, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(twoPhase === window)
+  }
+
   test("LSH recall vs brute force on real embeddings is usable (>0.5)") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)

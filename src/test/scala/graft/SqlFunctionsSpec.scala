@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.{GraftFunctions, HashFunctions, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL surface: custom expressions registered as session functions
+  * must agree with their Scala-API forms. */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Scala API results") {
+    GraftFunctions.register(spark)
+    Seq(("Hello, World! 42x", 7L)).toDF("text", "x")
+      .createOrReplaceTempView("t")
+
+    val viaSql = spark.sql(
+      """SELECT tokenize(text) AS toks,
+        |  token_shingles(tokenize(text), 2) AS sh,
+        |  simhash64(tokenize(text)) AS sh64,
+        |  fingerprint64(text) AS fp,
+        |  minhash_signature(tokenize(text), 16, 7) AS sig,
+        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS cos
+        |FROM t""".stripMargin).head()
+
+    val viaApi = Seq(("Hello, World! 42x", 7L)).toDF("text", "x")
+      .select(
+        TF.tokens(col("text")).as("toks"),
+        TF.tokenShingles(TF.tokens(col("text")), 2).as("sh"),
+        HashFunctions.simhash64(TF.tokens(col("text"))).as("sh64"),
+        HashFunctions.fingerprint64(col("text")).as("fp"),
+        HashFunctions.minhashSignature(TF.tokens(col("text")), 16, 7L).as("sig"),
+        graft.functions.VectorFunctions.cosine(
+          array(lit(1.0), lit(0.0)), array(lit(1.0), lit(1.0))).as("cos"))
+      .head()
+
+    assert(viaSql.getSeq[String](0) === viaApi.getSeq[String](0))
+    assert(viaSql.getSeq[String](1) === viaApi.getSeq[String](1))
+    assert(viaSql.getLong(2) === viaApi.getLong(2))
+    assert(viaSql.getLong(3) === viaApi.getLong(3))
+    assert(viaSql.getSeq[Long](4) === viaApi.getSeq[Long](4))
+    assert(viaSql.getDouble(5) === viaApi.getDouble(5))
+  }
+
+  test("minhash_signature rejects non-literal numHashes") {
+    GraftFunctions.register(spark)
+    Seq("x").toDF("text").createOrReplaceTempView("t2")
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(tokenize(text), length(text)) FROM t2")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+}

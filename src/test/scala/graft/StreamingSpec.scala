@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
   * directory must agree with the equivalent batch aggregation. */
 class StreamingSpec extends SparkSpec {
 
+  test("stateful sessionization emits exactly the batch sessions minus each user's open tail") {
+    val streamed = EventStream.runBounded(spark, sfDir,
+        df => EventStream.sessionize(df, 30).toDF(), "sessions",
+        outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val batch = graft.queries.Relational.q19Sessionize(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // last session per user never closes on a bounded stream (NoTimeout)
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchClosed = batch.filterNot { case (u, sid, _, _) =>
+      lastPerUser(u) == sid
+    }
+    assert(streamed === batchClosed)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

@@ -97,7 +97,54 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       r: Expression): CosineSimilarityExpr = copy(left = l, right = r)
 }
 
+/** The `nProbe` nearest centroid indexes of a vector (squared-L2, ties →
+  * lower index), in one native pass over the centroid bank — the
+  * assign/probe kernel of the IVF approximate-nearest-neighbor path. */
+case class NearestCentroidsExpr(child: Expression,
+    centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nProbe >= 1 && nProbe <= centroids.length)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val elementIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    if (elementIsFloat) while (i < n) { v(i) = arr.getFloat(i); i += 1 }
+    else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+
+    val dists = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val d = math.min(n, cent.length)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { val t = v(j) - cent(j); acc += t * t; j += 1 }
+      dists(c) = acc
+      c += 1
+    }
+    val idx = Array.range(0, centroids.length)
+      .sortBy(i => (dists(i), i)).take(nProbe).map(Int.box)
+    new GenericArrayData(idx.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =
+    copy(child = c)
+}
+
 object VectorExpressions {
+  /** Nearest-centroid probe list (see [[NearestCentroidsExpr]]). */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column =
+    ColumnBridge.column(NearestCentroidsExpr(
+      ColumnBridge.expression(vec), centroids, nProbe))
+
   /** Native cosine similarity (see [[CosineSimilarityExpr]]). */
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarityExpr(

@@ -261,6 +261,15 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-bucketed approximate nearest neighbors (coarse-quantizer cells +
+    * probe-and-rerank; the second ANN scale path besides LSH). */
+  def p16KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        k = 5, nCells = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH buckets.
     * Threshold 0.4 ≈ the 99.9th percentile of pair similarity on the
     * synthetic embeddings (their max is ~0.51), so output is non-trivial. */
@@ -363,7 +372,8 @@ object Pipeline {
     "p12_fingerprint" -> (p12Fingerprint _),
     "p13_event_windows" -> (p13EventWindows _),
     "p14_multimodal" -> (p14Multimodal _),
-    "p15_sql_functions" -> (p15SqlFunctions _))
+    "p15_sql_functions" -> (p15SqlFunctions _),
+    "p16_knn_ivf" -> (p16KnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,

@@ -110,6 +110,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(twoPhase === window)
   }
 
+  test("IVF top-k finds the planted twin; recall vs brute is usable") {
+    val dim = 16
+    val v0 = vec(1, dim)
+    val near = v0.updated(0, v0.head + 0.01f)
+    val corpus = (Seq((0L, v0), (99L, near)) ++
+      (1L to 50L).map(i => (i, vec(i + 100, dim)))).toDF("vec_id", "embedding")
+    val ann = Similarity.ivfTopK(
+        corpus.filter(col("vec_id") === 0), corpus, k = 3,
+        nCells = 4, nProbe = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(ann.get(1) === Some(99L), s"IVF should find the twin, got $ann")
+
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5, nCells = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"IVF recall $recall too low")
+  }
+
   test("LSH recall vs brute force on real embeddings is usable (>0.5)") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)

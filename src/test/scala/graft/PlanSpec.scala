@@ -49,6 +49,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("q19: both windows and the session agg share one user_id exchange") {
+    val df = Relational.q19Sessionize(spark, sfDir)
+    val plan = planString(df)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // exactly 2: the hashpartitioning(user_id) data exchange + the final
+    // ORDER BY range partitioning; lag-window, cumsum-window and the
+    // per-session aggregate all reuse the first
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"))
+  }
+
   test("whole-stage codegen covers the relational scan pipelines") {
     val plan = planString(Relational.q01PricingSummary(spark, sfDir))
     // codegen stages render as "*(n)" prefixes in the plan string

@@ -645,6 +645,79 @@ object Relational {
            approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  // =========================================================================
+  // q24 — explicit GROUPING SETS (the general form behind rollup/cube),
+  // via the SQL surface.
+  // =========================================================================
+  def q24GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+         |                        (l_returnflag, l_linestatus))
+         |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val q24Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |  COALESCE(l_linestatus, 'ALL') AS ls,
+       |  COUNT(*) AS n,
+       |  ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+       |                        (l_returnflag, l_linestatus))
+       |ORDER BY rf, ls""".stripMargin
+
+  // =========================================================================
+  // q25 — pivot (orderstatus → columns). Oracle spelled as conditional
+  // aggregation, which is also exactly how Catalyst lowers pivot.
+  // =========================================================================
+  def q25Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val q25Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // =========================================================================
+  // q26 — regex + string-function breadth (extract/replace/trim/pad/split).
+  // =========================================================================
+  def q26RegexString(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1)
+          .cast(IntegerType).as("brand_num"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_devoweled"),
+        trim(lit(" x ")).as("trimmed"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("size_padded"),
+        size(split(col("p_type"), " ")).as("type_words"))
+      .orderBy("p_partkey")
+
+  val q26Sql: String =
+    """SELECT p_partkey,
+      |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+      |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+      |  trim(' x ') AS trimmed,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      |  CAST(len(string_split(p_type, ' ')) AS INT) AS type_words
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -667,7 +740,10 @@ object Relational {
     "q20_outer_join" -> (q20OuterJoin _),
     "q21_array_agg" -> (q21ArrayAgg _),
     "q22_salted_agg" -> (q22SaltedAgg _),
-    "q23_approx_distinct" -> (q23ApproxDistinct _))
+    "q23_approx_distinct" -> (q23ApproxDistinct _),
+    "q24_grouping_sets" -> (q24GroupingSets _),
+    "q25_pivot" -> (q25Pivot _),
+    "q26_regex_string" -> (q26RegexString _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -689,5 +765,8 @@ object Relational {
     "q19_sessionize" -> q19Sql,
     "q20_outer_join" -> q20Sql,
     "q21_array_agg" -> q21Sql,
-    "q22_salted_agg" -> q22Sql)
+    "q22_salted_agg" -> q22Sql,
+    "q24_grouping_sets" -> q24Sql,
+    "q25_pivot" -> q25Sql,
+    "q26_regex_string" -> q26Sql)
 }

@@ -39,6 +39,35 @@ class SourcesSpec extends SparkSpec {
       orig.select(collect_set("r_name")).head().getSeq[String](0).toSet)
   }
 
+  test("bucketed tables join without a shuffle (the co-located-join path)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    Tables.customer(spark, sfDir).write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      // bucket layout satisfies the join distribution: the join subtree
+      // (printed below the SortMergeJoin node) must contain no Exchange
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))

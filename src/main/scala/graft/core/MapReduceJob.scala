@@ -63,6 +63,20 @@ final case class MapReduceJob[I, K, V](
     * receives the lazy result Dataset and decides how to materialize it. */
   def runWithSink(spark: SparkSession)(sink: Dataset[(K, V)] => Unit): Unit =
     sink(run(spark))
+
+  /** The same pipeline on the RDD API (`flatMap → reduceByKey`) — the other
+    * direct Spark expression of the reference's surface. `reduceByKey` is a
+    * map-side-combining shuffle, i.e. exactly [[run]]'s partial+final fold
+    * without Catalyst. Exists for API parity and as the escape hatch for
+    * per-partition imperative jobs; results are identical (asserted in
+    * tests). */
+  def runRdd(spark: SparkSession)(
+      implicit kt: scala.reflect.ClassTag[K],
+      vt: scala.reflect.ClassTag[V]): Map[K, V] =
+    source(spark).rdd
+      .flatMap(mapFn)
+      .reduceByKey(reduceFn)
+      .collect().toMap
 }
 
 /** The general form of the reference's reduce slot: a fold into an arbitrary

@@ -118,12 +118,19 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 /** Stable 64-bit content fingerprint of a string (FNV-1a + SplitMix64 mix) —
   * the "document fingerprinting" primitive; also the base hash for
   * shingle-level rolling fingerprints. Null-safe. */
-case class Fingerprint64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint64"
   override def nullSafeEval(input: Any): Any =
-    Hash64.mix(Hash64.fnv1a(input.asInstanceOf[UTF8String]))
+    GraftKernels.fingerprint64(input.asInstanceOf[UTF8String])
+
+  /** Codegen via the static kernel — stays inside whole-stage codegen. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.fingerprint64($c)")
+
   override protected def withNewChildInternal(c: Expression): Fingerprint64 =
     copy(child = c)
 }

@@ -65,8 +65,7 @@ case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Double]]
   * left-to-right from 0.0 in doubles, result = dot/(√‖a‖²·√‖b‖²), 0.0 when
   * either norm is zero. Inputs: array<float> or array<double>. */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
@@ -75,23 +74,18 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   @transient private lazy val leftFloat = isFloat(left)
   @transient private lazy val rightFloat = isFloat(right)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y
-      na += x * x
-      nb += y * y
-      i += 1
-    }
-    val sa = math.sqrt(na); val sb = math.sqrt(nb)
-    if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GraftKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  /** Generated code calls the static kernel — the expression stays inside
+    * whole-stage codegen instead of forcing an interpreted fallback. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftKernels.cosine($a, $b, $leftFloat, $rightFloat);")
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): CosineSimilarityExpr = copy(left = l, right = r)

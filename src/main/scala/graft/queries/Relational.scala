@@ -718,6 +718,56 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  // =========================================================================
+  // q27 — exact percentiles (interpolating): median + p90 of quantity per
+  // return flag. Both engines interpolate linearly over the sorted values.
+  // =========================================================================
+  def q27Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val q27Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // =========================================================================
+  // q28 — equi join with a range predicate (ship within 90 days of order):
+  // the equi key drives the exchange, the range conjunct filters post-match.
+  // =========================================================================
+  def q28RangePredicateJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < date_add(col("o_orderdate").cast(DateType), 90)
+          .cast(TimestampType))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_lines"),
+           dsumExpr(revenueExpr).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q28Sql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS n_fast_lines,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders
+       |  ON l_orderkey = o_orderkey
+       | AND l_shipdate >= o_orderdate
+       | AND l_shipdate < CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS TIMESTAMP)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -743,7 +793,9 @@ object Relational {
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_grouping_sets" -> (q24GroupingSets _),
     "q25_pivot" -> (q25Pivot _),
-    "q26_regex_string" -> (q26RegexString _))
+    "q26_regex_string" -> (q26RegexString _),
+    "q27_percentiles" -> (q27Percentiles _),
+    "q28_range_predicate_join" -> (q28RangePredicateJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -768,5 +820,7 @@ object Relational {
     "q22_salted_agg" -> q22Sql,
     "q24_grouping_sets" -> q24Sql,
     "q25_pivot" -> q25Sql,
-    "q26_regex_string" -> q26Sql)
+    "q26_regex_string" -> q26Sql,
+    "q27_percentiles" -> q27Sql,
+    "q28_range_predicate_join" -> q28Sql)
 }

@@ -56,6 +56,12 @@ class MapReduceJobSpec extends SparkSpec {
     assert(seen === Some(2L)) // keys Win + Lose
   }
 
+  test("RDD path (reduceByKey) agrees with the Dataset path") {
+    val rolls = (1 to 5000).map(i => ((i * 48271 + 11) % 2147483647) % 6 + 1)
+    val job = diceJob(rolls)
+    assert(job.runRdd(spark) === job.collectResults(spark))
+  }
+
   test("FoldAggregator reproduces the reference fold signature distributed") {
     val agg = FoldAggregator[Double, (Double, Long), Double](
       (0.0, 0L),

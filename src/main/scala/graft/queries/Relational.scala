@@ -474,7 +474,7 @@ object Relational {
   // registered views (TPC-H Q3 silhouette: join + agg + top-k by revenue).
   // =========================================================================
   def q16SqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.registerAll(spark, dir, "customer", "orders", "lineitem")
     spark.sql(
       s"""SELECT l_orderkey,
          |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
@@ -650,7 +650,7 @@ object Relational {
   // via the SQL surface.
   // =========================================================================
   def q24GroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.registerAll(spark, dir, "lineitem")
     spark.sql(
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
          |  COALESCE(l_linestatus, 'ALL') AS ls,
@@ -768,6 +768,74 @@ object Relational {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // =========================================================================
+  // q29 — left outer join + map-type scalar functions: per-segment status→
+  // count map built with map_from_entries, probed with element_at (missing
+  // key → null → 0). Customers without orders survive the left join.
+  // =========================================================================
+  def q29LeftJoinMap(spark: SparkSession, dir: String): DataFrame = {
+    val perCustStatus = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    perCustStatus
+      .groupBy(col("c_mktsegment"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(coalesce(col("o_orderstatus"), lit("NONE")).as("k"),
+               col("cnt").as("v"))))).as("status_map"))
+      .select(col("c_mktsegment"),
+        coalesce(element_at(col("status_map"), "O"), lit(0L)).as("n_open"),
+        coalesce(element_at(col("status_map"), "F"), lit(0L)).as("n_filled"),
+        coalesce(element_at(col("status_map"), "NONE"), lit(0L)).as("n_no_orders"),
+        size(map_keys(col("status_map"))).as("n_statuses"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q29Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+      |  COUNT(*) FILTER (o_orderstatus IS NULL) AS n_no_orders,
+      |  CAST(COUNT(DISTINCT COALESCE(o_orderstatus, 'NONE')) AS INT) AS n_statuses
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // =========================================================================
+  // q30 — as-of join (composed: tagged union + window; see operators.Joins):
+  // each purchase event picks up the user's latest click at or before it.
+  // DuckDB's native ASOF JOIN is the oracle.
+  // =========================================================================
+  def q30AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    // right side unique per (user, time): keep the max click value
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("click_value"))
+    graft.operators.Joins.asOf(purchases, clicks,
+        keyCol = "user_id", timeCol = "ts_us",
+        asofCols = Seq("click_value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_click_value"))
+      .orderBy("event_id")
+  }
+
+  val q30Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+      |SELECT p.event_id, p.user_id, p.ts_us, c.click_value AS asof_click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |ORDER BY event_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -795,7 +863,9 @@ object Relational {
     "q25_pivot" -> (q25Pivot _),
     "q26_regex_string" -> (q26RegexString _),
     "q27_percentiles" -> (q27Percentiles _),
-    "q28_range_predicate_join" -> (q28RangePredicateJoin _))
+    "q28_range_predicate_join" -> (q28RangePredicateJoin _),
+    "q29_left_join_map" -> (q29LeftJoinMap _),
+    "q30_asof_join" -> (q30AsofJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -822,5 +892,7 @@ object Relational {
     "q25_pivot" -> q25Sql,
     "q26_regex_string" -> q26Sql,
     "q27_percentiles" -> q27Sql,
-    "q28_range_predicate_join" -> q28Sql)
+    "q28_range_predicate_join" -> q28Sql,
+    "q29_left_join_map" -> q29Sql,
+    "q30_asof_join" -> q30Sql)
 }

@@ -47,8 +47,11 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** Register every table as a temp view so `spark.sql(...)` queries run
-    * against the same parquet the DuckDB oracle reads. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  /** Register tables as temp views so `spark.sql(...)` queries run against
+    * the same parquet the DuckDB oracle reads. Pass the tables a query needs
+    * (schema inference reads each footer — registering all ten costs ~10
+    * footer reads per call); no args = all. */
+  def registerAll(spark: SparkSession, dir: String, only: String*): Unit =
+    (if (only.nonEmpty) only else names)
+      .foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -13,38 +13,42 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object GraftFunctions {
 
-  private def intArg(e: Expression, what: String): Int = e match {
+  private[graft] def literalInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case Literal(v: Long, LongType) => v.toInt
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got: $other")
   }
 
-  private def longArg(e: Expression, what: String): Long = e match {
+  private[graft] def literalLong(e: Expression, what: String): Long = e match {
     case Literal(v: Int, IntegerType) => v.toLong
     case Literal(v: Long, LongType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got: $other")
   }
 
+  /** minhash_signature(shingles[, numHashes[, seed]]) builder (shared with
+    * [[graft.GraftExtensions]]). */
+  private[graft] val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => MinHashSignature(c, 64, 42L)
+    case Seq(c, n) => MinHashSignature(c, literalInt(n, "numHashes"), 42L)
+    case Seq(c, n, s) =>
+      MinHashSignature(c, literalInt(n, "numHashes"), literalLong(s, "seed"))
+    case args => throw new IllegalArgumentException(
+      s"minhash_signature takes 1-3 args, got ${args.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "tokenize",
       args => TokenizeExpr(args.head))
     ColumnBridge.registerFunction(spark, "token_shingles",
-      args => TokenShinglesExpr(args.head, intArg(args(1), "n")))
+      args => TokenShinglesExpr(args.head, literalInt(args(1), "n")))
     ColumnBridge.registerFunction(spark, "simhash64",
       args => TokenSimHash64(args.head))
     ColumnBridge.registerFunction(spark, "fingerprint64",
       args => Fingerprint64(args.head))
     ColumnBridge.registerFunction(spark, "cosine_similarity",
       args => CosineSimilarityExpr(args.head, args(1)))
-    ColumnBridge.registerFunction(spark, "minhash_signature", {
-      case Seq(c) => MinHashSignature(c, 64, 42L)
-      case Seq(c, n) => MinHashSignature(c, intArg(n, "numHashes"), 42L)
-      case Seq(c, n, s) =>
-        MinHashSignature(c, intArg(n, "numHashes"), longArg(s, "seed"))
-      case args => throw new IllegalArgumentException(
-        s"minhash_signature takes 1-3 args, got ${args.size}")
-    })
+    ColumnBridge.registerFunction(spark, "minhash_signature", minhashBuilder)
   }
 }

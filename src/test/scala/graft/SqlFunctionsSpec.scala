@@ -41,6 +41,30 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql.getDouble(5) === viaApi.getDouble(5))
   }
 
+  test("GraftExtensions installs the SQL functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    spark // ensure the shared context exists first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extSession = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val got = extSession
+        .sql("SELECT fingerprint64('a') AS fp, simhash64(tokenize('a b')) AS sh")
+        .head()
+      assert(got.getLong(0) ===
+        graft.functions.Hash64.mix(graft.functions.Hash64.fnv1a("a".getBytes("UTF-8"))))
+      assert(got.getLong(1) !== 0L)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("minhash_signature rejects non-literal numHashes") {
     GraftFunctions.register(spark)
     Seq("x").toDF("text").createOrReplaceTempView("t2")

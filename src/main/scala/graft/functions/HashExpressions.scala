@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -45,31 +45,15 @@ object Hash64 {
   * bit-vote across tokens, sign of each vote becomes the output bit. Docs
   * within small Hamming distance of each other are near-duplicates.
   * Null/empty input → 0L. */
-case class TokenSimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TokenSimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = Hash64.mix(Hash64.fnv1a(arr.getUTF8String(i)))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.simhash64($c)")
 
   override protected def withNewChildInternal(c: Expression): TokenSimHash64 =
     copy(child = c)
@@ -81,7 +65,7 @@ case class TokenSimHash64(child: Expression)
   * the fraction of matching signature slots. Empty input → Long.MaxValue
   * slots (matches nothing real). */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -92,23 +76,15 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   @transient private lazy val coefB: Array[Long] =
     Array.tabulate(numHashes)(j => Hash64.mix(seed + 2L * j + 1L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = Hash64.fnv1a(arr.getUTF8String(i))
-        var j = 0
-        while (j < numHashes) {
-          val g = coefA(j) * h + coefB(j)
-          if (g < sig(j)) sig(j) = g
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.minhash(input.asInstanceOf[ArrayData], coefA, coefB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // coefficient banks travel as reference objects into the generated class
+    val aRef = ctx.addReferenceObj("minhashCoefA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashCoefB", coefB, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftKernels.minhash($c, $aRef, $bRef)")
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =

@@ -39,10 +39,17 @@ object Relational {
     (lit(1) - c.cast(DecimalType(6, 4))).cast(DecimalType(7, 4))
   private def onePlus(c: Column): Column =
     (lit(1) + c.cast(DecimalType(6, 4))).cast(DecimalType(7, 4))
-  /** exact decimal sum, surfaced as double (single final rounding) */
-  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
-  private def dsumExpr(c: Column): Column = sum(c).cast(DoubleType)
-  private def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+  /** exact decimal sum, surfaced as double. The sum is renarrowed to scale 4
+    * first so its unscaled value fits in 2^53: the decimal→double conversion
+    * is then a single exact-operand division on both engines. (A scale-12
+    * sum's unscaled value exceeds 2^53, and DuckDB's int128→double→divide
+    * path double-rounds where Java's BigDecimal parse rounds once — observed
+    * as 1-ulp q01 mismatches at sf0.001.) */
+  private def toDouble(sumCol: Column): Column =
+    sumCol.cast(DecimalType(28, 4)).cast(DoubleType)
+  private def dsum(c: Column): Column = toDouble(sum(dec(c)))
+  private def dsumExpr(c: Column): Column = toDouble(sum(c))
+  private def davg(c: Column): Column = toDouble(sum(dec(c))) / count(lit(1))
 
   // ---- same helpers, oracle (DuckDB SQL) side -----------------------------
   private def sqlDec(c: String) = s"CAST($c AS DECIMAL(12,4))"
@@ -50,9 +57,13 @@ object Relational {
     s"CAST(1 - CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
   private def sqlOnePlus(c: String) =
     s"CAST(1 + CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
-  private def sqlDsum(c: String) = s"CAST(SUM(${sqlDec(c)}) AS DOUBLE)"
+  // ROUND (half away from zero) == Spark's HALF_UP decimal cast for the
+  // all-positive sums here; DuckDB's own decimal downscale cast TRUNCATES.
+  private def sqlToDouble(sumExpr: String) =
+    s"CAST(ROUND($sumExpr, 4) AS DOUBLE)"
+  private def sqlDsum(c: String) = sqlToDouble(s"SUM(${sqlDec(c)})")
   private def sqlDavg(c: String) =
-    s"CAST(SUM(${sqlDec(c)}) AS DOUBLE) / COUNT(*)"
+    s"${sqlToDouble(s"SUM(${sqlDec(c)})")} / COUNT(*)"
 
   private val revenueExpr: Column =
     dec(col("l_extendedprice")) * oneMinus(col("l_discount"))
@@ -84,8 +95,8 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${sqlDsum("l_quantity")} AS sum_qty,
        |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM($sqlRevenue * ${sqlOnePlus("l_tax")}) AS DOUBLE) AS sum_charge,
+       |  CAST(ROUND(SUM($sqlRevenue), 4) AS DOUBLE) AS sum_disc_price,
+       |  CAST(ROUND(SUM($sqlRevenue * ${sqlOnePlus("l_tax")}), 4) AS DOUBLE) AS sum_charge,
        |  ${sqlDavg("l_quantity")} AS avg_qty,
        |  ${sqlDavg("l_extendedprice")} AS avg_price,
        |  ${sqlDavg("l_discount")} AS avg_disc,
@@ -151,7 +162,7 @@ object Relational {
 
   val q03Sql: String =
     s"""SELECT n_name,
-       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+       |  CAST(ROUND(SUM($sqlRevenue), 4) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_lines
        |FROM lineitem
        |JOIN orders   ON l_orderkey = o_orderkey
@@ -183,7 +194,7 @@ object Relational {
   val q04Sql: String =
     s"""SELECT p_brand,
        |  ${sqlDsum("l_quantity")} AS sum_qty,
-       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+       |  CAST(ROUND(SUM($sqlRevenue), 4) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_lines
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand
@@ -477,7 +488,7 @@ object Relational {
     Tables.registerAll(spark, dir, "customer", "orders", "lineitem")
     spark.sql(
       s"""SELECT l_orderkey,
-         |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+         |  CAST(ROUND(SUM($sqlRevenue), 4) AS DOUBLE) AS revenue,
          |  CAST(o_orderdate AS DATE) AS order_date
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
@@ -492,7 +503,7 @@ object Relational {
 
   val q16Sql: String =
     s"""SELECT l_orderkey,
-       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+       |  CAST(ROUND(SUM($sqlRevenue), 4) AS DOUBLE) AS revenue,
        |  CAST(o_orderdate AS DATE) AS order_date
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
@@ -760,7 +771,7 @@ object Relational {
   val q28Sql: String =
     s"""SELECT o_orderpriority,
        |  COUNT(*) AS n_fast_lines,
-       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+       |  CAST(ROUND(SUM($sqlRevenue), 4) AS DOUBLE) AS revenue
        |FROM lineitem JOIN orders
        |  ON l_orderkey = o_orderkey
        | AND l_shipdate >= o_orderdate

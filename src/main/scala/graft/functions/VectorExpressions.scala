@@ -63,7 +63,8 @@ case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Double]]
 /** Cosine similarity in one native pass. Bit-compatible with the composed
   * Column form (and the DuckDB oracle): dot, ‖a‖², ‖b‖² accumulate
   * left-to-right from 0.0 in doubles, result = dot/(√‖a‖²·√‖b‖²), 0.0 when
-  * either norm is zero. Inputs: array<float> or array<double>. */
+  * either norm is zero. Inputs: array<float> or array<double>; mismatched
+  * lengths (malformed data) compare the common prefix. */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType

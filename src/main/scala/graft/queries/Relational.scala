@@ -847,6 +847,45 @@ object Relational {
       |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
       |ORDER BY event_id""".stripMargin
 
+  // =========================================================================
+  // q31 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL preserve
+  // multiplicity, unlike q09's distinct forms).
+  // =========================================================================
+  def q31BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= 25).select(col("l_orderkey").as("k"))
+    val b = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 20).select(col("l_orderkey").as("k"))
+    a.intersectAll(b)
+      .groupBy(col("k")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy("k")
+  }
+
+  val q31Sql: String =
+    """SELECT k, COUNT(*) AS multiplicity FROM (
+      |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity <= 25
+      |  INTERSECT ALL
+      |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 20
+      |)
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
+
+  // =========================================================================
+  // q32 — generator/UDTF role: explode a per-row array into rows (the
+  // reference's flatMap fan-out as a relational operator).
+  // =========================================================================
+  def q32Explode(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(explode(split(col("p_type"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  val q32Sql: String =
+    """SELECT word, COUNT(*) AS n
+      |FROM part, unnest(string_split(p_type, ' ')) AS u(word)
+      |GROUP BY word
+      |ORDER BY word""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -876,7 +915,9 @@ object Relational {
     "q27_percentiles" -> (q27Percentiles _),
     "q28_range_predicate_join" -> (q28RangePredicateJoin _),
     "q29_left_join_map" -> (q29LeftJoinMap _),
-    "q30_asof_join" -> (q30AsofJoin _))
+    "q30_asof_join" -> (q30AsofJoin _),
+    "q31_bag_set_ops" -> (q31BagSetOps _),
+    "q32_explode" -> (q32Explode _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -905,5 +946,7 @@ object Relational {
     "q27_percentiles" -> q27Sql,
     "q28_range_predicate_join" -> q28Sql,
     "q29_left_join_map" -> q29Sql,
-    "q30_asof_join" -> q30Sql)
+    "q30_asof_join" -> q30Sql,
+    "q31_bag_set_ops" -> q31Sql,
+    "q32_explode" -> q32Sql)
 }

@@ -100,6 +100,16 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark` —
+    * an id is only guaranteed unique against events inside the watermark
+    * horizon, which is what an at-scale ingest dedup wants: O(window) state,
+    * not O(stream)). The streaming face of `Dedup.exact`. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming transform over a bounded directory synchronously
     * (availableNow + memory sink), returning the materialized result —
     * used by tests and demos; batch/stream parity check.

@@ -27,6 +27,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup collapses a doubled stream back to distinct events") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.count
+    // two sources over the same file => every event arrives twice
+    val doubled: DataFrame => DataFrame = _ => {
+      val once = EventStream.readEvents(spark, sfDir)
+      EventStream.dedupedEvents(once.union(EventStream.readEvents(spark, sfDir)))
+        .groupBy().agg(count(col("event_id")).as("n"))
+    }
+    val got = EventStream.runBounded(spark, sfDir, doubled, "dedup_events")
+      .head().getLong(0)
+    val want = Tables.events(spark, sfDir).count()
+    assert(got === want, s"streamed dedup $got vs batch distinct $want")
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

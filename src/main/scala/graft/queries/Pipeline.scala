@@ -356,6 +356,78 @@ object Pipeline {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // =========================================================================
+  // p17 — end-to-end curation: quality-filter → exact dedup → per-lang
+  // stats, as one Catalyst plan. min/max aggregates keep the double outputs
+  // order-independent for the oracle.
+  // =========================================================================
+  def p17Curation(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.filterAndDedup(
+        Tables.documents(spark, dir), "doc_id", "text", minQuality = 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+           min(col("quality")).as("min_q"),
+           max(col("quality")).as("max_q"))
+      .orderBy("lang")
+
+  val p17Sql: String = {
+    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text, $sqlToks AS toks FROM documents
+       |), m AS (
+       |  SELECT doc_id, lang, text,
+       |    least(len(toks) / 100.0, 1.0) * 0.3 +
+       |    (CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END) * 0.3 +
+       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) * 0.2 +
+       |    (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+       |                ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END) >= 3
+       |            AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |                ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END) <= 10
+       |          THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |  FROM base
+       |), kept AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM m WHERE quality >= 0.5
+       |)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  MIN(quality) AS min_q, MAX(quality) AS max_q
+       |FROM kept WHERE rn = 1
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  // =========================================================================
+  // p18 — deterministic train/val/test hash split (stable multiplicative
+  // hashing on the id; reproducible on any engine — the oracle recomputes
+  // the same arithmetic).
+  // =========================================================================
+  def p18HashSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.hashSplit(
+        Tables.documents(spark, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+           min(col("doc_id")).as("min_id"),
+           max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+
+  val p18Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ((doc_id * 2654435761) % 1000000007) % 1000 AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bucket < 800 THEN 'train'
+      |         WHEN bucket < 900 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT split, COUNT(*) AS n,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM s GROUP BY split
+      |ORDER BY split""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -373,7 +445,9 @@ object Pipeline {
     "p13_event_windows" -> (p13EventWindows _),
     "p14_multimodal" -> (p14Multimodal _),
     "p15_sql_functions" -> (p15SqlFunctions _),
-    "p16_knn_ivf" -> (p16KnnIvf _))
+    "p16_knn_ivf" -> (p16KnnIvf _),
+    "p17_curation" -> (p17Curation _),
+    "p18_hash_split" -> (p18HashSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -384,5 +458,7 @@ object Pipeline {
     "p06_knn_brute" -> p06Sql,
     "p07_ngram_jaccard" -> p07Sql,
     "p13_event_windows" -> p13Sql,
-    "p15_sql_functions" -> p15Sql)
+    "p15_sql_functions" -> p15Sql,
+    "p17_curation" -> p17Sql,
+    "p18_hash_split" -> p18Sql)
 }

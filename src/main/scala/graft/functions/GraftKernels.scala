@@ -28,6 +28,60 @@ object GraftKernels {
   /** See [[Fingerprint64]]. */
   def fingerprint64(s: UTF8String): Long = Hash64.mix(Hash64.fnv1a(s))
 
+  private def toDoubles(arr: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    if (isFloat) while (i < n) { v(i) = arr.getFloat(i); i += 1 }
+    else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    v
+  }
+
+  /** See [[HyperplaneBucketsExpr]]. */
+  def hyperplaneBuckets(arr: ArrayData, planes: Array[Array[Double]],
+      tables: Int, bits: Int, isFloat: Boolean): ArrayData = {
+    val v = toDoubles(arr, isFloat)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val p = planes(t * bits + b)
+        val d = math.min(v.length, p.length)
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += v(j) * p(j); j += 1 }
+        if (dot >= 0.0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[NearestCentroidsExpr]]. */
+  def nearestCentroids(arr: ArrayData, centroids: Array[Array[Double]],
+      nProbe: Int, isFloat: Boolean): ArrayData = {
+    val v = toDoubles(arr, isFloat)
+    val dists = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val d = math.min(v.length, cent.length)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { val t = v(j) - cent(j); acc += t * t; j += 1 }
+      dists(c) = acc
+      c += 1
+    }
+    val idx = Array.range(0, centroids.length)
+      .sortBy(i => (dists(i), i)).take(nProbe).map(Int.box)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      idx.asInstanceOf[Array[Any]])
+  }
+
   /** See [[TokenizeExpr]]. */
   def tokenize(s: UTF8String): ArrayData = {
     val parts = s.toLowerCase.toString.split("[^a-z0-9]+")
@@ -86,6 +140,24 @@ object GraftKernels {
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** See [[CharShinglesExpr]]: sliding k-char windows (UTF-16 units);
+    * strings of length <= k collapse to one shingle. */
+  def charShingles(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val out: Array[Any] =
+      if (str.length <= k) Array(UTF8String.fromString(str))
+      else {
+        val res = new Array[Any](str.length - k + 1)
+        var i = 0
+        while (i <= str.length - k) {
+          res(i) = UTF8String.fromString(str.substring(i, i + k))
+          i += 1
+        }
+        res
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** See [[MinHashSignature]]. */

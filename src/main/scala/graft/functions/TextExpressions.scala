@@ -51,9 +51,31 @@ case class TokenShinglesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Sliding character k-grams of the raw string (char-level near-dup for
+  * unsegmented scripts). Window positions are UTF-16 units. */
+case class CharShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.charShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftKernels.charShingles($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): CharShinglesExpr =
+    copy(child = c)
+}
+
 object TextExpressions {
   def tokenize(text: Column): Column =
     ColumnBridge.column(TokenizeExpr(ColumnBridge.expression(text)))
+
+  def charShingles(text: Column, k: Int): Column =
+    ColumnBridge.column(CharShinglesExpr(ColumnBridge.expression(text), k))
 
   def tokenShingles(toks: Column, n: Int): Column =
     ColumnBridge.column(TokenShinglesExpr(ColumnBridge.expression(toks), n))

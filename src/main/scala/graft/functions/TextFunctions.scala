@@ -31,10 +31,7 @@ object TextFunctions {
 
   /** Character k-gram shingles of the raw string (near-dup at char level). */
   def charShingles(text: Column, k: Int): Column =
-    when(length(text) <= k, array(text))
-      .otherwise(transform(
-        sequence(lit(1), length(text) - k + 1),
-        i => text.substr(i, lit(k))))
+    TextExpressions.charShingles(text, k)
 
   /** Total characters across tokens (exact-int arithmetic). */
   def tokenChars(toks: Column): Column =

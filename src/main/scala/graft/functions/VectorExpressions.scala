@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   */
 case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Double]],
     tables: Int, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(planes.length == tables * bits, "planes must be tables*bits rows")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
@@ -28,32 +28,14 @@ case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Double]]
   @transient private lazy val elementIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val v = new Array[Double](n)
-    var i = 0
-    if (elementIsFloat) while (i < n) { v(i) = arr.getFloat(i); i += 1 }
-    else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.hyperplaneBuckets(input.asInstanceOf[ArrayData], planes,
+      tables, bits, elementIsFloat)
 
-    val out = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var bucket = 0L
-      var b = 0
-      while (b < bits) {
-        val p = planes(t * bits + b)
-        val d = math.min(n, p.length)
-        var dot = 0.0
-        var j = 0
-        while (j < d) { dot += v(j) * p(j); j += 1 }
-        if (dot >= 0.0) bucket |= (1L << b)
-        b += 1
-      }
-      out(t) = bucket
-      t += 1
-    }
-    new GenericArrayData(out)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.hyperplaneBuckets($c, $planesRef, $tables, $bits, $elementIsFloat)")
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBucketsExpr =
@@ -97,7 +79,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * assign/probe kernel of the IVF approximate-nearest-neighbor path. */
 case class NearestCentroidsExpr(child: Expression,
     centroids: Array[Array[Double]], nProbe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(nProbe >= 1 && nProbe <= centroids.length)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
@@ -105,28 +87,14 @@ case class NearestCentroidsExpr(child: Expression,
   @transient private lazy val elementIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val v = new Array[Double](n)
-    var i = 0
-    if (elementIsFloat) while (i < n) { v(i) = arr.getFloat(i); i += 1 }
-    else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.nearestCentroids(input.asInstanceOf[ArrayData], centroids,
+      nProbe, elementIsFloat)
 
-    val dists = new Array[Double](centroids.length)
-    var c = 0
-    while (c < centroids.length) {
-      val cent = centroids(c)
-      val d = math.min(n, cent.length)
-      var acc = 0.0
-      var j = 0
-      while (j < d) { val t = v(j) - cent(j); acc += t * t; j += 1 }
-      dists(c) = acc
-      c += 1
-    }
-    val idx = Array.range(0, centroids.length)
-      .sortBy(i => (dists(i), i)).take(nProbe).map(Int.box)
-    new GenericArrayData(idx.asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.nearestCentroids($c, $centRef, $nProbe, $elementIsFloat)")
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =

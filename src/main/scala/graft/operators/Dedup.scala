@@ -49,12 +49,17 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, threshold: Double = 0.6,
-      maxBucketSize: Int = 200, seed: Long = 42L): DataFrame = {
+      maxBucketSize: Int = 200, seed: Long = 42L,
+      charShingles: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val shingles = array_distinct(TextFunctions.tokenShingles(
-      TextFunctions.tokens(col(textCol)), shingleSize))
+    // char mode: k-gram shingles over the raw string — for scripts without
+    // token boundaries (CJK) or when punctuation/casing must count
+    val shingles = array_distinct(
+      if (charShingles) TextFunctions.charShingles(col(textCol), shingleSize * 3)
+      else TextFunctions.tokenShingles(
+        TextFunctions.tokens(col(textCol)), shingleSize))
     val shingleTable = docs.select(col(idCol).as("id"), shingles.as("sh"))
     val sig = shingleTable.select(col("id"),
       HashFunctions.minhashSignature(col("sh"), numHashes, seed).as("sig"))

@@ -41,6 +41,20 @@ class DedupSimilaritySpec extends SparkSpec {
       s"unrelated docs paired: $pairs")
   }
 
+  test("char-shingle minhash finds near-dups in unsegmented text") {
+    val base = doc(7, 120).replace(" ", "")       // no token boundaries
+    val nearDup = base.substring(0, 200) + "XYZZY" + base.substring(205)
+    val docs = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, doc(100, 120).replace(" ", ""))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5,
+        charShingles = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted char-level near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash finds the planted near-duplicate pair") {
     val base = doc(7, 120)
     val nearDup = base.split(" ").updated(3, "changedword").mkString(" ")

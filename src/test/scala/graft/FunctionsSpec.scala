@@ -46,6 +46,17 @@ class FunctionsSpec extends SparkSpec {
     assert(got.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("p03's staged quality formula equals the canonical qualityScore") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val canonical = docs
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val staged = SparkEntry.queries("p03_text_quality")(spark, sfDir)
+      .select(col("doc_id"), col("quality")).as[(Long, Double)]
+      .collect().toMap
+    assert(staged === canonical)
+  }
+
   test("fingerprint64 is stable and collision-free on distinct strings") {
     val g1 = Seq("a", "b", "a").toDF("text")
       .select(HashFunctions.fingerprint64(col("text"))).as[Long].collect()

@@ -357,6 +357,18 @@ object Pipeline {
        |ORDER BY source""".stripMargin
 
   // =========================================================================
+  // p19 — the two-phase (Aggregator) exact top-k: same results as p06 by
+  // construction (identical kernel + tie-break), so it shares p06's
+  // bit-exact oracle — while only k rows per (query, partition) cross the
+  // exchange. The 100 TB form of brute-force search.
+  // =========================================================================
+  def p19KnnTwoPhase(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopKTwoPhase(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // =========================================================================
   // p17 — end-to-end curation: quality-filter → exact dedup → per-lang
   // stats, as one Catalyst plan. min/max aggregates keep the double outputs
   // order-independent for the oracle.
@@ -447,7 +459,8 @@ object Pipeline {
     "p15_sql_functions" -> (p15SqlFunctions _),
     "p16_knn_ivf" -> (p16KnnIvf _),
     "p17_curation" -> (p17Curation _),
-    "p18_hash_split" -> (p18HashSplit _))
+    "p18_hash_split" -> (p18HashSplit _),
+    "p19_knn_two_phase" -> (p19KnnTwoPhase _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -460,5 +473,6 @@ object Pipeline {
     "p13_event_windows" -> p13Sql,
     "p15_sql_functions" -> p15Sql,
     "p17_curation" -> p17Sql,
-    "p18_hash_split" -> p18Sql)
+    "p18_hash_split" -> p18Sql,
+    "p19_knn_two_phase" -> p06Sql)
 }

@@ -440,6 +440,77 @@ object Pipeline {
       |FROM s GROUP BY split
       |ORDER BY split""".stripMargin
 
+  // =========================================================================
+  // p20 — repetition scoring: share of the document taken by its most
+  // frequent 3-gram (high → boilerplate/spam). explode → count → window max.
+  // =========================================================================
+  def p20Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TF.tokenShingles(TF.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("gram"))
+    sh.groupBy(col("doc_id"), col("n_grams"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(max(col("cnt")).as("max_cnt"))
+      .select(col("doc_id"),
+        (col("max_cnt") / col("n_grams")).as("top_gram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val p20Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    END AS sh
+       |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       |e AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram FROM t),
+       |c AS (SELECT doc_id, n_grams, gram, COUNT(*) AS cnt
+       |      FROM e GROUP BY doc_id, n_grams, gram)
+       |SELECT doc_id, MAX(cnt) / n_grams AS top_gram_ratio
+       |FROM c GROUP BY doc_id, n_grams
+       |ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
+  // p21 — decontamination: flag corpus docs sharing ≥ minOverlap distinct
+  // 5-grams with a "benchmark" holdout (here: docs from src0). Exploded
+  // shingle equi-join against the distinct benchmark shingle set — the
+  // standard at-scale contamination check (never doc×doc).
+  // =========================================================================
+  def p21Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val shingled = docs.select(col("doc_id"), col("source"),
+      array_distinct(TF.tokenShingles(TF.tokens(col("text")), 5)).as("sh"))
+    val benchmark = broadcast(shingled.filter(col("source") === "src0")
+      .select(explode(col("sh")).as("gram")).distinct())
+    shingled.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+      .join(benchmark, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= 3)
+      .orderBy("doc_id")
+  }
+
+  val p21Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 3),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+       |    END) AS sh
+       |  FROM (SELECT doc_id, source, $sqlToks AS toks FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE source = 'src0'),
+       |corpus AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE source != 'src0')
+       |SELECT doc_id, COUNT(*) AS n_shared_grams
+       |FROM corpus JOIN bench USING (gram)
+       |GROUP BY doc_id
+       |HAVING COUNT(*) >= 3
+       |ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -460,7 +531,9 @@ object Pipeline {
     "p16_knn_ivf" -> (p16KnnIvf _),
     "p17_curation" -> (p17Curation _),
     "p18_hash_split" -> (p18HashSplit _),
-    "p19_knn_two_phase" -> (p19KnnTwoPhase _))
+    "p19_knn_two_phase" -> (p19KnnTwoPhase _),
+    "p20_repetition" -> (p20Repetition _),
+    "p21_contamination" -> (p21Contamination _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -474,5 +547,7 @@ object Pipeline {
     "p15_sql_functions" -> p15Sql,
     "p17_curation" -> p17Sql,
     "p18_hash_split" -> p18Sql,
-    "p19_knn_two_phase" -> p06Sql)
+    "p19_knn_two_phase" -> p06Sql,
+    "p20_repetition" -> p20Sql,
+    "p21_contamination" -> p21Sql)
 }

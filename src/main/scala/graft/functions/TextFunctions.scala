@@ -98,9 +98,16 @@ object TextFunctions {
 
   /** Heuristic quality score in [0,1]: favors mid-length docs, high alpha
     * ratio, some stopword presence, and sane mean word length. The exact
-    * blend is arbitrary but fixed; it exists to rank/filter corpus docs. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+    * blend is arbitrary but fixed; it exists to rank/filter corpus docs.
+    *
+    * Prefer [[qualityScoreFromTokens]] with a pre-staged token column in
+    * hot paths — this form re-tokenizes per sub-score (HOFs have no CSE). */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] with the token array supplied (stage it into a column
+    * first so the tokenizer runs once per row). Identical values. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val lenScore = least(size(toks) / lit(100.0), lit(1.0))
     val alphaScore = alphaRatio(text)
     val stopScore = least(

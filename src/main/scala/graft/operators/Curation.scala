@@ -15,7 +15,11 @@ object Curation {
     * `textCol` keeping the lowest id. One scan + one exchange. */
   def filterAndDedup(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double): DataFrame = {
-    val scored = docs.withColumn("quality", TF.qualityScore(col(textCol)))
+    val scored = docs
+      .withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("quality",
+        TF.qualityScoreFromTokens(col(textCol), col("__toks")))
+      .drop("__toks")
       .filter(col("quality") >= minQuality)
     Dedup.exactKept(scored, idCol, Seq(textCol))
   }

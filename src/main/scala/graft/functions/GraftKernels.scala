@@ -94,14 +94,20 @@ object GraftKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
 
-  /** See [[TokenShinglesExpr]]. */
+  /** See [[TokenShinglesExpr]]. Null elements are skipped (same contract as
+    * [[simhash64]]/[[minhash]]) — the SQL-registered `token_shingles` accepts
+    * arbitrary `array<string>` input. */
   def tokenShingles(arr: ArrayData, n: Int): ArrayData = {
-    val num = arr.numElements()
-    val toks = new Array[String](num)
+    val total = arr.numElements()
+    val toks = new Array[String](total)
+    var num = 0
     var i = 0
-    while (i < num) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < total) {
+      if (!arr.isNullAt(i)) { toks(num) = arr.getUTF8String(i).toString; num += 1 }
+      i += 1
+    }
     val out: Array[Any] =
-      if (num < n) Array(UTF8String.fromString(toks.mkString(" ")))
+      if (num < n) Array(UTF8String.fromString(toks.take(num).mkString(" ")))
       else {
         val res = new Array[Any](num - n + 1)
         var st = 0

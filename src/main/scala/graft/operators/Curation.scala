@@ -32,12 +32,21 @@ object Curation {
   def hashSplit(df: DataFrame, idCol: String,
       fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
-    // Knuth multiplicative hash, kept within long range for oracle parity
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(1000000007L)) % 1000
-    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // Knuth multiplicative hash. The id is reduced mod p BEFORE the multiply
+    // so the product stays < 2^63 for any long id (max ~1e9 * 2654435761 ≈
+    // 2.65e18): no ANSI-mode overflow at 100 TB id ranges, and the same
+    // arithmetic is expressible in the DuckDB oracle (which errors on BIGINT
+    // overflow rather than wrapping).
+    val bucket =
+      pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L),
+        lit(1000000007L)) % 1000
+    // Integer bucket thresholds, rounded once — avoids double-precision cut
+    // points like 0.85*1000 = 850.0000000000001 misassigning bucket 850.
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.round(c * 1000))
     val expr = fractions.zip(cuts).reverse
       .foldLeft(lit(fractions.last._1): Column) { case (acc, ((name, _), cut)) =>
-        when(bucket < cut * 1000, lit(name)).otherwise(acc)
+        when(bucket < lit(cut), lit(name)).otherwise(acc)
       }
     df.withColumn("split", expr)
   }

@@ -86,7 +86,12 @@ object EventStream {
             closed :+= SessionOut(userId, s.sessionId, s.nEvents,
               s.lastUs - s.startUs)
             SessionState(s.sessionId + 1, us, us, 1L)
-          case s => s.copy(lastUs = us, nEvents = s.nEvents + 1)
+          case s =>
+            // min/max rather than overwrite: an out-of-order event from a
+            // later micro-batch (us < s.lastUs) must not regress the session
+            // frontier and wrongly split/extend subsequent sessions.
+            s.copy(startUs = math.min(s.startUs, us),
+              lastUs = math.max(s.lastUs, us), nEvents = s.nEvents + 1)
         }
       }
       if (st != null) state.update(st)

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Curation
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Regressions for the round-1 advice findings: hashSplit overflow at large
+  * ids, float split-boundary drift, null elements in token_shingles, and
+  * out-of-order events regressing sessionization state. */
+class AdviceRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: ids beyond 2^32 neither overflow nor diverge from the reduced arithmetic") {
+    // 9e18 * 2654435761 would wrap a signed 64-bit; the reduced form must not.
+    val ids = Seq(0L, 1L, 3470000000L, 9000000000000000000L, Long.MaxValue)
+    val got = Curation.hashSplit(ids.toDF("id"), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val p = 1000000007L
+    ids.foreach { id =>
+      val bucket = (((id % p) * 2654435761L) % p) % 1000
+      val want = if (bucket < 800) "train" else if (bucket < 900) "val" else "test"
+      assert(got(id) === want, s"id=$id bucket=$bucket")
+    }
+  }
+
+  test("hashSplit: 0.7/0.15/0.15 boundary bucket 850 lands in the later split") {
+    // cumulative 0.7+0.15 = 0.8500000000000001 in doubles; the integer cut is
+    // 850, so a bucket of exactly 850 belongs to the LAST split, not 'val'.
+    val p = 1000000007L
+    def bucket(id: Long): Long = (((id % p) * 2654435761L) % p) % 1000
+    val boundaryId = (0L to 200000L).find(bucket(_) == 850L).get
+    val got = Curation.hashSplit(Seq(boundaryId).toDF("id"), "id",
+        Seq("a" -> 0.7, "b" -> 0.15, "c" -> 0.15))
+      .select("split").as[String].head()
+    assert(got === "c", s"bucket-850 id $boundaryId assigned to $got")
+  }
+
+  test("token_shingles skips null elements like simhash/minhash") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT token_shingles(array('a', CAST(NULL AS STRING), 'b', 'c'), 2)")
+      .as[Seq[String]].head()
+    assert(got === Seq("a b", "b c"))
+    val short = spark.sql(
+      "SELECT token_shingles(array(CAST(NULL AS STRING), 'x'), 2)")
+      .as[Seq[String]].head()
+    assert(short === Seq("x")) // one non-null token -> short-doc fallback
+  }
+
+  test("sessionize: an out-of-order event in a later micro-batch does not regress the session frontier") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, us)
+    val events = mem.toDF().toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val q = EventStream.sessionize(events, gapMinutes = 30).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ooo_sessions").start()
+    def us(sec: Long) = sec * 1000000L
+    try {
+      mem.addData((1L, us(0)), (1L, us(1700)))
+      q.processAllAvailable()
+      // 100s is BEHIND the frontier (1700s); 3400s is 1700s after the true
+      // frontier — within the 1800s gap, so still the same session. The old
+      // code reset lastUs to 100s and wrongly split at 3400s.
+      mem.addData((1L, us(100)), (1L, us(3400)))
+      q.processAllAvailable()
+      mem.addData((1L, us(10000))) // far gap: closes the open session
+      q.processAllAvailable()
+      val sessions = spark.table("ooo_sessions")
+        .select("session_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(sessions === Set((1L, 4L)),
+        s"expected one 4-event session, got $sessions")
+    } finally q.stop()
+  }
+}

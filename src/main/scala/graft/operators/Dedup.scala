@@ -83,17 +83,27 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (id_a < id_b) from bucket groups, without a
-    * self-join: collect ids per bucket (bounded by `maxBucketSize` — the
-    * degenerate-bucket guard *and* the memory bound), then expand the
-    * in-bucket combinations with one array expression. One aggregation
-    * exchange instead of a window pass plus a join exchange. */
-  private[operators] def bucketPairs(bucketRows: DataFrame,
+    * self-join: drop over-cap buckets, collect the surviving ids per bucket,
+    * then expand the in-bucket combinations with one array expression.
+    *
+    * The `maxBucketSize` cap is applied BEFORE `collect_list` via a windowed
+    * per-bucket count: a degenerate bucket (a boilerplate band shared by
+    * millions of docs at 100 TB) is filtered row-by-row and never enters an
+    * aggregation buffer. The window operator's partition buffer spills to
+    * disk (`ExternalAppendOnlyUnsafeRowArray`), whereas a `collect_list`
+    * buffer is a single in-memory array per group — capping after the
+    * aggregate would still materialize the multi-million-element array
+    * first. Window and groupBy hash-partition on the same keys, so the cap
+    * costs no extra exchange. */
+  private[graft] def bucketPairs(bucketRows: DataFrame,
       bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
     val ids = col("__ids")
+    val perBucket = Window.partitionBy(bucketKeys.map(col): _*)
     bucketRows
+      .withColumn("__n", count(lit(1)).over(perBucket))
+      .filter(col("__n").between(2, maxBucketSize))
       .groupBy(bucketKeys.map(col): _*)
       .agg(collect_list(col("id")).as("__ids"))
-      .filter(size(ids).between(2, maxBucketSize))
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + 2, size(ids)),
           y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))

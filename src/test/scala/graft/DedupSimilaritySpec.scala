@@ -146,6 +146,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall $recall too low")
   }
 
+  test("bucketPairs drops a degenerate bucket BEFORE collect_list") {
+    // one boilerplate bucket with 500 members (over the cap) plus one small
+    // bucket — the degenerate bucket must contribute zero pairs, and the cap
+    // must be applied by a row-level filter below the aggregate so the huge
+    // bucket never enters a collect_list buffer
+    val rows = ((1L to 500L).map(i => (i, 0, 777L)) ++
+      Seq((900L, 1, 5L), (901L, 1, 5L), (902L, 1, 5L)))
+      .toDF("id", "band", "bucket")
+    val pairs = Dedup.bucketPairs(rows, Seq("band", "bucket"), maxBucketSize = 100)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((900L, 901L), (900L, 902L), (901L, 902L)))
+
+    // plan shape: the __n cap filter must sit BELOW (after, in print order)
+    // the collect_list aggregate — printed tree is parent-first, so the
+    // aggregate appears before the filter it consumes from
+    val plan = pairs.queryExecution.executedPlan.toString
+    val aggAt = plan.indexOf("collect_list")
+    val filterAt = plan.indexOf("Filter")
+    assert(aggAt >= 0 && filterAt >= 0, s"missing operators in plan:\n$plan")
+    assert(plan.substring(filterAt).contains("__n"),
+      s"cap filter is not on the windowed per-bucket count:\n$plan")
+    assert(aggAt < filterAt,
+      s"cap filter must be below the collect_list aggregate:\n$plan")
+  }
+
+  test("bucketPairs pair set is unchanged when no bucket exceeds the cap") {
+    // cap-before vs cap-after must agree whenever the cap doesn't bite:
+    // compare against an uncapped reference expansion computed in Scala
+    val rows = (1L to 40L).map(i => (i, (i % 7).toInt, i % 5))
+      .toDF("id", "band", "bucket")
+    val got = Dedup.bucketPairs(rows, Seq("band", "bucket"), maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (1L to 40L).map(i => ((i % 7).toInt, i % 5) -> i)
+      .groupBy(_._1).values.flatMap { grp =>
+        val ids = grp.map(_._2)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+    assert(got === expected)
+  }
+
+  test("minhash/simhash pair sets on sf0.001 documents are stable") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pinned from the pre-cap-reorder implementation (round 2): the
+    // window-cap rewrite must not change any surviving pair
+    assert(mh === DedupSimilaritySpec.pinnedMinhashPairs, s"minhash drifted: $mh")
+    assert(sh === DedupSimilaritySpec.pinnedSimhashPairs, s"simhash drifted: $sh")
+  }
+
   test("LSH recall vs brute force on real embeddings is usable (>0.5)") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -157,4 +209,25 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (brute & ann).size.toDouble / brute.size
     assert(recall > 0.5, s"recall $recall too low")
   }
+}
+
+object DedupSimilaritySpec {
+  /** Pair sets on sf0.001 documents, dumped from the round-2 implementation
+    * (cap applied after collect_list) and verified identical under the
+    * round-3 window-cap rewrite. Default params of minhashPairs/simhashPairs. */
+  val pinnedMinhashPairs: Set[(Long, Long)] = Set(
+    (0L, 50L), (0L, 82L), (5L, 450L), (8L, 12L), (8L, 120L), (8L, 360L),
+    (12L, 120L), (12L, 360L), (16L, 369L), (26L, 176L), (33L, 436L),
+    (45L, 487L), (50L, 82L), (56L, 157L), (77L, 459L), (89L, 114L),
+    (99L, 174L), (110L, 467L), (119L, 425L), (120L, 360L), (144L, 161L),
+    (211L, 404L), (229L, 263L), (260L, 391L), (270L, 329L), (328L, 428L),
+    (349L, 411L), (474L, 498L))
+  val pinnedSimhashPairs: Set[(Long, Long)] = Set(
+    (0L, 82L), (5L, 450L), (8L, 12L), (8L, 120L), (8L, 360L), (12L, 120L),
+    (12L, 360L), (16L, 369L), (16L, 399L), (26L, 176L), (35L, 144L),
+    (35L, 161L), (45L, 487L), (56L, 157L), (77L, 363L), (77L, 459L),
+    (99L, 174L), (120L, 360L), (144L, 161L), (144L, 175L), (144L, 381L),
+    (161L, 175L), (161L, 381L), (162L, 190L), (175L, 215L), (175L, 246L),
+    (194L, 388L), (211L, 404L), (260L, 391L), (270L, 329L), (328L, 428L),
+    (349L, 411L), (474L, 498L))
 }

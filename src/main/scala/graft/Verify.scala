@@ -34,8 +34,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // '{OUT}' lets an oracle read the Verify dumps themselves (p22 checks
+    // recall arithmetic against the dumped ANN results); substituted with
+    // the absolute dump path so DuckDB resolves it from any cwd
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

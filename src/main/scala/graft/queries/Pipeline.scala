@@ -511,6 +511,68 @@ object Pipeline {
        |HAVING COUNT(*) >= 3
        |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p22 — driver-visible ANN quality: recall@5 of the LSH and IVF paths
+  // against the exact brute-force top-k, as data. The Spark side recomputes
+  // all three results (same parameters as p06/p10/p16); the oracle
+  // recomputes the exact side independently (p06's fold SQL) and takes the
+  // ANN member sets from the Verify dumps ('{OUT}' is substituted with the
+  // dump directory by graft.Verify), so the intersection arithmetic and the
+  // exact baseline are both independently checked.
+  // =========================================================================
+  def p22KnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      ann.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total")))
+        .select(lit(method).as("method"), col("hits"), col("total"),
+          (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("recall"))
+    recallOf("ivf", Similarity.ivfTopK(qs, emb, k = 5, nCells = 16, nProbe = 4))
+      .unionAll(recallOf("lsh",
+        Similarity.lshTopK(qs, emb, k = 5, dim = 64, tables = 8, bits = 6)))
+      .orderBy("method")
+  }
+
+  val p22Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id,
+       |    ${sqlFoldDot("qv", "cv")} AS dt,
+       |    sqrt(${sqlFoldDot("qv", "qv")}) AS nq,
+       |    sqrt(${sqlFoldDot("cv", "cv")}) AS nc
+       |  FROM c CROSS JOIN q
+       |  WHERE query_id != neighbor_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dt / (nq * nc) END AS sim
+       |  FROM s),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |    FROM r) WHERE rk <= 5),
+       |tot AS (SELECT COUNT(*) AS total FROM exact),
+       |lsh AS (SELECT query_id, neighbor_id
+       |        FROM read_parquet('{OUT}/p10_knn_lsh/*.parquet')),
+       |ivf AS (SELECT query_id, neighbor_id
+       |        FROM read_parquet('{OUT}/p16_knn_ivf/*.parquet')),
+       |h AS (
+       |  SELECT 'ivf' AS method, COUNT(*) AS hits
+       |  FROM ivf JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, COUNT(*) AS hits
+       |  FROM lsh JOIN exact USING (query_id, neighbor_id))
+       |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total,
+       |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+       |FROM h CROSS JOIN tot
+       |ORDER BY method""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -533,7 +595,8 @@ object Pipeline {
     "p18_hash_split" -> (p18HashSplit _),
     "p19_knn_two_phase" -> (p19KnnTwoPhase _),
     "p20_repetition" -> (p20Repetition _),
-    "p21_contamination" -> (p21Contamination _))
+    "p21_contamination" -> (p21Contamination _),
+    "p22_knn_recall" -> (p22KnnRecall _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -549,5 +612,6 @@ object Pipeline {
     "p18_hash_split" -> p18Sql,
     "p19_knn_two_phase" -> p06Sql,
     "p20_repetition" -> p20Sql,
-    "p21_contamination" -> p21Sql)
+    "p21_contamination" -> p21Sql,
+    "p22_knn_recall" -> p22Sql)
 }

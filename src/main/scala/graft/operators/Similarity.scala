@@ -103,16 +103,30 @@ object Similarity {
 
   /** Approximate top-k: candidates = corpus vectors sharing any LSH bucket
     * with the query (union over `tables` tables), exact-cosine reranked.
-    * Same output shape as [[bruteForceTopK]]; recall < 1 by design. */
+    * Same output shape as [[bruteForceTopK]]; recall < 1 by design.
+    *
+    * `multiProbe = true` additionally probes, per table, every bucket at
+    * Hamming distance 1 from the query's bucket (`bits` extra probes). This
+    * is the standard multi-probe trade: recall recovers without coarsening
+    * the buckets, so `bits` can keep growing with the corpus — at 100 TB
+    * the bucket count must scale with corpus size, and widening buckets
+    * (fewer bits) would re-grow each bucket toward a corpus scan. Probing
+    * expands only the broadcast query side; the corpus index is untouched. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,
+      multiProbe: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // candidate ids only through the bucket join; vectors re-attached after
     // dedup so payloads cross the wire once per surviving candidate
     val cb = lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol)
-    val qb = broadcast(lshBuckets(queries, tables, bits, dim, seed, idCol, vecCol)
-      .withColumnRenamed("id", "query_id"))
+    val qb0 = lshBuckets(queries, tables, bits, dim, seed, idCol, vecCol)
+      .withColumnRenamed("id", "query_id")
+    val qb = broadcast(
+      if (!multiProbe) qb0
+      else qb0.withColumn("bucket", explode(array(
+        col("bucket") +: (0 until bits).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i))): _*))))
     val candidates = cb.join(qb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"))

@@ -257,7 +257,7 @@ object Pipeline {
   def p10KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
-        k = 5, dim = 64, tables = 8, bits = 6)
+        k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true)
       .orderBy("query_id", "rank")
   }
 
@@ -266,7 +266,7 @@ object Pipeline {
   def p16KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
-        k = 5, nCells = 16, nProbe = 4)
+        k = 5, nCells = 16, nProbe = 8)
       .orderBy("query_id", "rank")
   }
 
@@ -533,9 +533,9 @@ object Pipeline {
         .select(lit(method).as("method"), col("hits"), col("total"),
           (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
             .as("recall"))
-    recallOf("ivf", Similarity.ivfTopK(qs, emb, k = 5, nCells = 16, nProbe = 4))
-      .unionAll(recallOf("lsh",
-        Similarity.lshTopK(qs, emb, k = 5, dim = 64, tables = 8, bits = 6)))
+    recallOf("ivf", Similarity.ivfTopK(qs, emb, k = 5, nCells = 16, nProbe = 8))
+      .unionAll(recallOf("lsh", Similarity.lshTopK(qs, emb,
+        k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true)))
       .orderBy("method")
   }
 

@@ -209,6 +209,22 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (brute & ann).size.toDouble / brute.size
     assert(recall > 0.5, s"recall $recall too low")
   }
+
+  test("multi-probe LSH dominates single-probe recall at fine buckets") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(mp: Boolean): Double = {
+      val ann = Similarity.lshTopK(queries, emb, k = 5, dim = 64,
+          tables = 8, bits = 6, multiProbe = mp)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute & ann).size.toDouble / brute.size
+    }
+    val (single, multi) = (recallAt(false), recallAt(true))
+    assert(multi >= single, s"multi-probe $multi worse than single $single")
+    assert(multi > 0.5, s"multi-probe recall $multi too low at bits=6")
+  }
 }
 
 object DedupSimilaritySpec {

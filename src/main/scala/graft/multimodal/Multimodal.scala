@@ -10,13 +10,15 @@ import graft.functions.Hash64
   * `mapPartitions` stages that iterate fixed-size batches (the JVM analogue
   * of an arrow-batched decode UDF).
   *
-  * ==== STUB NOTICE ====
-  * This container ships no image/audio codecs, so [[MediaCodec.decodeStub]]
-  * is a clearly-marked deterministic FAKE: features are derived from payload
-  * bytes (chunked byte histograms), not from real pixel/sample decoding. The
+  * ==== CODEC STATUS ====
+  * Images are REAL: payloads are genuine PNGs (encoded with `javax.imageio`,
+  * JDK built-in) and [[MediaCodec.decodeImage]] decodes actual pixels into
+  * channel-mean + luminance-histogram features. Audio/video still go through
+  * [[MediaCodec.decodeStub]], a clearly-marked deterministic FAKE (byte
+  * histograms), because this container ships no audio/video codecs. The
   * Spark-side plumbing — schema, encoders, partitioning, batch shape, the
-  * operator surface — is real and tested; swapping in a real codec changes
-  * only the body of `decodeStub`.
+  * operator surface — is identical for both paths; swapping in a real
+  * audio/video codec changes only the body of `decodeStub`.
   *
   * Scale posture (100 TB): payloads never pass through a shuffle — feature
   * extraction is scan-shaped `mapPartitions` before any wide operator;
@@ -36,9 +38,12 @@ object Multimodal {
 
   val kinds = Seq("image", "audio", "video")
 
-  /** Synthesize a media table from `documents` (payload = UTF-8 text bytes as
-    * the stand-in blob; kind and metadata deterministic in doc_id). Stands in
-    * for `spark.read.format("binaryFile")` over a media lake. */
+  /** Synthesize a media table from `documents`: image rows carry a REAL PNG
+    * payload (deterministic pixels in media_id, dimensions = the metadata
+    * dimensions); audio/video carry UTF-8 text bytes as the stand-in blob.
+    * Stands in for `spark.read.format("binaryFile")` over a media lake.
+    * PNG encoding runs executor-side in the `map` — the driver never holds
+    * payloads. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(
@@ -52,6 +57,16 @@ object Multimodal {
           lit(16000).as("sampleRateHz"),
           (col("doc_id") % 90000 + 1000).as("durationMs")).as("meta"))
       .as[MediaRecord]
+      .map { r =>
+        if (r.kind != "image") r
+        else {
+          // keep test images small; metadata must equal true pixel dims
+          val w = (r.media_id % 32 + 32).toInt
+          val h = (r.media_id % 24 + 32).toInt
+          r.copy(payload = MediaCodec.syntheticPng(r.media_id, w, h),
+            meta = r.meta.copy(width = w, height = h))
+        }
+      }
   }
 
   /** Decode + feature-extract, batched `mapPartitions`. Records are processed
@@ -62,9 +77,8 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // batch boundary: a real codec would decode `batch` in one
-        // vectorized call here
-        batch.map(MediaCodec.decodeStub)
+        // batch boundary: a vectorized codec would decode `batch` in one call
+        batch.map(MediaCodec.decode)
       }
     }
   }
@@ -94,9 +108,72 @@ object Multimodal {
 object MediaCodec {
   import Multimodal._
 
-  /** ==== STUB ==== deterministic fake decode: 8 float "features" = byte
-    * histograms over 8 payload stripes, L1-normalized; replaces the absent
-    * image/audio codec call. Everything downstream treats the output exactly
+  // ImageIO's default stream cache writes temp files per decode; keep the
+  // executor hot path in memory
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Kind dispatch: real pixel decode for images, stub for audio/video. */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.kind == "image") decodeImage(r) else decodeStub(r)
+
+  /** Deterministic RGB noise image (pixels from the mixed id), encoded as a
+    * real PNG via the JDK's built-in codec. */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (Hash64.mix(seed * 7919 + y.toLong * w + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: `ImageIO.read` over the PNG/JPEG payload; features =
+    * (mean R, mean G, mean B, 5-bin luminance histogram), all in [0,1].
+    * Width/height come from the decoded raster, not the metadata. */
+  def decodeImage(r: MediaRecord): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload, media_id=${r.media_id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val feats = new Array[Float](8)
+    val lumBins = new Array[Int](5)
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val (cr, cg, cb) =
+          ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        sr += cr; sg += cg; sb += cb
+        val lum = (0.299 * cr + 0.587 * cg + 0.114 * cb) / 255.0
+        lumBins(math.min((lum * 5).toInt, 4)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    feats(0) = (sr / n / 255.0).toFloat
+    feats(1) = (sg / n / 255.0).toFloat
+    feats(2) = (sb / n / 255.0).toFloat
+    var b = 0
+    while (b < 5) { feats(3 + b) = (lumBins(b) / n).toFloat; b += 1 }
+    val norm = math.sqrt(feats.map(f => f.toDouble * f).sum)
+    MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, feats, norm)
+  }
+
+  /** ==== STUB ==== deterministic fake decode for audio/video (no codec in
+    * this container): 8 float "features" = byte histograms over 8 payload
+    * stripes, L1-normalized. Everything downstream treats the output exactly
     * as it would real embeddings. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val nFeat = 8

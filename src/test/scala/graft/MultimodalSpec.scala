@@ -35,6 +35,24 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decodeStub(r).n_bytes === r.payload.length)
   }
 
+  test("image payloads are real PNGs; decode recovers metadata dimensions") {
+    val images = media.filter(_.kind == "image").collect()
+    assert(images.nonEmpty)
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    assert(images.forall(_.payload.take(4).sameElements(pngMagic)),
+      "image payloads must be genuine PNG bytes")
+    // width/height in the feature rows come from ImageIO's decoded raster —
+    // they must agree with the metadata the payload was synthesized from
+    val metaDims = images.map(r => r.media_id -> ((r.meta.width, r.meta.height))).toMap
+    val feats = Multimodal.extractFeatures(
+      media.filter(_.kind == "image")).collect()
+    assert(feats.length === images.length)
+    assert(feats.forall(f => metaDims(f.media_id) === ((f.width, f.height))),
+      "decoded raster dimensions must match payload metadata")
+    // luminance histogram bins are pixel-count fractions: sum to 1
+    assert(feats.forall(f => math.abs(f.feature.drop(3).map(_.toDouble).sum - 1.0) < 1e-3))
+  }
+
   test("resize rewrites metadata, preserves payloads") {
     val resized = Multimodal.resize(media, 224, 224).collect()
     assert(resized.forall(r => r.meta.width === 224 && r.meta.height === 224))

@@ -512,6 +512,32 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
 
   // =========================================================================
+  // p23 — the actual readStream path in the registry: hourly windowed
+  // counts through micro-batched ingestion (availableNow) and the memory
+  // sink, against the same relational oracle as its batch twin p13. Proves
+  // watermark + window + sink wiring end-to-end, not just the transform.
+  // =========================================================================
+  def p23StreamWindows(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    EventStream.runBounded(spark, dir, EventStream.hourlyTypeCounts,
+        "p23_stream_windows")
+      // epoch millis rather than raw timestamps: integer compare/hash is
+      // engine-neutral (no timestamp-rendering variance in the driver diff)
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  val p23Sql: String =
+    """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
+      |  event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
+  // =========================================================================
   // p22 — driver-visible ANN quality: recall@5 of the LSH and IVF paths
   // against the exact brute-force top-k, as data. The Spark side recomputes
   // all three results (same parameters as p06/p10/p16); the oracle
@@ -596,7 +622,8 @@ object Pipeline {
     "p19_knn_two_phase" -> (p19KnnTwoPhase _),
     "p20_repetition" -> (p20Repetition _),
     "p21_contamination" -> (p21Contamination _),
-    "p22_knn_recall" -> (p22KnnRecall _))
+    "p22_knn_recall" -> (p22KnnRecall _),
+    "p23_stream_windows" -> (p23StreamWindows _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -613,5 +640,6 @@ object Pipeline {
     "p19_knn_two_phase" -> p06Sql,
     "p20_repetition" -> p20Sql,
     "p21_contamination" -> p21Sql,
-    "p22_knn_recall" -> p22Sql)
+    "p22_knn_recall" -> p22Sql,
+    "p23_stream_windows" -> p23Sql)
 }

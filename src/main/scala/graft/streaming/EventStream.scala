@@ -52,7 +52,11 @@ object EventStream {
     events
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal-staged sum: exact regardless of per-batch fold order, and
+      // bit-identical to the batch/oracle computation of the same total
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 4))).cast(DoubleType)
+          .as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 

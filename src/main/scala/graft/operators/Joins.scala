@@ -24,10 +24,24 @@ object Joins {
 
   /** `left` gains `asofCols` (renamed with `prefix`) from the latest `right`
     * row per `keyCol` with right.`timeCol` <= left.`timeCol`.
-    * `right` must be unique per (key, time) — pre-aggregate if not, or the
-    * carried value at a tied timestamp is undefined. */
+    *
+    * PRECONDITION: `right` must be unique per (key, time) — pre-aggregate if
+    * not, or the carried value at a tied timestamp is undefined.
+    * `validateUnique = true` enforces this inside the plan: adjacent
+    * same-(key,time) right rows are detected with a `lag` over the same
+    * partition/order as the carry window (one shared sort, no extra
+    * exchange) and fail the job with a clear error instead of silently
+    * picking one. Keep it on in debug/backfill runs; at 100 TB the check
+    * costs two extra window columns, not a pass.
+    *
+    * Skew note: one hot key (a bot user, a null-ish default key) serializes
+    * into a single window partition. That is inherent to as-of semantics —
+    * the carry is a running scan per key — so the mitigation is upstream:
+    * drop or split known-degenerate keys before joining (the same guard
+    * `Dedup.bucketPairs` applies to degenerate buckets). */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-      asofCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+      asofCols: Seq[String], prefix: String = "asof_",
+      validateUnique: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val tagged =
       right.select(
@@ -40,10 +54,31 @@ object Joins {
             leftCols.filterNot(c => c == keyCol).map(col) ++
             asofCols.map(c => lit(null).as(s"$prefix$c")): _*))
 
-    val w = Window.partitionBy(col(keyCol))
+    val ord = Window.partitionBy(col(keyCol))
       .orderBy(col("__t").asc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = asofCols.foldLeft(tagged) { (df, c) =>
+    val w = ord.rowsBetween(Window.unboundedPreceding, 0)
+
+    // duplicate (key, time) right rows sort adjacently (both __tag = 0), so
+    // a lag over the carry window's own sort detects them row-by-row
+    val checked =
+      if (!validateUnique) tagged
+      else {
+        // null-safe (<=>): lag is NULL on each partition's first row, and a
+        // NULL predicate would make assert_true throw spuriously
+        val dup = col("__tag") === 0 &&
+          (lag(col("__tag"), 1).over(ord) <=> 0) &&
+          (lag(col("__t"), 1).over(ord) <=> col("__t"))
+        tagged
+          .withColumn("__unique_ok", coalesce(
+            assert_true(!dup, concat(
+              lit(s"asOf: right side has duplicate ($keyCol, $timeCol) at key="),
+              col(keyCol).cast("string"), lit(" time="),
+              col("__t").cast("string"))),
+            lit(true)))
+          .filter(col("__unique_ok")).drop("__unique_ok")
+      }
+
+    val carried = asofCols.foldLeft(checked) { (df, c) =>
       df.withColumn(s"$prefix$c",
         last(col(s"$prefix$c"), ignoreNulls = true).over(w))
     }

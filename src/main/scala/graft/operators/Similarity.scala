@@ -71,10 +71,22 @@ object Similarity {
     val topK = new org.apache.spark.sql.expressions.Aggregator[
         (Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
       override def zero: Seq[(Double, Long)] = Vector.empty
+      // buffer invariant: sorted best-first, size ≤ k. Bounded insertion —
+      // the common case (row worse than the current k-th) is one compare,
+      // vs the O(k log k) sort-per-row this replaces; k stays tiny but the
+      // per-row kernel is what every corpus row pays at scale.
+      private def insert(b: Seq[(Double, Long)], e: (Double, Long)) =
+        if (b.size >= k && betterFirst.compare(e, b.last) >= 0) b
+        else {
+          val i = b.indexWhere(x => betterFirst.compare(e, x) < 0)
+          val pos = if (i < 0) b.size else i
+          val nb = (b.take(pos) :+ e) ++ b.drop(pos)
+          if (nb.size > k) nb.take(k) else nb
+        }
       override def reduce(b: Seq[(Double, Long)], r: (Long, Long, Double)) =
-        (b :+ ((r._3, r._2))).sorted(betterFirst).take(k)
+        insert(b, (r._3, r._2))
       override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]) =
-        (a ++ b).sorted(betterFirst).take(k)
+        b.foldLeft(a)(insert)
       override def finish(b: Seq[(Double, Long)]) = b
       override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
         implicitly[org.apache.spark.sql.Encoder[Seq[(Double, Long)]]]

@@ -25,4 +25,39 @@ class JoinsSpec extends SparkSpec {
     assert(got("p2") === Some(150.0))   // latest of {10, 15}
     assert(got("q1") === None)          // other key's rows don't leak
   }
+
+  test("validateUnique rejects duplicate (key, time) right rows") {
+    val left = Seq((1L, 10L, "p1")).toDF("k", "t", "name")
+    val dupRight = Seq((1L, 10L, 100.0), (1L, 10L, 101.0)).toDF("k", "t", "v")
+    val cleanRight = Seq((1L, 10L, 100.0), (1L, 11L, 101.0)).toDF("k", "t", "v")
+
+    // clean right passes with the check on
+    val ok = Joins.asOf(left, cleanRight, "k", "t", Seq("v"),
+        validateUnique = true)
+      .select("asof_v").as[Double].collect()
+    assert(ok.toSeq === Seq(100.0))
+
+    val err = intercept[Exception] {
+      Joins.asOf(left, dupRight, "k", "t", Seq("v"),
+        validateUnique = true).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("as-of join stays correct under a heavily skewed hot key") {
+    // one hot key carries 5000 right rows and 1000 probes; a cold key rides
+    // along to prove group isolation under the same shuffle
+    val hotRight = (0L until 5000L).map(t => (7L, t * 2, t.toDouble))
+    val right = (hotRight :+ ((8L, 0L, -1.0))).toDF("k", "t", "v")
+    val left = ((0L until 1000L).map(t => (7L, t * 10 + 1, s"h$t")) :+
+      ((8L, 50L, "cold"))).toDF("k", "t", "name")
+
+    val got = Joins.asOf(left, right, "k", "t", Seq("v"),
+        validateUnique = true)
+      .select("name", "asof_v").as[(String, Double)].collect().toMap
+
+    // probe at t = 10i + 1 → latest right time ≤ that is 10i → v = 5i
+    assert((0 until 1000).forall(i => got(s"h$i") === 5.0 * i))
+    assert(got("cold") === -1.0)
+  }
 }

@@ -96,7 +96,14 @@ object GraftKernels {
 
   /** See [[TokenShinglesExpr]]. Null elements are skipped (same contract as
     * [[simhash64]]/[[minhash]]) — the SQL-registered `token_shingles` accepts
-    * arbitrary `array<string>` input. */
+    * arbitrary `array<string>` input.
+    *
+    * Short-doc contract (deliberate): fewer than `n` usable tokens — which
+    * includes empty and all-null arrays — yields ONE shingle, the
+    * space-join of whatever tokens exist ([""] when none). Empty docs are
+    * therefore all mutually identical to dedup, which is the curation
+    * semantic we want, and every oracle encodes the same fallback
+    * (`CASE WHEN len(toks) < n THEN [array_to_string(toks, ' ')] …`). */
   def tokenShingles(arr: ArrayData, n: Int): ArrayData = {
     val total = arr.numElements()
     val toks = new Array[String](total)

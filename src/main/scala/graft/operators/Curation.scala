@@ -37,6 +37,10 @@ object Curation {
     // 2.65e18): no ANSI-mode overflow at 100 TB id ranges, and the same
     // arithmetic is expressible in the DuckDB oracle (which errors on BIGINT
     // overflow rather than wrapping).
+    // COMPAT: the mod-first form (introduced after the first release of this
+    // operator) assigns different buckets than the old multiply-first form
+    // for ids in [1000000007, ~3.47e9); any split persisted by the old form
+    // must be regenerated, not mixed.
     val bucket =
       pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L),
         lit(1000000007L)) % 1000

@@ -427,7 +427,7 @@ object Pipeline {
   val p18Sql: String =
     """WITH b AS (
       |  SELECT doc_id,
-      |    (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000 AS bucket
+      |    (((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 1000000007) % 1000 AS bucket
       |  FROM documents),
       |s AS (
       |  SELECT doc_id,

@@ -25,6 +25,22 @@ class AdviceRegressionSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit: negative ids agree with the sign-safe oracle arithmetic") {
+    // Spark's pmod is always non-negative; the oracle SQL mirrors it with
+    // ((id % p) + p) % p. Both sides of that equivalence are pinned here.
+    val ids = Seq(-1L, -1000000007L, -3470000000L, Long.MinValue + 1)
+    val got = Curation.hashSplit(ids.toDF("id"), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val p = 1000000007L
+    ids.foreach { id =>
+      val bucket = ((((id % p) + p) % p * 2654435761L) % p) % 1000
+      val want = if (bucket < 800) "train" else if (bucket < 900) "val" else "test"
+      assert(bucket >= 0)
+      assert(got(id) === want, s"id=$id bucket=$bucket")
+    }
+  }
+
   test("hashSplit: 0.7/0.15/0.15 boundary bucket 850 lands in the later split") {
     // cumulative 0.7+0.15 = 0.8500000000000001 in doubles; the integer cut is
     // 850, so a bucket of exactly 850 belongs to the LAST split, not 'val'.

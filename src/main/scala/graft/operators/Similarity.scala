@@ -128,10 +128,13 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,
       multiProbe: Boolean = false,
+      corpusIndex: Option[DataFrame] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // candidate ids only through the bucket join; vectors re-attached after
-    // dedup so payloads cross the wire once per surviving candidate
-    val cb = lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol)
+    // dedup so payloads cross the wire once per surviving candidate.
+    // `corpusIndex` (from [[writeLshIndex]]) skips the signature recompute.
+    val cb = corpusIndex.getOrElse(
+      lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol))
     val qb0 = lshBuckets(queries, tables, bits, dim, seed, idCol, vecCol)
       .withColumnRenamed("id", "query_id")
     val qb = broadcast(
@@ -155,21 +158,15 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
-    * their nearest of `nCells` coarse centroids; a query probes its `nProbe`
-    * nearest cells and exact-reranks only those vectors. Centroids are a
-    * deterministic stride-sample of the corpus (a k-means-free coarse
-    * quantizer — one pass, reproducible; swap in trained centroids without
-    * touching the plan). Collecting the centroid bank to the driver is
+  /** Deterministic coarse-quantizer centroid bank: a stride-sample of the
+    * corpus (k-means-free — one pass, reproducible; swap in trained
+    * centroids without touching any plan). Collecting it to the driver is
     * model-fitting, not a data path: `nCells` rows regardless of corpus
-    * size. At scale the cell assignment persists as a bucketed table and
-    * probing is a partition-pruned scan. */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorExpressions.nearestCentroids
-    val centroids: Array[Array[Double]] = corpus
+    * size. Compute ONCE per corpus and pass to [[ivfTopK]] /
+    * [[writeIvfIndex]] — at scale this is part of index build, not probe. */
+  def ivfCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus
       .orderBy(col(idCol)).limit(nCells * 50)   // bounded driver pull
       .select(col(idCol), col(vecCol).cast("array<double>"))
       .collect()
@@ -179,12 +176,32 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
       .toArray
 
-    val assigned = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"),
+  /** Corpus→cell assignment under a centroid bank: (neighbor_id, cv, cell).
+    * This is the IVF index relation; persist via [[writeIvfIndex]]. */
+  def ivfAssign(corpus: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.nearestCentroids
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cell"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    * their nearest of `nCells` coarse centroids; a query probes its `nProbe`
+    * nearest cells and exact-reranks only those vectors. Pass `centroids`
+    * and/or `corpusIndex` (from [[writeIvfIndex]]) so repeated probes skip
+    * model fitting and cell assignment entirely. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None,
+      corpusIndex: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.nearestCentroids
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nCells, idCol, vecCol))
+    val assigned = corpusIndex.getOrElse(ivfAssign(corpus, cents, idCol, vecCol))
     val probes = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"),
-        explode(nearestCentroids(col(vecCol), centroids, nProbe)).as("cell")))
+        explode(nearestCentroids(col(vecCol), cents, nProbe)).as("cell")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     assigned.join(probes, "cell")
@@ -195,6 +212,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Persist the LSH bucket index as a Spark bucketed + sorted table.
+    * Probes then read (id, table, bucket) without recomputing signatures or
+    * scanning the vector column, and any (table, bucket)-keyed aggregation
+    * or window — [[Dedup.bucketPairs]]'s whole pipeline — runs
+    * EXCHANGE-FREE, because the file bucketing already clusters those keys.
+    * This is the "at scale you'd persist the buckets" note made real: build
+    * the index once per corpus snapshot, amortize it over every probe. */
+  def writeLshIndex(
+      corpus: DataFrame, tableName: String, tables: Int, bits: Int, dim: Int,
+      seed: Long = 42L, numBuckets: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "table", "bucket").sortBy("table", "bucket")
+      .saveAsTable(tableName)
+
+  /** Persist the IVF cell assignment as a bucketed table keyed on `cell`;
+    * pair with the [[ivfCentroids]] bank that produced it. Probing a
+    * persisted index is a cell-clustered scan — no assignment recompute. */
+  def writeIvfIndex(
+      corpus: DataFrame, tableName: String, centroids: Array[Array[Double]],
+      numBuckets: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .saveAsTable(tableName)
+
   /** Embedding-level near-duplicate pairs: corpus×corpus restricted to
     * shared LSH buckets, kept when cosine ≥ `threshold`.
     * Returns (id_a, id_b, sim), id_a < id_b. */
@@ -202,8 +247,10 @@ object Similarity {
       corpus: DataFrame, threshold: Double, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000,
+      corpusIndex: Option[DataFrame] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cb = lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol)
+    val cb = corpusIndex.getOrElse(
+      lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol))
     Dedup.bucketPairs(cb, Seq("table", "bucket"), maxBucketSize)
       .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
       .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")

@@ -210,6 +210,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall $recall too low")
   }
 
+  test("persisted LSH index: probe parity and exchange-free bucket aggregation") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.writeLshIndex(emb, "lsh_idx_t", tables = 8, bits = 6, dim = 64)
+    val idx = spark.table("lsh_idx_t")
+
+    // probing the persisted index must equal probing a fresh in-plan index
+    val fresh = Similarity.lshTopK(queries, emb, k = 5, dim = 64,
+        tables = 8, bits = 6, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val probed = Similarity.lshTopK(queries, emb, k = 5, dim = 64,
+        tables = 8, bits = 6, multiProbe = true, corpusIndex = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probed === fresh)
+
+    // the index's file bucketing must satisfy (table, bucket) clustering:
+    // an aggregation on those keys runs with NO shuffle exchange
+    val agg = idx.groupBy("table", "bucket").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-keyed aggregation over the persisted index still shuffles:\n$plan")
+
+    // near-dup candidate generation accepts the same persisted index
+    val pairsFresh = Similarity.embeddingNearDupPairs(emb, threshold = 0.3,
+        dim = 64, tables = 8, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairsIdx = Similarity.embeddingNearDupPairs(emb, threshold = 0.3,
+        dim = 64, tables = 8, bits = 6, corpusIndex = Some(idx))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsIdx === pairsFresh)
+  }
+
+  test("persisted IVF index + precomputed centroids: probe parity") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.ivfCentroids(emb, nCells = 16)
+    Similarity.writeIvfIndex(emb, "ivf_idx_t", cents)
+    val fresh = Similarity.ivfTopK(queries, emb, k = 5, nCells = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val probed = Similarity.ivfTopK(queries, emb, k = 5, nCells = 16,
+        nProbe = 8, centroids = Some(cents),
+        corpusIndex = Some(spark.table("ivf_idx_t")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probed === fresh)
+  }
+
   test("multi-probe LSH dominates single-probe recall at fine buckets") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)

@@ -120,6 +120,56 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Connected components over an undirected pair set (`id_a`, `id_b`):
+    * returns (id, component) where `component` is the minimum id reachable
+    * from `id` — i.e., each near-dup cluster labeled by its smallest member.
+    *
+    * Min-label propagation: per iteration, every node takes the min of its
+    * own label and its neighbors' labels (one join + one partial-aggregated
+    * shuffle on the node id), until a fixpoint. Iterations needed = graph
+    * diameter; near-dup clusters are dense and shallow (duplicates of a
+    * common original), so this converges in a handful of rounds. For
+    * adversarial long-chain graphs at 100 TB, swap in the
+    * large-star/small-star contraction (O(log n) rounds) — the surrounding
+    * pipeline is unchanged. `localCheckpoint` truncates the growing lineage
+    * each round (iterative plans otherwise re-derive every prior join). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
+        .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("component").as("old"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      converged = next.filter(col("component") =!= col("old")).isEmpty
+      labels = next.drop("old")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup survivors: `df` minus every pair-graph member that is not its
+    * component's minimum id — the cluster representative (smallest id)
+    * survives, exactly like [[exactKept]] keeps min id per duplicate group;
+    * rows in no pair survive untouched. */
+  def nearDupKept(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component")).select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit SimHash per doc; candidates share
     * at least one of four 16-bit chunks (pigeonhole: any pair within Hamming
     * distance ≤ 3 shares a chunk... up to distance `4-1`); verified by exact

@@ -512,6 +512,49 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
 
   // =========================================================================
+  // p24 — near-dup clusters: the generic distributed connected-components
+  // operator (min-label propagation, Dedup.connectedComponents) run over the
+  // adjacent-pair Jaccard edge set of p07. Because that edge set is a path
+  // graph, DuckDB can derive the identical components with a completely
+  // different formulation (gaps-and-islands over doc_id runs) — an
+  // independent oracle for a genuinely iterative distributed algorithm.
+  // =========================================================================
+  def p24NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = p07NgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    Dedup.connectedComponents(edges)
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("cluster_id")
+  }
+
+  val p24Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    END) AS sh FROM t),
+       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))
+       |  END AS jaccard
+       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+       |e AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.05),
+       |d AS (SELECT DISTINCT doc_id FROM
+       |       (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e)),
+       |m AS (SELECT doc_id,
+       |       CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.doc_b = d.doc_id)
+       |            THEN 0 ELSE 1 END AS is_start
+       |      FROM d),
+       |c AS (SELECT doc_id,
+       |       SUM(is_start) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+       |      FROM m)
+       |SELECT MIN(doc_id) AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM c GROUP BY grp
+       |ORDER BY cluster_id""".stripMargin
+
+  // =========================================================================
   // p23 — the actual readStream path in the registry: hourly windowed
   // counts through micro-batched ingestion (availableNow) and the memory
   // sink, against the same relational oracle as its batch twin p13. Proves
@@ -623,7 +666,8 @@ object Pipeline {
     "p20_repetition" -> (p20Repetition _),
     "p21_contamination" -> (p21Contamination _),
     "p22_knn_recall" -> (p22KnnRecall _),
-    "p23_stream_windows" -> (p23StreamWindows _))
+    "p23_stream_windows" -> (p23StreamWindows _),
+    "p24_neardup_clusters" -> (p24NearDupClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -641,5 +685,6 @@ object Pipeline {
     "p20_repetition" -> p20Sql,
     "p21_contamination" -> p21Sql,
     "p22_knn_recall" -> p22Sql,
-    "p23_stream_windows" -> p23Sql)
+    "p23_stream_windows" -> p23Sql,
+    "p24_neardup_clusters" -> p24Sql)
 }

@@ -27,6 +27,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("connected components: chains, cycles, and isolation") {
+    // chain 1-2-3-4 (transitivity), triangle 10-11-12 with a cycle edge,
+    // and a lone pair 20-21 — three components labeled by their min ids
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("nearDupKept keeps cluster representatives and untouched rows") {
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupKept(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // 1 survives for {1,2,3}, 5 for {5,6}; 4 was in no pair
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("minhash LSH finds a planted near-duplicate, not unrelated docs") {
     val base = doc(7, 120)
     val nearDup = base.split(" ").updated(3, "changedword").mkString(" ")

@@ -45,6 +45,20 @@ object TextFunctions {
     aggregate(toks, lit(0),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("int"))
 
+  /** GPT-2-style pre-tokenizer pattern, minus the lookahead clauses (RE2
+    * engines — the DuckDB oracle's — don't support lookahead): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * then residual whitespace. Pre-tokenization is where token counts are
+    * decided; the BPE merge table only splits within these matches. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token count under [[bpePattern]] — the "BPE-ish" budget estimate a
+    * training pipeline runs over every document. Codegen'd: regexp_extract_all
+    * is a native Spark expression. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Tiny per-language stopword inventories (public, conventional lists). */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),

@@ -512,6 +512,30 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
 
   // =========================================================================
+  // p25 — token budgeting: whitespace tokens vs the BPE-ish pre-tokenizer
+  // count per document, plus corpus character volume — the numbers a
+  // training-data pipeline sizes its token budget with. Both tokenizations
+  // are regex-reproducible in DuckDB, so the whole row hash-matches.
+  // =========================================================================
+  def p25TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TF.tokens(col("text"))).as("n_ws_tokens"),
+        TF.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val p25Sql: String =
+    s"""SELECT doc_id,
+       |  len($sqlToks) AS n_ws_tokens,
+       |  len(regexp_extract_all(text,
+       |      '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+       |    AS n_bpe_tokens,
+       |  length(text) AS n_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
   // p24 — near-dup clusters: the generic distributed connected-components
   // operator (min-label propagation, Dedup.connectedComponents) run over the
   // adjacent-pair Jaccard edge set of p07. Because that edge set is a path
@@ -667,7 +691,8 @@ object Pipeline {
     "p21_contamination" -> (p21Contamination _),
     "p22_knn_recall" -> (p22KnnRecall _),
     "p23_stream_windows" -> (p23StreamWindows _),
-    "p24_neardup_clusters" -> (p24NearDupClusters _))
+    "p24_neardup_clusters" -> (p24NearDupClusters _),
+    "p25_token_count" -> (p25TokenCount _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -686,5 +711,6 @@ object Pipeline {
     "p21_contamination" -> p21Sql,
     "p22_knn_recall" -> p22Sql,
     "p23_stream_windows" -> p23Sql,
-    "p24_neardup_clusters" -> p24Sql)
+    "p24_neardup_clusters" -> p24Sql,
+    "p25_token_count" -> p25Sql)
 }

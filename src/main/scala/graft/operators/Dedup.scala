@@ -134,10 +134,14 @@ object Dedup {
     * pipeline is unchanged. `localCheckpoint` truncates the growing lineage
     * each round (iterative plans otherwise re-derive every prior join). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge set once — it joins into EVERY round, and an
+    // unmaterialized plan would re-derive the (possibly expensive) pair
+    // pipeline upstream of it each iteration
     val sym = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)

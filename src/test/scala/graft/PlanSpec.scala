@@ -60,6 +60,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(user_id"))
   }
 
+  test("p10 multi-probe LSH: query side broadcasts; corpus never sort-merges") {
+    val df = graft.queries.Pipeline.p10KnnLsh(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket probe should be a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the candidate join:\n$plan")
+  }
+
+  test("p21 decontamination: benchmark shingle set broadcasts") {
+    val plan = planString(graft.queries.Pipeline.p21Contamination(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set should broadcast — corpus must not shuffle:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational scan pipelines") {
     val plan = planString(Relational.q01PricingSummary(spark, sfDir))
     // codegen stages render as "*(n)" prefixes in the plan string

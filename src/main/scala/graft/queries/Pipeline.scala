@@ -616,8 +616,11 @@ object Pipeline {
   def p22KnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") < 10)
+    // the exact result feeds four consumers (two semi-joins, two totals);
+    // materialize its 50 rows once instead of re-scoring the cross join
     val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
       .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
     def recallOf(method: String, ann: DataFrame): DataFrame =
       ann.select("query_id", "neighbor_id")
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")

@@ -13,12 +13,16 @@ import graft.functions.Hash64
   * ==== CODEC STATUS ====
   * Images are REAL: payloads are genuine PNGs (encoded with `javax.imageio`,
   * JDK built-in) and [[MediaCodec.decodeImage]] decodes actual pixels into
-  * channel-mean + luminance-histogram features. Audio/video still go through
+  * channel-mean + luminance-histogram features. Audio is REAL: payloads are
+  * genuine RIFF/WAV files (PCM16 mono) and [[MediaCodec.decodeAudio]] parses
+  * them with `javax.sound.sampled.AudioSystem` into RMS / zero-crossing /
+  * amplitude-histogram features, with sample rate and duration recovered
+  * from the container. Only video still goes through
   * [[MediaCodec.decodeStub]], a clearly-marked deterministic FAKE (byte
-  * histograms), because this container ships no audio/video codecs. The
-  * Spark-side plumbing — schema, encoders, partitioning, batch shape, the
-  * operator surface — is identical for both paths; swapping in a real
-  * audio/video codec changes only the body of `decodeStub`.
+  * histograms) — the JDK ships no video codec. The Spark-side plumbing —
+  * schema, encoders, partitioning, batch shape, the operator surface — is
+  * identical for all three paths; a real video codec changes only the body
+  * of `decodeStub`.
   *
   * Scale posture (100 TB): payloads never pass through a shuffle — feature
   * extraction is scan-shaped `mapPartitions` before any wide operator;
@@ -32,7 +36,8 @@ object Multimodal {
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
       meta: MediaMeta)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-      width: Int, height: Int, feature: Array[Float], feat_norm: Double)
+      width: Int, height: Int, feature: Array[Float], feat_norm: Double,
+      sample_rate_hz: Int = 0, duration_ms: Long = 0L)
   case class FrameSample(media_id: Long, frame_idx: Int, offset: Int,
       frame: Array[Byte])
 
@@ -58,13 +63,20 @@ object Multimodal {
           (col("doc_id") % 90000 + 1000).as("durationMs")).as("meta"))
       .as[MediaRecord]
       .map { r =>
-        if (r.kind != "image") r
-        else {
-          // keep test images small; metadata must equal true pixel dims
-          val w = (r.media_id % 32 + 32).toInt
-          val h = (r.media_id % 24 + 32).toInt
-          r.copy(payload = MediaCodec.syntheticPng(r.media_id, w, h),
-            meta = r.meta.copy(width = w, height = h))
+        r.kind match {
+          case "image" =>
+            // keep test images small; metadata must equal true pixel dims
+            val w = (r.media_id % 32 + 32).toInt
+            val h = (r.media_id % 24 + 32).toInt
+            r.copy(payload = MediaCodec.syntheticPng(r.media_id, w, h),
+              meta = r.meta.copy(width = w, height = h))
+          case "audio" =>
+            // short PCM16 clips; metadata must equal true container values
+            val rate = 8000
+            val ms = r.media_id % 200 + 50
+            r.copy(payload = MediaCodec.syntheticWav(r.media_id, rate, ms),
+              meta = r.meta.copy(sampleRateHz = rate, durationMs = ms))
+          case _ => r
         }
       }
   }
@@ -112,9 +124,80 @@ object MediaCodec {
   // executor hot path in memory
   javax.imageio.ImageIO.setUseCache(false)
 
-  /** Kind dispatch: real pixel decode for images, stub for audio/video. */
-  def decode(r: MediaRecord): MediaFeatures =
-    if (r.kind == "image") decodeImage(r) else decodeStub(r)
+  /** Kind dispatch: real pixel decode for images, real PCM decode for
+    * audio, stub for video only. */
+  def decode(r: MediaRecord): MediaFeatures = r.kind match {
+    case "image" => decodeImage(r)
+    case "audio" => decodeAudio(r)
+    case _       => decodeStub(r)
+  }
+
+  /** Deterministic mono PCM16 clip — a sine tone (frequency seeded from the
+    * id) plus low-level seeded noise — wrapped in a genuine RIFF/WAV
+    * container by `javax.sound.sampled.AudioSystem`. */
+  def syntheticWav(seed: Long, rateHz: Int, ms: Long): Array[Byte] = {
+    val n = (rateHz * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    val freq = 200.0 + (Hash64.mix(seed) & 0x1ff).toDouble // 200..711 Hz
+    var i = 0
+    while (i < n) {
+      val noise = ((Hash64.mix(seed * 31 + i) & 0xffff) / 65535.0 - 0.5) * 0.1
+      val v = 0.5 * math.sin(2 * math.Pi * freq * i / rateHz) + noise
+      val sv = (math.max(-1.0, math.min(1.0, v)) * 32767).toInt.toShort
+      pcm(2 * i) = (sv & 0xff).toByte
+      pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: the WAV container is parsed by `AudioSystem` (sample
+    * rate and frame count come from the file, not the metadata); features =
+    * (RMS, mean |amplitude|, zero-crossing rate, 5-bin |amplitude|
+    * histogram), all in [0,1]. */
+  def decodeAudio(r: MediaRecord): MediaFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected PCM16 mono, got $fmt (media_id=${r.media_id})")
+    val n = ais.getFrameLength.toInt
+    val bytes = ais.readAllBytes()
+    val feats = new Array[Float](8)
+    val bins = new Array[Int](5)
+    var sumSq = 0.0
+    var sumAbs = 0.0
+    var zc = 0
+    var prevPos = true
+    var i = 0
+    while (i < n) {
+      val s = (((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort
+        / 32768.0)
+      sumSq += s * s; sumAbs += math.abs(s)
+      val pos = s >= 0
+      if (i > 0 && pos != prevPos) zc += 1
+      prevPos = pos
+      bins(math.min((math.abs(s) * 5).toInt, 4)) += 1
+      i += 1
+    }
+    val nn = math.max(n, 1).toDouble
+    feats(0) = math.sqrt(sumSq / nn).toFloat
+    feats(1) = (sumAbs / nn).toFloat
+    feats(2) = (zc / nn).toFloat
+    var b = 0
+    while (b < 5) { feats(3 + b) = (bins(b) / nn).toFloat; b += 1 }
+    val norm = math.sqrt(feats.map(f => f.toDouble * f).sum)
+    MediaFeatures(r.media_id, r.kind, r.payload.length,
+      r.meta.width, r.meta.height, feats, norm,
+      fmt.getSampleRate.toInt, n.toLong * 1000L / fmt.getSampleRate.toLong)
+  }
 
   /** Deterministic RGB noise image (pixels from the mixed id), encoded as a
     * real PNG via the JDK's built-in codec. */
@@ -171,10 +254,11 @@ object MediaCodec {
     MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, feats, norm)
   }
 
-  /** ==== STUB ==== deterministic fake decode for audio/video (no codec in
-    * this container): 8 float "features" = byte histograms over 8 payload
-    * stripes, L1-normalized. Everything downstream treats the output exactly
-    * as it would real embeddings. */
+  /** ==== STUB ==== deterministic fake decode for video (the JDK has no
+    * video codec): 8 float "features" = byte histograms over 8 payload
+    * stripes, L1-normalized; container values are taken on faith from the
+    * metadata. Everything downstream treats the output exactly as it would
+    * real embeddings. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val nFeat = 8
     val acc = new Array[Double](nFeat)
@@ -190,6 +274,7 @@ object MediaCodec {
     feats(0) += jitter
     val norm = math.sqrt(feats.map(f => f.toDouble * f).sum)
     MediaFeatures(r.media_id, r.kind, r.payload.length,
-      r.meta.width, r.meta.height, feats, norm)
+      r.meta.width, r.meta.height, feats, norm,
+      r.meta.sampleRateHz, r.meta.durationMs)
   }
 }

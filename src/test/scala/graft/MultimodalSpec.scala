@@ -53,6 +53,26 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => math.abs(f.feature.drop(3).map(_.toDouble).sum - 1.0) < 1e-3))
   }
 
+  test("audio payloads are real WAVs; decode recovers rate and duration") {
+    val audio = media.filter(_.kind == "audio").collect()
+    assert(audio.nonEmpty)
+    assert(audio.forall(r => new String(r.payload.take(4), "US-ASCII") == "RIFF"),
+      "audio payloads must be genuine RIFF/WAV bytes")
+    val meta = audio.map(r =>
+      r.media_id -> ((r.meta.sampleRateHz, r.meta.durationMs))).toMap
+    val feats = Multimodal.extractFeatures(
+      media.filter(_.kind == "audio")).collect()
+    assert(feats.length === audio.length)
+    // rate/duration in the feature rows come from the parsed WAV container,
+    // not the metadata — they must agree with what the payload was built as
+    assert(feats.forall(f =>
+      meta(f.media_id) === ((f.sample_rate_hz, f.duration_ms))),
+      "decoded container rate/duration must match payload metadata")
+    // a 0.5-amplitude sine has RMS near 0.35; noise shifts it slightly
+    assert(feats.forall(f => f.feature(0) > 0.2f && f.feature(0) < 0.5f),
+      "decoded RMS should reflect the synthesized tone")
+  }
+
   test("resize rewrites metadata, preserves payloads") {
     val resized = Multimodal.resize(media, 224, 224).collect()
     assert(resized.forall(r => r.meta.width === 224 && r.meta.height === 224))

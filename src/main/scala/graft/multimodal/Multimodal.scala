@@ -17,12 +17,16 @@ import graft.functions.Hash64
   * genuine RIFF/WAV files (PCM16 mono) and [[MediaCodec.decodeAudio]] parses
   * them with `javax.sound.sampled.AudioSystem` into RMS / zero-crossing /
   * amplitude-histogram features, with sample rate and duration recovered
-  * from the container. Only video still goes through
-  * [[MediaCodec.decodeStub]], a clearly-marked deterministic FAKE (byte
-  * histograms) — the JDK ships no video codec. The Spark-side plumbing —
-  * schema, encoders, partitioning, batch shape, the operator surface — is
-  * identical for all three paths; a real video codec changes only the body
-  * of `decodeStub`.
+  * from the container. Video is REAL at the frame level: payloads are an
+  * M-JPEG-style container — fixed-size blocks, each a genuine PNG frame
+  * (zero-padded to the block size) — so [[Multimodal.sampleFrames]] yields
+  * frames that actually decode and [[MediaCodec.decodeVideo]] extracts
+  * pixel features from the first frame plus the true frame count. The
+  * honest caveat: there is no inter-frame compression codec (the JDK ships
+  * none); a real H.264/VP9 decode would replace only the per-frame read in
+  * `decodeVideo`. [[MediaCodec.decodeStub]] remains for any unknown kind.
+  * The Spark-side plumbing — schema, encoders, partitioning, batch shape,
+  * the operator surface — is identical for every path.
   *
   * Scale posture (100 TB): payloads never pass through a shuffle — feature
   * extraction is scan-shaped `mapPartitions` before any wide operator;
@@ -37,7 +41,7 @@ object Multimodal {
       meta: MediaMeta)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int, feature: Array[Float], feat_norm: Double,
-      sample_rate_hz: Int = 0, duration_ms: Long = 0L)
+      sample_rate_hz: Int = 0, duration_ms: Long = 0L, n_frames: Int = 0)
   case class FrameSample(media_id: Long, frame_idx: Int, offset: Int,
       frame: Array[Byte])
 
@@ -76,7 +80,13 @@ object Multimodal {
             val ms = r.media_id % 200 + 50
             r.copy(payload = MediaCodec.syntheticWav(r.media_id, rate, ms),
               meta = r.meta.copy(sampleRateHz = rate, durationMs = ms))
-          case _ => r
+          case _ => // video: blocked M-JPEG-style container of real PNG frames
+            val w = (r.media_id % 32 + 32).toInt
+            val h = (r.media_id % 24 + 32).toInt
+            val nFrames = (r.media_id % 6 + 2).toInt
+            r.copy(
+              payload = MediaCodec.syntheticVideo(r.media_id, w, h, nFrames),
+              meta = r.meta.copy(width = w, height = h))
         }
       }
   }
@@ -124,12 +134,67 @@ object MediaCodec {
   // executor hot path in memory
   javax.imageio.ImageIO.setUseCache(false)
 
-  /** Kind dispatch: real pixel decode for images, real PCM decode for
-    * audio, stub for video only. */
+  /** Kind dispatch: real pixel decode for images and video frames, real
+    * PCM decode for audio; the stub only catches unknown kinds. */
   def decode(r: MediaRecord): MediaFeatures = r.kind match {
     case "image" => decodeImage(r)
     case "audio" => decodeAudio(r)
+    case "video" => decodeVideo(r)
     case _       => decodeStub(r)
+  }
+
+  /** Fixed block size of the M-JPEG-style video container: each block is
+    * one zero-padded PNG frame. Frame boundaries are therefore computable
+    * without parsing — what `sampleFrames(frameBytes = videoBlockBytes)`
+    * exploits to stride a payload cheaply. */
+  val videoBlockBytes = 8192
+
+  /** Deterministic "video": `nFrames` real PNG frames (smooth gradient
+    * drifting per frame, so they compress far below the block size), each
+    * zero-padded to [[videoBlockBytes]] and concatenated. */
+  def syntheticVideo(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nFrames * videoBlockBytes)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val drift = (((Hash64.mix(seed * 97 + f) & 0xff) + f * 20) & 0xff).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (x * 255 / w + drift) & 0xff
+          val g = (y * 255 / h) & 0xff
+          val b = (drift + 64) & 0xff
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val png = bos.toByteArray
+      require(png.length <= videoBlockBytes,
+        s"frame PNG ${png.length}B exceeds the ${videoBlockBytes}B block")
+      out.write(png)
+      out.write(new Array[Byte](videoBlockBytes - png.length))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL video decode (per-frame): frame count from the block structure,
+    * pixel features from the first frame's decoded raster (`ImageIO` stops
+    * at the PNG IEND chunk, so block padding is ignored). A real inter-frame
+    * codec would replace only this per-frame read. */
+  def decodeVideo(r: MediaRecord): MediaFeatures = {
+    val nFrames = r.payload.length / videoBlockBytes
+    require(nFrames > 0 && r.payload.length % videoBlockBytes == 0,
+      s"malformed video container, media_id=${r.media_id}")
+    val first = decodeImage(r.copy(
+      payload = java.util.Arrays.copyOfRange(r.payload, 0, videoBlockBytes)))
+    first.copy(kind = r.kind, n_bytes = r.payload.length,
+      duration_ms = r.meta.durationMs, n_frames = nFrames)
   }
 
   /** Deterministic mono PCM16 clip — a sine tone (frequency seeded from the

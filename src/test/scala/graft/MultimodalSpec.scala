@@ -80,6 +80,28 @@ class MultimodalSpec extends SparkSpec {
       media.collect().map(_.payload.length).sum)
   }
 
+  test("video frames are real PNGs; decode recovers frame count and dims") {
+    val videos = media.filter(_.kind == "video").collect()
+    assert(videos.nonEmpty)
+    assert(videos.forall(_.payload.length % MediaCodec.videoBlockBytes == 0))
+    // every sampled block is a decodable PNG frame at the metadata dims
+    val frames = Multimodal.sampleFrames(media.filter(_.kind == "video"),
+        frameBytes = MediaCodec.videoBlockBytes, stride = 1).collect()
+    val dims = videos.map(r => r.media_id -> ((r.meta.width, r.meta.height))).toMap
+    assert(frames.length === videos.map(_.payload.length / MediaCodec.videoBlockBytes).sum)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null, s"frame ${f.frame_idx} of ${f.media_id} not decodable")
+      assert(dims(f.media_id) === ((img.getWidth, img.getHeight)))
+    }
+    // full decode reports the true frame count from the container structure
+    val feats = Multimodal.extractFeatures(media.filter(_.kind == "video"))
+      .collect()
+    assert(feats.forall(f =>
+      f.n_frames === (f.media_id % 6 + 2).toInt &&
+      dims(f.media_id) === ((f.width, f.height))))
+  }
+
   test("frame sampling strides over video payloads only") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
       .collect()

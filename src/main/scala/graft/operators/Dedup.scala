@@ -164,6 +164,72 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * same output contract as [[connectedComponents]], but convergence is
+    * O(log n) rounds instead of O(diameter): the algorithm of choice when
+    * components may be long chains (URL redirect graphs, citation chains)
+    * rather than the dense shallow clusters near-dup produces.
+    *
+    *   - large-star: every node's strictly-larger neighbors re-point to the
+    *     minimum of its closed neighborhood.
+    *   - small-star: with edges oriented large→small, every node's smaller
+    *     neighbors (and the node) re-point to its minimum neighbor.
+    *
+    * Each half-round is one aggregation + one join on the node id; the edge
+    * set contracts toward per-component stars rooted at the minimum id.
+    * Equality with min-label propagation is asserted across graph shapes in
+    * DedupSimilaritySpec. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    def checksum(e: DataFrame): (Long, String) = {
+      // decimal-staged sum: 64-bit hash values would overflow a long sum
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      sym.join(mins, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("u"), col("m"))
+      val rePointed = dir.join(mins, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val selfEdge = mins.select(col("u").as("src"), col("m").as("dst"))
+      rePointed.unionAll(selfEdge)
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+
+    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    // stars: (child, root); roots and any original singleton-by-dedup nodes
+    // label themselves
+    nodes.join(edges, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("component"))
+  }
+
   /** Near-dup survivors: `df` minus every pair-graph member that is not its
     * component's minimum id — the cluster representative (smallest id)
     * survives, exactly like [[exactKept]] keeps min id per duplicate group;

@@ -38,6 +38,33 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("star-contraction components equal min-propagation across graph shapes") {
+    // worst cases for each algorithm: a 60-node chain (diameter 59 — the
+    // propagation worst case), a clique, a star, two cycles, plus three
+    // seeded random graphs
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 107L; b <- (a + 1) to 107L) yield (a, b)
+    val star = (201L to 210L).map(i => (200L, i))
+    val cycles = Seq((300L, 301L), (301L, 302L), (302L, 300L),
+      (400L, 401L), (401L, 402L), (402L, 403L), (403L, 400L))
+    val planted = chain ++ clique ++ star ++ cycles
+    def randomGraph(seed: Long): Seq[(Long, Long)] =
+      (0 until 150).map { i =>
+        val a = 1000L + (graft.functions.Hash64.mix(seed * 31 + i).abs % 100)
+        val b = 1000L + (graft.functions.Hash64.mix(seed * 77 + i).abs % 100)
+        (a, b)
+      }.filter(p => p._1 != p._2)
+
+    for (edges <- Seq(planted, randomGraph(1), randomGraph(2), randomGraph(3))) {
+      val df = edges.toDF("id_a", "id_b")
+      val prop = Dedup.connectedComponents(df, maxIter = 100)
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      val contr = Dedup.connectedComponentsStar(df)
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      assert(contr === prop, s"algorithms disagree on ${edges.take(5)}...")
+    }
+  }
+
   test("nearDupKept keeps cluster representatives and untouched rows") {
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

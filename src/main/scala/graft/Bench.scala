@@ -28,23 +28,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // None = the pass threw; failures must never mix into the timing stats
+    // (a -1.0 sentinel inside a sorted median silently hides one bad pass
+    // and makes an always-failing query look like a timing)
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => runOnce(fn) }       // warmup sweep
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to passes).map(_ => runOnce(fn)).sorted
-      name -> times(times.size / 2)                       // median
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val passResults = (1 to passes).map(_ => runOnce(fn))
+      val ok = passResults.flatten.sorted
+      val fails = passResults.count(_.isEmpty)
+      (name, ok, fails)
+    }
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    // "queries" keeps the driver contract: name -> median sec (-1.0 = every
+    // pass failed). "spread" [min, median, max] makes a noisy median visible
+    // from the artifact alone; "failures" surfaces intermittent errors.
+    val qs = results.map { case (name, ok, _) =>
+      val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      s"\"$name\":${fmt(med)}"
+    }.mkString("{", ",", "}")
+    val spread = results.collect { case (name, ok, _) if ok.nonEmpty =>
+      s"\"$name\":[${fmt(ok.head)},${fmt(ok(ok.size / 2))},${fmt(ok.last)}]"
+    }.mkString("{", ",", "}")
+    val failures = results.collect { case (name, _, fails) if fails > 0 =>
+      s"\"$name\":$fails"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, ok, _) if ok.nonEmpty => ok(ok.size / 2) }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

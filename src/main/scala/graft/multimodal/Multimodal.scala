@@ -49,9 +49,10 @@ object Multimodal {
 
   /** Synthesize a media table from `documents`: image rows carry a REAL PNG
     * payload (deterministic pixels in media_id, dimensions = the metadata
-    * dimensions); audio/video carry UTF-8 text bytes as the stand-in blob.
+    * dimensions), audio rows a REAL RIFF/WAV PCM16 clip (rate/duration = the
+    * metadata values), video rows a REAL blocked container of PNG frames.
     * Stands in for `spark.read.format("binaryFile")` over a media lake.
-    * PNG encoding runs executor-side in the `map` — the driver never holds
+    * All encoding runs executor-side in the `map` — the driver never holds
     * payloads. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -105,16 +106,34 @@ object Multimodal {
     }
   }
 
-  /** "Resize": rewrite target metadata; payload untouched (STUB — a real
-    * implementation re-encodes pixels). Shape-preserving narrow op. */
+  /** REAL resize: decode → `Graphics2D` bilinear scale → re-encode,
+    * executor-side per record. Images re-encode as a PNG at (w, h); video
+    * re-encodes every frame and re-containers at the fixed block size;
+    * audio passes through untouched (no raster to resize — its metadata
+    * dims are vestigial). Shape-preserving narrow op: payloads never leave
+    * their partition. */
   def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
-    ds.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+    ds.map { r =>
+      r.kind match {
+        case "image" =>
+          r.copy(payload = MediaCodec.resizePng(r.payload, w, h),
+            meta = r.meta.copy(width = w, height = h))
+        case "video" =>
+          r.copy(payload = MediaCodec.resizeVideo(r.payload, w, h),
+            meta = r.meta.copy(width = w, height = h))
+        case _ => r
+      }
+    }
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size chunk
-    * of the payload becomes a frame row (flatMap — one narrow pass). */
-  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int = 256,
+    * of the payload becomes a frame row (flatMap — one narrow pass). The
+    * default `frameBytes` is the real container's block size, so
+    * default-sampled frames are decodable PNGs; override it only for an
+    * exotic fixed-block container. */
+  def sampleFrames(ds: Dataset[MediaRecord],
+      frameBytes: Int = MediaCodec.videoBlockBytes,
       stride: Int = 4): Dataset[FrameSample] = {
     import ds.sparkSession.implicits._
     ds.filter(_.kind == "video").flatMap { r =>
@@ -284,6 +303,44 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Decode → bilinear `Graphics2D` scale → re-encode one PNG payload. */
+  def resizePng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize every frame of a blocked video container, re-padding each
+    * re-encoded frame to [[videoBlockBytes]]. */
+  def resizeVideo(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val nFrames = payload.length / videoBlockBytes
+    require(nFrames > 0 && payload.length % videoBlockBytes == 0,
+      "malformed video container")
+    val out = new java.io.ByteArrayOutputStream(payload.length)
+    var f = 0
+    while (f < nFrames) {
+      val png = resizePng(java.util.Arrays.copyOfRange(
+        payload, f * videoBlockBytes, (f + 1) * videoBlockBytes), w, h)
+      require(png.length <= videoBlockBytes,
+        s"resized frame PNG ${png.length}B exceeds the ${videoBlockBytes}B block")
+      out.write(png)
+      out.write(new Array[Byte](videoBlockBytes - png.length))
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** REAL image decode: `ImageIO.read` over the PNG/JPEG payload; features =
     * (mean R, mean G, mean B, 5-bin luminance histogram), all in [0,1].
     * Width/height come from the decoded raster, not the metadata. */
@@ -319,11 +376,11 @@ object MediaCodec {
     MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, feats, norm)
   }
 
-  /** ==== STUB ==== deterministic fake decode for video (the JDK has no
-    * video codec): 8 float "features" = byte histograms over 8 payload
-    * stripes, L1-normalized; container values are taken on faith from the
-    * metadata. Everything downstream treats the output exactly as it would
-    * real embeddings. */
+  /** ==== STUB ==== fallback for UNKNOWN media kinds only (image, audio,
+    * and video all have real decoders above): 8 float "features" = byte
+    * histograms over 8 payload stripes, L1-normalized; container values are
+    * taken on faith from the metadata. Everything downstream treats the
+    * output exactly as it would real features. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val nFeat = 8
     val acc = new Array[Double](nFeat)

@@ -36,6 +36,34 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact text dedup with the same output contract as [[exact]] on a single
+    * text column — `(keep_id, n_dups)` per distinct text — but shuffling
+    * 8-byte fingerprints instead of documents (the `SCALING.md` strategy).
+    *
+    * Stage 1 aggregates on `fingerprint64(text)`: only (fp, id) crosses the
+    * exchange, partial-aggregated map-side. Fingerprint groups of size 1 are
+    * finished — their text never shuffles anywhere. Only rows whose
+    * fingerprint collides (the duplicate population — tiny relative to a
+    * 100 TB corpus) re-enter with their text for the exact `(fp, text)`
+    * verification group, so two distinct texts that collide on the 64-bit
+    * fingerprint still dedup correctly. The colliding-fp set joins without a
+    * hint: AQE broadcasts it when small and falls back to a shuffle join of
+    * the 8-byte key when the duplicate population is itself huge. */
+  def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+      HashFunctions.fingerprint64(col(textCol)).as("__fp"))
+    val fpAgg = withFp.groupBy(col("__fp"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    val colliding = fpAgg.filter(col("n_dups") >= 2).select(col("__fp"))
+    val verified = withFp.join(colliding, "__fp")
+      .groupBy(col("__fp"), col("__text"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+    val singles = fpAgg.filter(col("n_dups") === 1)
+      .select(col("keep_id"), col("n_dups"))
+    singles.unionAll(verified)
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * shingle(text) → minhash signature (`numHashes` slots) → `bands` bands of
@@ -132,8 +160,20 @@ object Dedup {
     * adversarial long-chain graphs at 100 TB, swap in the
     * large-star/small-star contraction (O(log n) rounds) — the surrounding
     * pipeline is unchanged. `localCheckpoint` truncates the growing lineage
-    * each round (iterative plans otherwise re-derive every prior join). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * each round (iterative plans otherwise re-derive every prior join).
+    *
+    * Throws if `maxIter` rounds pass without reaching the fixpoint — an
+    * exhausted label set is silently WRONG (each node would carry the min of
+    * its maxIter-hop ball, not its component min), so the failure must be
+    * loud. Raise `maxIter` to bound the diameter explicitly, or use
+    * [[connectedComponentsStar]] when components may be long chains. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    propagationWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the round
+    * count is the scalability observable (diameter-bounded), so tests pin it. */
+  private[graft] def propagationWithRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // materialize the edge set once — it joins into EVERY round, and an
     // unmaterialized plan would re-derive the (possibly expensive) pair
     // pipeline upstream of it each iteration
@@ -161,7 +201,11 @@ object Dedup {
       labels = next.drop("old")
       iter += 1
     }
-    labels
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds: labels are " +
+        "partial (min of each node's ball, not its component). Raise maxIter " +
+        "or use connectedComponentsStar for long-chain graphs.")
+    (labels, iter)
   }
 
   /** Connected components by alternating large-star/small-star contraction
@@ -179,8 +223,15 @@ object Dedup {
     * Each half-round is one aggregation + one join on the node id; the edge
     * set contracts toward per-component stars rooted at the minimum id.
     * Equality with min-label propagation is asserted across graph shapes in
-    * DedupSimilaritySpec. */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    * DedupSimilaritySpec. Throws on `maxIter` exhaustion rather than
+    * returning partially-contracted labels. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    starWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the number of contraction rounds — the
+    * O(log n) bound is the whole point of the variant, so tests assert it. */
+  private[graft] def starWithRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val nodes = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
       .localCheckpoint(true)
@@ -224,18 +275,29 @@ object Dedup {
       prev = cur
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds " +
+        "(expected O(log n)); the edge set is still contracting. Raise maxIter.")
     // stars: (child, root); roots and any original singleton-by-dedup nodes
     // label themselves
-    nodes.join(edges, col("id") === col("src"), "left")
-      .select(col("id"), coalesce(col("dst"), col("id")).as("component"))
+    (nodes.join(edges, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("component")), iter)
   }
 
   /** Near-dup survivors: `df` minus every pair-graph member that is not its
     * component's minimum id — the cluster representative (smallest id)
     * survives, exactly like [[exactKept]] keeps min id per duplicate group;
-    * rows in no pair survive untouched. */
-  def nearDupKept(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = connectedComponents(pairs)
+    * rows in no pair survive untouched.
+    *
+    * `components` defaults to [[connectedComponentsStar]]: near-dup edge
+    * sets routinely contain long chains (A≈B≈C≈… through drifting
+    * boilerplate), which are min-label propagation's O(diameter) worst case;
+    * star contraction is O(log n) regardless of shape. Pass
+    * `connectedComponents(_)` to choose propagation for known-shallow
+    * graphs. */
+  def nearDupKept(df: DataFrame, idCol: String, pairs: DataFrame,
+      components: DataFrame => DataFrame = connectedComponentsStar(_)): DataFrame = {
+    val losers = components(pairs)
       .filter(col("id") =!= col("component")).select(col("id").as("__loser"))
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }

@@ -294,7 +294,7 @@ object Pipeline {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast(DecimalType(12, 4))).cast(DoubleType)
+           sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType)
              .as("total_value"))
       .select(col("w.start").cast(DateType).as("day"), col("event_type"),
         col("n"), col("total_value"))
@@ -303,14 +303,15 @@ object Pipeline {
   val p13Sql: String =
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
   // =========================================================================
   // p14 — multimodal pipeline: binary payload column + typed metadata →
-  // batched decode (stubbed codec, real plumbing) → per-kind feature stats.
+  // batched decode (REAL codecs: PNG via ImageIO, RIFF/WAV via
+  // javax.sound.sampled, blocked PNG-frame video) → per-kind feature stats.
   // No oracle: the decode stage is custom Scala (rows-only check + scalatest).
   // =========================================================================
   def p14Multimodal(spark: SparkSession, dir: String): DataFrame = {
@@ -537,17 +538,19 @@ object Pipeline {
 
   // =========================================================================
   // p24 — near-dup clusters: the generic distributed connected-components
-  // operator (min-label propagation, Dedup.connectedComponents) run over the
-  // adjacent-pair Jaccard edge set of p07. Because that edge set is a path
-  // graph, DuckDB can derive the identical components with a completely
-  // different formulation (gaps-and-islands over doc_id runs) — an
-  // independent oracle for a genuinely iterative distributed algorithm.
+  // operator run over the adjacent-pair Jaccard edge set of p07. Because
+  // that edge set is a path graph, DuckDB can derive the identical
+  // components with a completely different formulation (gaps-and-islands
+  // over doc_id runs) — an independent oracle for a genuinely iterative
+  // distributed algorithm. Star contraction (O(log n) rounds), not
+  // min-label propagation: a path graph is propagation's O(diameter) worst
+  // case, and a run of >maxIter consecutive near-dups would exhaust it.
   // =========================================================================
   def p24NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = p07NgramJaccard(spark, dir)
       .filter(col("jaccard") >= 0.05)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-    Dedup.connectedComponents(edges)
+    Dedup.connectedComponentsStar(edges)
       .groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("cluster_id")
@@ -599,7 +602,7 @@ object Pipeline {
     """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
       |  event_type,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start_ms, event_type""".stripMargin
@@ -669,6 +672,17 @@ object Pipeline {
        |FROM h CROSS JOIN tot
        |ORDER BY method""".stripMargin
 
+  // =========================================================================
+  // p26 — fingerprint-first exact dedup: identical result contract to p01
+  // (same DuckDB oracle over text), but via the 100 TB-shaped plan — 8-byte
+  // fingerprints through the exchange, text shuffled only for rows whose
+  // fingerprint collides. Hash-matching p01's oracle proves the two-stage
+  // rewrite is behavior-preserving end-to-end.
+  // =========================================================================
+  def p26DedupFingerprintFirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByFingerprint(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("keep_id")
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -695,7 +709,8 @@ object Pipeline {
     "p22_knn_recall" -> (p22KnnRecall _),
     "p23_stream_windows" -> (p23StreamWindows _),
     "p24_neardup_clusters" -> (p24NearDupClusters _),
-    "p25_token_count" -> (p25TokenCount _))
+    "p25_token_count" -> (p25TokenCount _),
+    "p26_dedup_fp_first" -> (p26DedupFingerprintFirst _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -715,5 +730,6 @@ object Pipeline {
     "p22_knn_recall" -> p22Sql,
     "p23_stream_windows" -> p23Sql,
     "p24_neardup_clusters" -> p24Sql,
-    "p25_token_count" -> p25Sql)
+    "p25_token_count" -> p25Sql,
+    "p26_dedup_fp_first" -> p01Sql)
 }

@@ -53,9 +53,13 @@ object EventStream {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       // decimal-staged sum: exact regardless of per-batch fold order, and
-      // bit-identical to the batch/oracle computation of the same total
+      // bit-identical to the batch/oracle computation of the same total.
+      // DECIMAL(20,4), not (12,4): under non-ANSI Spark an out-of-range cast
+      // NULLs and silently drops from the sum while DuckDB's identical CAST
+      // errors — 16 integer digits puts the divergence bound far outside
+      // any real event-value domain
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 4))).cast(DoubleType)
+        sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType)
           .as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))

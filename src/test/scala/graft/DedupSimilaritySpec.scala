@@ -27,6 +27,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("fingerprint-first dedup matches direct exact dedup") {
+    // duplicates (fp count >= 2) exercise the text-verification branch;
+    // uniques exercise the no-text-shuffle fast path
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactByFingerprint(df, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (3L, 1L), (4L, 1L)))
+    // and on real corpus text the rewrite is result-identical to Dedup.exact
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val direct = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    val viaFp = Dedup.exactByFingerprint(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(viaFp === direct)
+  }
+
   test("connected components: chains, cycles, and isolation") {
     // chain 1-2-3-4 (transitivity), triangle 10-11-12 with a cycle edge,
     // and a lone pair 20-21 — three components labeled by their min ids
@@ -65,6 +82,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("star contraction converges in O(log n) rounds on a long chain") {
+    // 128-node chain: diameter 127. Propagation would need ~127 rounds;
+    // contraction halves the chain per round pair, so well under 2*log2(n)+2.
+    val chain = (1L until 128L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.starWithRounds(chain, maxIter = 30)
+    assert(labels.filter(col("component") =!= 1L).isEmpty,
+      "chain must collapse to a single component rooted at 1")
+    assert(rounds <= 16, s"expected O(log 128) rounds, took $rounds")
+  }
+
+  test("components loops throw loudly on maxIter exhaustion") {
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // diameter 59 >> 5 rounds: partial labels must not be returned silently
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(chain, maxIter = 1).collect()
+    }
+    assert(e2.getMessage.contains("did not converge"))
+  }
+
   test("nearDupKept keeps cluster representatives and untouched rows") {
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
@@ -72,6 +112,11 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     // 1 survives for {1,2,3}, 5 for {5,6}; 4 was in no pair
     assert(kept === Set(1L, 4L, 5L))
+    // the explicit-propagation override picks the same survivors
+    val keptProp = Dedup.nearDupKept(docs, "doc_id", pairs,
+        Dedup.connectedComponents(_))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptProp === kept)
   }
 
   test("minhash LSH finds a planted near-duplicate, not unrelated docs") {

@@ -73,11 +73,42 @@ class MultimodalSpec extends SparkSpec {
       "decoded RMS should reflect the synthesized tone")
   }
 
-  test("resize rewrites metadata, preserves payloads") {
-    val resized = Multimodal.resize(media, 224, 224).collect()
-    assert(resized.forall(r => r.meta.width === 224 && r.meta.height === 224))
-    assert(resized.map(_.payload.length).sum ===
-      media.collect().map(_.payload.length).sum)
+  test("resize re-encodes pixels: payloads decode to the new dimensions") {
+    val resized = Multimodal.resize(media, 48, 40).collect()
+    val byKind = resized.groupBy(_.kind)
+    // image: the resized payload is a real PNG at exactly the target dims
+    byKind("image").foreach { r =>
+      assert((r.meta.width, r.meta.height) === ((48, 40)))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img != null, s"resized image ${r.media_id} not decodable")
+      assert((img.getWidth, img.getHeight) === ((48, 40)))
+    }
+    // video: block structure preserved; every frame decodes at the new dims
+    val origFrames = media.filter(_.kind == "video").collect()
+      .map(r => r.media_id -> r.payload.length / MediaCodec.videoBlockBytes).toMap
+    byKind("video").foreach { r =>
+      assert(r.payload.length / MediaCodec.videoBlockBytes === origFrames(r.media_id))
+      val frame = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(r.payload, 0, MediaCodec.videoBlockBytes)))
+      assert(frame != null && (frame.getWidth, frame.getHeight) === ((48, 40)))
+    }
+    // audio: nothing to resize — payload and metadata pass through untouched
+    val origAudio = media.filter(_.kind == "audio").collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    byKind("audio").foreach(r => assert(r.payload.toSeq === origAudio(r.media_id)))
+  }
+
+  test("default-parameter sampleFrames yields decodable frames") {
+    // the default frameBytes must equal the real container's block size —
+    // a 256-byte default silently produced undecodable slices (r3 finding)
+    val frames = Multimodal.sampleFrames(media.filter(_.kind == "video"))
+      .collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null, s"default-sampled frame of ${f.media_id} not decodable")
+    }
   }
 
   test("video frames are real PNGs; decode recovers frame count and dims") {

@@ -49,6 +49,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("q16: both dim joins broadcast; top-k is TakeOrderedAndProject") {
+    // the r3 driver bench read q16 at 5.47s while a local run with this
+    // exact plan measured ~1s — gate the plan so a future regression is
+    // distinguishable from machine noise using artifacts alone
+    val plan = planString(Relational.q16SqlShippingPriority(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts == 2,
+      s"customer and lineitem-side joins should both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no join may sort-merge:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT 20 must not plan a global sort:\n$plan")
+    assert(plan.contains("PushedFilters: ["), "predicates must reach the scans")
+  }
+
   test("q19: both windows and the session agg share one user_id exchange") {
     val df = Relational.q19Sessionize(spark, sfDir)
     val plan = planString(df)

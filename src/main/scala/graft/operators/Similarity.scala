@@ -176,6 +176,44 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
       .toArray
 
+  /** K-means-refined centroid bank: `iters` distributed Lloyd iterations
+    * seeded by the [[ivfCentroids]] stride sample. A stride sample of a
+    * clustered (real-corpus) embedding space yields unbalanced cells — some
+    * approaching corpus scans at probe time; a few Lloyd rounds move the
+    * bank toward the data's actual modes.
+    *
+    * Each iteration is one corpus scan + one (cell, dim)-keyed aggregation:
+    * partial aggregation means at most nCells·dim rows per partition cross
+    * the exchange, and the driver only ever holds the model-size bank.
+    * Per-dimension sums are decimal-staged, so the refined bank is
+    * bit-deterministic under any partitioning/fold order — required because
+    * the bank feeds oracle-checked queries from two independent call sites.
+    * An emptied cell keeps its previous centroid. */
+  def ivfCentroidsTrained(corpus: DataFrame, nCells: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    import graft.functions.VectorExpressions.nearestCentroids
+    var cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    var it = 0
+    while (it < iters) {
+      val perDim = vecs
+        .select(element_at(nearestCentroids(col("v"), cents, 1), 1).as("cell"),
+          posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      perDim.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** Corpus→cell assignment under a centroid bank: (neighbor_id, cv, cell).
     * This is the IVF index relation; persist via [[writeIvfIndex]]. */
   def ivfAssign(corpus: DataFrame, centroids: Array[Array[Double]],
@@ -188,8 +226,11 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest of `nCells` coarse centroids; a query probes its `nProbe`
     * nearest cells and exact-reranks only those vectors. Pass `centroids`
-    * and/or `corpusIndex` (from [[writeIvfIndex]]) so repeated probes skip
-    * model fitting and cell assignment entirely. */
+    * (ideally [[ivfCentroidsTrained]]) so repeated probes skip model
+    * fitting, and `corpusIndex` (from [[writeIvfIndex]]) to skip cell
+    * assignment. A `corpusIndex` REQUIRES the centroid bank it was built
+    * with: recomputing a bank here could assign query probes under different
+    * centroids than the index cells and silently collapse recall. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
@@ -197,6 +238,9 @@ object Similarity {
       corpusIndex: Option[DataFrame] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.nearestCentroids
+    require(corpusIndex.isEmpty || centroids.isDefined,
+      "corpusIndex requires the centroid bank it was built with — pass " +
+        "`centroids` (a recomputed bank would mis-assign query probes)")
     val cents = centroids.getOrElse(ivfCentroids(corpus, nCells, idCol, vecCol))
     val assigned = corpusIndex.getOrElse(ivfAssign(corpus, cents, idCol, vecCol))
     val probes = broadcast(queries.select(col(idCol).as("query_id"),

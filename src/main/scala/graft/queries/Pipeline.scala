@@ -262,11 +262,14 @@ object Pipeline {
   }
 
   /** IVF-bucketed approximate nearest neighbors (coarse-quantizer cells +
-    * probe-and-rerank; the second ANN scale path besides LSH). */
+    * probe-and-rerank; the second ANN scale path besides LSH). The bank is
+    * k-means-refined; training is bit-deterministic, so p22's independent
+    * recomputation probes the identical cells. */
   def p16KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.ivfCentroidsTrained(emb, nCells = 16)
     Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
-        k = 5, nCells = 16, nProbe = 8)
+        k = 5, nCells = 16, nProbe = 8, centroids = Some(cents))
       .orderBy("query_id", "rank")
   }
 
@@ -632,7 +635,8 @@ object Pipeline {
         .select(lit(method).as("method"), col("hits"), col("total"),
           (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
             .as("recall"))
-    recallOf("ivf", Similarity.ivfTopK(qs, emb, k = 5, nCells = 16, nProbe = 8))
+    recallOf("ivf", Similarity.ivfTopK(qs, emb, k = 5, nCells = 16, nProbe = 8,
+        centroids = Some(Similarity.ivfCentroidsTrained(emb, nCells = 16))))
       .unionAll(recallOf("lsh", Similarity.lshTopK(qs, emb,
         k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true)))
       .orderBy("method")

@@ -238,6 +238,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall $recall too low")
   }
 
+  test("k-means-refined centroids: deterministic, balanced, no recall loss") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val stride = Similarity.ivfCentroids(emb, nCells = 16)
+    val trained = Similarity.ivfCentroidsTrained(emb, nCells = 16, iters = 3)
+    // the stride sampler yields corpus/50 centroids when the corpus is small
+    // (sf0.001: 500 vectors -> 10 cells); training must preserve bank shape
+    assert(trained.length === stride.length &&
+      trained.forall(_.length === stride.head.length))
+
+    // bit-determinism under a different partitioning (decimal-staged sums):
+    // two independent call sites must derive the identical bank
+    val trained2 = Similarity.ivfCentroidsTrained(
+      emb.repartition(7), nCells = 16, iters = 3)
+    assert(trained.map(_.toSeq).toSeq === trained2.map(_.toSeq).toSeq,
+      "training must not depend on partitioning/fold order")
+
+    // cell balance: no cell may approach a corpus scan
+    val n = emb.count()
+    def maxCell(bank: Array[Array[Double]]): Long =
+      Similarity.ivfAssign(emb, bank).groupBy(col("cell")).count()
+        .agg(max(col("count"))).head().getLong(0)
+    val trainedMax = maxCell(trained)
+    assert(trainedMax <= n / trained.length * 3,
+      s"trained max cell $trainedMax vs ideal ${n / trained.length} unbalanced")
+
+    // recall with the trained bank must not regress vs the stride bank
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(bank: Array[Array[Double]]): Double = {
+      val got = Similarity.ivfTopK(queries, emb, k = 5, nCells = 16,
+          nProbe = 8, centroids = Some(bank))
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    // absolute floor, not trained-vs-stride: on this tiny corpus the stride
+    // bank's unbalanced cells make 8-of-10 probes nearly a corpus scan
+    // (recall 1.0 at brute-force cost) — the pathology training removes.
+    // The >= 0.90 at-scale gate is p22's oracle at sf0.01.
+    val rTrained = recallOf(trained)
+    assert(rTrained >= 0.85, s"trained recall $rTrained below floor")
+  }
+
+  test("ivfTopK refuses a corpusIndex without its centroid bank") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfCentroids(emb, nCells = 16)
+    val idx = Similarity.ivfAssign(emb, cents)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 2), emb, k = 5,
+        corpusIndex = Some(idx))
+    }
+    assert(e.getMessage.contains("centroid bank"))
+  }
+
   test("bucketPairs drops a degenerate bucket BEFORE collect_list") {
     // one boilerplate bucket with 500 members (over the cap) plus one small
     // bucket — the degenerate bucket must contribute zero pairs, and the cap

@@ -687,6 +687,50 @@ object Pipeline {
     Dedup.exactByFingerprint(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("keep_id")
 
+  // =========================================================================
+  // p27 — STATEFUL streaming under the oracle: gap-based sessionization via
+  // flatMapGroupsWithState (micro-batched ingest → keyed state → append-mode
+  // emission of closed sessions). On bounded availableNow input the closed
+  // set is deterministic — every session except each user's open tail — so a
+  // q19-style DuckDB oracle restricted to non-final sessions hash-matches.
+  // p23 proved the stateless streaming path (watermark + windows); this
+  // proves the stateful one.
+  // =========================================================================
+  def p27StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    EventStream.runBounded(spark, dir,
+        df => EventStream.sessionize(df, gapMinutes = 30).toDF(),
+        "p27_stream_sessions", outputMode = "append")
+      .orderBy("user_id", "session_id")
+  }
+
+  val p27Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |                               ORDER BY ts ASC, event_id ASC) AS prev_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM t),
+      |g AS (
+      |  SELECT user_id, us,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM s),
+      |sess AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+      |  FROM g GROUP BY user_id, session_id)
+      |SELECT user_id, session_id, n_events, duration_us
+      |FROM sess
+      |WHERE session_id < (SELECT MAX(s2.session_id) FROM sess s2
+      |                    WHERE s2.user_id = sess.user_id)
+      |ORDER BY user_id, session_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -714,7 +758,8 @@ object Pipeline {
     "p23_stream_windows" -> (p23StreamWindows _),
     "p24_neardup_clusters" -> (p24NearDupClusters _),
     "p25_token_count" -> (p25TokenCount _),
-    "p26_dedup_fp_first" -> (p26DedupFingerprintFirst _))
+    "p26_dedup_fp_first" -> (p26DedupFingerprintFirst _),
+    "p27_stream_sessions" -> (p27StreamSessions _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -735,5 +780,6 @@ object Pipeline {
     "p23_stream_windows" -> p23Sql,
     "p24_neardup_clusters" -> p24Sql,
     "p25_token_count" -> p25Sql,
-    "p26_dedup_fp_first" -> p01Sql)
+    "p26_dedup_fp_first" -> p01Sql,
+    "p27_stream_sessions" -> p27Sql)
 }

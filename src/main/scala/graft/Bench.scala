@@ -39,7 +39,12 @@ object Bench {
       } catch { case _: Throwable => None }
     }
 
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=p24_neardup_clusters,q16_... times a
+    // subset without paying for the whole registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     ordered.foreach { case (_, fn) => runOnce(fn) }       // warmup sweep
     val results = ordered.map { case (name, fn) =>
       val passResults = (1 to passes).map(_ => runOnce(fn))

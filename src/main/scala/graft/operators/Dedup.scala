@@ -242,11 +242,14 @@ object Dedup {
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
       (r.getLong(0), String.valueOf(r.get(1)))
     }
+    // per-neighborhood minimum via a window over the SAME key the rows
+    // already need — one exchange per half-round, where a groupBy-min
+    // joined back would pay two (the aggregation's and the join's)
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
-      sym.join(mins, col("src") === col("u"))
+      sym
+        .withColumn("m", least(col("src"),
+          min(col("dst")).over(Window.partitionBy(col("src")))))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
@@ -254,12 +257,12 @@ object Dedup {
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      val mins = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
-        .select(col("src").as("u"), col("m"))
-      val rePointed = dir.join(mins, col("src") === col("u"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-      val selfEdge = mins.select(col("u").as("src"), col("m").as("dst"))
-      rePointed.unionAll(selfEdge)
+      val m = dir.withColumn("m",
+        min(col("dst")).over(Window.partitionBy(col("src"))))
+      // re-pointed smaller neighbors plus the (src, min) self edges; the
+      // final distinct collapses the per-row duplicates of the latter
+      m.select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(m.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
     }
 

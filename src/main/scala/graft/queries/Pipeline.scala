@@ -261,15 +261,24 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** K-means-refined IVF bank for the corpus under `dir`, fitted once per
+    * process (training is bit-deterministic, so memoization is purely an
+    * amortization — p16 and p22 probe the identical cells either way; at
+    * scale the bank ships with the persisted index, see
+    * [[Similarity.writeIvfIndex]]). */
+  private val ivfBankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def ivfBank(spark: SparkSession, dir: String): Array[Array[Double]] =
+    ivfBankCache.computeIfAbsent(dir, _ =>
+      Similarity.ivfCentroidsTrained(Tables.embeddings(spark, dir), nCells = 16))
+
   /** IVF-bucketed approximate nearest neighbors (coarse-quantizer cells +
-    * probe-and-rerank; the second ANN scale path besides LSH). The bank is
-    * k-means-refined; training is bit-deterministic, so p22's independent
-    * recomputation probes the identical cells. */
+    * probe-and-rerank; the second ANN scale path besides LSH) under the
+    * k-means-refined bank. */
   def p16KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = Similarity.ivfCentroidsTrained(emb, nCells = 16)
     Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
-        k = 5, nCells = 16, nProbe = 8, centroids = Some(cents))
+        k = 5, nCells = 16, nProbe = 8, centroids = Some(ivfBank(spark, dir)))
       .orderBy("query_id", "rank")
   }
 
@@ -636,7 +645,7 @@ object Pipeline {
           (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
             .as("recall"))
     recallOf("ivf", Similarity.ivfTopK(qs, emb, k = 5, nCells = 16, nProbe = 8,
-        centroids = Some(Similarity.ivfCentroidsTrained(emb, nCells = 16))))
+        centroids = Some(ivfBank(spark, dir))))
       .unionAll(recallOf("lsh", Similarity.lshTopK(qs, emb,
         k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true)))
       .orderBy("method")
@@ -731,6 +740,28 @@ object Pipeline {
       |                    WHERE s2.user_id = sess.user_id)
       |ORDER BY user_id, session_id""".stripMargin
 
+  // =========================================================================
+  // p28 — streaming dedup under the oracle: the event stream unioned with
+  // itself (every event twice) must collapse back to exactly the distinct
+  // event set through `dropDuplicatesWithinWatermark` state. Duplicate
+  // copies share their event time, so they always land inside the watermark
+  // horizon — the bounded-state guarantee this operator trades for.
+  // =========================================================================
+  def p28StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    EventStream.runBounded(spark, dir,
+        df => EventStream.dedupedEvents(df.unionAll(df))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        "p28_stream_dedup", outputMode = "append")
+      .orderBy("event_id")
+  }
+
+  val p28Sql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -759,7 +790,8 @@ object Pipeline {
     "p24_neardup_clusters" -> (p24NearDupClusters _),
     "p25_token_count" -> (p25TokenCount _),
     "p26_dedup_fp_first" -> (p26DedupFingerprintFirst _),
-    "p27_stream_sessions" -> (p27StreamSessions _))
+    "p27_stream_sessions" -> (p27StreamSessions _),
+    "p28_stream_dedup" -> (p28StreamDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -781,5 +813,6 @@ object Pipeline {
     "p24_neardup_clusters" -> p24Sql,
     "p25_token_count" -> p25Sql,
     "p26_dedup_fp_first" -> p01Sql,
-    "p27_stream_sessions" -> p27Sql)
+    "p27_stream_sessions" -> p27Sql,
+    "p28_stream_dedup" -> p28Sql)
 }

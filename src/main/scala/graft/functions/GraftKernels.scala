@@ -82,6 +82,57 @@ object GraftKernels {
       idx.asInstanceOf[Array[Any]])
   }
 
+  /** See [[PqCodesExpr]]: per-subspace nearest-code ids (squared L2, ties →
+    * lower id) under product-quantization codebooks of shape
+    * m × nCodes × subDim. Subspace j quantizes v[j·subDim, (j+1)·subDim). */
+  def pqCodes(arr: ArrayData, banks: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData = {
+    val v = toDoubles(arr, isFloat)
+    val m = banks.length
+    val out = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val bank = banks(j)
+      val subDim = bank(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < bank.length) {
+        val cent = bank(c)
+        val d = math.min(subDim, math.max(0, v.length - off))
+        var acc = 0.0
+        var i = 0
+        while (i < d) { val t = v(off + i) - cent(i); acc += t * t; i += 1 }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += subDim
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[PqDecodeExpr]]: reconstruct the quantized vector — concatenate
+    * each subspace's selected codeword. */
+  def pqDecode(codes: ArrayData, banks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = banks.length
+    var dim = 0
+    var j = 0
+    while (j < m) { dim += banks(j)(0).length; j += 1 }
+    val out = new Array[Double](dim)
+    var off = 0
+    j = 0
+    while (j < m) {
+      val cent = banks(j)(codes.getInt(j))
+      System.arraycopy(cent, 0, out, off, cent.length)
+      off += cent.length
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** See [[TokenizeExpr]]. */
   def tokenize(s: UTF8String): ArrayData = {
     val parts = s.toLowerCase.toString.split("[^a-z0-9]+")

@@ -101,12 +101,66 @@ case class NearestCentroidsExpr(child: Expression,
     copy(child = c)
 }
 
+/** Product-quantization encode: the m per-subspace nearest-code ids of a
+  * vector, in one pass (the compressed representation — m small ints versus
+  * dim floats). Codebooks ride along as a reference object, so the kernel
+  * stays inside whole-stage codegen. */
+case class PqCodesExpr(child: Expression, banks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(banks.nonEmpty && banks.forall(_.nonEmpty), "empty PQ codebooks")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  @transient private lazy val elementIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.pqCodes(input.asInstanceOf[ArrayData], banks, elementIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val banksRef = ctx.addReferenceObj("pqBanks", banks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.pqCodes($c, $banksRef, $elementIsFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqCodesExpr =
+    copy(child = c)
+}
+
+/** Product-quantization decode: codes (array<int>, length m) → the
+  * reconstructed vector (array<double>, length dim) by codeword lookup. */
+case class PqDecodeExpr(child: Expression, banks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.pqDecode(input.asInstanceOf[ArrayData], banks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val banksRef = ctx.addReferenceObj("pqBanks", banks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.pqDecode($c, $banksRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqDecodeExpr =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Nearest-centroid probe list (see [[NearestCentroidsExpr]]). */
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
       nProbe: Int): Column =
     ColumnBridge.column(NearestCentroidsExpr(
       ColumnBridge.expression(vec), centroids, nProbe))
+
+  /** Per-subspace PQ code ids (see [[PqCodesExpr]]). */
+  def pqCodes(vec: Column, banks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqCodesExpr(ColumnBridge.expression(vec), banks))
+
+  /** Reconstructed vector from PQ codes (see [[PqDecodeExpr]]). */
+  def pqDecode(codes: Column, banks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqDecodeExpr(ColumnBridge.expression(codes), banks))
 
   /** Native cosine similarity (see [[CosineSimilarityExpr]]). */
   def cosine(a: Column, b: Column): Column =

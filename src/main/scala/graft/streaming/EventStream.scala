@@ -113,6 +113,31 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Watermarked stream-stream inner join: pair each `view` event with the
+    * same user's `purchase` events in the following 6 hours — the
+    * attribution-join shape. Both sides carry watermarks AND the time-range
+    * conjunct, which is what lets Spark evict join state once the watermark
+    * passes a row's match window: bounded state on an unbounded stream,
+    * where the reference framework could only buffer forever. Inner join
+    * results emit as soon as both sides arrive (append mode). */
+  def viewToPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 day")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 day")
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen,
     * with state bounded by the watermark (`dropDuplicatesWithinWatermark` —
     * an id is only guaranteed unique against events inside the watermark

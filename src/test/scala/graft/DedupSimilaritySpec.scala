@@ -314,6 +314,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"PQ recall $recall too low")
   }
 
+  test("persisted PQ codes: probe parity with the fresh encode") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val banks = Similarity.pqTrain(emb, m = 8, nCodes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pq_codes_").toString
+    Similarity.pqEncode(emb, banks).write.mode("overwrite").parquet(dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val fresh = Similarity.pqTopK(queries, emb, k = 5, banks = banks)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val probed = Similarity.pqTopK(queries, emb, k = 5, banks = banks,
+        codes = Some(spark.read.parquet(dir)))
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(probed === fresh)
+  }
+
   test("ivfTopK refuses a corpusIndex without its centroid bank") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val cents = Similarity.ivfCentroids(emb, nCells = 16)

@@ -736,7 +736,8 @@ object Pipeline {
     import graft.streaming.EventStream
     EventStream.runBounded(spark, dir,
         df => EventStream.sessionize(df, gapMinutes = 30).toDF(),
-        "p27_stream_sessions", outputMode = "append")
+        "p27_stream_sessions", outputMode = "append",
+        shufflePartitions = Some(8))
       .orderBy("user_id", "session_id")
   }
 
@@ -780,7 +781,8 @@ object Pipeline {
         df => EventStream.dedupedEvents(df.unionAll(df))
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value")),
-        "p28_stream_dedup", outputMode = "append")
+        "p28_stream_dedup", outputMode = "append",
+        shufflePartitions = Some(8))
       .orderBy("event_id")
   }
 
@@ -798,8 +800,10 @@ object Pipeline {
   // =========================================================================
   def p30StreamJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.EventStream
+    // 4 state stores per shuffle partition for a stream-stream join; 8
+    // partitions fit this state volume — 32 would quadruple commit I/O
     EventStream.runBounded(spark, dir, EventStream.viewToPurchase,
-        "p30_stream_join", outputMode = "append")
+        "p30_stream_join", outputMode = "append", shufflePartitions = Some(8))
       .orderBy("user_id", "view_id", "purchase_id")
   }
 

@@ -153,18 +153,32 @@ object EventStream {
     * used by tests and demos; batch/stream parity check.
     *
     * Complete mode by default: in append mode the windows at the tail of a
-    * bounded input never pass the watermark and would be withheld. */
+    * bounded input never pass the watermark and would be withheld.
+    *
+    * `shufflePartitions` sizes the STATE STORE count for stateful
+    * transforms — a streaming query spins up one store per shuffle
+    * partition per stateful operator (a join keeps four), and each store
+    * pays per-batch commit I/O regardless of how few rows it holds. Size it
+    * to state volume, not to core count (the conf is set for the query's
+    * planning and restored after; it is pinned into the query's checkpoint
+    * by Spark for its lifetime). */
   def runBounded(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, queryName: String,
-      outputMode: String = "complete"): DataFrame = {
-    val q = transform(readEvents(spark, dir))
-      .writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      outputMode: String = "complete",
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n))
+    try {
+      val q = transform(readEvents(spark, dir))
+        .writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(queryName)
   }
 }

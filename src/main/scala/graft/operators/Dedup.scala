@@ -64,6 +64,17 @@ object Dedup {
     singles.unionAll(verified)
   }
 
+  /** Rows that survive [[exactByFingerprint]] — the keep-side projection,
+    * result-identical to [[exactKept]] on the text column but reaching the
+    * survivors through an id-keyed semi join: the corpus text itself never
+    * enters an exchange (exactKept's window shuffles every row BY its text
+    * key). */
+  def exactKeptByFingerprint(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.join(
+      exactByFingerprint(df, idCol, textCol).select(col("keep_id")),
+      col(idCol) === col("keep_id"), "left_semi")
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * shingle(text) → minhash signature (`numHashes` slots) → `bands` bands of

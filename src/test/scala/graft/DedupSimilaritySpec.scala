@@ -42,6 +42,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val viaFp = Dedup.exactByFingerprint(docs, "doc_id", "text")
       .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
     assert(viaFp === direct)
+    // survivor projection agrees with the windowed exactKept
+    val keptDirect = Dedup.exactKept(docs, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val keptFp = Dedup.exactKeptByFingerprint(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFp === keptDirect)
   }
 
   test("connected components: chains, cycles, and isolation") {

@@ -89,6 +89,39 @@ class PlanSpec extends SparkSpec {
       s"benchmark set should broadcast — corpus must not shuffle:\n$plan")
   }
 
+  test("p26 fingerprint dedup: both aggregations partial+final; no sort-merge") {
+    // planted duplicates — on a dup-free corpus AQE empty-eliminates the
+    // verification branch and there would be nothing to gate
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"text ${i % 60}")).toDF("doc_id", "text")
+    val df = graft.operators.Dedup.exactByFingerprint(docs, "doc_id", "text")
+    val plan = planString(df)
+    // fp aggregation + (fp, text) verification aggregation, each two-phase
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 4, s"expected two 2-phase aggregations:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the colliding-fp set should hash/broadcast join, not sort-merge:\n$plan")
+  }
+
+  test("p29 PQ: corpus scoring scan never shuffles; query side broadcasts") {
+    val plan = planString(graft.queries.Pipeline.queries("p29_knn_pq")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the query side must broadcast for the compressed scoring scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge anywhere in the PQ probe:\n$plan")
+  }
+
+  test("q22 salted aggregation is exactly two exchanges") {
+    val df = Relational.q22SaltedAgg(spark, sfDir)
+    val plan = planString(df)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // (key, salt) partial spread + key recombination; the final ORDER BY of
+    // 3 rows collapses into one of them under AQE
+    assert(exchanges <= 3, s"salting must not add exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning"), s"plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational scan pipelines") {
     val plan = planString(Relational.q01PricingSummary(spark, sfDir))
     // codegen stages render as "*(n)" prefixes in the plan string

@@ -24,6 +24,38 @@ object Curation {
     Dedup.exactKept(scored, idCol, Seq(textCol))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its id-hash bucket
+    * falls under its stratum's threshold. `fractions` maps stratum value →
+    * sampling share; strata absent from the map sample at
+    * `defaultFraction`. Same engine-portable arithmetic family as
+    * [[hashSplit]] but a different multiplier (xxhash32's prime), so sample
+    * membership is independent of split assignment — sampling a train split
+    * doesn't systematically favor one sample bucket.
+    *
+    * One scan, zero shuffles, no RNG: reproducible across runs, engines,
+    * and cluster sizes (unlike `df.sample`, whose output depends on
+    * partitioning), and nested — the 1% sample is a strict subset of the
+    * 10% sample, which scaling-law subset curves want. Ids must be
+    * non-negative (the oracle-portable plain-`%` form). */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
+    // mod-first keeps the product < 2^63 (see hashSplit); 10000 buckets =
+    // 0.01% sampling granularity
+    val bucket =
+      pmod(pmod(col(idCol), lit(1000000007L)) * lit(2246822519L),
+        lit(1000000007L)) % 10000
+    val thresh = fractions.foldLeft(
+        lit(math.round(defaultFraction * 10000)): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(math.round(f * 10000)))
+          .otherwise(acc)
+    }
+    df.filter(bucket < thresh)
+  }
+
   /** Deterministic train/val/test assignment by multiplicative hashing of a
     * numeric id — stable across runs, clusters, and engines (plain int
     * arithmetic, no library hash), uniform enough for splitting. Returns the

@@ -816,6 +816,27 @@ object Pipeline {
       | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
       |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
 
+  // =========================================================================
+  // p31 — deterministic stratified sampling: per-language sampling shares
+  // via engine-portable hash arithmetic (no RNG, no partitioning
+  // dependence), oracle-replicated exactly. The training-data "rebalance
+  // the language mix" operation.
+  // =========================================================================
+  def p31SampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.sampleStratified(Tables.documents(spark, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val p31Sql: String =
+    """SELECT doc_id, lang
+      |FROM documents
+      |WHERE ((doc_id % 1000000007) * 2246822519) % 1000000007 % 10000 <
+      |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+      |ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -847,7 +868,8 @@ object Pipeline {
     "p27_stream_sessions" -> (p27StreamSessions _),
     "p28_stream_dedup" -> (p28StreamDedup _),
     "p29_knn_pq" -> (p29KnnPq _),
-    "p30_stream_join" -> (p30StreamJoin _))
+    "p30_stream_join" -> (p30StreamJoin _),
+    "p31_sample_stratified" -> (p31SampleStratified _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -871,5 +893,6 @@ object Pipeline {
     "p26_dedup_fp_first" -> p01Sql,
     "p27_stream_sessions" -> p27Sql,
     "p28_stream_dedup" -> p28Sql,
-    "p30_stream_join" -> p30Sql)
+    "p30_stream_join" -> p30Sql,
+    "p31_sample_stratified" -> p31Sql)
 }

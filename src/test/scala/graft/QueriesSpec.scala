@@ -25,6 +25,32 @@ class QueriesSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("stratified sampling: deterministic, nested, per-stratum rates") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def ids(fr: Map[String, Double], dflt: Double): Set[Long] =
+      Curation.sampleStratified(docs, "doc_id", "lang", fr, dflt)
+        .select("doc_id").as[Long].collect().toSet
+    val half = ids(Map("en" -> 0.5), 0.2)
+    // deterministic: same call, same rows — and partitioning-independent
+    assert(ids(Map("en" -> 0.5), 0.2) === half)
+    val halfRepart = Curation.sampleStratified(docs.repartition(13), "doc_id",
+        "lang", Map("en" -> 0.5), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(halfRepart === half, "sample must not depend on partitioning")
+    // nested: the smaller-fraction sample is a strict subset
+    val tenth = ids(Map("en" -> 0.1), 0.04)
+    assert(tenth.subsetOf(half), "smaller fractions must nest inside larger")
+    // per-stratum rate lands near the requested share
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = docs.filter(col("lang") === "en")
+      .filter(col("doc_id").isin(half.toSeq: _*)).count().toDouble
+    assert(math.abs(enKept / en - 0.5) < 0.15,
+      s"en sampled at ${enKept / en}, wanted ~0.5")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

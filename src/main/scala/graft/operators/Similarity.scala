@@ -351,6 +351,57 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** The IVF-PQ index relation in one corpus scan: (neighbor_id, cell,
+    * codes). Persist with `.write.bucketBy(n, "cell")` for probe reuse. */
+  def ivfPqIndex(corpus: DataFrame, centroids: Array[Array[Double]],
+      banks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.{nearestCentroids, pqCodes}
+    corpus.select(col(idCol).as("neighbor_id"),
+      element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cell"),
+      pqCodes(col(vecCol), banks).as("codes"))
+  }
+
+  /** IVF-PQ approximate top-k — the two scale levers composed, as in the
+    * standard billion-scale ANN layout: coarse-cell routing means only the
+    * `nProbe`-of-`nCells` probed cells' rows are scored at all, and PQ
+    * compression means scoring reads m small codes instead of the vector
+    * column. True vectors are fetched only for the k·refine survivors.
+    * Both model artifacts (centroid bank + codebooks) are driver-side
+    * model-size; pass `index` (a persisted [[ivfPqIndex]]) to skip
+    * assignment/encode entirely. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Array[Array[Double]], banks: Array[Array[Array[Double]]],
+      nProbe: Int = 8, refine: Int = 16,
+      index: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.{nearestCentroids, pqDecode}
+    val idx = index.getOrElse(ivfPqIndex(corpus, centroids, banks, idCol, vecCol))
+    val probes = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(nearestCentroids(col(vecCol), centroids, nProbe)).as("cell")))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val survivors = idx
+      .join(probes, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("asim", cosine(col("qv"), pqDecode(col("codes"), banks)))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    survivors.join(q, "query_id").join(cv, "neighbor_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Persist the LSH bucket index as a Spark bucketed + sorted table.
     * Probes then read (id, table, bucket) without recomputing signatures or
     * scanning the vector column, and any (table, bucket)-keyed aggregation

@@ -302,6 +302,16 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ approximate nearest neighbors — coarse-cell routing composed
+    * with compressed scoring (only the probed cells' code rows are read;
+    * true vectors only for the refine set). Recall oracle-visible in p22. */
+  def p32KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        centroids = ivfBank(spark, dir), banks = pqBank(spark, dir))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH buckets.
     * Threshold 0.4 ≈ the 99.9th percentile of pair similarity on the
     * synthetic embeddings (their max is ~0.51), so output is non-trivial. */
@@ -670,6 +680,8 @@ object Pipeline {
         k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true)))
       .unionAll(recallOf("pq", Similarity.pqTopK(qs, emb, k = 5,
         banks = pqBank(spark, dir))))
+      .unionAll(recallOf("ivfpq", Similarity.ivfPqTopK(qs, emb, k = 5,
+        centroids = ivfBank(spark, dir), banks = pqBank(spark, dir))))
       .orderBy("method")
   }
 
@@ -698,9 +710,14 @@ object Pipeline {
        |        FROM read_parquet('{OUT}/p16_knn_ivf/*.parquet')),
        |pq AS (SELECT query_id, neighbor_id
        |       FROM read_parquet('{OUT}/p29_knn_pq/*.parquet')),
+       |ivfpq AS (SELECT query_id, neighbor_id
+       |          FROM read_parquet('{OUT}/p32_knn_ivfpq/*.parquet')),
        |h AS (
        |  SELECT 'ivf' AS method, COUNT(*) AS hits
        |  FROM ivf JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'ivfpq' AS method, COUNT(*) AS hits
+       |  FROM ivfpq JOIN exact USING (query_id, neighbor_id)
        |  UNION ALL
        |  SELECT 'lsh' AS method, COUNT(*) AS hits
        |  FROM lsh JOIN exact USING (query_id, neighbor_id)
@@ -869,7 +886,8 @@ object Pipeline {
     "p28_stream_dedup" -> (p28StreamDedup _),
     "p29_knn_pq" -> (p29KnnPq _),
     "p30_stream_join" -> (p30StreamJoin _),
-    "p31_sample_stratified" -> (p31SampleStratified _))
+    "p31_sample_stratified" -> (p31SampleStratified _),
+    "p32_knn_ivfpq" -> (p32KnnIvfPq _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,

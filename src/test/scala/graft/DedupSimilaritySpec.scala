@@ -336,6 +336,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probed === fresh)
   }
 
+  test("IVF-PQ: recall comparable to PQ alone; persisted index parity") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfCentroidsTrained(emb, nCells = 16)
+    val banks = Similarity.pqTrain(emb, m = 16, nCodes = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(queries, emb, k = 5, cents, banks)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.5, s"IVF-PQ recall $recall too low")
+    // probing a persisted index yields the identical result
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx_").toString
+    Similarity.ivfPqIndex(emb, cents, banks).write.mode("overwrite").parquet(dir)
+    val probed = Similarity.ivfPqTopK(queries, emb, k = 5, cents, banks,
+        index = Some(spark.read.parquet(dir)))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(probed === got)
+  }
+
   test("ivfTopK refuses a corpusIndex without its centroid bank") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val cents = Similarity.ivfCentroids(emb, nCells = 16)

@@ -854,6 +854,23 @@ object Pipeline {
       |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
       |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p33 — multimodal retrieval composition: decoded media features (real
+  // codecs, p14) become the embedding column for the generic similarity
+  // operator — "find images like these" over pixel statistics. No oracle
+  // (custom decode stage); the kNN operator itself is p06-oracle-covered
+  // and the decode is MultimodalSpec-covered.
+  // =========================================================================
+  def p33MediaSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.fromDocuments(spark, Tables.documents(spark, dir))
+    val images = Multimodal.extractFeatures(media)
+      .filter(col("kind") === "image")
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    Similarity.bruteForceTopK(images.filter(col("vec_id") < 15), images, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -887,7 +904,8 @@ object Pipeline {
     "p29_knn_pq" -> (p29KnnPq _),
     "p30_stream_join" -> (p30StreamJoin _),
     "p31_sample_stratified" -> (p31SampleStratified _),
-    "p32_knn_ivfpq" -> (p32KnnIvfPq _))
+    "p32_knn_ivfpq" -> (p32KnnIvfPq _),
+    "p33_media_similarity" -> (p33MediaSimilarity _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,

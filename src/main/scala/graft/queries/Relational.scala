@@ -886,6 +886,41 @@ object Relational {
       |GROUP BY word
       |ORDER BY word""".stripMargin
 
+  // =========================================================================
+  // q33 — correlated scalar subquery (TPC-H Q17 silhouette): parts whose
+  // order quantity falls below 20% of that part's own average. Exercises
+  // Catalyst's subquery decorrelation — the correlated aggregate rewrites to
+  // a join against a per-partkey aggregate, not a per-row re-scan. AVG of
+  // integer-valued doubles is exact, so both engines agree bit-for-bit; the
+  // price sum stages through DECIMAL per the parity convention.
+  // =========================================================================
+  def q33CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir, "lineitem", "part")
+    spark.sql(
+      """SELECT p_brand,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) / 7.0, 4)
+        |    AS DOUBLE) AS avg_yearly,
+        |  COUNT(*) AS n_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (
+        |    SELECT 0.2 * AVG(l2.l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val q33Sql: String =
+    """SELECT p_brand,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) / 7.0, 4)
+      |    AS DOUBLE) AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (
+      |    SELECT 0.2 * AVG(l2.l_quantity)
+      |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -917,7 +952,8 @@ object Relational {
     "q29_left_join_map" -> (q29LeftJoinMap _),
     "q30_asof_join" -> (q30AsofJoin _),
     "q31_bag_set_ops" -> (q31BagSetOps _),
-    "q32_explode" -> (q32Explode _))
+    "q32_explode" -> (q32Explode _),
+    "q33_correlated_subquery" -> (q33CorrelatedSubquery _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -948,5 +984,6 @@ object Relational {
     "q29_left_join_map" -> q29Sql,
     "q30_asof_join" -> q30Sql,
     "q31_bag_set_ops" -> q31Sql,
-    "q32_explode" -> q32Sql)
+    "q32_explode" -> q32Sql,
+    "q33_correlated_subquery" -> q33Sql)
 }

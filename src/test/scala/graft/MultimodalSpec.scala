@@ -146,4 +146,23 @@ class MultimodalSpec extends SparkSpec {
     val got = SparkEntry.queries("p14_multimodal")(spark, sfDir).collect()
     assert(got.length === 3)
   }
+
+  test("p33 media similarity: k neighbors per image probe, sims in range") {
+    val rows = SparkEntry.queries("p33_media_similarity")(spark, sfDir)
+      .select(col("query_id"), col("rank"), col("sim")).collect()
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.nonEmpty && perQuery.values.forall(_.length === 3))
+    // channel-mean/histogram features are non-negative -> cosine in [0, 1]
+    assert(rows.forall { r =>
+      val s = r.getDouble(2); s >= 0.0 && s <= 1.0 + 1e-9
+    })
+    // deterministic decode -> deterministic retrieval
+    val again = SparkEntry.queries("p33_media_similarity")(spark, sfDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val first = SparkEntry.queries("p33_media_similarity")(spark, sfDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again === first)
+  }
 }

@@ -74,4 +74,36 @@ class KernelEdgeSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(want.subsetOf(got), s"missed pairs: ${want -- got}")
   }
+
+  test("pq codes/decode: short vectors, exact codeword round-trip, null-safe") {
+    import graft.functions.VectorExpressions.{pqCodes, pqDecode}
+    // 2 subspaces of 2 dims, 2 codewords each
+    val banks: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 1.0), Array(1.0, 0.0)))
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f, 1.0f, 0.0f)),   // exactly codewords (1, 1)
+      (2L, Seq(0.1f, 0.1f, 0.1f, 0.9f)),   // near codewords (0, 0)
+      (3L, Seq(1.0f)),                     // shorter than dim: dims skipped
+      (4L, Seq.empty[Float]))              // empty: all-zero vector
+      .toDF("id", "v")
+    val codes = df.select(col("id"), pqCodes(col("v"), banks).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(1L) === Seq(1, 1))
+    assert(codes(2L) === Seq(0, 0))
+    // missing dims are SKIPPED (common-prefix contract, like cosine):
+    // subspace 0 compares only dim 0 -> codeword 1 matches exactly;
+    // subspace 1 has no dims in range -> all-tie -> lower id 0
+    assert(codes(3L) === Seq(1, 0))
+    assert(codes(4L) === Seq(0, 0))
+    // decode returns the selected codewords concatenated
+    val rec = df.filter(col("id") === 1L)
+      .select(pqDecode(pqCodes(col("v"), banks), banks))
+      .as[Seq[Double]].head()
+    assert(rec === Seq(1.0, 1.0, 1.0, 0.0))
+    // null vector -> null codes (UnaryExpression null semantics)
+    val n = Seq((1L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")
+      .select(pqCodes(col("v"), banks)).collect().head
+    assert(n.isNullAt(0))
+  }
 }

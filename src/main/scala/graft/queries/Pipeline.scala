@@ -871,6 +871,41 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  // =========================================================================
+  // p34 — text normalization: the cleanup pass that runs before dedup in a
+  // real curation pipeline — strip markup-ish tags, blank URLs, collapse
+  // whitespace, lowercase. Scan-shaped (zero wide ops); every regex is
+  // RE2-safe (no lookahead) so DuckDB replicates the chain exactly.
+  // =========================================================================
+  def p34TextNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("text")),
+          "<[^>]*>", " "),
+          "https?://[^\\s]+", " "),
+          "\\s+", " ")).as("text_norm"))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        length(col("text_norm")).as("n_chars_norm"),
+        col("text_norm"))
+      .orderBy("doc_id")
+
+  val p34Sql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_raw,
+      |  length(text_norm) AS n_chars_norm,
+      |  text_norm
+      |FROM (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(text),
+      |      '<[^>]*>', ' ', 'g'),
+      |      'https?://[^\s]+', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS text_norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -905,7 +940,8 @@ object Pipeline {
     "p30_stream_join" -> (p30StreamJoin _),
     "p31_sample_stratified" -> (p31SampleStratified _),
     "p32_knn_ivfpq" -> (p32KnnIvfPq _),
-    "p33_media_similarity" -> (p33MediaSimilarity _))
+    "p33_media_similarity" -> (p33MediaSimilarity _),
+    "p34_text_normalize" -> (p34TextNormalize _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -930,5 +966,6 @@ object Pipeline {
     "p27_stream_sessions" -> p27Sql,
     "p28_stream_dedup" -> p28Sql,
     "p30_stream_join" -> p30Sql,
-    "p31_sample_stratified" -> p31Sql)
+    "p31_sample_stratified" -> p31Sql,
+    "p34_text_normalize" -> p34Sql)
 }

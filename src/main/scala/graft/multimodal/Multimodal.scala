@@ -53,10 +53,16 @@ object Multimodal {
     * metadata values), video rows a REAL blocked container of PNG frames.
     * Stands in for `spark.read.format("binaryFile")` over a media lake.
     * All encoding runs executor-side in the `map` — the driver never holds
-    * payloads. */
-  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    * payloads.
+    *
+    * `onlyKind` prunes BEFORE the payload-encoding map: a consumer that
+    * wants one modality (p33's image retrieval) skips synthesizing and
+    * decoding the other two thirds of the corpus — the narrow-filter-
+    * before-expensive-stage rule applied to codec work. */
+  def fromDocuments(spark: SparkSession, docs: DataFrame,
+      onlyKind: Option[String] = None): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
+    val base = docs.select(
         col("doc_id").as("media_id"),
         element_at(typedLit(kinds), (col("doc_id") % 3 + 1).cast("int"))
           .as("kind"),
@@ -66,6 +72,7 @@ object Multimodal {
           (col("doc_id") % 480 + 32).cast("int").as("height"),
           lit(16000).as("sampleRateHz"),
           (col("doc_id") % 90000 + 1000).as("durationMs")).as("meta"))
+    onlyKind.fold(base)(k => base.filter(col("kind") === k))
       .as[MediaRecord]
       .map { r =>
         r.kind match {

@@ -863,9 +863,10 @@ object Pipeline {
   // =========================================================================
   def p33MediaSimilarity(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val media = Multimodal.fromDocuments(spark, Tables.documents(spark, dir))
+    // onlyKind prunes before payload encode/decode — 1/3 of the codec work
+    val media = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("image"))
     val images = Multimodal.extractFeatures(media)
-      .filter(col("kind") === "image")
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
     Similarity.bruteForceTopK(images.filter(col("vec_id") < 15), images, k = 3)
       .orderBy("query_id", "rank")

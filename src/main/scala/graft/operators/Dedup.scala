@@ -75,6 +75,34 @@ object Dedup {
       exactByFingerprint(df, idCol, textCol).select(col("keep_id")),
       col(idCol) === col("keep_id"), "left_semi")
 
+  /** The persisted dedup index relation for incremental curation:
+    * (fp, text) per distinct retained document. Fingerprints drive the
+    * cheap prune join; text is kept solely so fingerprint matches verify
+    * exactly (a 64-bit collision must not silently drop a novel doc). */
+  def dedupIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(HashFunctions.fingerprint64(col(textCol)).as("fp"),
+      col(textCol).as("text")).distinct()
+
+  /** Incremental exact dedup: the daily-increment shape — new docs survive
+    * iff they are their batch's representative AND their text is not
+    * already in the corpus, WITHOUT re-shuffling the existing corpus. The
+    * existing side joins as its [[dedupIndex]] relation: the equi key is
+    * the 8-byte fingerprint, and text equality is verified only for
+    * fingerprint-equal pairs, so the result is exact (not
+    * probabilistically exact) while non-colliding rows never compare
+    * text. */
+  def exactKeptIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      existingIndex: DataFrame): DataFrame = {
+    val batchKept = exactKeptByFingerprint(newDocs, idCol, textCol)
+      .withColumn("__fp", HashFunctions.fingerprint64(col(textCol)))
+    val idx = existingIndex.select(col("fp").as("__exfp"),
+      col("text").as("__extext"))
+    batchKept.join(idx,
+        col("__fp") === col("__exfp") && col(textCol) === col("__extext"),
+        "left_anti")
+      .drop("__fp")
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * shingle(text) → minhash signature (`numHashes` slots) → `bands` bands of

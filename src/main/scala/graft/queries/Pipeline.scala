@@ -907,6 +907,38 @@ object Pipeline {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p35 — incremental dedup: a new batch (docs ≥ 250 plus ten re-labeled
+  // copies of existing docs — planted cross-set duplicates) dedups against
+  // the persisted index of the existing corpus (docs < 250). The planted
+  // copies must drop; the rest survives. The existing corpus participates
+  // only as its (fp, text) index relation.
+  // =========================================================================
+  def p35DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Dedup.exactKeptIncremental(incoming, "doc_id", "text",
+        Dedup.dedupIndex(existing, "text"))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val p35Sql: String =
+    """WITH incoming AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10),
+      |kept AS (
+      |  SELECT doc_id, text FROM incoming i
+      |  WHERE doc_id = (SELECT MIN(i2.doc_id) FROM incoming i2
+      |                  WHERE i2.text = i.text))
+      |SELECT doc_id FROM kept
+      |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -942,7 +974,8 @@ object Pipeline {
     "p31_sample_stratified" -> (p31SampleStratified _),
     "p32_knn_ivfpq" -> (p32KnnIvfPq _),
     "p33_media_similarity" -> (p33MediaSimilarity _),
-    "p34_text_normalize" -> (p34TextNormalize _))
+    "p34_text_normalize" -> (p34TextNormalize _),
+    "p35_dedup_incremental" -> (p35DedupIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -968,5 +1001,6 @@ object Pipeline {
     "p28_stream_dedup" -> p28Sql,
     "p30_stream_join" -> p30Sql,
     "p31_sample_stratified" -> p31Sql,
-    "p34_text_normalize" -> p34Sql)
+    "p34_text_normalize" -> p34Sql,
+    "p35_dedup_incremental" -> p35Sql)
 }

@@ -50,6 +50,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(keptFp === keptDirect)
   }
 
+  test("incremental dedup drops cross-set and in-batch dups, keeps novel") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a"),   // duplicate of the existing corpus -> dropped
+      (11L, "c"), (12L, "c"),   // in-batch dup -> 11 survives
+      (13L, "d")).toDF("doc_id", "text")
+    val kept = Dedup.exactKeptIncremental(incoming, "doc_id", "text",
+        Dedup.dedupIndex(existing, "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L))
+  }
+
   test("connected components: chains, cycles, and isolation") {
     // chain 1-2-3-4 (transitivity), triangle 10-11-12 with a cycle edge,
     // and a lone pair 20-21 — three components labeled by their min ids

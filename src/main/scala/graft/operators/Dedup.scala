@@ -149,6 +149,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The persisted MinHash-LSH band index of a corpus: one row per
+    * (id, band, bucket) — what [[minhashPairsIncremental]] probes so the
+    * existing corpus never re-shingles. Persist bucketed by (band, bucket)
+    * for an exchange-free probe join. Parameters must match the probe call. */
+  def minhashBandIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val shingles = array_distinct(TextFunctions.tokenShingles(
+      TextFunctions.tokens(col(textCol)), shingleSize))
+    docs.select(col(idCol).as("id"),
+        HashFunctions.minhashSignature(shingles, numHashes, seed).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Incremental near-duplicate pairs: the daily-increment shape for
+    * near-dup. New docs band as usual; cross-set candidates form ONLY where
+    * a new doc's (band, bucket) hits the persisted [[minhashBandIndex]] —
+    * the existing corpus never re-shingles, and its text is re-read only
+    * for docs that actually share a bucket with the batch (a semi-join
+    * before the shingle verify). In-batch pairs come from the standard
+    * [[minhashPairs]]. Returns (id_a, id_b, jaccard) with new-batch ids on
+    * at least one side. */
+  def minhashPairsIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      existingIndex: DataFrame, existingDocs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, threshold: Double = 0.6,
+      maxBucketSize: Int = 200, seed: Long = 42L): DataFrame = {
+    val inBatch = minhashPairs(newDocs, idCol, textCol, numHashes, bands,
+      shingleSize, threshold, maxBucketSize, seed)
+
+    val newBanded = minhashBandIndex(newDocs, idCol, textCol, numHashes,
+      bands, shingleSize, seed)
+    val idx = existingIndex.select(col("id").as("old_id"), col("band"),
+      col("bucket"))
+    // candidate (new, old) ids from shared buckets; bucket cap bounds the
+    // fan-out exactly like bucketPairs' guard
+    val perBucket = Window.partitionBy(col("band"), col("bucket"))
+    val candidates = newBanded.join(idx, Seq("band", "bucket"))
+      .withColumn("__n", count(lit(1)).over(perBucket))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("id").as("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+
+    // exact-Jaccard verify: shingle only the candidate-touched docs
+    def shingleTable(docs: DataFrame, as: String): DataFrame =
+      docs.select(col(idCol).as(as),
+        array_distinct(TextFunctions.tokenShingles(
+          TextFunctions.tokens(col(textCol)), shingleSize)).as(s"__sh_$as"))
+    val touchedOld = existingDocs.join(
+      candidates.select(col("old_id")).distinct(),
+      existingDocs(idCol) === col("old_id"), "left_semi")
+    val crossSet = candidates
+      .join(shingleTable(newDocs, "new_id"), "new_id")
+      .join(shingleTable(touchedOld, "old_id"), "old_id")
+      .withColumn("jaccard", jaccardExpr(col("__sh_new_id"), col("__sh_old_id")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("new_id"), col("old_id")).as("id_a"),
+        greatest(col("new_id"), col("old_id")).as("id_b"), col("jaccard"))
+
+    inBatch.unionAll(crossSet)
+  }
+
   /** Distinct candidate pairs (id_a < id_b) from bucket groups, without a
     * self-join: drop over-cap buckets, collect the surviving ids per bucket,
     * then expand the in-bucket combinations with one array expression.

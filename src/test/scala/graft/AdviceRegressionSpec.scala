@@ -41,6 +41,19 @@ class AdviceRegressionSpec extends SparkSpec {
     }
   }
 
+  test("hourlyTypeCounts decimal staging keeps values >= 1e8 in the sum") {
+    // DECIMAL(12,4) would NULL a 2.5e8 value under non-ANSI casts and drop
+    // it silently from total_value; the widened (20,4) stage must not
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val events = Seq(
+      (1L, ts, 1L, "big", 2.5e8, "{}"),
+      (2L, ts, 2L, "big", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventStream.hourlyTypeCounts(events)
+      .select("total_value").as[Double].head()
+    assert(got === 2.5e8 + 1.5, s"out-of-DECIMAL(12,4)-domain value lost: $got")
+  }
+
   test("hashSplit: 0.7/0.15/0.15 boundary bucket 850 lands in the later split") {
     // cumulative 0.7+0.15 = 0.8500000000000001 in doubles; the integer cut is
     // 850, so a bucket of exactly 850 belongs to the LAST split, not 'val'.

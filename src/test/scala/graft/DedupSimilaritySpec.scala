@@ -62,6 +62,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Set(11L, 13L))
   }
 
+  test("incremental minhash finds a planted cross-set near-dup only") {
+    val base = doc(7, 120)
+    val nearDup = base.split(" ").updated(3, "changedword").mkString(" ")
+    val existing = Seq((1L, base), (2L, doc(100, 120))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, nearDup),       // near-dup of existing doc 1 -> cross-set pair
+      (11L, doc(200, 120)), // novel
+      (12L, doc(300, 120)), (13L, doc(300, 120))) // in-batch exact dup pair
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(existing, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    val pairs = Dedup.minhashPairsIncremental(incoming, "doc_id", "text",
+        existingIndex = idx, existingDocs = existing,
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)), s"cross-set near-dup missed: $pairs")
+    assert(pairs.contains((12L, 13L)), s"in-batch dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L),
+      s"novel doc wrongly paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated existing doc wrongly paired: $pairs")
+  }
+
   test("connected components: chains, cycles, and isolation") {
     // chain 1-2-3-4 (transitivity), triangle 10-11-12 with a cycle edge,
     // and a lone pair 20-21 — three components labeled by their min ids

@@ -118,18 +118,20 @@ object Similarity {
     * Same output shape as [[bruteForceTopK]]; recall < 1 by design.
     *
     * `multiProbe = true` additionally probes, per table, every bucket at
-    * Hamming distance 1 from the query's bucket (`bits` extra probes). This
-    * is the standard multi-probe trade: recall recovers without coarsening
-    * the buckets, so `bits` can keep growing with the corpus — at 100 TB
-    * the bucket count must scale with corpus size, and widening buckets
+    * Hamming distance ≤ `probeRadius` from the query's bucket (radius 1 =
+    * `bits` extra probes; radius 2 adds bits·(bits−1)/2 more). This is the
+    * standard multi-probe trade: recall recovers without coarsening the
+    * buckets, so `bits` can keep growing with the corpus — at 100 TB the
+    * bucket count must scale with corpus size, and widening buckets
     * (fewer bits) would re-grow each bucket toward a corpus scan. Probing
     * expands only the broadcast query side; the corpus index is untouched. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,
-      multiProbe: Boolean = false,
+      multiProbe: Boolean = false, probeRadius: Int = 1,
       corpusIndex: Option[DataFrame] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeRadius >= 1 && probeRadius <= 2, "probeRadius must be 1 or 2")
     // candidate ids only through the bucket join; vectors re-attached after
     // dedup so payloads cross the wire once per surviving candidate.
     // `corpusIndex` (from [[writeLshIndex]]) skips the signature recompute.
@@ -137,11 +139,15 @@ object Similarity {
       lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol))
     val qb0 = lshBuckets(queries, tables, bits, dim, seed, idCol, vecCol)
       .withColumnRenamed("id", "query_id")
+    val flips1 = (0 until bits).map(i => 1L << i)
+    val flips2 = if (probeRadius < 2) Seq.empty[Long]
+      else for { i <- 0 until bits; j <- (i + 1) until bits }
+        yield (1L << i) | (1L << j)
     val qb = broadcast(
       if (!multiProbe) qb0
       else qb0.withColumn("bucket", explode(array(
-        col("bucket") +: (0 until bits).map(i =>
-          col("bucket").bitwiseXOR(lit(1L << i))): _*))))
+        col("bucket") +: (flips1 ++ flips2).map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*))))
     val candidates = cb.join(qb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"))

@@ -257,7 +257,7 @@ object Pipeline {
   def p10KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
-        k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true)
+        k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true, probeRadius = 2)
       .orderBy("query_id", "rank")
   }
 
@@ -677,7 +677,7 @@ object Pipeline {
     recallOf("ivf", Similarity.ivfTopK(qs, emb, k = 5, nCells = 16, nProbe = 8,
         centroids = Some(ivfBank(spark, dir))))
       .unionAll(recallOf("lsh", Similarity.lshTopK(qs, emb,
-        k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true)))
+        k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true, probeRadius = 2)))
       .unionAll(recallOf("pq", Similarity.pqTopK(qs, emb, k = 5,
         banks = pqBank(spark, dir))))
       .unionAll(recallOf("ivfpq", Similarity.ivfPqTopK(qs, emb, k = 5,

@@ -331,7 +331,7 @@ object Similarity {
     * shape and tie-break as [[bruteForceTopK]]. */
   def pqTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      banks: Array[Array[Array[Double]]], refine: Int = 16,
+      banks: Array[Array[Array[Double]]], refine: Int = 32,
       codes: Option[DataFrame] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.pqDecode
@@ -379,7 +379,7 @@ object Similarity {
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Array[Array[Double]], banks: Array[Array[Array[Double]]],
-      nProbe: Int = 8, refine: Int = 16,
+      nProbe: Int = 8, refine: Int = 24,
       index: Option[DataFrame] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.{nearestCentroids, pqDecode}

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain inherits the real stdout/stderr instead of going through
+// sbt's logger: no "[info] " prefix on the JSON contract lines Bench/Verify
+// print, and Spark's stderr logging stays off stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -29,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dderby.system.home=/tmp/graft-derby",  // keep metastore litter out of the repo
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Keep "[success] Total time: ..." off stdout: the bench/verify drivers
+// parse the LAST line of `runMain` output as JSON, and sbt's success
+// banner would otherwise land after it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -52,22 +52,29 @@ object Bench {
       val fails = passResults.count(_.isEmpty)
       (name, ok, fails)
     }
-    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    // "queries" keeps the driver contract: name -> median sec (-1.0 = every
-    // pass failed). "spread" [min, median, max] makes a noisy median visible
-    // from the artifact alone; "failures" surfaces intermittent errors.
-    val qs = results.map { case (name, ok, _) =>
+    def fmt(v: Double, scale: Int) = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    def qmap(scale: Int) = results.map { case (name, ok, _) =>
       val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
-      s"\"$name\":${fmt(med)}"
+      s"\"$name\":${fmt(med, scale)}"
     }.mkString("{", ",", "}")
     val spread = results.collect { case (name, ok, _) if ok.nonEmpty =>
-      s"\"$name\":[${fmt(ok.head)},${fmt(ok(ok.size / 2))},${fmt(ok.last)}]"
+      s"\"$name\":[${fmt(ok.head, 4)},${fmt(ok(ok.size / 2), 4)},${fmt(ok.last, 4)}]"
     }.mkString("{", ",", "}")
     val failures = results.collect { case (name, _, fails) if fails > 0 =>
       s"\"$name\":$fails"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, ok, _) if ok.nonEmpty => ok(ok.size / 2) }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"failures":$failures,"sf":"$sfDir"}""")
+    // Two lines, detail first, contract line LAST:
+    //   1. "total_detail" — 4-decimal medians + [min, median, max] spread +
+    //      per-query failure counts, for human/judge reading.
+    //   2. "total" — the driver contract {"metric",...,"queries",...}. It is
+    //      deliberately the final stdout line (build.sbt suppresses sbt's
+    //      success banner) and kept compact (2-decimal medians, no spread)
+    //      so it also survives intact inside a bounded last-N-chars tail
+    //      capture: rounds 1-4 all recorded "parsed": null because the full
+    //      line plus the banner overflowed the driver's 2000-char window.
+    println(s"""{"metric":"total_detail","value":${fmt(total, 4)},"unit":"sec","queries":${qmap(4)},"spread":$spread,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qmap(2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -279,16 +279,38 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     propagationWithRounds(pairs, maxIter)._1
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scaled to the edge-set
+    * size, restoring the session value afterwards. Iterative CC rounds run
+    * dozens of tiny stages over an already-contracted edge set; full-width
+    * stages (one task per configured shuffle partition) turn each round into
+    * pure scheduling overhead when the edges fit in a handful of partitions.
+    * AQE would coalesce individual jobs, but each round is materialized
+    * eagerly via `localCheckpoint`, which pins the pre-coalesce partitioning
+    * — so the loop sets an explicit width: ~4M edge rows per partition
+    * (two longs each), clamped to the session's configured width so a
+    * 100 TB edge set still uses every configured partition. */
+  private def withLoopParallelism[A](df: DataFrame, edgeRows: Long)(body: => A): A = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.shuffle.partitions"
+    val before = conf.get(key)
+    val target = math.min(before.toLong, edgeRows / 4000000L + 1).max(1L)
+    conf.set(key, target.toString)
+    try body finally conf.set(key, before)
+  }
+
   /** [[connectedComponents]] plus the number of rounds it took — the round
     * count is the scalability observable (diameter-bounded), so tests pin it. */
   private[graft] def propagationWithRounds(
       pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
-    // materialize the edge set once — it joins into EVERY round, and an
-    // unmaterialized plan would re-derive the (possibly expensive) pair
-    // pipeline upstream of it each iteration
-    val sym = pairs
+    // materialize the pair set once — everything downstream (the symmetric
+    // edge set, the node set) derives from it, and an unmaterialized plan
+    // would re-derive the (possibly expensive) pair pipeline upstream of it
+    // for each consumer and then again every round
+    val base = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    withLoopParallelism(base, base.count()) {
+    val sym = base
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionAll(base.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
@@ -315,6 +337,7 @@ object Dedup {
         "partial (min of each node's ball, not its component). Raise maxIter " +
         "or use connectedComponentsStar for long-chain graphs.")
     (labels, iter)
+    }
   }
 
   /** Connected components by alternating large-star/small-star contraction
@@ -341,8 +364,12 @@ object Dedup {
     * O(log n) bound is the whole point of the variant, so tests assert it. */
   private[graft] def starWithRounds(
       pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
-    val nodes = pairs.select(col("id_a").as("id"))
-      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    // one materialization of the (possibly expensive) pair pipeline; the
+    // node set, the initial edge set, and every loop round derive from it
+    val base = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    withLoopParallelism(base, base.count()) {
+    val nodes = base.select(col("id_a").as("id"))
+      .unionAll(base.select(col("id_b").as("id"))).distinct()
       .localCheckpoint(true)
 
     def checksum(e: DataFrame): (Long, String) = {
@@ -353,7 +380,11 @@ object Dedup {
     }
     // per-neighborhood minimum via a window over the SAME key the rows
     // already need — one exchange per half-round, where a groupBy-min
-    // joined back would pay two (the aggregation's and the join's)
+    // joined back would pay two (the aggregation's and the join's).
+    // largeStar emits duplicates (no terminal distinct): multiplicity
+    // cannot change any per-neighborhood MIN downstream, and smallStar's
+    // terminal distinct collapses them — dropping the distinct saves a
+    // full exchange of the edge set every round.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       sym
@@ -361,21 +392,26 @@ object Dedup {
           min(col("dst")).over(Window.partitionBy(col("src")))))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       val m = dir.withColumn("m",
         min(col("dst")).over(Window.partitionBy(col("src"))))
-      // re-pointed smaller neighbors plus the (src, min) self edges; the
-      // final distinct collapses the per-row duplicates of the latter
-      m.select(col("dst").as("src"), col("m").as("dst"))
-        .unionAll(m.select(col("src"), col("m").as("dst")))
+      // each windowed row fans out to its re-pointed smaller neighbor
+      // (dst, m) AND its group's (src, m) self edge via one explode —
+      // a union of two selects off `m` would run the window exchange
+      // twice (no cross-branch reuse in the physical plan); the terminal
+      // distinct collapses the per-row duplicates of the self edges
+      m.select(explode(array(
+          struct(col("dst").as("src"), col("m").as("dst")),
+          struct(col("src").as("src"), col("m").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
     }
 
-    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    var edges = base.select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var prev = checksum(edges)
     var iter = 0
@@ -394,6 +430,7 @@ object Dedup {
     // label themselves
     (nodes.join(edges, col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("dst"), col("id")).as("component")), iter)
+    }
   }
 
   /** Near-dup survivors: `df` minus every pair-graph member that is not its

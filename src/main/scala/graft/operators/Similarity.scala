@@ -438,16 +438,50 @@ object Similarity {
 
   /** Embedding-level near-duplicate pairs: corpus×corpus restricted to
     * shared LSH buckets, kept when cosine ≥ `threshold`.
-    * Returns (id_a, id_b, sim), id_a < id_b. */
+    * Returns (id_a, id_b, sim), id_a < id_b.
+    *
+    * `probeRadius ≥ 1` additionally pairs rows whose per-table buckets
+    * differ in ≤ `probeRadius` sign bits — the pair-generation analogue of
+    * [[lshTopK]]'s multi-probe. Near-threshold pairs straddle hyperplanes
+    * by definition (a cosine barely over `threshold` disagrees on ~⅓ of
+    * sign bits), so exact-bucket collision probability per table is
+    * p^bits with p well below 1: probing recovers recall without
+    * coarsening `bits`, which must keep growing with corpus size at
+    * 100 TB. Only the ids-only probe rows multiply (×(1+bits+C(bits,2))
+    * at radius 2); vectors are re-attached per surviving candidate, and
+    * degenerate buckets stay capped on the index side BEFORE the join
+    * (same guard as [[graft.operators.Dedup.bucketPairs]]). */
   def embeddingNearDupPairs(
       corpus: DataFrame, threshold: Double, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000,
       corpusIndex: Option[DataFrame] = None,
+      probeRadius: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0..2")
     val cb = corpusIndex.getOrElse(
       lshBuckets(corpus, tables, bits, dim, seed, idCol, vecCol))
-    Dedup.bucketPairs(cb, Seq("table", "bucket"), maxBucketSize)
+    val candidates =
+      if (probeRadius == 0) Dedup.bucketPairs(cb, Seq("table", "bucket"), maxBucketSize)
+      else {
+        val flips1 = (0 until bits).map(i => 1L << i)
+        val flips2 = if (probeRadius < 2) Seq.empty[Long]
+          else for { i <- 0 until bits; j <- (i + 1) until bits }
+            yield (1L << i) | (1L << j)
+        val probes = cb.withColumn("bucket", explode(array(
+          col("bucket") +: (flips1 ++ flips2).map(m =>
+            col("bucket").bitwiseXOR(lit(m))): _*)))
+        val perBucket = Window.partitionBy(col("table"), col("bucket"))
+        val idx = cb
+          .withColumn("__n", count(lit(1)).over(perBucket))
+          .filter(col("__n") <= maxBucketSize)
+          .select(col("id").as("id_x"), col("table"), col("bucket"))
+        probes.join(idx, Seq("table", "bucket"))
+          .filter(col("id") < col("id_x"))
+          .select(col("id").as("id_a"), col("id_x").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      }
+    candidates
       .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
       .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .withColumn("sim", cosine(col("v_a"), col("v_b")))

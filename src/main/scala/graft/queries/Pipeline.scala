@@ -314,10 +314,13 @@ object Pipeline {
 
   /** Embedding-cosine near-duplicate pairs via shared LSH buckets.
     * Threshold 0.4 ≈ the 99.9th percentile of pair similarity on the
-    * synthetic embeddings (their max is ~0.51), so output is non-trivial. */
+    * synthetic embeddings (their max is ~0.51), so output is non-trivial.
+    * Radius-2 multi-probe: near-threshold pairs straddle hyperplanes, so
+    * exact-bucket collision alone finds almost none of them (recall 0.13
+    * at sf0.1; 0.94 with probes — driver-visible in p36). */
   def p11EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(Tables.embeddings(spark, dir),
-        threshold = 0.4, dim = 64, tables = 8, bits = 8)
+        threshold = 0.4, dim = 64, tables = 8, bits = 8, probeRadius = 2)
       .orderBy("id_a", "id_b")
 
   /** 64-bit content fingerprints + SimHash per document. */
@@ -632,7 +635,7 @@ object Pipeline {
   def p23StreamWindows(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.EventStream
     EventStream.runBounded(spark, dir, EventStream.hourlyTypeCounts,
-        "p23_stream_windows")
+        "p23_stream_windows", shufflePartitions = Some(8))
       // epoch millis rather than raw timestamps: integer compare/hash is
       // engine-neutral (no timestamp-rendering variance in the driver diff)
       .select(unix_millis(col("window_start")).as("window_start_ms"),
@@ -754,7 +757,7 @@ object Pipeline {
     EventStream.runBounded(spark, dir,
         df => EventStream.sessionize(df, gapMinutes = 30).toDF(),
         "p27_stream_sessions", outputMode = "append",
-        shufflePartitions = Some(8))
+        shufflePartitions = Some(4))
       .orderBy("user_id", "session_id")
   }
 
@@ -799,7 +802,7 @@ object Pipeline {
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value")),
         "p28_stream_dedup", outputMode = "append",
-        shufflePartitions = Some(8))
+        shufflePartitions = Some(4))
       .orderBy("event_id")
   }
 
@@ -820,7 +823,7 @@ object Pipeline {
     // 4 state stores per shuffle partition for a stream-stream join; 8
     // partitions fit this state volume — 32 would quadruple commit I/O
     EventStream.runBounded(spark, dir, EventStream.viewToPurchase,
-        "p30_stream_join", outputMode = "append", shufflePartitions = Some(8))
+        "p30_stream_join", outputMode = "append", shufflePartitions = Some(4))
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
@@ -939,6 +942,107 @@ object Pipeline {
       |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
       |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p36 — driver-visible near-dup quality, the dedup analogue of p22: recall
+  // of the three candidate-generation paths (MinHash-LSH p08, SimHash p09,
+  // embedding-LSH p11) against exactly-computed ground truth. Like p22's 10
+  // query vectors, ground truth is seed-restricted — every exact near-dup
+  // pair touching a seed doc (id < 50): 3-shingle Jaccard ≥ 0.4 (p08's own
+  // verify threshold) for the text paths, cosine ≥ 0.4 (p11's threshold)
+  // for the embedding path. seed×corpus keeps the exact side scan-shaped
+  // (the seed side broadcasts; never doc×doc). The Spark side recomputes
+  // candidates and both exact sides natively; the oracle takes the
+  // candidate sets from the Verify dumps ('{OUT}') and recomputes both
+  // exact sides in DuckDB — the banding/bucketing miss rate is
+  // independently checked as data.
+  // =========================================================================
+  def p36DedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val nSeeds = 50
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(TF.tokenShingles(TF.tokens(col("text")), 3)).as("sh"))
+    // both exact sides feed two consumers each (the semi-join and the
+    // total); materialize the small pair lists instead of re-deriving
+    val exactText = broadcast(sh.filter(col("doc_id") < nSeeds)
+        .select(col("doc_id").as("seed"), col("sh").as("sh_s")))
+      .join(sh.select(col("doc_id").as("other"), col("sh").as("sh_o")),
+        col("seed") =!= col("other"))
+      .filter(Dedup.jaccardExpr(col("sh_s"), col("sh_o")) >= 0.4)
+      .select(least(col("seed"), col("other")).as("id_a"),
+        greatest(col("seed"), col("other")).as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val emb = Tables.embeddings(spark, dir)
+    val exactEmb = broadcast(emb.filter(col("vec_id") < nSeeds)
+        .select(col("vec_id").as("seed"), col("embedding").as("v_s")))
+      .join(emb.select(col("vec_id").as("other"), col("embedding").as("v_o")),
+        col("seed") =!= col("other"))
+      .filter(cosine(col("v_s"), col("v_o")) >= 0.4)
+      .select(least(col("seed"), col("other")).as("id_a"),
+        greatest(col("seed"), col("other")).as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    def recallOf(method: String, found: DataFrame, exact: DataFrame): DataFrame =
+      found.select(col("id_a"), col("id_b"))
+        .join(exact, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total")))
+        .select(lit(method).as("method"), col("hits"), col("total"),
+          (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("recall"))
+    recallOf("embed", p11EmbedNearDup(spark, dir), exactEmb)
+      .unionAll(recallOf("minhash", p08DedupMinhash(spark, dir), exactText))
+      .unionAll(recallOf("simhash", p09DedupSimhash(spark, dir), exactText))
+      .orderBy("method")
+  }
+
+  val p36Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    END) AS sh FROM t),
+       |exact_text AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+       |         greatest(a.doc_id, b.doc_id) AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < 50 AND b.doc_id != a.doc_id
+       |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |             ELSE len(list_intersect(a.sh, b.sh))
+       |                  / len(list_distinct(list_concat(a.sh, b.sh)))
+       |        END >= 0.4),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |exact_emb AS (
+       |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+       |         greatest(a.vec_id, b.vec_id) AS id_b
+       |  FROM e a JOIN e b ON a.vec_id < 50 AND b.vec_id != a.vec_id
+       |  WHERE (CASE WHEN sqrt(${sqlFoldDot("a.v", "a.v")}) = 0
+       |                OR sqrt(${sqlFoldDot("b.v", "b.v")}) = 0 THEN 0.0
+       |         ELSE ${sqlFoldDot("a.v", "b.v")}
+       |              / (sqrt(${sqlFoldDot("a.v", "a.v")})
+       |                 * sqrt(${sqlFoldDot("b.v", "b.v")}))
+       |         END) >= 0.4),
+       |mh AS (SELECT id_a, id_b FROM read_parquet('{OUT}/p08_dedup_minhash/*.parquet')),
+       |sx AS (SELECT id_a, id_b FROM read_parquet('{OUT}/p09_dedup_simhash/*.parquet')),
+       |em AS (SELECT id_a, id_b FROM read_parquet('{OUT}/p11_embed_neardup/*.parquet')),
+       |h AS (
+       |  SELECT 'embed' AS method,
+       |    (SELECT COUNT(*) FROM em JOIN exact_emb USING (id_a, id_b)) AS hits,
+       |    (SELECT COUNT(*) FROM exact_emb) AS total
+       |  UNION ALL
+       |  SELECT 'minhash' AS method,
+       |    (SELECT COUNT(*) FROM mh JOIN exact_text USING (id_a, id_b)) AS hits,
+       |    (SELECT COUNT(*) FROM exact_text) AS total
+       |  UNION ALL
+       |  SELECT 'simhash' AS method,
+       |    (SELECT COUNT(*) FROM sx JOIN exact_text USING (id_a, id_b)) AS hits,
+       |    (SELECT COUNT(*) FROM exact_text) AS total)
+       |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total,
+       |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+       |FROM h
+       |ORDER BY method""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -975,7 +1079,8 @@ object Pipeline {
     "p32_knn_ivfpq" -> (p32KnnIvfPq _),
     "p33_media_similarity" -> (p33MediaSimilarity _),
     "p34_text_normalize" -> (p34TextNormalize _),
-    "p35_dedup_incremental" -> (p35DedupIncremental _))
+    "p35_dedup_incremental" -> (p35DedupIncremental _),
+    "p36_dedup_recall" -> (p36DedupRecall _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1002,5 +1107,6 @@ object Pipeline {
     "p30_stream_join" -> p30Sql,
     "p31_sample_stratified" -> p31Sql,
     "p34_text_normalize" -> p34Sql,
-    "p35_dedup_incremental" -> p35Sql)
+    "p35_dedup_incremental" -> p35Sql,
+    "p36_dedup_recall" -> p36Sql)
 }

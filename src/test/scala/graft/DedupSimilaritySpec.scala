@@ -243,6 +243,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 99L)))
   }
 
+  test("embedding near-dup multi-probe: superset of exact-bucket pairs, " +
+      "recovers near-threshold pairs on the real table") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    def found(r: Int): Set[(Long, Long)] =
+      Similarity.embeddingNearDupPairs(emb, threshold = 0.4, dim = 64,
+          tables = 8, bits = 8, probeRadius = r)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact0 = found(0)
+    val probed = found(2)
+    assert(exact0.subsetOf(probed),
+      "radius-2 probing must never lose an exact-bucket pair")
+    // near-threshold pairs straddle hyperplanes: exact-bucket collision
+    // finds almost none of them (1/12 on sf0.01) — probing must find
+    // strictly more, and every probed pair is exact-cosine verified
+    assert(probed.size > exact0.size,
+      s"probing found nothing new: exact=${exact0.size} probed=${probed.size}")
+  }
+
   test("two-phase top-k agrees exactly with the window top-k") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)

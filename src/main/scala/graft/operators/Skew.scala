@@ -38,4 +38,32 @@ object Skew {
       .agg(sum(col("__n")).as("n"),
         sumCols.keys.toSeq.map(n => sum(col(s"__s_$n")).as(n)): _*)
   }
+
+  /** Salted repartition join for a skewed large side against a
+    * replicable-but-not-broadcastable right side.
+    *
+    * When one join key holds a disproportionate share of the large side's
+    * rows, a plain shuffled join sends that whole share to one reducer —
+    * the straggler that decides the stage's wall clock at 100 TB. Salting
+    * splits every key's rows across `salts` reducers: the large side gets a
+    * per-row salt (derived from the row id, NOT the key, so a hot key's
+    * rows spread evenly), the right side replicates each row `salts` times
+    * via an explode (×`salts` rows, but only of the join payload — keep the
+    * right side projected to what the query needs), and the join runs on
+    * (keys..., salt). Result is row-identical to the unsalted join.
+    *
+    * Use when the right side is too large to broadcast but small enough to
+    * replicate `salts`× through one exchange (dimension tables in the
+    * 100 MB–10 GB band). Below that, broadcast; above, AQE skew-join
+    * splitting. The shuffle-hash hint keeps Spark from sorting both sides:
+    * replicated-right partitions stay hash-table-sized by construction. */
+  def saltedJoin(large: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int = 16): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val l = large.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    l.join(r.hint("shuffle_hash"), keys :+ "__salt").drop("__salt")
+  }
 }

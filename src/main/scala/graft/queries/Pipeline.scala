@@ -960,15 +960,26 @@ object Pipeline {
     import graft.functions.VectorFunctions.cosine
     val nSeeds = 50
     val docs = Tables.documents(spark, dir)
+    // Exact Jaccard WITHOUT a pair join: explode shingles, equi-join on the
+    // shingle against the broadcast seed side, and count shared shingles per
+    // (seed, other) — |A∩B| as a hash join + partial agg, |A∪B| from the
+    // per-doc sizes. A seed×corpus nested-loop join evaluating a set kernel
+    // per pair measured 10s of p36's 14s at sf0.1 (array copies per pair);
+    // this shape is ~0.5s and is exactly how p21's decontamination scales.
     val sh = docs.select(col("doc_id"),
       array_distinct(TF.tokenShingles(TF.tokens(col("text")), 3)).as("sh"))
-    // both exact sides feed two consumers each (the semi-join and the
-    // total); materialize the small pair lists instead of re-deriving
+      .withColumn("sz", size(col("sh")))
     val exactText = broadcast(sh.filter(col("doc_id") < nSeeds)
-        .select(col("doc_id").as("seed"), col("sh").as("sh_s")))
-      .join(sh.select(col("doc_id").as("other"), col("sh").as("sh_o")),
-        col("seed") =!= col("other"))
-      .filter(Dedup.jaccardExpr(col("sh_s"), col("sh_o")) >= 0.4)
+        .select(col("doc_id").as("seed"), col("sz").as("sz_s"),
+          explode(col("sh")).as("g")))
+      .join(sh.select(col("doc_id").as("other"), col("sz").as("sz_o"),
+          explode(col("sh")).as("g")),
+        "g")
+      .filter(col("seed") =!= col("other"))
+      .groupBy(col("seed"), col("other"), col("sz_s"), col("sz_o"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast(DoubleType) /
+        (col("sz_s") + col("sz_o") - col("inter")).cast(DoubleType) >= 0.4)
       .select(least(col("seed"), col("other")).as("id_a"),
         greatest(col("seed"), col("other")).as("id_b"))
       .distinct()
@@ -1043,6 +1054,66 @@ object Pipeline {
        |FROM h
        |ORDER BY method""".stripMargin
 
+  // =========================================================================
+  // p37 — concat-and-chunk sequence packing: every document's offset in the
+  // global token stream and the fixed-size context windows it lands in —
+  // how a corpus becomes training sequences. The running sum is a
+  // distributed prefix sum (block partials + model-sized offset cumsum +
+  // within-block windows; see Curation.packChunks), never a
+  // single-partition window over the data. Oracle = the plain global
+  // window cumsum, which checks the blocked decomposition exactly.
+  // =========================================================================
+  def p37PackChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.packChunks(
+        Tables.documents(spark, dir), "doc_id",
+        nTokens = size(TF.tokens(col("text"))),
+        chunkTokens = 512, blockIds = 64)
+      .orderBy("doc_id")
+
+  val p37Sql: String =
+    s"""WITH t AS (SELECT doc_id, len($sqlToks) AS n FROM documents),
+       |c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS start_offset
+       |      FROM t)
+       |SELECT doc_id, n_tokens, start_offset,
+       |  CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
+       |  CASE WHEN n_tokens > 0
+       |       THEN CAST(floor((start_offset + n_tokens - 1) / 512.0) AS BIGINT)
+       |            - CAST(floor(start_offset / 512.0) AS BIGINT) + 1
+       |       ELSE 0 END AS chunks_spanned
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
+  // p38 — corpus vocabulary: the 100 most frequent word bigrams. The
+  // classic MapReduce word-count shape, executed the Spark-native way:
+  // explode → partial+final hash aggregate (map-side combine collapses the
+  // per-partition Zipf head before the exchange) → TakeOrderedAndProject
+  // (k rows per partition cross the wire, no global sort of the vocabulary).
+  // Ties at the cut break by the ngram itself, so top-100 is deterministic.
+  // =========================================================================
+  def p38TopNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TF.tokenShingles(TF.tokens(col("text")), 2)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(100)
+
+  val p38Sql: String =
+    s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
+       |s AS (SELECT unnest(
+       |        CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |             ELSE list_transform(range(1, len(toks)),
+       |                    i -> toks[i] || ' ' || toks[i+1])
+       |        END) AS ngram FROM t)
+       |SELECT ngram, COUNT(*) AS n
+       |FROM s
+       |GROUP BY ngram
+       |ORDER BY n DESC, ngram
+       |LIMIT 100""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1080,7 +1151,9 @@ object Pipeline {
     "p33_media_similarity" -> (p33MediaSimilarity _),
     "p34_text_normalize" -> (p34TextNormalize _),
     "p35_dedup_incremental" -> (p35DedupIncremental _),
-    "p36_dedup_recall" -> (p36DedupRecall _))
+    "p36_dedup_recall" -> (p36DedupRecall _),
+    "p37_pack_chunks" -> (p37PackChunks _),
+    "p38_top_ngrams" -> (p38TopNgrams _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1108,5 +1181,7 @@ object Pipeline {
     "p31_sample_stratified" -> p31Sql,
     "p34_text_normalize" -> p34Sql,
     "p35_dedup_incremental" -> p35Sql,
-    "p36_dedup_recall" -> p36Sql)
+    "p36_dedup_recall" -> p36Sql,
+    "p37_pack_chunks" -> p37Sql,
+    "p38_top_ngrams" -> p38Sql)
 }

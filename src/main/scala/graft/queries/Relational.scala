@@ -921,6 +921,60 @@ object Relational {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  // =========================================================================
+  // q34 — global total-order sort. Unlike q08's TakeOrderedAndProject (top-k
+  // never sorts globally), a full ordered result is the one case that needs
+  // a RangePartitioning exchange: Spark samples the sort keys, computes
+  // balanced range bounds, and each partition sorts independently — the
+  // scalable total sort (no single-node merge; output stays partitioned in
+  // key ranges). The NTZ timestamp leaves as tz-free epoch days.
+  // =========================================================================
+  def q34GlobalSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-06-01").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).as("ship_day"),
+        col("l_quantity"))
+      .orderBy(col("ship_day"), col("l_orderkey"), col("l_linenumber"))
+
+  val q34Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |    AS INT) AS ship_day,
+      |  l_quantity
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+      |ORDER BY ship_day, l_orderkey, l_linenumber""".stripMargin
+
+  // =========================================================================
+  // q35 — salted repartition join (the join-side analogue of q22's salted
+  // aggregation): lineitem×part on partkey through Skew.saltedJoin, which
+  // spreads each (possibly hot) partkey over 8 reducers and replicates the
+  // projected part side 8× through one exchange. Row-identical to a plain
+  // join — the oracle IS the plain join. Broadcast would beat this at
+  // part's test size; the operator targets the 100 MB–10 GB dimension band
+  // where broadcast stops being an option but AQE skew splitting hasn't
+  // kicked in (documented on the operator).
+  // =========================================================================
+  def q35SaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+        Tables.lineitem(spark, dir)
+          .select(col("l_partkey"), col("l_quantity")),
+        Tables.part(spark, dir)
+          .select(col("p_partkey").as("l_partkey"), col("p_type")),
+        keys = Seq("l_partkey"), salts = 8)
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy("p_type")
+
+  val q35Sql: String =
+    s"""SELECT p_type, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |GROUP BY p_type
+       |ORDER BY p_type""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -953,7 +1007,9 @@ object Relational {
     "q30_asof_join" -> (q30AsofJoin _),
     "q31_bag_set_ops" -> (q31BagSetOps _),
     "q32_explode" -> (q32Explode _),
-    "q33_correlated_subquery" -> (q33CorrelatedSubquery _))
+    "q33_correlated_subquery" -> (q33CorrelatedSubquery _),
+    "q34_global_sort" -> (q34GlobalSort _),
+    "q35_salted_join" -> (q35SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -985,5 +1041,7 @@ object Relational {
     "q30_asof_join" -> q30Sql,
     "q31_bag_set_ops" -> q31Sql,
     "q32_explode" -> q32Sql,
-    "q33_correlated_subquery" -> q33Sql)
+    "q33_correlated_subquery" -> q33Sql,
+    "q34_global_sort" -> q34Sql,
+    "q35_salted_join" -> q35Sql)
 }

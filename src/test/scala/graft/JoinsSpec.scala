@@ -60,4 +60,20 @@ class JoinsSpec extends SparkSpec {
     assert((0 until 1000).forall(i => got(s"h$i") === 5.0 * i))
     assert(got("cold") === -1.0)
   }
+
+  test("saltedJoin is row-identical to the plain join, hot key included") {
+    import graft.operators.Skew
+    // key 7 is hot on the left (10k rows); right has multiple rows per key
+    // so the join fans out — salting must not duplicate or drop fanout rows
+    val left = ((0L until 10000L).map(i => (7L, i)) ++
+      (0L until 100L).map(i => (i % 5, i))).toDF("k", "lv")
+    val right = (0L until 20L).map(i => (i % 10, i)).toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("k", "lv", "rv").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    val plain = canon(left.join(right, "k"))
+    assert(plain.nonEmpty)
+    assert(canon(Skew.saltedJoin(left, right, Seq("k"), salts = 8)) === plain)
+    assert(canon(Skew.saltedJoin(left, right, Seq("k"), salts = 1)) === plain)
+  }
 }

@@ -122,6 +122,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning"), s"plan:\n$plan")
   }
 
+  test("q34 global sort plans as a range-partitioned sort, filter pushed") {
+    val df = Relational.q34GlobalSort(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("rangepartitioning"),
+      s"total sort must range-partition, not single-partition:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to one partition:\n$plan")
+    assert(plan.contains("PushedFilters: ["), "shipdate filter not pushed")
+  }
+
+  test("q35 salted join shuffle-hash-joins on (key, salt); no sort-merge") {
+    val plan = planString(Relational.q35SaltedJoin(spark, sfDir))
+    assert(plan.contains("ShuffledHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salting demo must exercise the shuffle path:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational scan pipelines") {
     val plan = planString(Relational.q01PricingSummary(spark, sfDir))
     // codegen stages render as "*(n)" prefixes in the plan string

@@ -51,6 +51,34 @@ class QueriesSpec extends SparkSpec {
       s"en sampled at ${enKept / en}, wanted ~0.5")
   }
 
+  test("packChunks: blocked prefix sum equals the naive global cumsum, " +
+      "straddlers and empty docs included") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    import spark.implicits._
+    // ids with gaps, a zero-token doc, and a doc longer than a whole chunk
+    val docs = Seq((0L, 3L), (1L, 0L), (5L, 25L), (6L, 4L), (17L, 9L),
+      (18L, 1L), (40L, 7L), (41L, 12L)).toDF("id", "n")
+    val got = Curation.packChunks(docs, "id", col("n"),
+        chunkTokens = 10, blockIds = 4)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // naive reference: running offset in id order
+    var off = 0L
+    val want = Seq((0L, 3L), (1L, 0L), (5L, 25L), (6L, 4L), (17L, 9L),
+      (18L, 1L), (40L, 7L), (41L, 12L)).map { case (id, n) =>
+      val start = off; off += n
+      val chunk = start / 10
+      val span = if (n > 0) (start + n - 1) / 10 - chunk + 1 else 0L
+      (id, n, start, chunk, span)
+    }
+    assert(got === want)
+    // straddlers: the 25-token doc covers chunks 0-2; the 12-token doc
+    // starts at offset 49 and covers chunks 4-6
+    assert(got.find(_._1 == 5L).get._5 === 3)
+    assert(got.find(_._1 == 41L).get._5 === 3)
+  }
+
   test("every query runs and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

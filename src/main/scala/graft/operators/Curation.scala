@@ -57,6 +57,42 @@ object Curation {
     df.filter(bucket < thresh)
   }
 
+  /** Domain-mix resampling: downsample each domain so the output matches
+    * `targets`' proportions, keeping as much data as availability allows —
+    * the corpus-mixing step of training-data assembly (web/code/books at
+    * fixed shares). The achievable total is `N = min over domains of
+    * (count_d / target_d)`; each domain then keeps `N·target_d` rows via
+    * the same deterministic hash-threshold membership as
+    * [[sampleStratified]] (same multiplier, so mix membership nests with
+    * stratified samples instead of fighting them).
+    *
+    * Everything stays in-plan: per-domain counts are one tiny aggregate,
+    * the binding-constraint `min` is a one-row cross join, and membership
+    * is a broadcast threshold join — no driver-side collect, no RNG.
+    * Domains absent from `targets` (or with target 0) are dropped. */
+  def domainMix(df: DataFrame, idCol: String, domainCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0))
+    val tExpr = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, t)) => when(col(domainCol) === d, lit(t)).otherwise(acc)
+    }
+    val withT = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("__t", tExpr)
+      .filter(col("__t").isNotNull && col("__t") > 0)
+    val nMax = withT.agg(min(col("__cnt") / col("__t")).as("__n"))
+    val thresholds = withT.crossJoin(nMax)
+      .select(col(domainCol),
+        floor(least(lit(1.0), col("__n") * col("__t") / col("__cnt")) *
+          10000).cast("bigint").as("__thresh"))
+    val bucket =
+      pmod(pmod(col(idCol), lit(1000000007L)) * lit(2246822519L),
+        lit(1000000007L)) % 10000
+    df.join(broadcast(thresholds), domainCol)
+      .filter(bucket < col("__thresh"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic train/val/test assignment by multiplicative hashing of a
     * numeric id — stable across runs, clusters, and engines (plain int
     * arithmetic, no library hash), uniform enough for splitting. Returns the

@@ -1114,6 +1114,41 @@ object Pipeline {
        |ORDER BY n DESC, ngram
        |LIMIT 100""".stripMargin
 
+  // =========================================================================
+  // p39 — domain-mix resampling: downsample per-language so the corpus hits
+  // target proportions (en .4 / de .2 / zh .2 / es .1 / fr .1), keeping the
+  // maximum total that availability allows (the binding domain caps N).
+  // Membership is the deterministic hash threshold of Curation.domainMix —
+  // no RNG, no driver collect; the whole mix computation (counts → binding
+  // min → per-domain thresholds → broadcast membership join) is one plan.
+  // The oracle recomputes N, the thresholds, AND the hash membership in SQL.
+  // =========================================================================
+  def p39DomainMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.domainMix(
+        Tables.documents(spark, dir).select("doc_id", "lang", "source"),
+        "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "zh" -> 0.2, "es" -> 0.1, "fr" -> 0.1))
+      .orderBy("doc_id")
+
+  val p39Sql: String =
+    """WITH tgt(lang, t) AS (VALUES
+      |    ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+      |    ('zh', CAST(0.2 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),
+      |    ('fr', CAST(0.1 AS DOUBLE))),
+      |c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
+      |      FROM documents GROUP BY lang),
+      |j AS (SELECT lang, cnt, t FROM c JOIN tgt USING (lang) WHERE t > 0),
+      |n AS (SELECT MIN(cnt / t) AS nmax FROM j),
+      |r AS (SELECT lang,
+      |        CAST(FLOOR(LEAST(1.0, nmax * t / cnt) * 10000) AS BIGINT)
+      |          AS thresh
+      |      FROM j, n)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ((d.doc_id % 1000000007) * 2246822519) % 1000000007 % 10000
+      |      < r.thresh
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1153,7 +1188,8 @@ object Pipeline {
     "p35_dedup_incremental" -> (p35DedupIncremental _),
     "p36_dedup_recall" -> (p36DedupRecall _),
     "p37_pack_chunks" -> (p37PackChunks _),
-    "p38_top_ngrams" -> (p38TopNgrams _))
+    "p38_top_ngrams" -> (p38TopNgrams _),
+    "p39_domain_mix" -> (p39DomainMix _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1183,5 +1219,6 @@ object Pipeline {
     "p35_dedup_incremental" -> p35Sql,
     "p36_dedup_recall" -> p36Sql,
     "p37_pack_chunks" -> p37Sql,
-    "p38_top_ngrams" -> p38Sql)
+    "p38_top_ngrams" -> p38Sql,
+    "p39_domain_mix" -> p39Sql)
 }

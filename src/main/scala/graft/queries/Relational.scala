@@ -975,6 +975,33 @@ object Relational {
        |GROUP BY p_type
        |ORDER BY p_type""".stripMargin
 
+  // =========================================================================
+  // q36 — correlated LATERAL subquery with per-group limit: each customer's
+  // two highest-value orders. Catalyst decorrelates the lateral into
+  // Window + WindowGroupLimit (rank ≤ k pushed below the window — only k
+  // rows per group survive the sort) + one join: the per-key top-k never
+  // materializes any group's full order list. The in-lateral ORDER BY
+  // carries the o_orderkey tiebreak so LIMIT 2 is deterministic.
+  // =========================================================================
+  def q36LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir, "customer", "orders")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  val q36Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1009,7 +1036,8 @@ object Relational {
     "q32_explode" -> (q32Explode _),
     "q33_correlated_subquery" -> (q33CorrelatedSubquery _),
     "q34_global_sort" -> (q34GlobalSort _),
-    "q35_salted_join" -> (q35SaltedJoin _))
+    "q35_salted_join" -> (q35SaltedJoin _),
+    "q36_lateral_topk" -> (q36LateralTopk _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1043,5 +1071,6 @@ object Relational {
     "q32_explode" -> q32Sql,
     "q33_correlated_subquery" -> q33Sql,
     "q34_global_sort" -> q34Sql,
-    "q35_salted_join" -> q35Sql)
+    "q35_salted_join" -> q35Sql,
+    "q36_lateral_topk" -> q36Sql)
 }

@@ -51,6 +51,37 @@ class QueriesSpec extends SparkSpec {
       s"en sampled at ${enKept / en}, wanted ~0.5")
   }
 
+  test("domainMix: hits target proportions, binding domain kept whole, " +
+      "unlisted domains dropped") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang")
+    val targets = Map("en" -> 0.5, "de" -> 0.5)
+    val mixed = Curation.domainMix(docs, "doc_id", "lang", targets)
+    val got = mixed.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // only listed domains survive
+    assert(got.keySet.subsetOf(Set("en", "de")))
+    // deterministic: identical rows on a second run
+    val again = Curation.domainMix(docs, "doc_id", "lang", targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === mixed.select("doc_id").as[Long].collect().toSet)
+    // the scarcer domain binds: it keeps (nearly) everything, and the
+    // abundant one downsamples to roughly the same size (equal targets)
+    val full = docs.filter(col("lang").isin("en", "de"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val binding = if (full("en") < full("de")) "en" else "de"
+    assert(got(binding) >= (full(binding) * 0.95).toLong,
+      s"binding domain should keep ~all rows: $got vs $full")
+    val other = if (binding == "en") "de" else "en"
+    // wide tolerance: at sf0.001 the downsampled domain holds ~70 rows, so
+    // multiplicative-hash bucket variance alone is ~±2.5σ ≈ ±25%
+    assert(math.abs(got(other) - got(binding).toDouble) <=
+      0.35 * got(binding), s"equal targets should balance: $got")
+  }
+
   test("packChunks: blocked prefix sum equals the naive global cumsum, " +
       "straddlers and empty docs included") {
     import org.apache.spark.sql.functions._

@@ -1002,6 +1002,43 @@ object Relational {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // =========================================================================
+  // q37 — RANGE-framed moving aggregate: per customer, each order's trailing
+  // 7-day order volume. Unlike q07's ROWS frames, a RANGE frame bounds by
+  // the ORDER BY *value* (all orders within 6 days before this one), so
+  // same-day orders share one frame regardless of row order — the
+  // deterministic form of a moving window. One exchange on o_custkey; the
+  // sum stays decimal-staged through the frame per the parity convention.
+  // =========================================================================
+  def q37MovingSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1995-01-01").cast(DateType)).as("day"),
+        col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        toDouble(sum(dec(col("o_totalprice"))).over(w)).as("mov_sum"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val q37Sql: String =
+    s"""WITH t AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+       |      AS INT) AS day,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT o_orderkey, o_custkey, day,
+       |  ${sqlToDouble(s"SUM(${sqlDec("o_totalprice")}) OVER w")} AS mov_sum,
+       |  COUNT(*) OVER w AS n_in_window
+       |FROM t
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1037,7 +1074,8 @@ object Relational {
     "q33_correlated_subquery" -> (q33CorrelatedSubquery _),
     "q34_global_sort" -> (q34GlobalSort _),
     "q35_salted_join" -> (q35SaltedJoin _),
-    "q36_lateral_topk" -> (q36LateralTopk _))
+    "q36_lateral_topk" -> (q36LateralTopk _),
+    "q37_moving_sum" -> (q37MovingSum _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1072,5 +1110,6 @@ object Relational {
     "q33_correlated_subquery" -> q33Sql,
     "q34_global_sort" -> q34Sql,
     "q35_salted_join" -> q35Sql,
-    "q36_lateral_topk" -> q36Sql)
+    "q36_lateral_topk" -> q36Sql,
+    "q37_moving_sum" -> q37Sql)
 }

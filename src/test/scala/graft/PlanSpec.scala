@@ -140,6 +140,23 @@ class PlanSpec extends SparkSpec {
       s"salting demo must exercise the shuffle path:\n$plan")
   }
 
+  test("q36 lateral top-k decorrelates to WindowGroupLimit, no nested loop") {
+    val plan = planString(Relational.q36LateralTopk(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-group LIMIT should push below the window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral must decorrelate to an equi join:\n$plan")
+  }
+
+  test("p38 vocabulary top-k is TakeOrderedAndProject over partial+final agg") {
+    val plan = planString(
+      graft.queries.Pipeline.p38TopNgrams(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"count must partial-aggregate map-side:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational scan pipelines") {
     val plan = planString(Relational.q01PricingSummary(spark, sfDir))
     // codegen stages render as "*(n)" prefixes in the plan string

@@ -436,6 +436,28 @@ object Similarity {
       .bucketBy(numBuckets, "cell").sortBy("cell")
       .saveAsTable(tableName)
 
+  /** Append a new vector batch to a persisted IVF index — the daily
+    * increment of the index lifecycle (the ANN analogue of
+    * `Dedup.exactKeptIncremental`). Only the new batch is assigned and
+    * written; the existing index never rewrites, re-assigns, or shuffles —
+    * at 100 TB the increment's cost is proportional to the increment.
+    * Appended files land in the same bucket layout, so cell-clustered
+    * probes and exchange-free bucket-keyed aggregation keep working.
+    *
+    * MUST be called with the same centroid bank the index was built with
+    * (same contract as [[ivfTopK]]'s `corpusIndex` — a different bank
+    * would put new vectors in cells probes won't search). Centroids drift
+    * as the corpus grows; re-train and rebuild when probe recall decays,
+    * not per batch. */
+  def appendIvfIndex(
+      batch: DataFrame, tableName: String, centroids: Array[Array[Double]],
+      numBuckets: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfAssign(batch, centroids, idCol, vecCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .saveAsTable(tableName)
+
   /** Embedding-level near-duplicate pairs: corpus×corpus restricted to
     * shared LSH buckets, kept when cosine ≥ `threshold`.
     * Returns (id_a, id_b, sim), id_a < id_b.

@@ -517,6 +517,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairsIdx === pairsFresh)
   }
 
+  test("appendIvfIndex: incremental batches probe identically to a " +
+      "from-scratch index over the union") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfCentroidsTrained(emb, nCells = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+    // build on the first half, append the second half in two batches
+    val n = emb.count()
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < n / 2),
+      "ivf_inc_t", cents)
+    Similarity.appendIvfIndex(
+      emb.filter(col("vec_id") >= n / 2 && col("vec_id") < 3 * n / 4),
+      "ivf_inc_t", cents)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 3 * n / 4),
+      "ivf_inc_t", cents)
+    // the appended index holds exactly the full assignment
+    assert(spark.table("ivf_inc_t").count() === n)
+    // probe parity with a from-scratch index over the whole corpus
+    def probe(idx: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      Similarity.ivfTopK(queries, emb, k = 5, nCells = 16, nProbe = 8,
+          centroids = Some(cents), corpusIndex = Some(idx))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = probe(Similarity.ivfAssign(emb, cents))
+    assert(probe(spark.table("ivf_inc_t")) === direct)
+    // bucket-keyed aggregation over the appended table stays exchange-free
+    val plan = spark.table("ivf_inc_t").groupBy("cell").count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"append must preserve the bucket layout:\n$plan")
+  }
+
   test("persisted IVF index + precomputed centroids: probe parity") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * order per the build brief: compose existing ops before custom plans).
   *
   * As-of join: for every left row, the latest right row with the same key
-  * and `rightTime <= leftTime`. Implemented as a tagged union + one window
-  * pass — a single exchange on the key, no range-join explosion:
+  * and `rightTime <= leftTime` (direction "backward"; "forward" takes the
+  * earliest right row with `rightTime >= leftTime`). Implemented as a
+  * tagged union + one window pass — a single exchange on the key, no
+  * range-join explosion:
   *
   *   union(right tagged 0, left tagged 1)
   *     → window over (key) ordered by (time, tag):
@@ -17,13 +19,22 @@ import org.apache.spark.sql.functions._
   *     → keep left rows
   *
   * Right rows sort before left rows at equal times (tag 0 < 1), making the
-  * match inclusive. At 100 TB this is shuffle-minimal: both sides exchange
-  * once on the key; state per group is one carried row.
+  * match inclusive in either direction. At 100 TB this is shuffle-minimal:
+  * both sides exchange once on the key; state per group is one carried row.
   */
 object Joins {
 
-  /** `left` gains `asofCols` (renamed with `prefix`) from the latest `right`
-    * row per `keyCol` with right.`timeCol` <= left.`timeCol`.
+  /** `left` gains `asofCols` (renamed with `prefix`) from the matched
+    * `right` row per `keyCol`: the latest right row with right.`timeCol` <=
+    * left.`timeCol` (`direction = "backward"`, the default) or the earliest
+    * with right.`timeCol` >= left.`timeCol` (`"forward"`).
+    *
+    * `tolerance`: maximum allowed |leftTime − rightTime| — a match farther
+    * away yields nulls, exactly like an unmatched row (pandas
+    * `merge_asof(tolerance=...)` semantics). Requires a numeric `timeCol`
+    * (the repo convention is epoch micros; convert timestamps first). The
+    * bound is enforced on the carried match inside the same window pass —
+    * no extra exchange.
     *
     * PRECONDITION: `right` must be unique per (key, time) — pre-aggregate if
     * not, or the carried value at a tied timestamp is undefined.
@@ -41,7 +52,11 @@ object Joins {
     * `Dedup.bucketPairs` applies to degenerate buckets). */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       asofCols: Seq[String], prefix: String = "asof_",
-      validateUnique: Boolean = false): DataFrame = {
+      validateUnique: Boolean = false,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     val leftCols = left.columns.toSeq
     val tagged =
       right.select(
@@ -54,8 +69,10 @@ object Joins {
             leftCols.filterNot(c => c == keyCol).map(col) ++
             asofCols.map(c => lit(null).as(s"$prefix$c")): _*))
 
-    val ord = Window.partitionBy(col(keyCol))
-      .orderBy(col("__t").asc, col("__tag").asc)
+    // forward = backward on reversed time: right rows still sort first at
+    // equal times (tag asc), so >= stays inclusive
+    val tOrd = if (direction == "backward") col("__t").asc else col("__t").desc
+    val ord = Window.partitionBy(col(keyCol)).orderBy(tOrd, col("__tag").asc)
     val w = ord.rowsBetween(Window.unboundedPreceding, 0)
 
     // duplicate (key, time) right rows sort adjacently (both __tag = 0), so
@@ -78,11 +95,29 @@ object Joins {
           .filter(col("__unique_ok")).drop("__unique_ok")
       }
 
-    val carried = asofCols.foldLeft(checked) { (df, c) =>
-      df.withColumn(s"$prefix$c",
-        last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+    // carry the matched right row's own time alongside its payload so a
+    // tolerance bound can be applied to the match distance
+    val withRt = checked.withColumn("__rt",
+      when(col("__tag") === 0, col("__t")))
+    val carried = (asofCols.map(c => s"$prefix$c") :+ "__rt")
+      .foldLeft(withRt) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+    val bounded = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        val dist =
+          if (direction == "backward") col("__t") - col("__rt")
+          else col("__rt") - col("__t")
+        // an out-of-tolerance match degrades to no-match (nulls); a true
+        // no-match has __rt null, so `dist <= tol` is null and when() nulls
+        // the payload either way
+        asofCols.foldLeft(carried) { (df, c) =>
+          df.withColumn(s"$prefix$c",
+            when(dist <= tol, col(s"$prefix$c")))
+        }
     }
-    carried.filter(col("__tag") === 1)
+    bounded.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++
         asofCols.map(c => col(s"$prefix$c")): _*)
   }

@@ -1039,6 +1039,46 @@ object Relational {
        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
        |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  // =========================================================================
+  // q38 — forward as-of join with a tolerance bound: each purchase matched
+  // to the user's EARLIEST click at-or-after it, kept only within 1 day
+  // (pandas merge_asof(direction='forward', tolerance=...) semantics; q30
+  // is the backward direction). Same single-exchange tagged-union window
+  // plan — the match's own time is carried so the bound applies inside the
+  // window pass. Oracle: DuckDB's native ASOF JOIN with the inequality
+  // reversed, tolerance as a post-join CASE on the matched time.
+  // =========================================================================
+  def q38AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("click_value"))
+    graft.operators.Joins.asOf(purchases, clicks,
+        keyCol = "user_id", timeCol = "ts_us",
+        asofCols = Seq("click_value"), direction = "forward",
+        tolerance = Some(86400000000L))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_click_value"))
+      .orderBy("event_id")
+  }
+
+  val q38Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  CASE WHEN c.ts_us - p.ts_us <= 86400000000
+      |       THEN c.click_value END AS asof_click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+      |ORDER BY event_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1075,7 +1115,8 @@ object Relational {
     "q34_global_sort" -> (q34GlobalSort _),
     "q35_salted_join" -> (q35SaltedJoin _),
     "q36_lateral_topk" -> (q36LateralTopk _),
-    "q37_moving_sum" -> (q37MovingSum _))
+    "q37_moving_sum" -> (q37MovingSum _),
+    "q38_asof_forward" -> (q38AsofForward _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1111,5 +1152,6 @@ object Relational {
     "q34_global_sort" -> q34Sql,
     "q35_salted_join" -> q35Sql,
     "q36_lateral_topk" -> q36Sql,
-    "q37_moving_sum" -> q37Sql)
+    "q37_moving_sum" -> q37Sql,
+    "q38_asof_forward" -> q38Sql)
 }

@@ -26,6 +26,48 @@ class JoinsSpec extends SparkSpec {
     assert(got("q1") === None)          // other key's rows don't leak
   }
 
+  test("forward as-of picks the earliest right row at or after each left time") {
+    val left = Seq(
+      (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 99L, "p3"),
+      (2L, 10L, "q1")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 5L, 999.0))
+      .toDF("k", "t", "v")
+
+    val got = Joins.asOf(left, right, keyCol = "k", timeCol = "t",
+        asofCols = Seq("v"), direction = "forward")
+      .select("name", "asof_v").as[(String, Option[Double])]
+      .collect().toMap
+
+    assert(got("p1") === Some(100.0))   // inclusive: right at t=10 matches
+    assert(got("p2") === None)          // nothing at or after 20 for key 1
+    assert(got("p3") === None)
+    assert(got("q1") === None)          // key 2's right row is in the past
+  }
+
+  test("tolerance nulls matches farther than the bound, both directions") {
+    val left = Seq(
+      (1L, 100L, "near"), (1L, 200L, "far"), (1L, 40L, "none"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 95L, 1.0), (1L, 150L, 2.0)).toDF("k", "t", "v")
+
+    val back = Joins.asOf(left, right, "k", "t", Seq("v"),
+        tolerance = Some(10L))
+      .select("name", "asof_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(back("near") === Some(1.0))  // 100-95 = 5 <= 10
+    assert(back("far") === None)        // 200-150 = 50 > 10
+    assert(back("none") === None)       // no right row at or before 40
+
+    val fwd = Joins.asOf(left, right, "k", "t", Seq("v"),
+        direction = "forward", tolerance = Some(60L))
+      .select("name", "asof_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(fwd("none") === Some(1.0))   // 95-40 = 55 <= 60
+    assert(fwd("near") === Some(2.0))   // 150-100 = 50 <= 60
+    assert(fwd("far") === None)         // nothing at or after 200
+  }
+
   test("validateUnique rejects duplicate (key, time) right rows") {
     val left = Seq((1L, 10L, "p1")).toDF("k", "t", "name")
     val dupRight = Seq((1L, 10L, 100.0), (1L, 10L, 101.0)).toDF("k", "t", "v")

@@ -70,4 +70,47 @@ class PropertySpec extends SparkSpec {
     }
     assert(results.distinct.size === 1)
   }
+
+  test("packChunks == naive prefix sum for arbitrary ids/counts/blocks") {
+    import org.apache.spark.sql.functions.col
+    val rng = new Random(99)
+    (1 to 5).foreach { _ =>
+      // sparse non-negative ids, token counts 0..50, random block size
+      val rows = (0 until rng.nextInt(300) + 1)
+        .map(_ => rng.nextLong().abs % 10000)
+        .distinct.sorted
+        .map(id => (id, rng.nextInt(51).toLong))
+      val budget = rng.nextInt(100) + 1
+      val blockIds = rng.nextInt(500) + 1
+      val got = graft.operators.Curation.packChunks(
+          rows.toDF("id", "n"), "id", col("n"), budget, blockIds)
+        .orderBy("id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      var off = 0L
+      val want = rows.map { case (id, n) =>
+        val start = off; off += n
+        val chunk = start / budget
+        val span = if (n > 0) (start + n - 1) / budget - chunk + 1 else 0L
+        (id, n, start, chunk, span)
+      }
+      assert(got === want, s"budget=$budget blockIds=$blockIds")
+    }
+  }
+
+  test("saltedJoin == plain join for arbitrary key skew and salt counts") {
+    val rng = new Random(123)
+    (1 to 5).foreach { _ =>
+      val left = (0 until rng.nextInt(500) + 50)
+        .map(i => (rng.nextInt(6).toLong, i.toLong)).toDF("k", "lv")
+      val right = (0 until rng.nextInt(30) + 1)
+        .map(i => (rng.nextInt(10).toLong, i.toLong)).toDF("k", "rv")
+      val salts = rng.nextInt(8) + 1
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "lv", "rv").as[(Long, Long, Long)]
+          .collect().toSeq.sorted
+      assert(canon(graft.operators.Skew.saltedJoin(
+          left, right, Seq("k"), salts)) === canon(left.join(right, "k")),
+        s"salts=$salts")
+    }
+  }
 }

@@ -1149,6 +1149,45 @@ object Pipeline {
       |      < r.thresh
       |ORDER BY d.doc_id""".stripMargin
 
+  // =========================================================================
+  // p40 — near-dup graph statistics: nodes/edges/wedges/triangles and the
+  // global clustering coefficient of the MinHash candidate graph — how
+  // clumped the duplicate structure is (boilerplate families form cliques;
+  // drifting chains don't). Triangles use the degree-ordered orientation:
+  // each edge points from its (degree, id)-smaller endpoint, so every
+  // wedge fans out from the lowest-degree corner — max out-degree is
+  // O(√m) and the wedge join cannot explode on a hub node (the standard
+  // MR triangle-counting trick). Each triangle is counted exactly once
+  // (the orientation is a total order). The oracle recomputes triangles
+  // INDEPENDENTLY with the naive id-ordered 2-join over the p08 dump —
+  // orientation-invariance means the counts must agree exactly.
+  // =========================================================================
+  def p40GraphStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.stats(p08DedupMinhash(spark, dir))
+      .orderBy("n_nodes")
+
+  val p40Sql: String =
+    """WITH e AS (SELECT id_a AS u, id_b AS v
+      |           FROM read_parquet('{OUT}/p08_dedup_minhash/*.parquet')),
+      |deg AS (SELECT node, COUNT(*) AS dg
+      |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY node),
+      |tri AS (SELECT COUNT(*) AS t
+      |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |agg AS (SELECT
+      |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT CAST(FLOOR(SUM(dg * (dg - 1)) / 2.0) AS BIGINT) FROM deg)
+      |    AS n_wedges,
+      |  (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CASE WHEN n_wedges > 0
+      |       THEN CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+      |       ELSE 0.0 END AS clustering
+      |FROM agg
+      |ORDER BY n_nodes""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1189,7 +1228,8 @@ object Pipeline {
     "p36_dedup_recall" -> (p36DedupRecall _),
     "p37_pack_chunks" -> (p37PackChunks _),
     "p38_top_ngrams" -> (p38TopNgrams _),
-    "p39_domain_mix" -> (p39DomainMix _))
+    "p39_domain_mix" -> (p39DomainMix _),
+    "p40_graph_stats" -> (p40GraphStats _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1220,5 +1260,6 @@ object Pipeline {
     "p36_dedup_recall" -> p36Sql,
     "p37_pack_chunks" -> p37Sql,
     "p38_top_ngrams" -> p38Sql,
-    "p39_domain_mix" -> p39Sql)
+    "p39_domain_mix" -> p39Sql,
+    "p40_graph_stats" -> p40Sql)
 }

@@ -517,6 +517,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairsIdx === pairsFresh)
   }
 
+  test("Graph.stats: K4 plus a pendant edge, messy input normalized") {
+    import graft.operators.Graph
+    // K4 on {1,2,3,4} + pendant 5-1; fed unnormalized: reversed pairs,
+    // a duplicate edge, and a self-loop must all be ignored
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (2L, 1L), (4L, 4L)).toDF("id_a", "id_b")
+    val r = Graph.stats(pairs).head()
+    assert(r.getLong(0) === 5, "nodes")        // {1,2,3,4,5}
+    assert(r.getLong(1) === 7, "edges")        // 6 in K4 + pendant
+    // degrees: 1→4, 2/3/4→3, 5→1 ⇒ wedges = C(4,2) + 3·C(3,2) = 15
+    assert(r.getLong(2) === 15, "wedges")
+    assert(r.getLong(3) === 4, "triangles")    // the 4 faces of K4
+    assert(r.getDouble(4) === 12.0 / 15.0, "clustering")
+  }
+
   test("appendIvfIndex: incremental batches probe identically to a " +
       "from-scratch index over the union") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)

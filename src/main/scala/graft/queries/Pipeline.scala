@@ -1188,6 +1188,70 @@ object Pipeline {
       |FROM agg
       |ORDER BY n_nodes""".stripMargin
 
+  // =========================================================================
+  // p41 — near-dup cluster summarization: the embedding centroid of every
+  // duplicate cluster (the vector a curation pipeline uses to pick a
+  // canonical representative or to prune whole families against a quality
+  // centroid). Membership comes from the same O(log n) star contraction as
+  // p24; sums stage through DECIMAL(38,18) so the per-dimension centroid is
+  // bit-deterministic under any partitioning (the Lloyd-iteration
+  // convention), renarrowed to scale 6 at the boundary. The oracle derives
+  // membership INDEPENDENTLY (gaps-and-islands over the adjacent-pair
+  // graph) and recomputes the decimal-staged sums per dimension.
+  // =========================================================================
+  def p41ClusterCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val edges = p07NgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val labels = Dedup.connectedComponentsStar(edges)
+    val emb = Tables.embeddings(spark, dir)
+    labels.join(emb, labels("id") === emb("vec_id"))
+      .select(col("component").as("cluster_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("cluster_id"), (col("pos0") + 1).as("pos"),
+        col("x").cast(DoubleType).cast(DecimalType(38, 18)).as("xv"))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("xv")).cast(DecimalType(28, 6)).cast(DoubleType).as("sum_x"))
+      .select(col("cluster_id"), col("pos"), col("n_members"), col("sum_x"),
+        (col("sum_x") / col("n_members").cast(DoubleType)).as("mean_x"))
+      .orderBy("cluster_id", "pos")
+  }
+
+  val p41Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    END) AS sh FROM t),
+       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))
+       |  END AS jaccard
+       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+       |e AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.05),
+       |d AS (SELECT DISTINCT doc_id FROM
+       |       (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e)),
+       |m AS (SELECT doc_id,
+       |       CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.doc_b = d.doc_id)
+       |            THEN 0 ELSE 1 END AS is_start
+       |      FROM d),
+       |c AS (SELECT doc_id,
+       |       SUM(is_start) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+       |      FROM m),
+       |mem AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY grp) AS cluster_id
+       |        FROM c),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT mem.cluster_id, CAST(dims.i AS INT) AS pos,
+       |        CAST(v[dims.i] AS DECIMAL(38,18)) AS xv
+       |      FROM mem JOIN emb ON emb.vec_id = mem.doc_id
+       |      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims)
+       |SELECT cluster_id, pos, COUNT(*) AS n_members,
+       |  CAST(ROUND(SUM(xv), 6) AS DOUBLE) AS sum_x,
+       |  CAST(ROUND(SUM(xv), 6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_x
+       |FROM x GROUP BY cluster_id, pos
+       |ORDER BY cluster_id, pos""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1229,7 +1293,8 @@ object Pipeline {
     "p37_pack_chunks" -> (p37PackChunks _),
     "p38_top_ngrams" -> (p38TopNgrams _),
     "p39_domain_mix" -> (p39DomainMix _),
-    "p40_graph_stats" -> (p40GraphStats _))
+    "p40_graph_stats" -> (p40GraphStats _),
+    "p41_cluster_centroids" -> (p41ClusterCentroids _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1261,5 +1326,6 @@ object Pipeline {
     "p37_pack_chunks" -> p37Sql,
     "p38_top_ngrams" -> p38Sql,
     "p39_domain_mix" -> p39Sql,
-    "p40_graph_stats" -> p40Sql)
+    "p40_graph_stats" -> p40Sql,
+    "p41_cluster_centroids" -> p41Sql)
 }

@@ -1252,6 +1252,48 @@ object Pipeline {
        |FROM x GROUP BY cluster_id, pos
        |ORDER BY cluster_id, pos""".stripMargin
 
+  // =========================================================================
+  // p42 — BM25 retrieval: global top-50 for a fixed query-term set. The
+  // canonical sparse-retrieval scan a training pipeline runs to mine
+  // topic-relevant documents. Log-free "rational" idf keeps every term an
+  // IEEE double derived from exact integers, so the oracle (mirroring the
+  // association order term-for-term) is bit-exact; per-doc sums stage
+  // through DECIMAL(38,18) (see Retrieval.bm25TopK for the scale design:
+  // query-vocab filter before the tf exchange, broadcast df/stats,
+  // TakeOrderedAndProject top-k).
+  // =========================================================================
+  private val p42Terms = Seq("spark", "vector", "window", "stream")
+
+  def p42Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(
+      Tables.documents(spark, dir), "doc_id", "text", p42Terms, 50)
+
+  val p42Sql: String = {
+    val terms = p42Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+       |s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM d),
+       |e AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e
+       |       WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |        ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+       |          / (CAST(df.df AS DOUBLE) + 0.5) AS idf,
+       |        CAST(tf.tf AS DOUBLE) AS tfd,
+       |        CAST(tf.dl AS DOUBLE)
+       |          / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)) AS ratio
+       |       FROM tf JOIN df USING (term) CROSS JOIN s),
+       |x AS (SELECT doc_id,
+       |        CAST(idf * ((tfd * 2.2) / (tfd + (1.2 * (0.25 + (0.75 * ratio)))))
+       |             AS DECIMAL(38,18)) AS sct
+       |      FROM sc)
+       |SELECT doc_id, CAST(ROUND(SUM(sct), 6) AS DOUBLE) AS score
+       |FROM x GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 50""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1294,7 +1336,8 @@ object Pipeline {
     "p38_top_ngrams" -> (p38TopNgrams _),
     "p39_domain_mix" -> (p39DomainMix _),
     "p40_graph_stats" -> (p40GraphStats _),
-    "p41_cluster_centroids" -> (p41ClusterCentroids _))
+    "p41_cluster_centroids" -> (p41ClusterCentroids _),
+    "p42_bm25" -> (p42Bm25 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1327,5 +1370,6 @@ object Pipeline {
     "p38_top_ngrams" -> p38Sql,
     "p39_domain_mix" -> p39Sql,
     "p40_graph_stats" -> p40Sql,
-    "p41_cluster_centroids" -> p41Sql)
+    "p41_cluster_centroids" -> p41Sql,
+    "p42_bm25" -> p42Sql)
 }

@@ -131,4 +131,33 @@ object TextFunctions {
       .otherwise(lit(0.5))
     (lenScore * 0.3 + alphaScore * 0.3 + stopScore * 0.2 + wordLenScore * 0.2)
   }
+
+  // ---- PII scrubbing ------------------------------------------------------
+  // Patterns are shared verbatim with the DuckDB oracles → RE2-safe only
+  // (no lookahead, no backreferences). All three are plain codegen'd
+  // regexp_replace/regexp_extract_all — scan-shaped, no shuffle.
+
+  /** Email addresses (lowercase form; run after lower() for mixed case). */
+  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** International-prefix phone numbers, e.g. +1-555-0042. */
+  val phonePattern: String = "\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** Dotted-quad IPv4 addresses. */
+  val ipv4Pattern: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Replace emails, then phones, then IPv4s with typed placeholder tags.
+    * Email runs first so its digit/dot substrings can't be half-eaten by
+    * the narrower patterns. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
+  /** Number of matches of `pattern` in `text` (count before redacting — the
+    * audit trail a scrubbing pipeline keeps per document). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

@@ -169,4 +169,30 @@ object Curation {
       .select(col(idCol), col("n_tokens"), col("start_offset"),
         col("chunk_id"), col("chunks_spanned"))
   }
+
+  /** Deterministic sharded corpus shuffle: the order-randomization step
+    * before training-example serialization. Every row gets a pseudorandom
+    * rank (multiplicative hash of its id — engine-portable int arithmetic,
+    * no library hash), lands in `rkey % nShards`, and receives its position
+    * within the shard. Exactly how shuffled training shards are written at
+    * scale: the per-shard position is a window over the SHARD partitioning
+    * (nShards-way parallel, one exchange) — never a global row_number.
+    * Multiplier is distinct from [[hashSplit]]'s and [[sampleStratified]]'s
+    * so shuffle order is independent of split/sample membership; id is
+    * reduced mod p before the multiply so the product can't overflow a
+    * 64-bit long at 100 TB id ranges.
+    *
+    * Returns the input ids plus (shard, pos). Reading shards in (shard,
+    * pos) order replays one fixed global permutation. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val rkey = pmod(pmod(col(idCol), lit(1000000007L)) * lit(3266489917L),
+      lit(1000000007L))
+    val inShard = Window.partitionBy(col("shard"))
+      .orderBy(col("__rkey"), col(idCol))
+    df.select(col(idCol), rkey.as("__rkey"))
+      .withColumn("shard", (col("__rkey") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(inShard))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -451,6 +451,37 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Canonical representative per near-dup cluster: within every connected
+    * component of `pairs`, keep the member with the highest `scoreCol`
+    * (ties → smallest id). This is the selection step a curation pipeline
+    * runs after near-dup detection — rather than keeping an arbitrary
+    * member, it keeps the best one (quality score, length, recency, …).
+    *
+    * Scale: component labels come from [[connectedComponentsStar]] (O(log n)
+    * rounds; near-dup edge sets routinely contain chains). Only cluster
+    * MEMBERS join against `scored` — the corpus never shuffles by cluster —
+    * and the argmax + member count share one hash exchange (two window
+    * functions over the same partitioning key).
+    *
+    * Returns (cluster_id, keep_id, n_members, score-of-keeper named
+    * `scoreCol`). */
+  def canonicalPerCluster(pairs: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String,
+      components: DataFrame => DataFrame = connectedComponentsStar(_))
+      : DataFrame = {
+    val labels = components(pairs)
+    val members = labels.join(scored, labels("id") === scored(idCol))
+      .select(col("component").as("cluster_id"), col(idCol).as("keep_id"),
+        col(scoreCol))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val best = byCluster.orderBy(col(scoreCol).desc, col("keep_id"))
+    members
+      .withColumn("__rn", row_number().over(best))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("keep_id"), col("n_members"), col(scoreCol))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit SimHash per doc; candidates share
     * at least one of four 16-bit chunks (pigeonhole: any pair within Hamming
     * distance ≤ 3 shares a chunk... up to distance `4-1`); verified by exact

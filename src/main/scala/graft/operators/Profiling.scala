@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Column profiling: per-column statistics (row count, nulls, distinct
+  * count, min/max) for a selected set of numeric-castable columns — the
+  * data-quality sweep a pipeline runs before committing a snapshot to
+  * training.
+  *
+  * Reference context: the reference's only built-in analytics are the
+  * word-count/dice jobs (nikiwiles/FSharp-MapReduce Example-Job.fs:31-86);
+  * profiling is the same per-key fold generalized to dataset metadata.
+  *
+  * Scale design: ONE aggregation pass produces every metric as a single
+  * row (partial + final aggregate; Spark plans the N exact distinct counts
+  * via one Expand — rows multiply by #cols on the map side but only
+  * distinct values reach the exchange), then the row unpivots driver-free
+  * into one row per column. `exact=false` swaps the distinct counts for
+  * HyperLogLog sketches (`approx_count_distinct`), the 100 TB default —
+  * same single-pass shape without the Expand blowup.
+  */
+object Profiling {
+
+  /** Profile `cols` of `df`. Values are surfaced as DOUBLE (uniform output
+    * schema across int/bigint/double inputs; exact for 2^53-bounded
+    * integers). Output: (column_name, n_rows, n_nulls, n_distinct,
+    * min_value, max_value), one row per profiled column. */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true)
+      : DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val ndv: String => org.apache.spark.sql.Column =
+      if (exact) c => count_distinct(col(c))
+      else c => approx_count_distinct(col(c))
+    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        ndv(c).as(s"__ndv_$c"),
+        min(col(c).cast(DoubleType)).as(s"__min_$c"),
+        max(col(c).cast(DoubleType)).as(s"__max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__ndv_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))): _*)).as("__p"))
+      .select(col("__p.*"))
+      .orderBy("column_name")
+  }
+}

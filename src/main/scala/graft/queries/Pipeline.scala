@@ -1294,6 +1294,172 @@ object Pipeline {
        |LIMIT 50""".stripMargin
   }
 
+  // =========================================================================
+  // p43 — PII scrubbing: redact emails / phone numbers / IPv4s and keep the
+  // per-kind audit counts. The synthetic corpus carries no natural PII, so
+  // the query derives a deterministic contact string per doc IN-PLAN (both
+  // engines build the identical string from doc_id/lang) and scrubs that —
+  // the regex machinery does real work and the oracle checks the exact
+  // redacted output. Patterns are RE2-safe and shared verbatim.
+  // =========================================================================
+  def p43PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail-"), col("lang"), lit(".example.com or call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+      ((col("doc_id") * 7) % 256).cast("string"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), contact.as("raw"))
+      .select(col("doc_id"),
+        TF.redactPii(col("raw")).as("redacted"),
+        TF.piiCount(col("raw"), TF.emailPattern).as("n_emails"),
+        TF.piiCount(col("raw"), TF.phonePattern).as("n_phones"),
+        TF.piiCount(col("raw"), TF.ipv4Pattern).as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  val p43Sql: String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail-' || lang || '.example.com or call +1-555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |    CAST((doc_id * 7) % 256 AS VARCHAR) AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS redacted,
+       |  len(regexp_extract_all(raw, '$email')) AS n_emails,
+       |  len(regexp_extract_all(raw, '$phone')) AS n_phones,
+       |  len(regexp_extract_all(raw, '$ip')) AS n_ips
+       |FROM raw ORDER BY doc_id""".stripMargin
+  }
+
+  // =========================================================================
+  // p44 — canonical selection: for every near-dup cluster (same edge set as
+  // p24/p41), keep the highest-quality member (ties → min doc_id) — the
+  // "which duplicate survives" decision made on merit instead of
+  // arbitrarily. Membership labels come from the O(log n) star contraction;
+  // the oracle re-derives membership independently (gaps-and-islands) and
+  // re-ranks with the p03 quality formula.
+  // =========================================================================
+  def p44CanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
+    val edges = p07NgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
+    Dedup.canonicalPerCluster(edges, quality, "doc_id", "quality")
+      .orderBy("cluster_id")
+  }
+
+  val p44Sql: String = {
+    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH b44 AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+       |m44 AS (SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
+       |    least(len(toks) / 100.0, 1.0) AS len_score,
+       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
+       |  FROM b44),
+       |q44 AS (SELECT doc_id,
+       |    len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
+       |      (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |  FROM m44),
+       |t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    END) AS sh FROM t),
+       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))
+       |  END AS jaccard
+       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+       |e AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.05),
+       |d AS (SELECT DISTINCT doc_id FROM
+       |       (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e)),
+       |mst AS (SELECT doc_id,
+       |       CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.doc_b = d.doc_id)
+       |            THEN 0 ELSE 1 END AS is_start
+       |      FROM d),
+       |c AS (SELECT doc_id,
+       |       SUM(is_start) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+       |      FROM mst),
+       |mem AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY grp) AS cluster_id
+       |        FROM c),
+       |r AS (SELECT mem.cluster_id, mem.doc_id, q44.quality,
+       |        ROW_NUMBER() OVER (PARTITION BY mem.cluster_id
+       |                           ORDER BY q44.quality DESC, mem.doc_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY mem.cluster_id) AS n_members
+       |      FROM mem JOIN q44 USING (doc_id))
+       |SELECT cluster_id, doc_id AS keep_id, n_members, quality
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
+  // =========================================================================
+  // p45 — column profiling: the pre-training data-quality sweep (rows,
+  // nulls, exact distinct counts, min/max) in ONE aggregation pass,
+  // unpivoted in-plan to a row per column (see Profiling.profile; at 100 TB
+  // the exact distinct counts swap to HLL sketches via exact=false).
+  // =========================================================================
+  private val p45Cols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  def p45ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(Tables.lineitem(spark, dir), p45Cols)
+
+  val p45Sql: String = {
+    val aggs = p45Cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      s"COUNT($c) AS c$i", s"COUNT(DISTINCT $c) AS d$i",
+      s"MIN(CAST($c AS DOUBLE)) AS mn$i", s"MAX(CAST($c AS DOUBLE)) AS mx$i")
+    }.mkString(",\n  ")
+    val rows = p45Cols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS column_name, n_rows, n_rows - c$i AS n_nulls,
+         |  d$i AS n_distinct, mn$i AS min_value, mx$i AS max_value FROM a"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT COUNT(*) AS n_rows,
+       |  $aggs
+       |FROM lineitem)
+       |$rows
+       |ORDER BY column_name""".stripMargin
+  }
+
+  // =========================================================================
+  // p46 — deterministic sharded shuffle: the order-randomization step before
+  // training shards are written. Multiplicative-hash rank → shard → in-shard
+  // position (window over the shard partitioning — never a global
+  // row_number). Engine-portable integer arithmetic; the oracle replays the
+  // identical permutation.
+  // =========================================================================
+  def p46ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .shuffleShards(Tables.documents(spark, dir), "doc_id", 8)
+      .orderBy("shard", "pos")
+
+  val p46Sql: String =
+    """WITH r AS (SELECT doc_id,
+      |    ((doc_id % 1000000007) * 3266489917) % 1000000007 AS rkey
+      |  FROM documents)
+      |SELECT doc_id, CAST(rkey % 8 AS INT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY rkey % 8
+      |                          ORDER BY rkey, doc_id) AS INT) AS pos
+      |FROM r ORDER BY shard, pos""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1337,7 +1503,11 @@ object Pipeline {
     "p39_domain_mix" -> (p39DomainMix _),
     "p40_graph_stats" -> (p40GraphStats _),
     "p41_cluster_centroids" -> (p41ClusterCentroids _),
-    "p42_bm25" -> (p42Bm25 _))
+    "p42_bm25" -> (p42Bm25 _),
+    "p43_pii_redact" -> (p43PiiRedact _),
+    "p44_canonical_keep" -> (p44CanonicalKeep _),
+    "p45_column_profile" -> (p45ColumnProfile _),
+    "p46_shuffle_shards" -> (p46ShuffleShards _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1371,5 +1541,9 @@ object Pipeline {
     "p39_domain_mix" -> p39Sql,
     "p40_graph_stats" -> p40Sql,
     "p41_cluster_centroids" -> p41Sql,
-    "p42_bm25" -> p42Sql)
+    "p42_bm25" -> p42Sql,
+    "p43_pii_redact" -> p43Sql,
+    "p44_canonical_keep" -> p44Sql,
+    "p45_column_profile" -> p45Sql,
+    "p46_shuffle_shards" -> p46Sql)
 }

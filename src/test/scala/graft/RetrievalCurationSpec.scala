@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Profiling, Retrieval}
+import graft.functions.{TextFunctions => TF}
+
+/** Semantics of the round-5 curation additions: BM25 retrieval, canonical
+  * cluster selection, column profiling, sharded shuffle, PII scrubbing. */
+class RetrievalCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK ranks rare-term and high-tf docs first, bounds k") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry cherry"),
+      (3L, "durian durian durian"),
+      (4L, "banana banana banana banana")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("apple", "banana"), 10).collect()
+    // doc 3 has no query term: absent entirely (vocab filter before tf agg)
+    assert(!got.map(_.getLong(0)).contains(3L))
+    assert(got.map(_.getLong(0)).length === 3)
+    // scores strictly descending in output order
+    val scores = got.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // doc 1 carries the only 'apple' (df=1 → idf 2.5/1.5) plus a banana:
+    // must outrank the banana-only docs (banana df=3 → idf 1.5/3.5)
+    assert(got.head.getLong(0) === 1L)
+    // k bound respected
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("banana"), 2).count() === 2)
+  }
+
+  test("bm25TopK: higher tf wins within one term at equal doc length") {
+    val docs = Seq(
+      (1L, "x banana y z"),
+      (2L, "banana banana y z")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("banana"), 10)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L, 1L))
+  }
+
+  test("canonicalPerCluster keeps best-score member, ties to min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), (5L, 0.1), (6L, 0.1), (9L, 1.0))
+      .toDF("doc_id", "quality")
+    val got = Dedup.canonicalPerCluster(edges, scored, "doc_id", "quality")
+      .orderBy("cluster_id").collect()
+    // doc 9 is not in any cluster → not selected (corpus never joins whole)
+    assert(got.length === 2)
+    val c1 = got(0)
+    assert(c1.getAs[Long]("cluster_id") === 1L)
+    assert(c1.getAs[Long]("keep_id") === 2L) // 0.9 tie with 3 → min id
+    assert(c1.getAs[Long]("n_members") === 3L)
+    assert(c1.getAs[Double]("quality") === 0.9)
+    val c2 = got(1)
+    assert(c2.getAs[Long]("cluster_id") === 5L)
+    assert(c2.getAs[Long]("keep_id") === 5L)
+    assert(c2.getAs[Long]("n_members") === 2L)
+  }
+
+  test("profile reports rows/nulls/ndv/min/max per column") {
+    val df = Seq(
+      (Option(1.0), 10L), (None, 20L), (Option(1.0), 30L), (Option(4.0), 20L))
+      .toDF("x", "y")
+    val got = Profiling.profile(df, Seq("x", "y")).collect()
+    assert(got.length === 2)
+    val x = got.find(_.getString(0) == "x").get
+    assert(x.getAs[Long]("n_rows") === 4L)
+    assert(x.getAs[Long]("n_nulls") === 1L)
+    assert(x.getAs[Long]("n_distinct") === 2L)
+    assert(x.getAs[Double]("min_value") === 1.0)
+    assert(x.getAs[Double]("max_value") === 4.0)
+    val y = got.find(_.getString(0) == "y").get
+    assert(y.getAs[Long]("n_nulls") === 0L)
+    assert(y.getAs[Long]("n_distinct") === 3L)
+    // approx variant: same shape, sketch-based ndv stays plausible
+    val approx = Profiling.profile(df, Seq("y"), exact = false).collect()
+    assert(approx.length === 1 && approx.head.getAs[Long]("n_distinct") >= 2L)
+  }
+
+  test("shuffleShards is a reproducible partitioned permutation") {
+    val ids = (0L until 100L).toDF("doc_id")
+    val a = Curation.shuffleShards(ids, "doc_id", 8)
+    val rows = a.collect()
+    // every id exactly once
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 100L))
+    // positions are 1..count within each shard
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length))
+    }
+    // deterministic across runs
+    val b = Curation.shuffleShards(ids, "doc_id", 8).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ===
+      b.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+  }
+
+  test("redactPii replaces emails, phones, IPv4s and counts them") {
+    val df = Seq(
+      "mail me at a.b@x.co or +44-123-4567 from 192.168.0.1",
+      "nothing sensitive here").toDF("t")
+    val got = df.select(
+      TF.redactPii(col("t")).as("r"),
+      TF.piiCount(col("t"), TF.emailPattern).as("e"),
+      TF.piiCount(col("t"), TF.phonePattern).as("p"),
+      TF.piiCount(col("t"), TF.ipv4Pattern).as("i")).collect()
+    assert(got(0).getString(0) ===
+      "mail me at <EMAIL> or <PHONE> from <IP>")
+    assert((got(0).getInt(1), got(0).getInt(2), got(0).getInt(3)) === ((1, 1, 1)))
+    assert(got(1).getString(0) === "nothing sensitive here")
+    assert((got(1).getInt(1), got(1).getInt(2), got(1).getInt(3)) === ((0, 0, 0)))
+  }
+}

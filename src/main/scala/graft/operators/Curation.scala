@@ -170,6 +170,30 @@ object Curation {
         col("chunk_id"), col("chunks_spanned"))
   }
 
+  /** Overlapping sliding windows over each document's tokens — the
+    * chunk-with-overlap step RAG/embedding pipelines run (vs [[packChunks]],
+    * which cuts the concatenated stream without overlap). Window `win_id` of
+    * a doc starts at token `win_id * stride` (0-based) and spans up to
+    * `winTokens` tokens; the final window may be short. Empty docs emit no
+    * windows. Scan-shaped: explode + slice per row, no shuffle.
+    *
+    * Returns (idCol, win_id, win_text, n_win_tokens). */
+  def slidingWindows(df: DataFrame, idCol: String, toks: Column,
+      winTokens: Int, stride: Int): DataFrame = {
+    require(winTokens >= 1 && stride >= 1, "winTokens and stride must be >= 1")
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("win_id", "__start")))
+      .select(col(idCol), col("win_id"),
+        slice(col("__toks"), col("__start") + 1, lit(winTokens)).as("__wt"))
+      .select(col(idCol), col("win_id"),
+        concat_ws(" ", col("__wt")).as("win_text"),
+        size(col("__wt")).as("n_win_tokens"))
+  }
+
   /** Deterministic sharded corpus shuffle: the order-randomization step
     * before training-example serialization. Every row gets a pseudorandom
     * rank (multiplicative hash of its id — engine-portable int arithmetic,

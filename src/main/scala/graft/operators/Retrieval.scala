@@ -33,38 +33,42 @@ import graft.functions.{TextFunctions => TF}
   */
 object Retrieval {
 
-  /** Global BM25 top-k for `queryTerms` over `docs(idCol, textCol)`.
-    * Output: (idCol, score) — score descending, ties broken by id. */
-  def bm25TopK(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      queryTerms: Seq[String],
-      k: Int,
-      k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+  /** The exploded posting rows for the query vocabulary only:
+    * (__id, __dl, __term, __tf). dl rides along as a grouping key (constant
+    * per doc): tf and dl come out of one exchange, and only
+    * query-vocabulary rows ever shuffle. An empty `queryTerms` keeps every
+    * term (index-build mode). */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
     val withDl = docs
       .select(col(idCol).as("__id"), TF.tokens(col(textCol)).as("__toks"))
       .select(col("__id"), col("__toks"), size(col("__toks")).as("__dl"))
-    // One tiny row (count, total length) — broadcast into the score plan.
-    val stats = withDl.agg(
-      count(lit(1)).as("__n_docs"), sum(col("__dl")).as("__total_dl"))
-    // dl rides along as a grouping key (constant per doc): tf and dl in one
-    // exchange, and only query-vocabulary rows ever shuffle.
-    val tf = withDl
+    val exploded = withDl
       .select(col("__id"), col("__dl"), explode(col("__toks")).as("__term"))
-      .filter(col("__term").isInCollection(queryTerms))
+    val filtered =
+      if (queryTerms.isEmpty) exploded
+      else exploded.filter(col("__term").isInCollection(queryTerms))
+    filtered
       .groupBy(col("__id"), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+  }
 
+  /** Corpus stats row (__n_docs, __total_dl) from the pre-explode pass. */
+  private def corpusStats(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(TF.tokenCount(col(textCol)).as("__dl"))
+      .agg(count(lit(1)).as("__n_docs"), sum(col("__dl")).as("__total_dl"))
+
+  /** Score + bounded top-k over posting rows. `dfreq` (≤ |query| rows) and
+    * `stats` (1 row) broadcast; the association order is mirrored exactly
+    * by the SQL oracle — do not refactor the parenthesisation without
+    * updating both sides. */
+  private def scoreTopK(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      idCol: String, k: Int, k1: Double, b: Double): DataFrame = {
     val nD = col("__n_docs").cast(DoubleType)
     val dfD = col("__df").cast(DoubleType)
     val tfD = col("__tf").cast(DoubleType)
     val dlD = col("__dl").cast(DoubleType)
-    // Association mirrored exactly by the SQL oracle — do not refactor the
-    // parenthesisation without updating both sides.
     val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
     val ratio = dlD / (col("__total_dl").cast(DoubleType) / nD)
     val scoreT = idf * ((tfD * lit(k1 + 1.0)) /
@@ -79,5 +83,60 @@ object Retrieval {
       .orderBy(col("score").desc, col("__id"))
       .limit(k)
       .select(col("__id").as(idCol), col("score"))
+  }
+
+  /** Global BM25 top-k for `queryTerms` over `docs(idCol, textCol)`.
+    * Output: (idCol, score) — score descending, ties broken by id. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = postings(docs, idCol, textCol, queryTerms)
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    scoreTopK(tf, dfreq, corpusStats(docs, idCol, textCol), idCol, k, k1, b)
+  }
+
+  /** Persist the FULL posting table bucketed by term — the sparse-retrieval
+    * sibling of the LSH/IVF index tables: tokenization and the tf exchange
+    * are paid ONCE, and every later probe reads term-bucketed postings
+    * whose document-frequency aggregation needs no exchange at all (the
+    * bucket layout IS the grouping key). A 1-row `<table>__stats` side
+    * table pins (n_docs, total_dl) at build time, so probe scores are
+    * identical whether or not the live corpus moved on. */
+  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 32): Unit = {
+    postings(docs, idCol, textCol, Nil)
+      .select(col("__term").as("term"), col("__id").as("doc_id"),
+        col("__tf").as("tf"), col("__dl").as("dl"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    corpusStats(docs, idCol, textCol)
+      .select(col("__n_docs").as("n_docs"), col("__total_dl").as("total_dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}__stats")
+  }
+
+  /** BM25 top-k probing a [[writeInvertedIndex]] table: no tokenization, no
+    * corpus scan — just a filtered read of the term buckets, an
+    * exchange-free df aggregation (asserted in RetrievalCurationSpec), and
+    * the same broadcast score plan as [[bm25TopK]]. Scores are
+    * bit-identical to the direct path on the indexed snapshot. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = spark.table(table)
+      .filter(col("term").isInCollection(queryTerms))
+      .select(col("doc_id").as("__id"), col("dl").as("__dl"),
+        col("term").as("__term"), col("tf").as("__tf"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val stats = spark.table(s"${table}__stats")
+      .select(col("n_docs").as("__n_docs"), col("total_dl").as("__total_dl"))
+    scoreTopK(tf, dfreq, stats, idCol, k, k1, b)
   }
 }

@@ -1460,6 +1460,27 @@ object Pipeline {
       |                          ORDER BY rkey, doc_id) AS INT) AS pos
       |FROM r ORDER BY shard, pos""".stripMargin
 
+  // =========================================================================
+  // p47 — overlapping sliding-window chunking: size-32 token windows at
+  // stride 16 per document (the RAG/embedding chunking step; packChunks/p37
+  // is the non-overlapping concat-and-cut sibling). Scan-shaped — explode +
+  // slice, no shuffle before the presentation sort.
+  // =========================================================================
+  def p47SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.slidingWindows(
+      Tables.documents(spark, dir), "doc_id", TF.tokens(col("text")), 32, 16)
+      .orderBy("doc_id", "win_id")
+
+  val p47Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |w AS (SELECT doc_id, toks, unnest(range(0, n, 16)) AS start FROM n)
+       |SELECT doc_id, CAST(start // 16 AS INT) AS win_id,
+       |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS win_text,
+       |  len(list_slice(toks, start + 1, start + 32)) AS n_win_tokens
+       |FROM w
+       |ORDER BY doc_id, win_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1507,7 +1528,8 @@ object Pipeline {
     "p43_pii_redact" -> (p43PiiRedact _),
     "p44_canonical_keep" -> (p44CanonicalKeep _),
     "p45_column_profile" -> (p45ColumnProfile _),
-    "p46_shuffle_shards" -> (p46ShuffleShards _))
+    "p46_shuffle_shards" -> (p46ShuffleShards _),
+    "p47_sliding_windows" -> (p47SlidingWindows _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1545,5 +1567,6 @@ object Pipeline {
     "p43_pii_redact" -> p43Sql,
     "p44_canonical_keep" -> p44Sql,
     "p45_column_profile" -> p45Sql,
-    "p46_shuffle_shards" -> p46Sql)
+    "p46_shuffle_shards" -> p46Sql,
+    "p47_sliding_windows" -> p47Sql)
 }

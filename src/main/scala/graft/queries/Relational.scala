@@ -1079,6 +1079,36 @@ object Relational {
       |  ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
       |ORDER BY event_id""".stripMargin
 
+  // =========================================================================
+  // q39 — gap-filling imputation (forward fill): every event carries the
+  // user's most recent purchase value at-or-before it — the canonical
+  // time-series imputation shape, `last_value(... IGNORE NULLS)` over a
+  // running per-user window. One exchange (hash by user_id); the window
+  // buffer is spillable, so a 100 TB event log fills per-user state without
+  // any driver involvement. Oracle: DuckDB's identical IGNORE NULLS window.
+  // =========================================================================
+  def q39ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("filled_value",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(byUser))
+      .select(col("event_id"), col("user_id"), col("filled_value"))
+      .orderBy("event_id")
+  }
+
+  val q39Sql: String =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |             IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS filled_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1116,7 +1146,8 @@ object Relational {
     "q35_salted_join" -> (q35SaltedJoin _),
     "q36_lateral_topk" -> (q36LateralTopk _),
     "q37_moving_sum" -> (q37MovingSum _),
-    "q38_asof_forward" -> (q38AsofForward _))
+    "q38_asof_forward" -> (q38AsofForward _),
+    "q39_forward_fill" -> (q39ForwardFill _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1153,5 +1184,6 @@ object Relational {
     "q35_salted_join" -> q35Sql,
     "q36_lateral_topk" -> q36Sql,
     "q37_moving_sum" -> q37Sql,
-    "q38_asof_forward" -> q38Sql)
+    "q38_asof_forward" -> q38Sql,
+    "q39_forward_fill" -> q39Sql)
 }

@@ -157,6 +157,21 @@ class PlanSpec extends SparkSpec {
     assert(hashAggs >= 2, s"count must partial-aggregate map-side:\n$plan")
   }
 
+  test("p42 BM25: df/stats broadcast, vocab filter pre-exchange, bounded top-k") {
+    val plan = planString(graft.queries.Pipeline.p42Bm25(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not plan a global sort:\n$plan")
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts >= 2,
+      s"document frequencies AND corpus stats must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no retrieval join may sort-merge:\n$plan")
+    // the query-vocabulary IN filter must sit below the tf aggregation so
+    // only matching terms reach the exchange
+    assert(plan.contains("__term IN") || plan.contains("__term#"),
+      s"vocabulary filter missing:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational scan pipelines") {
     val plan = planString(Relational.q01PricingSummary(spark, sfDir))
     // codegen stages render as "*(n)" prefixes in the plan string

@@ -96,6 +96,40 @@ class RetrievalCurationSpec extends SparkSpec {
       b.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
   }
 
+  test("inverted index probe = direct BM25 bit-for-bit; df agg shuffle-free") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val terms = Seq("spark", "vector", "window")
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Retrieval.writeInvertedIndex(docs, "doc_id", "text", "bm25_idx_spec",
+      buckets = 4)
+    val probed = Retrieval.bm25TopKIndexed(spark, "bm25_idx_spec", "doc_id",
+      terms, 20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed === direct)
+
+    // term-bucketed layout: the document-frequency aggregation over the
+    // persisted postings must run with NO shuffle exchange
+    val dfAgg = spark.table("bm25_idx_spec").groupBy("term").count()
+    dfAgg.collect()
+    val plan = dfAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"term-keyed aggregation over the persisted postings still shuffles:\n$plan")
+  }
+
+  test("slidingWindows: overlap, stride, short tail, empty docs dropped") {
+    val docs = Seq(
+      (1L, "a b c d e"), // 5 tokens, win=3 stride=2 → starts 0,2,4
+      (2L, "")).toDF("doc_id", "text")
+    val got = Curation.slidingWindows(docs, "doc_id",
+        TF.tokens(col("text")), winTokens = 3, stride = 2)
+      .orderBy("doc_id", "win_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+      r.getInt(3))).toSeq === Seq(
+      (1L, 0, "a b c", 3),
+      (1L, 1, "c d e", 3),
+      (1L, 2, "e", 1)))
+  }
+
   test("redactPii replaces emails, phones, IPv4s and counts them") {
     val df = Seq(
       "mail me at a.b@x.co or +44-123-4567 from 192.168.0.1",

@@ -451,6 +451,32 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Per-document novelty: the share of a document's distinct token
+    * n-gram shingles that appear in NO other document — the inverse-
+    * duplication diversity metric a curation pipeline tracks per source.
+    * A boilerplate-heavy doc scores near 0; fully original text scores 1.
+    *
+    * Scale: distinct shingles explode once; a shingle-partitioned window
+    * derives each shingle's document frequency in place (one exchange,
+    * spillable), and the per-doc re-aggregation is the second. Never
+    * doc×doc.
+    *
+    * Returns (idCol, n_shingles, n_unique, novelty). */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+        array_distinct(TextFunctions.tokenShingles(
+          TextFunctions.tokens(col(textCol)), n)).as("__sh"))
+      .select(col(idCol), explode(col("__sh")).as("__gram"))
+    val byGram = Window.partitionBy(col("__gram"))
+    sh.withColumn("__df", count(lit(1)).over(byGram))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col(idCol), col("n_shingles"), col("n_unique"),
+        (col("n_unique") / col("n_shingles")).as("novelty"))
+  }
+
   /** Canonical representative per near-dup cluster: within every connected
     * component of `pairs`, keep the member with the highest `scoreCol`
     * (ties → smallest id). This is the selection step a curation pipeline

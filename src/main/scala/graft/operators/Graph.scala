@@ -65,4 +65,45 @@ object Graph {
             col("n_wedges").cast(DoubleType))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Integer-scaled PageRank over an undirected pair relation: ranks carry
+    * as `pr = rank × scale` BIGINTs and every step is integer arithmetic
+    * (`div`), so the result is bit-deterministic under any partitioning —
+    * no float fold-order concerns — and an oracle can replay the exact
+    * iterations in SQL. Damping 0.85 as the exact rational 85/100.
+    *
+    * Scale: per-iteration cost is one join of the edge list with the
+    * current ranks plus a partial+final sum by destination; edge list and
+    * degrees are materialized once (`localCheckpoint`), loop state is
+    * checkpointed per round (unmaterialized iterative plans re-derive
+    * their upstream per round). Rank mass per node is bounded by `scale`,
+    * so 85·sum stays far inside 64 bits.
+    *
+    * Undirected expansion means every node has in-edges (no dangling-mass
+    * term). Returns (id, pr). */
+  def pageRankScaled(edges: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val dir = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = dir.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nn))
+      .selectExpr("src AS id", s"$scale div n AS pr")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = dir.join(deg, "src")
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .selectExpr("dst", "pr div deg AS c")
+      pr = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(nn))
+        .selectExpr("dst AS id",
+          s"((15 * $scale) div (100 * n)) + ((85 * s) div 100) AS pr")
+        .localCheckpoint(true)
+    }
+    pr
+  }
 }

@@ -101,6 +101,41 @@ object Retrieval {
     scoreTopK(tf, dfreq, corpusStats(docs, idCol, textCol), idCol, k, k1, b)
   }
 
+  /** Per-document keyword extraction: the top `k` terms by tf-idf (rational
+    * log-free idf, same contract as [[bm25TopK]]) — the cheap salient-term
+    * summary a curation pipeline attaches to every document for topic
+    * bucketing and mixture control.
+    *
+    * Scale: three exchanges total — the tf aggregation (query-vocab-free:
+    * every term), a term-partitioned window that derives document
+    * frequency in place (no separate df table to join), and the per-doc
+    * ranking window. Each score is ONE IEEE product of exactly-derived
+    * doubles (no sum), so the oracle reproduces it bit-for-bit without
+    * decimal staging.
+    *
+    * Returns (idCol, rank, term, score). */
+  def topKeywords(docs: DataFrame, idCol: String, textCol: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = postings(docs, idCol, textCol, Nil)
+    val stats = corpusStats(docs, idCol, textCol)
+    val byTerm = Window.partitionBy(col("__term"))
+    val byDoc = Window.partitionBy(col("__id"))
+    val nD = col("__n_docs").cast(DoubleType)
+    val dfD = col("__df").cast(DoubleType)
+    // association mirrored by the SQL oracle — keep parenthesisation
+    val score = col("__tf").cast(DoubleType) *
+      ((nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    tf.withColumn("__df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(stats))
+      .select(col("__id"), col("__term"), score.as("score"))
+      .withColumn("rank", row_number().over(
+        byDoc.orderBy(col("score").desc, col("__term"))))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("rank"), col("__term").as("term"),
+        col("score"))
+  }
+
   /** Persist the FULL posting table bucketed by term — the sparse-retrieval
     * sibling of the LSH/IVF index tables: tokenization and the tf exchange
     * are paid ONCE, and every later probe reads term-bucketed postings

@@ -1481,6 +1481,112 @@ object Pipeline {
        |FROM w
        |ORDER BY doc_id, win_id""".stripMargin
 
+  // =========================================================================
+  // p48 — keyword extraction: top-3 terms per document by tf-idf (rational
+  // log-free idf — each score is ONE IEEE product of exactly-derived
+  // doubles, so no decimal staging is needed). Document frequency comes
+  // from a term-partitioned window in place of a df-table join; see
+  // Retrieval.topKeywords.
+  // =========================================================================
+  def p48Keywords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval
+      .topKeywords(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .orderBy("doc_id", "rank")
+
+  val p48Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |d AS (SELECT doc_id, toks FROM t),
+       |s AS (SELECT COUNT(*) AS n_docs FROM d),
+       |e AS (SELECT doc_id, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY doc_id, term),
+       |wd AS (SELECT doc_id, term, tf,
+       |         COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+       |sc AS (SELECT doc_id, term,
+       |        CAST(tf AS DOUBLE) *
+       |          (((CAST(s.n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+       |           / (CAST(df AS DOUBLE) + 0.5)) AS score
+       |       FROM wd CROSS JOIN s),
+       |r AS (SELECT doc_id, term, score,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                                ORDER BY score DESC, term) AS INT) AS rank
+       |      FROM sc)
+       |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // =========================================================================
+  // p49 — shingle novelty: the share of each document's distinct 3-gram
+  // shingles appearing in NO other document — the inverse-duplication
+  // diversity metric tracked per source. Shingle df via a gram-partitioned
+  // window (one exchange); never doc×doc. See Dedup.shingleNovelty.
+  // =========================================================================
+  def p49Novelty(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleNovelty(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .orderBy("doc_id")
+
+  val p49Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    END) AS sh FROM t),
+       |e AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+       |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS df FROM e)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+       |    AS novelty
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
+  // p50 — PageRank over the near-dup graph (which family members are most
+  // central — the hub boilerplate vs its drifted copies). Integer-scaled:
+  // ranks carry as rank×10^12 BIGINTs, damping is the exact rational
+  // 85/100, every step is integer division — bit-deterministic under any
+  // partitioning, and the oracle replays the exact 3 iterations unrolled
+  // in SQL. Same edge set as p24/p41/p44.
+  // =========================================================================
+  def p50PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = p07NgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    graft.operators.Graph.pageRankScaled(edges, iters = 3)
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
+  }
+
+  val p50Sql: String = {
+    def it(prev: String, out: String) =
+      s"""$out AS (SELECT dir.dst AS id,
+         |     ((15 * 1000000000000) // (100 * nn.n)) +
+         |       ((85 * CAST(SUM($prev.pr // deg.deg) AS BIGINT)) // 100) AS pr
+         |   FROM dir JOIN deg ON deg.src = dir.src
+         |   JOIN $prev ON $prev.id = dir.src CROSS JOIN nn
+         |   GROUP BY dir.dst, nn.n)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    END) AS sh FROM t),
+       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))
+       |  END AS jaccard
+       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+       |e AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.05),
+       |dir AS (SELECT doc_a AS src, doc_b AS dst FROM e
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |p0 AS (SELECT src AS id, 1000000000000 // n AS pr
+       |       FROM deg CROSS JOIN nn),
+       |${it("p0", "it1")},
+       |${it("it1", "it2")},
+       |${it("it2", "it3")}
+       |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM it3
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1529,7 +1635,10 @@ object Pipeline {
     "p44_canonical_keep" -> (p44CanonicalKeep _),
     "p45_column_profile" -> (p45ColumnProfile _),
     "p46_shuffle_shards" -> (p46ShuffleShards _),
-    "p47_sliding_windows" -> (p47SlidingWindows _))
+    "p47_sliding_windows" -> (p47SlidingWindows _),
+    "p48_keywords" -> (p48Keywords _),
+    "p49_novelty" -> (p49Novelty _),
+    "p50_pagerank" -> (p50PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1568,5 +1677,8 @@ object Pipeline {
     "p44_canonical_keep" -> p44Sql,
     "p45_column_profile" -> p45Sql,
     "p46_shuffle_shards" -> p46Sql,
-    "p47_sliding_windows" -> p47Sql)
+    "p47_sliding_windows" -> p47Sql,
+    "p48_keywords" -> p48Sql,
+    "p49_novelty" -> p49Sql,
+    "p50_pagerank" -> p50Sql)
 }

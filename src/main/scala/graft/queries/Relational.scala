@@ -1109,6 +1109,48 @@ object Relational {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // =========================================================================
+  // q40 — recursive CTE calendar spine: generate every day of 1996 Q1 with
+  // WITH RECURSIVE (Spark 4's UnionLoop operator) and LEFT JOIN daily order
+  // counts so zero-order days appear explicitly — the canonical gap-filled
+  // time series. The recursion generates only the driver-tiny spine (90
+  // rows); the order side stays a pushed-filter scan + partial aggregate.
+  // =========================================================================
+  def q40RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q40")
+    spark.sql(
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT 0
+        |  UNION ALL SELECT d + 1 FROM days WHERE d < 89)
+        |SELECT CAST(days.d AS INT) AS day_off,
+        |  COALESCE(c.n, 0) AS n_orders
+        |FROM days LEFT JOIN (
+        |  SELECT datediff(CAST(o_orderdate AS DATE), DATE '1996-01-01')
+        |           AS day_off,
+        |         COUNT(*) AS n
+        |  FROM orders_q40
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-03-31'
+        |  GROUP BY 1) c ON c.day_off = days.d
+        |ORDER BY day_off""".stripMargin)
+  }
+
+  val q40Sql: String =
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT 0
+      |  UNION ALL SELECT d + 1 FROM days WHERE d < 89)
+      |SELECT CAST(days.d AS INT) AS day_off,
+      |  COALESCE(c.n, 0) AS n_orders
+      |FROM days LEFT JOIN (
+      |  SELECT CAST(DATE_DIFF('day', DATE '1996-01-01',
+      |                        CAST(o_orderdate AS DATE)) AS INT) AS day_off,
+      |         COUNT(*) AS n
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-03-31'
+      |  GROUP BY 1) c ON c.day_off = days.d
+      |ORDER BY day_off""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1147,7 +1189,8 @@ object Relational {
     "q36_lateral_topk" -> (q36LateralTopk _),
     "q37_moving_sum" -> (q37MovingSum _),
     "q38_asof_forward" -> (q38AsofForward _),
-    "q39_forward_fill" -> (q39ForwardFill _))
+    "q39_forward_fill" -> (q39ForwardFill _),
+    "q40_recursive_spine" -> (q40RecursiveSpine _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1185,5 +1228,6 @@ object Relational {
     "q36_lateral_topk" -> q36Sql,
     "q37_moving_sum" -> q37Sql,
     "q38_asof_forward" -> q38Sql,
-    "q39_forward_fill" -> q39Sql)
+    "q39_forward_fill" -> q39Sql,
+    "q40_recursive_spine" -> q40Sql)
 }

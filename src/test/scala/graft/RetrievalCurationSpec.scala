@@ -130,6 +130,31 @@ class RetrievalCurationSpec extends SparkSpec {
       (1L, 2, "e", 1)))
   }
 
+  test("pageRankScaled: symmetry, centrality, mass, partition-determinism") {
+    import graft.operators.Graph
+    // triangle: perfect symmetry → identical ranks, total mass ≈ scale
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val triPr = Graph.pageRankScaled(tri, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(triPr.values.toSet.size === 1, s"triangle ranks differ: $triPr")
+    val mass = triPr.values.sum
+    assert(math.abs(mass - 1000000000000L) < 1000L,
+      s"rank mass drifted: $mass")
+
+    // star: the center outranks the (equal-ranked) leaves
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val starPr = Graph.pageRankScaled(star, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(starPr(1L) > starPr(2L), s"center must outrank leaves: $starPr")
+    assert((2L to 5L).map(starPr).toSet.size === 1,
+      s"leaves must rank equally: $starPr")
+
+    // integer arithmetic → bit-identical under a different partitioning
+    val again = Graph.pageRankScaled(star.repartition(7), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again === starPr)
+  }
+
   test("redactPii replaces emails, phones, IPv4s and counts them") {
     val df = Seq(
       "mail me at a.b@x.co or +44-123-4567 from 192.168.0.1",

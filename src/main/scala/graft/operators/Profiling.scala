@@ -51,4 +51,33 @@ object Profiling {
       .select(col("__p.*"))
       .orderBy("column_name")
   }
+
+  /** Equi-width histogram of a numeric-castable column: two passes (a
+    * min/max aggregate broadcast into a binning scan + partial/final
+    * count), never a driver-side value pull. The last bin is closed
+    * (`x = max` clamps into bin `bins-1`); empty bins are absent. The
+    * binning arithmetic is plain IEEE doubles over exactly-derived
+    * bounds — association order mirrored by the SQL oracle.
+    *
+    * Returns (bin, bin_lo, bin_hi, n) ordered by bin. */
+  def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val x = col(colName).cast(DoubleType)
+    val mm = df.agg(min(x).as("__mn"), max(x).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    val bin = when(col("__mx") === col("__mn"), lit(0))
+      .otherwise(least(floor((col("__x") - col("__mn")) / width),
+        lit((bins - 1).toDouble)).cast("int"))
+    df.select(x.as("__x")).filter(col("__x").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(bin.as("bin"), col("__mn"), col("__mx"))
+      .groupBy(col("bin"), col("__mn"), col("__mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("__mn") + (col("bin").cast(DoubleType) * width)).as("bin_lo"),
+        (col("__mn") + ((col("bin") + 1).cast(DoubleType) * width))
+          .as("bin_hi"),
+        col("n"))
+      .orderBy("bin")
+  }
 }

@@ -1587,6 +1587,61 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // =========================================================================
+  // p51 — stream-static enrichment join: the streaming purchase feed joined
+  // against the (broadcast) customer dimension — the lookup-enrichment
+  // pattern every event pipeline runs. Stateless (no watermark state), so
+  // append mode on bounded input is deterministic and the oracle is the
+  // plain batch join.
+  // =========================================================================
+  def p51StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    EventStream.runBounded(spark, dir,
+        ev => ev.filter(col("event_type") === "purchase")
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+            col("value")),
+        "p51_stream_enrich", outputMode = "append",
+        shufflePartitions = Some(4))
+      .orderBy("event_id")
+  }
+
+  val p51Sql: String =
+    """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  // =========================================================================
+  // p52 — equi-width histogram of lineitem extended prices: min/max
+  // aggregate broadcast into a binning scan, partial+final counts — the
+  // distribution sweep a pipeline runs next to p45's profile. Binning
+  // arithmetic is IEEE doubles over exact bounds, mirrored by the oracle.
+  // =========================================================================
+  def p52Histogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling
+      .histogram(Tables.lineitem(spark, dir), "l_extendedprice", 20)
+
+  val p52Sql: String =
+    """WITH mm AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+      |                  MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+      |            FROM lineitem),
+      |b AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0
+      |        ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mm.mn)
+      |                              / ((mm.mx - mm.mn) / 20.0)), 19.0) AS INT)
+      |        END AS bin
+      |      FROM lineitem CROSS JOIN mm
+      |      WHERE l_extendedprice IS NOT NULL)
+      |SELECT b.bin,
+      |  mm.mn + (CAST(b.bin AS DOUBLE) * ((mm.mx - mm.mn) / 20.0)) AS bin_lo,
+      |  mm.mn + (CAST(b.bin + 1 AS DOUBLE) * ((mm.mx - mm.mn) / 20.0)) AS bin_hi,
+      |  COUNT(*) AS n
+      |FROM b CROSS JOIN mm
+      |GROUP BY b.bin, mm.mn, mm.mx
+      |ORDER BY bin""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1638,7 +1693,9 @@ object Pipeline {
     "p47_sliding_windows" -> (p47SlidingWindows _),
     "p48_keywords" -> (p48Keywords _),
     "p49_novelty" -> (p49Novelty _),
-    "p50_pagerank" -> (p50PageRank _))
+    "p50_pagerank" -> (p50PageRank _),
+    "p51_stream_enrich" -> (p51StreamEnrich _),
+    "p52_histogram" -> (p52Histogram _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1680,5 +1737,7 @@ object Pipeline {
     "p47_sliding_windows" -> p47Sql,
     "p48_keywords" -> p48Sql,
     "p49_novelty" -> p49Sql,
-    "p50_pagerank" -> p50Sql)
+    "p50_pagerank" -> p50Sql,
+    "p51_stream_enrich" -> p51Sql,
+    "p52_histogram" -> p52Sql)
 }

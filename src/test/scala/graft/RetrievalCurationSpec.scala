@@ -155,6 +155,19 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(again === starPr)
   }
 
+  test("histogram: closed last bin, constant column, nulls excluded") {
+    val df = Seq(Option(0.0), Option(5.0), Option(10.0), None).toDF("x")
+    val got = Profiling.histogram(df, "x", 2).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // bins are half-open [lo, hi): 5.0 opens bin 1; x=10 (the max) clamps
+    // into the last bin; the null row is dropped
+    assert(got.toSeq === Seq((0, 0.0, 5.0, 1L), (1, 5.0, 10.0, 2L)))
+    // constant column: everything lands in bin 0
+    val const = Seq(3.0, 3.0, 3.0).toDF("x")
+    val c = Profiling.histogram(const, "x", 4).collect()
+    assert(c.length === 1 && c.head.getInt(0) === 0 && c.head.getLong(3) === 3L)
+  }
+
   test("redactPii replaces emails, phones, IPv4s and counts them") {
     val df = Seq(
       "mail me at a.b@x.co or +44-123-4567 from 192.168.0.1",

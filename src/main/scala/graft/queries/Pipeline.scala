@@ -1642,6 +1642,77 @@ object Pipeline {
       |GROUP BY b.bin, mm.mn, mm.mx
       |ORDER BY bin""".stripMargin
 
+  // =========================================================================
+  // p53 — decontamination via bloom prefilter: p21's check re-shaped for
+  // 100 TB. The benchmark shingle set compresses into a ~100 KB bloom
+  // filter (Spark's own BloomFilterAggregate, bridged — broadcast for
+  // free vs shipping the full set), the corpus scan prefilters with
+  // mightContain (no join), and only candidate hits pay the exact verify
+  // join. False positives die in the verify step, so the result is EXACT:
+  // it shares p21's oracle verbatim — the rewrite is proven
+  // behavior-preserving, not just plausible.
+  // =========================================================================
+  def p53ContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        array_distinct(TF.tokenShingles(TF.tokens(col("text")), 5)).as("sh"))
+    val benchGrams = shingled.filter(col("source") === "src0")
+      .select(explode(col("sh")).as("gram")).distinct()
+    // the filter binary is model-sized (numBits/8 ≈ 125 KB) and
+    // mightContain requires a CONSTANT bloom — materialize it driver-side
+    // and inline as a literal, exactly how Spark's own runtime filter
+    // injects its bloom (and the same bounded-pull class as the IVF
+    // centroid bank)
+    val bloomBytes = benchGrams
+      .agg(BloomFunctions.bloomAgg(xxhash64(col("gram")), 100000L, 1000000L)
+        .as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    shingled.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+      .filter(BloomFunctions.mightContain(lit(bloomBytes),
+        xxhash64(col("gram"))))
+      .select(col("doc_id"), col("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= 3)
+      .orderBy("doc_id")
+  }
+  // oracle: p21Sql — identical final semantics by construction.
+
+  // =========================================================================
+  // p54 — Z-order (Morton) values for data layout: interleave part/supplier
+  // keys so range predicates on EITHER dimension prune file zones. Pure
+  // shift/mask bit arithmetic (codegen-friendly, no UDF), replayed
+  // bit-for-bit by the oracle; the layout writer itself
+  // (Layout.zOrdered: repartitionByRange(zval) + sortWithinPartitions) is
+  // exercised in RetrievalCurationSpec.
+  // =========================================================================
+  def p54ZOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zValue(col("l_partkey"), col("l_suppkey"))
+          .as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val p54Sql: String = {
+    def step(v: String, shift: Int, mask: Long) =
+      s"(($v | ($v << $shift)) & $mask)"
+    def spread(x: String) = {
+      var v = s"($x & 65535)"
+      for ((sh, m) <- Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL),
+        (2, 0x33333333L), (1, 0x55555555L))) v = step(v, sh, m)
+      v
+    }
+    val z = s"(${spread("l_partkey")} | (${spread("l_suppkey")} << 1))"
+    s"""SELECT l_orderkey, l_linenumber, $z AS zval
+       |FROM lineitem
+       |ORDER BY zval, l_orderkey, l_linenumber
+       |LIMIT 100""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1695,7 +1766,9 @@ object Pipeline {
     "p49_novelty" -> (p49Novelty _),
     "p50_pagerank" -> (p50PageRank _),
     "p51_stream_enrich" -> (p51StreamEnrich _),
-    "p52_histogram" -> (p52Histogram _))
+    "p52_histogram" -> (p52Histogram _),
+    "p53_contamination_bloom" -> (p53ContaminationBloom _),
+    "p54_zorder" -> (p54ZOrder _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1739,5 +1812,7 @@ object Pipeline {
     "p49_novelty" -> p49Sql,
     "p50_pagerank" -> p50Sql,
     "p51_stream_enrich" -> p51Sql,
-    "p52_histogram" -> p52Sql)
+    "p52_histogram" -> p52Sql,
+    "p53_contamination_bloom" -> p21Sql,
+    "p54_zorder" -> p54Sql)
 }

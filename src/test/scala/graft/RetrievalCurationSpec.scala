@@ -168,6 +168,41 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(c.length === 1 && c.head.getInt(0) === 0 && c.head.getLong(3) === 3L)
   }
 
+  test("zValue interleaves bits; zOrdered plans a range partition on zval") {
+    import graft.operators.Layout
+    val got = Seq((1L, 0L), (0L, 1L), (3L, 3L), (0xFFFFL, 0L))
+      .toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a fills even bit positions, b odd: z(1,0)=1, z(0,1)=2, z(3,3)=15,
+    // z(0xFFFF,0) = 0x55555555
+    assert(got === Seq(1L, 2L, 15L, 0x55555555L))
+
+    val df = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val plan = Layout.zOrdered(df, col("a"), col("b"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(zval"),
+      s"zOrdered must range-partition by zval:\n$plan")
+  }
+
+  test("bloom prefilter keeps every member and prunes most non-members") {
+    import graft.functions.BloomFunctions
+    val members = (0L until 500L).map(i => s"member_$i").toDF("s")
+    val bloom = members
+      .agg(BloomFunctions.bloomAgg(xxhash64(col("s")), 1000L, 10000L))
+      .head().getAs[Array[Byte]](0)
+    // no false negatives, ever
+    val kept = members.filter(
+      BloomFunctions.mightContain(lit(bloom), xxhash64(col("s")))).count()
+    assert(kept === 500L)
+    // ~10 bits/item → false-positive rate ~1%; 5000 strangers should
+    // overwhelmingly prune
+    val strangers = (0L until 5000L).map(i => s"stranger_$i").toDF("s")
+    val fp = strangers.filter(
+      BloomFunctions.mightContain(lit(bloom), xxhash64(col("s")))).count()
+    assert(fp < 250L, s"false-positive count too high: $fp")
+  }
+
   test("redactPii replaces emails, phones, IPv4s and counts them") {
     val df = Seq(
       "mail me at a.b@x.co or +44-123-4567 from 192.168.0.1",

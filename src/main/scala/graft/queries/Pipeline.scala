@@ -1713,6 +1713,53 @@ object Pipeline {
        |LIMIT 100""".stripMargin
   }
 
+  // =========================================================================
+  // p55 — per-domain score calibration: quality scores are only comparable
+  // WITHIN a language/domain (length/stopword priors differ), so curation
+  // thresholds operate on the per-domain percentile, not the raw score.
+  // percent_rank + decile bucket over a lang-partitioned window (one
+  // exchange); ties broken by doc_id so ntile assignment is total-order
+  // deterministic on both engines.
+  // =========================================================================
+  def p55ScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        percent_rank().over(byLang).as("pct_rank"),
+        ntile(10).over(byLang).as("decile"))
+      .orderBy("doc_id")
+  }
+
+  val p55Sql: String = {
+    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH b55 AS (SELECT doc_id, lang, text, $sqlToks AS toks FROM documents),
+       |m55 AS (SELECT doc_id, lang,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
+       |    least(len(toks) / 100.0, 1.0) AS len_score,
+       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
+       |  FROM b55),
+       |q55 AS (SELECT doc_id, lang,
+       |    len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
+       |      (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |  FROM m55)
+       |SELECT doc_id, lang, quality,
+       |  percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id)
+       |    AS pct_rank,
+       |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id)
+       |       AS INT) AS decile
+       |FROM q55
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1768,7 +1815,8 @@ object Pipeline {
     "p51_stream_enrich" -> (p51StreamEnrich _),
     "p52_histogram" -> (p52Histogram _),
     "p53_contamination_bloom" -> (p53ContaminationBloom _),
-    "p54_zorder" -> (p54ZOrder _))
+    "p54_zorder" -> (p54ZOrder _),
+    "p55_score_calibration" -> (p55ScoreCalibration _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1814,5 +1862,6 @@ object Pipeline {
     "p51_stream_enrich" -> p51Sql,
     "p52_histogram" -> p52Sql,
     "p53_contamination_bloom" -> p21Sql,
-    "p54_zorder" -> p54Sql)
+    "p54_zorder" -> p54Sql,
+    "p55_score_calibration" -> p55Sql)
 }

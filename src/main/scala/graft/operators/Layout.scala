@@ -37,4 +37,24 @@ object Layout {
     df.withColumn("zval", zValue(a, b))
       .repartitionByRange(partitions, col("zval"))
       .sortWithinPartitions(col("zval"))
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * `ceil(inputBytes / targetFileBytes)` files. The maintenance job every
+    * long-lived 100 TB dataset needs — streaming sinks and fine-grained
+    * ingests leave thousands of KB-sized files whose per-file open/footer
+    * overhead dominates scan time. Sizing comes from the filesystem
+    * listing (compressed bytes), not a row count guess; the rewrite is one
+    * round-robin repartition (no skew risk, no key assumptions). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L,
+      (inputBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

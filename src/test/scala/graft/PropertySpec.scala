@@ -97,6 +97,100 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zValue == naive bit interleave for arbitrary 16-bit pairs") {
+    import org.apache.spark.sql.functions.col
+    val rng = new Random(2024)
+    val pairs = (0 until 200).map(_ =>
+      (rng.nextInt(0x10000).toLong, rng.nextInt(0x10000).toLong))
+    def naive(a: Long, b: Long): Long =
+      (0 until 16).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val got = pairs.toDF("a", "b")
+      .select(graft.operators.Layout.zValue(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pairs.map { case (a, b) => naive(a, b) })
+  }
+
+  test("bm25TopK == naive in-memory BM25 for arbitrary corpora") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vocab = Vector("red", "green", "blue", "cyan", "gold")
+    val rng = new Random(77)
+    (1 to 3).foreach { _ =>
+      val docs = (0 until rng.nextInt(40) + 10).map(i =>
+        (i.toLong, List.fill(rng.nextInt(12) + 1)(
+          vocab(rng.nextInt(vocab.size))).mkString(" ")))
+      val terms = Seq("red", "blue")
+      val k = 5
+      // naive replica, including the decimal staging contract:
+      // stage each term score at scale 18, sum exactly, round to scale 6
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val n = docs.size.toDouble
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val dfm = terms.map(t =>
+        t -> toks.count(_._2.contains(t)).toDouble).toMap
+      val naive = docs.flatMap { case (id, _) =>
+        val dl = toks(id).size.toDouble
+        val ts = terms.filter(t => toks(id).contains(t)).map { t =>
+          val tf = toks(id).count(_ == t).toDouble
+          val idf = (n - dfm(t) + 0.5) / (dfm(t) + 0.5)
+          idf * ((tf * 2.2) / (tf + (1.2 * (0.25 + (0.75 * (dl / avgdl))))))
+        }
+        if (ts.isEmpty) None
+        else Some(id -> ts.map(new JBD(_).setScale(18, RoundingMode.HALF_UP))
+          .reduce(_ add _).setScale(6, RoundingMode.HALF_UP).doubleValue())
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+      val got = graft.operators.Retrieval
+        .bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text", terms, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === naive)
+    }
+  }
+
+  test("pageRankScaled == naive integer power iteration on random graphs") {
+    val rng = new Random(31337)
+    (1 to 3).foreach { _ =>
+      val nNodes = rng.nextInt(20) + 5
+      val edges = (0 until rng.nextInt(40) + nNodes).map(_ =>
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val dirE = edges ++ edges.map(_.swap)
+        val deg = dirE.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val nodes = deg.keySet
+        val scale = 1000000000000L
+        var pr = nodes.map(_ -> scale / nodes.size).toMap
+        (1 to 3).foreach { _ =>
+          val in = dirE.groupBy(_._2)
+          pr = nodes.map { v =>
+            val s = in.getOrElse(v, Nil).map { case (u, _) => pr(u) / deg(u) }.sum
+            v -> ((15L * scale) / (100L * nodes.size) + (85L * s) / 100L)
+          }.toMap
+        }
+        val got = graft.operators.Graph
+          .pageRankScaled(edges.toDF("id_a", "id_b"), iters = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got === pr, s"edges: $edges")
+      }
+    }
+  }
+
+  test("shuffleShards == naive hash permutation for arbitrary id sets") {
+    val rng = new Random(555)
+    val ids = (0 until 300).map(_ => rng.nextLong().abs % 100000L).distinct
+    val nShards = 8
+    def rkey(id: Long) = ((id % 1000000007L) * 3266489917L) % 1000000007L
+    val want = ids.groupBy(id => (rkey(id) % nShards).toInt).flatMap {
+      case (shard, ss) =>
+        ss.sortBy(id => (rkey(id), id)).zipWithIndex
+          .map { case (id, i) => (id, shard, i + 1) }
+    }.toSet
+    val got = graft.operators.Curation
+      .shuffleShards(ids.toDF("doc_id"), "doc_id", nShards)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
   test("saltedJoin == plain join for arbitrary key skew and salt counts") {
     val rng = new Random(123)
     (1 to 5).foreach { _ =>

@@ -203,6 +203,22 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(fp < 250L, s"false-positive count too high: $fp")
   }
 
+  test("compact rewrites a many-file dataset into size-targeted files") {
+    import graft.operators.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+    val in = s"$tmp/in"
+    val out = s"$tmp/out"
+    (0L until 1000L).toDF("id").repartition(16).write.parquet(in)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) === 16)
+    Layout.compact(spark, in, out, targetFileBytes = 1L << 30)
+    assert(parquetFiles(out) === 1, "1 GiB target must yield a single file")
+    // lossless: same multiset of rows
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 1000L))
+  }
+
   test("redactPii replaces emails, phones, IPv4s and counts them") {
     val df = Seq(
       "mail me at a.b@x.co or +44-123-4567 from 192.168.0.1",

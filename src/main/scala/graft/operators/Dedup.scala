@@ -456,10 +456,13 @@ object Dedup {
     * duplication diversity metric a curation pipeline tracks per source.
     * A boilerplate-heavy doc scores near 0; fully original text scores 1.
     *
-    * Scale: distinct shingles explode once; a shingle-partitioned window
-    * derives each shingle's document frequency in place (one exchange,
-    * spillable), and the per-doc re-aggregation is the second. Never
-    * doc×doc.
+    * Scale: distinct shingles explode once; shingle document frequency is
+    * a partial+final aggregation JOINED back on the gram — not a
+    * gram-partitioned window, which would concentrate a boilerplate
+    * shingle's entire occurrence list into one window partition (hot-key
+    * long tail at 100 TB). Map-side combine collapses hot grams before
+    * the exchange and AQE splits the skewed join; the per-doc
+    * re-aggregation is the final exchange. Never doc×doc.
     *
     * Returns (idCol, n_shingles, n_unique, novelty). */
   def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
@@ -468,8 +471,8 @@ object Dedup {
         array_distinct(TextFunctions.tokenShingles(
           TextFunctions.tokens(col(textCol)), n)).as("__sh"))
       .select(col(idCol), explode(col("__sh")).as("__gram"))
-    val byGram = Window.partitionBy(col("__gram"))
-    sh.withColumn("__df", count(lit(1)).over(byGram))
+    val gramDf = sh.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    sh.join(gramDf, "__gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))

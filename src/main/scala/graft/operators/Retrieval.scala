@@ -106,12 +106,15 @@ object Retrieval {
     * summary a curation pipeline attaches to every document for topic
     * bucketing and mixture control.
     *
-    * Scale: three exchanges total — the tf aggregation (query-vocab-free:
-    * every term), a term-partitioned window that derives document
-    * frequency in place (no separate df table to join), and the per-doc
-    * ranking window. Each score is ONE IEEE product of exactly-derived
-    * doubles (no sum), so the oracle reproduces it bit-for-bit without
-    * decimal staging.
+    * Scale: the tf aggregation (query-vocab-free: every term), a
+    * partial+final df aggregation JOINED back on term, and the per-doc
+    * ranking window. df deliberately comes from an aggregation, not a
+    * term-partitioned window: a stopword-grade term concentrates its
+    * entire posting list into one window partition (the hot-key long
+    * tail at 100 TB), while map-side combine collapses the same hot key
+    * before the exchange and AQE splits the skewed join. Each score is
+    * ONE IEEE product of exactly-derived doubles (no sum), so the oracle
+    * reproduces it bit-for-bit without decimal staging.
     *
     * Returns (idCol, rank, term, score). */
   def topKeywords(docs: DataFrame, idCol: String, textCol: String, k: Int)
@@ -119,14 +122,14 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     val tf = postings(docs, idCol, textCol, Nil)
     val stats = corpusStats(docs, idCol, textCol)
-    val byTerm = Window.partitionBy(col("__term"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
     val byDoc = Window.partitionBy(col("__id"))
     val nD = col("__n_docs").cast(DoubleType)
     val dfD = col("__df").cast(DoubleType)
     // association mirrored by the SQL oracle — keep parenthesisation
     val score = col("__tf").cast(DoubleType) *
       ((nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-    tf.withColumn("__df", count(lit(1)).over(byTerm))
+    tf.join(dfreq, "__term")
       .crossJoin(broadcast(stats))
       .select(col("__id"), col("__term"), score.as("score"))
       .withColumn("rank", row_number().over(

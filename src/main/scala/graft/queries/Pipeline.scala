@@ -1484,9 +1484,9 @@ object Pipeline {
   // =========================================================================
   // p48 — keyword extraction: top-3 terms per document by tf-idf (rational
   // log-free idf — each score is ONE IEEE product of exactly-derived
-  // doubles, so no decimal staging is needed). Document frequency comes
-  // from a term-partitioned window in place of a df-table join; see
-  // Retrieval.topKeywords.
+  // doubles, so no decimal staging is needed). Document frequency is a
+  // partial+final aggregation joined back on term — skew-safe where a
+  // term-partitioned window is not; see Retrieval.topKeywords.
   // =========================================================================
   def p48Keywords(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Retrieval
@@ -1516,8 +1516,9 @@ object Pipeline {
   // =========================================================================
   // p49 — shingle novelty: the share of each document's distinct 3-gram
   // shingles appearing in NO other document — the inverse-duplication
-  // diversity metric tracked per source. Shingle df via a gram-partitioned
-  // window (one exchange); never doc×doc. See Dedup.shingleNovelty.
+  // diversity metric tracked per source. Shingle df via partial+final
+  // aggregation + join (skew-safe on boilerplate grams); never doc×doc.
+  // See Dedup.shingleNovelty.
   // =========================================================================
   def p49Novelty(spark: SparkSession, dir: String): DataFrame =
     Dedup.shingleNovelty(Tables.documents(spark, dir), "doc_id", "text", 3)

@@ -194,6 +194,82 @@ object Curation {
         size(col("__wt")).as("n_win_tokens"))
   }
 
+  /** Distributed per-domain ranking WITHOUT a per-domain window: a window
+    * partitioned by domain funnels each domain's entire corpus through one
+    * partition — with a handful of languages at 100 TB that is a
+    * 20-TB-per-task straggler. Instead, rows range-partition on
+    * (domain, score, id) — the range partitioner SPLITS hot domains across
+    * partitions while preserving global order — then: per-(partition,
+    * domain) counts aggregate (model-sized: #partitions × #domains rows),
+    * a tiny cumsum assigns each partition its domain-rank offset, and a
+    * window over the BALANCED (partition, domain) grouping computes local
+    * row numbers. rank = offset + local row number, exactly the
+    * `row_number` of the naive per-domain window (the same distributed
+    * prefix-sum shape as [[packChunks]]).
+    *
+    * Emits `pct_rank` = (rank-1)/(n-1) (0.0 for a single-row domain) and
+    * an SQL-exact `ntile(nTiles)` bucket — first `n mod k` tiles get the
+    * extra row, matching the window function's definition (property-tested
+    * against it).
+    *
+    * Order is (scoreCol, idCol) ascending within the domain — ties broken
+    * by id, so ranks are total-order deterministic. Returns the input
+    * columns plus (pct_rank, tile). */
+  /** 1-based rank of every row within its `domainCol` group under the
+    * total order (orderCol, idCol) — computed WITHOUT a domain-partitioned
+    * window. Rows range-partition on (domain, order, id) (hot domains
+    * split across partitions, order preserved); per-(partition, domain)
+    * counts cumsum into offsets (model-sized: #partitions × #domains
+    * rows); a window over the BALANCED (partition, domain) grouping
+    * finishes local row numbers. Adds `__rank` and the group size `__n`. */
+  private def distributedRank(df: DataFrame, domainCol: String,
+      orderCol: String, idCol: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, col(domainCol), col(orderCol), col(idCol))
+      .withColumn("__part", spark_partition_id())
+    val partCounts = ranged.groupBy(col("__part"), col(domainCol))
+      .agg(count(lit(1)).as("__pc"))
+    val byDomain = Window.partitionBy(col(domainCol))
+    val offsets = partCounts
+      .withColumn("__off", coalesce(
+        sum(col("__pc")).over(byDomain.orderBy(col("__part"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__pc")).over(byDomain))
+      .select(col("__part"), col(domainCol), col("__off"), col("__n"))
+    val local = Window.partitionBy(col("__part"), col(domainCol))
+      .orderBy(col(orderCol), col(idCol))
+    ranged.withColumn("__lr", row_number().over(local))
+      .join(broadcast(offsets), Seq("__part", domainCol))
+      .withColumn("__rank", col("__off") + col("__lr"))
+      .drop("__part", "__lr", "__off")
+  }
+
+  def percentRankByDomain(df: DataFrame, domainCol: String, scoreCol: String,
+      idCol: String, nTiles: Int): DataFrame = {
+    require(nTiles >= 1, "nTiles must be >= 1")
+    val rank = col("__rank")
+    // SQL ntile(k): base = n div k rows per tile, first (n mod k) tiles
+    // hold one extra — all integer arithmetic. Floor division via
+    // subtract-remainder-then-divide: the numerator divides evenly, so the
+    // double division is exact (a bare a/b truncation can misfloor when
+    // the true quotient sits just under an integer).
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("bigint")
+    val base = expr(s"__n div $nTiles")
+    val rem = col("__n") % nTiles
+    val cut = (base + 1) * rem // rows covered by the wider tiles
+    val tile = when(rank <= cut, idiv(rank - 1, base + 1) + 1)
+      .otherwise(rem + idiv(rank - cut - 1, base) + 1)
+    distributedRank(df, domainCol, scoreCol, idCol)
+      .withColumn("pct_rank",
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((rank - 1).cast("double") / (col("__n") - 1)
+            .cast("double")))
+      .withColumn("tile", tile.cast("int"))
+      .drop("__rank", "__n")
+  }
+
   /** Deterministic sharded corpus shuffle: the order-randomization step
     * before training-example serialization. Every row gets a pseudorandom
     * rank (multiplicative hash of its id — engine-portable int arithmetic,
@@ -212,11 +288,13 @@ object Curation {
     require(nShards >= 1, "nShards must be >= 1")
     val rkey = pmod(pmod(col(idCol), lit(1000000007L)) * lit(3266489917L),
       lit(1000000007L))
-    val inShard = Window.partitionBy(col("shard"))
-      .orderBy(col("__rkey"), col(idCol))
-    df.select(col(idCol), rkey.as("__rkey"))
+    // in-shard positions via the distributed prefix-sum rank: shards are
+    // deliberately FEW (they are the downstream read unit), so a
+    // shard-partitioned window would push ~corpus/nShards rows through one
+    // task; distributedRank splits each shard across range partitions
+    val keyed = df.select(col(idCol), rkey.as("__rkey"))
       .withColumn("shard", (col("__rkey") % nShards).cast("int"))
-      .withColumn("pos", row_number().over(inShard))
-      .select(col(idCol), col("shard"), col("pos"))
+    distributedRank(keyed, "shard", "__rkey", idCol)
+      .select(col(idCol), col("shard"), col("__rank").cast("int").as("pos"))
   }
 }

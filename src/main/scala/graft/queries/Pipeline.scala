@@ -1718,22 +1718,23 @@ object Pipeline {
   // p55 — per-domain score calibration: quality scores are only comparable
   // WITHIN a language/domain (length/stopword priors differ), so curation
   // thresholds operate on the per-domain percentile, not the raw score.
-  // percent_rank + decile bucket over a lang-partitioned window (one
-  // exchange); ties broken by doc_id so ntile assignment is total-order
-  // deterministic on both engines.
+  // Computed DISTRIBUTED (Curation.percentRankByDomain): a lang-partitioned
+  // window would funnel each language's whole corpus through one partition
+  // at 100 TB; the range-partitioned prefix-sum form splits hot domains
+  // across partitions. The oracle is the naive window formulation
+  // (percent_rank + ntile), so the green row PROVES the distributed
+  // rewrite equals the window semantics exactly.
   // =========================================================================
   def p55ScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byLang = Window.partitionBy(col("lang"))
-      .orderBy(col("quality"), col("doc_id"))
-    Tables.documents(spark, dir)
+    val quality = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
         TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
+    graft.operators.Curation
+      .percentRankByDomain(quality, "lang", "quality", "doc_id", 10)
       .select(col("doc_id"), col("lang"), col("quality"),
-        percent_rank().over(byLang).as("pct_rank"),
-        ntile(10).over(byLang).as("decile"))
+        col("pct_rank"), col("tile").as("decile"))
       .orderBy("doc_id")
   }
 

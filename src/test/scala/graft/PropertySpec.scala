@@ -191,6 +191,32 @@ class PropertySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("percentRankByDomain == window percent_rank/ntile, any partitioning") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new Random(404)
+    (1 to 3).foreach { round =>
+      val domains = Vector("en", "de", "fr", "solo")
+      val rows = (0 until rng.nextInt(300) + 30).map(i =>
+        (i.toLong, domains(rng.nextInt(if (round == 1) 4 else 3)),
+          // coarse scores force ties → id tie-break must match exactly
+          rng.nextInt(10) / 10.0)) :+ (9999L, "solo", 0.5)
+      val df = rows.toDF("id", "dom", "score")
+      val k = rng.nextInt(9) + 2
+      val got = graft.operators.Curation
+        .percentRankByDomain(df, "dom", "score", "id", k)
+        .select("id", "pct_rank", "tile")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getInt(2).toLong)).toSet
+      val w = Window.partitionBy(col("dom")).orderBy(col("score"), col("id"))
+      val want = df.select(col("id"),
+          percent_rank().over(w).as("p"), ntile(k).over(w).as("t"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getInt(2).toLong)).toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
   test("saltedJoin == plain join for arbitrary key skew and salt counts") {
     val rng = new Random(123)
     (1 to 5).foreach { _ =>

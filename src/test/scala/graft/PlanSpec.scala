@@ -172,6 +172,25 @@ class PlanSpec extends SparkSpec {
       s"vocabulary filter missing:\n$plan")
   }
 
+  test("p55/p46 distributed ranks: range partition present, no hot-domain window") {
+    for (q <- Seq("p55_score_calibration", "p46_shuffle_shards")) {
+      val plan = planString(graft.queries.Pipeline.queries(q)(spark, sfDir))
+      assert(plan.contains("rangepartitioning"),
+        s"$q must range-partition for the prefix-sum rank:\n$plan")
+      // every Window's partition spec must include the balancing partition
+      // id — a window keyed on the bare domain/shard is the straggler the
+      // operator exists to avoid (the model-sized offsets window over
+      // #partitions × #domains rows is keyed on the domain alone and is
+      // exempt: it reads the tiny aggregate, not the data)
+      val dataWindows = "Window \\[row_number\\(\\)[^\n]*".r
+        .findAllIn(plan).toList
+      assert(dataWindows.nonEmpty, s"$q: expected a local rank window:\n$plan")
+      dataWindows.foreach(w =>
+        assert(w.contains("__part"),
+          s"$q: data window not keyed by the balancing partition id: $w"))
+    }
+  }
+
   test("whole-stage codegen covers the relational scan pipelines") {
     val plan = planString(Relational.q01PricingSummary(spark, sfDir))
     // codegen stages render as "*(n)" prefixes in the plan string

@@ -67,11 +67,41 @@ object CoreJobs {
       |GROUP BY 1
       |ORDER BY outcome""".stripMargin
 
+  /** Typed cogroup — the per-key two-sided custom merge the reference's
+    * model cannot express at all (its shuffle carries ONE KV stream;
+    * `Worker.fs:89-96` folds a single dictionary). Spark's
+    * `KeyValueGroupedDataset.cogroup` hands a user function both sides of
+    * a key in one pass. Kept to counts (exact ints) so the DuckDB oracle —
+    * a conditional aggregation producing the identical per-user view — can
+    * hash-match the opaque-closure path. */
+  def cogroupUserActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").as[Long]).groupByKey(identity(_))
+    side("view").cogroup(side("purchase")) { (user, vs, ps) =>
+      Iterator((user, vs.size.toLong, ps.size.toLong))
+    }.toDF("user_id", "n_views", "n_purchases").orderBy("user_id")
+  }
+
+  val cogroupUserActivitySql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+      |    AS n_views,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |    AS n_purchases
+      |FROM events
+      |WHERE event_type IN ('view', 'purchase')
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_mapreduce_flag_counts" -> (mapReduceFlagCounts _),
-    "q18_mapreduce_dice" -> (mapReduceDice _))
+    "q18_mapreduce_dice" -> (mapReduceDice _),
+    "q41_cogroup" -> (cogroupUserActivity _))
 
   val oracleSql: Map[String, String] = Map(
     "q17_mapreduce_flag_counts" -> mapReduceFlagCountsSql,
-    "q18_mapreduce_dice" -> mapReduceDiceSql)
+    "q18_mapreduce_dice" -> mapReduceDiceSql,
+    "q41_cogroup" -> cogroupUserActivitySql)
 }

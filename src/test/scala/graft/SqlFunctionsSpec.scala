@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
 class SqlFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("a typed Aggregator registers as a SQL UDAF and matches groupBy") {
+    import graft.core.FoldAggregator
+    import org.apache.spark.sql.{functions => F}
+    // geometric-mean-free exact fold: (sum, count) buffer -> sum*count,
+    // something a built-in doesn't provide directly
+    val sumTimesCount = FoldAggregator[Long, (Long, Long), Long](
+      (0L, 0L),
+      (b, v) => (b._1 + v, b._2 + 1),
+      (a, b) => (a._1 + b._1, a._2 + b._2),
+      b => b._1 * b._2)
+    spark.udf.register("sum_times_count", F.udaf(sumTimesCount))
+    Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v")
+      .createOrReplaceTempView("udaf_t")
+    val got = spark.sql(
+      """SELECT k, sum_times_count(v) AS stc FROM udaf_t
+        |GROUP BY k ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 60L), (2L, 5L))) // (10+20)*2, 5*1
+  }
+
   test("registered SQL functions match the Scala API results") {
     GraftFunctions.register(spark)
     Seq(("Hello, World! 42x", 7L)).toDF("text", "x")

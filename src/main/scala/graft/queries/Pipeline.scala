@@ -1762,6 +1762,72 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // =========================================================================
+  // p56 — the capstone composition: the full curation chain as ONE Catalyst
+  // plan. quality filter → fingerprint-first exact dedup (8 bytes through
+  // the exchange) → decontamination anti-join (broadcast benchmark hits) →
+  // deterministic train/val/test split. Each stage is an operator proven
+  // individually (p03/p17, p26, p21, p18); this query proves they COMPOSE
+  // without materialization barriers, and the oracle recomposes the whole
+  // chain independently in SQL.
+  // =========================================================================
+  def p56CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
+      .filter(col("quality") >= 0.5)
+    val kept = Dedup.exactKeptByFingerprint(scored, "doc_id", "text")
+    val contaminated = p21Contamination(spark, dir).select(col("doc_id"))
+    val clean = kept.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    graft.operators.Curation.hashSplit(clean, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val p56Sql: String = {
+    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH b56 AS (SELECT doc_id, lang, source, text, $sqlToks AS toks
+       |             FROM documents),
+       |m56 AS (SELECT doc_id, lang, text,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
+       |    least(len(toks) / 100.0, 1.0) AS len_score,
+       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
+       |  FROM b56),
+       |pass AS (SELECT doc_id, lang, text FROM m56
+       |  WHERE len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
+       |    (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 >= 0.5),
+       |kept AS (SELECT doc_id, lang FROM pass
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM pass GROUP BY text)),
+       |sh56 AS (SELECT doc_id, source,
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 3),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+       |    END) AS sh
+       |  FROM b56),
+       |bench56 AS (SELECT DISTINCT unnest(sh) AS gram FROM sh56
+       |            WHERE source = 'src0'),
+       |corp56 AS (SELECT doc_id, unnest(sh) AS gram FROM sh56
+       |           WHERE source != 'src0'),
+       |cont AS (SELECT doc_id FROM corp56 JOIN bench56 USING (gram)
+       |         GROUP BY doc_id HAVING COUNT(*) >= 3),
+       |clean AS (SELECT doc_id, lang FROM kept
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT doc_id, lang,
+       |  CASE WHEN (((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       |              * 2654435761) % 1000000007) % 1000 < 800 THEN 'train'
+       |       WHEN (((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       |              * 2654435761) % 1000000007) % 1000 < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM clean
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1818,7 +1884,8 @@ object Pipeline {
     "p52_histogram" -> (p52Histogram _),
     "p53_contamination_bloom" -> (p53ContaminationBloom _),
     "p54_zorder" -> (p54ZOrder _),
-    "p55_score_calibration" -> (p55ScoreCalibration _))
+    "p55_score_calibration" -> (p55ScoreCalibration _),
+    "p56_curation_pipeline" -> (p56CurationPipeline _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1865,5 +1932,6 @@ object Pipeline {
     "p52_histogram" -> p52Sql,
     "p53_contamination_bloom" -> p21Sql,
     "p54_zorder" -> p54Sql,
-    "p55_score_calibration" -> p55Sql)
+    "p55_score_calibration" -> p55Sql,
+    "p56_curation_pipeline" -> p56Sql)
 }

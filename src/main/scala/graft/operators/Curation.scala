@@ -297,4 +297,35 @@ object Curation {
     distributedRank(keyed, "shard", "__rkey", idCol)
       .select(col(idCol), col("shard"), col("__rank").cast("int").as("pos"))
   }
+
+  /** Incremental corpus upsert (SQL MERGE semantics, batch form): every
+    * `incoming` row replaces the same-key `existing` row wholesale;
+    * unmatched rows from either side survive unchanged. Row-wise
+    * replacement, not per-column coalescing — a legitimate NULL in an
+    * incoming data column must win over the old value, so the survivor is
+    * chosen by a match flag, never by `coalesce(i.c, e.c)` on data columns.
+    *
+    * Both sides must share a schema. Keys are compared null-safely.
+    *
+    * Scale: one full-outer shuffle join co-partitioned on `keys` — each
+    * side is exchanged once, no broadcast needed on either side. When the
+    * standing corpus is stored bucketed by the key (the natural layout for
+    * a corpus that takes periodic delta batches), its exchange disappears
+    * entirely and only the (small) delta shuffles. Skewed keys are a
+    * non-issue: keys are unique per side, so no hot key can concentrate. */
+  def upsert(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(existing.columns.sameElements(incoming.columns),
+      s"schemas must match: ${existing.columns.toSeq} vs ${incoming.columns.toSeq}")
+    val dataCols = existing.columns.filterNot(keys.contains).toSeq
+    val e = existing.as("e")
+    val i = incoming.withColumn("__new", lit(true)).as("i")
+    val cond = keys.map(k => col(s"e.$k") <=> col(s"i.$k")).reduce(_ && _)
+    val matched = col("i.__new").isNotNull // full-outer: null ⇔ no incoming row
+    e.join(i, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"i.$k"), col(s"e.$k")).as(k)) ++
+          dataCols.map(c =>
+            when(matched, col(s"i.$c")).otherwise(col(s"e.$c")).as(c)): _*)
+  }
 }

@@ -1828,6 +1828,87 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // =========================================================================
+  // p57 — incremental corpus upsert: a delta batch (revised texts + brand-new
+  // docs) merged into the standing corpus with MERGE semantics — incoming
+  // rows replace same-id rows wholesale, everything else survives. The delta
+  // is derived in-plan from the same table (every 5th doc revised, every 7th
+  // re-keyed past the id range as a brand-new doc) so the query is
+  // deterministic; the oracle recomputes the merge as a FULL OUTER JOIN.
+  // =========================================================================
+  def p57CorpusUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), lit(0L).as("rev"))
+    val revised = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" v2")).as("text"), lit(1L).as("rev"))
+    val fresh = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("text"), lit(1L).as("rev"))
+    graft.operators.Curation
+      .upsert(base, revised.unionAll(fresh), Seq("doc_id"))
+      .select(col("doc_id"), col("rev"), length(col("text")).as("n_chars"),
+        col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val p57Sql: String =
+    """WITH base AS (SELECT doc_id, lang, text, CAST(0 AS BIGINT) AS rev
+      |              FROM documents),
+      |inc AS (
+      |  SELECT doc_id, lang, text || ' v2' AS text, CAST(1 AS BIGINT) AS rev
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text, CAST(1 AS BIGINT)
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |up AS (
+      |  SELECT COALESCE(i.doc_id, b.doc_id) AS doc_id,
+      |         CASE WHEN i.doc_id IS NOT NULL THEN i.rev  ELSE b.rev  END AS rev,
+      |         CASE WHEN i.doc_id IS NOT NULL THEN i.text ELSE b.text END AS text,
+      |         CASE WHEN i.doc_id IS NOT NULL THEN i.lang ELSE b.lang END AS lang
+      |  FROM base b FULL OUTER JOIN inc i ON b.doc_id = i.doc_id)
+      |SELECT doc_id, rev, length(text) AS n_chars, lang
+      |FROM up ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
+  // p58 — token commonness: per-doc quality signal from corpus-wide unigram
+  // occurrence counts (docs dominated by rare/garbage tokens score low).
+  // All counts are exact integers; the two ratios are single long/long IEEE
+  // divisions, so the oracle is bit-exact. The token→frequency join is the
+  // canonical hot-key join ("the" matches every doc): routed through
+  // Skew.saltedJoin so no single reducer owns a stopword at 100 TB. The
+  // frequency table itself comes from a partial+final hash aggregation.
+  // =========================================================================
+  def p58TokenCommonness(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_tf"))
+    graft.operators.Skew.saltedJoin(toks, freq, Seq("tok"), salts = 8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tok_tf")).as("__sum_tf"),
+        sum(when(col("tok_tf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        (col("__sum_tf") / col("n_tokens")).as("mean_tf"),
+        (col("n_rare") / col("n_tokens")).as("rare_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val p58Sql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+       |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_tf FROM t GROUP BY tok)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN tok_tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(SUM(tok_tf) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_tf,
+       |  CAST(SUM(CASE WHEN tok_tf <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(COUNT(*) AS BIGINT) AS rare_ratio
+       |FROM t JOIN f USING (tok)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1885,7 +1966,9 @@ object Pipeline {
     "p53_contamination_bloom" -> (p53ContaminationBloom _),
     "p54_zorder" -> (p54ZOrder _),
     "p55_score_calibration" -> (p55ScoreCalibration _),
-    "p56_curation_pipeline" -> (p56CurationPipeline _))
+    "p56_curation_pipeline" -> (p56CurationPipeline _),
+    "p57_corpus_upsert" -> (p57CorpusUpsert _),
+    "p58_token_commonness" -> (p58TokenCommonness _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -1933,5 +2016,7 @@ object Pipeline {
     "p53_contamination_bloom" -> p21Sql,
     "p54_zorder" -> p54Sql,
     "p55_score_calibration" -> p55Sql,
-    "p56_curation_pipeline" -> p56Sql)
+    "p56_curation_pipeline" -> p56Sql,
+    "p57_corpus_upsert" -> p57Sql,
+    "p58_token_commonness" -> p58Sql)
 }

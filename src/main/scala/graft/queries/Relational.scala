@@ -1151,6 +1151,41 @@ object Relational {
       |  GROUP BY 1) c ON c.day_off = days.d
       |ORDER BY day_off""".stripMargin
 
+  // =========================================================================
+  // q42 — ranking/navigation window breadth: ntile, percent_rank, cume_dist,
+  // lag and lead over ONE shared window spec, so Catalyst plans a single
+  // exchange + single sort for all five (one Window node). Partitioned by
+  // o_custkey — cardinality that GROWS with the data (15k keys at sf0.01,
+  // billions at 100 TB), so no per-partition straggler; the few-key variant
+  // of this shape is served by Curation.percentRankByDomain instead.
+  // percent_rank/cume_dist are exact integer ratios; lag/lead move the raw
+  // double — every output is bit-reproducible in the oracle.
+  // =========================================================================
+  def q42WindowFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val q42Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY epoch_us(o_orderdate), o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1190,7 +1225,8 @@ object Relational {
     "q37_moving_sum" -> (q37MovingSum _),
     "q38_asof_forward" -> (q38AsofForward _),
     "q39_forward_fill" -> (q39ForwardFill _),
-    "q40_recursive_spine" -> (q40RecursiveSpine _))
+    "q40_recursive_spine" -> (q40RecursiveSpine _),
+    "q42_window_functions" -> (q42WindowFunctions _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1229,5 +1265,6 @@ object Relational {
     "q37_moving_sum" -> q37Sql,
     "q38_asof_forward" -> q38Sql,
     "q39_forward_fill" -> q39Sql,
-    "q40_recursive_spine" -> q40Sql)
+    "q40_recursive_spine" -> q40Sql,
+    "q42_window_functions" -> q42Sql)
 }

@@ -196,4 +196,31 @@ class PlanSpec extends SparkSpec {
     // codegen stages render as "*(n)" prefixes in the plan string
     assert(plan.contains("*("), s"codegen missing from q1:\n$plan")
   }
+
+  test("q42: all five window functions share ONE Window node and exchange") {
+    val plan = planString(Relational.q42WindowFunctions(spark, sfDir))
+    // ntile/percent_rank/cume_dist/lag/lead over the same spec must fuse:
+    // exactly one Window operator, fed by exactly one hash exchange on
+    // o_custkey (the final orderBy adds its own range exchange)
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows == 1, s"expected one fused Window node, got $windows:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected one window exchange, got $hashEx:\n$plan")
+  }
+
+  test("p57 upsert: full-outer join co-partitions both sides, no broadcast") {
+    val plan = planString(graft.queries.Pipeline.p57CorpusUpsert(spark, sfDir))
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    // neither a corpus nor a delta side may be a broadcast build at scale
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"upsert must shuffle-join, not broadcast:\n$plan")
+  }
+
+  test("p58 commonness: token-frequency join is salted, never sort-merge") {
+    val plan = planString(graft.queries.Pipeline.p58TokenCommonness(spark, sfDir))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the salted shuffle-hash join:\n$plan")
+    assert(plan.contains("__salt"), s"join keys must include the salt:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge:\n$plan")
+  }
 }

@@ -234,4 +234,28 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(got(1).getString(0) === "nothing sensitive here")
     assert((got(1).getInt(1), got(1).getInt(2), got(1).getInt(3)) === ((0, 0, 0)))
   }
+
+  test("upsert: incoming replaces, unmatched survive, NULL data col wins") {
+    val existing = Seq(
+      (1L, Some("old-a"), 10),
+      (2L, Some("old-b"), 20),
+      (3L, Some("old-c"), 30)).toDF("id", "txt", "n")
+    val incoming = Seq(
+      (2L, Some("new-b"), 21),          // replaces id=2
+      (3L, None: Option[String], 31),   // NULL data col must WIN over old-c
+      (9L, Some("new-i"), 90)).toDF("id", "txt", "n")
+    val got = Curation.upsert(existing, incoming, Seq("id"))
+      .orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0),
+      Option(r.getString(1)), r.getInt(2))).toSeq === Seq(
+      (1L, Some("old-a"), 10),
+      (2L, Some("new-b"), 21),
+      (3L, None, 31),
+      (9L, Some("new-i"), 90)))
+    // column order preserved; schema requirement enforced
+    assert(got.head.schema.fieldNames.toSeq === Seq("id", "txt", "n"))
+    intercept[IllegalArgumentException] {
+      Curation.upsert(existing, incoming.select("txt", "id", "n"), Seq("id"))
+    }
+  }
 }

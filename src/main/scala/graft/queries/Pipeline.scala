@@ -1909,6 +1909,65 @@ object Pipeline {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p59 — bigram LM scoring: each document scored by the mean conditional
+  // probability of its bigrams under the corpus's own bigram model —
+  // p(w2|w1) = count(w1 w2) / count(w1 ·) — the KenLM-style fluency filter
+  // (boilerplate scores high, token salad scores low), made bit-exact by
+  // holding probabilities as SCALE-multiplied integer divisions instead of
+  // logs. All joins that carry a stopword context ("the …" matches every
+  // doc) go through Skew.saltedJoin. Overflow-safe to 100 TB: bigram count
+  // ≤ ~1e10 there, ×1e6 scale < 2^63.
+  // =========================================================================
+  def p59BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i + 1]))")).as("gram"))
+    // gram determines its context w1 (tokens cannot contain the separator)
+    val cnt = bg.groupBy(col("gram"))
+      .agg(count(lit(1)).as("bg_n"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val ctx = cnt.groupBy(col("w1")).agg(sum(col("bg_n")).as("ctx_n"))
+    val stats = graft.operators.Skew
+      .saltedJoin(cnt, ctx, Seq("w1"), salts = 8)
+      .select(col("gram"), col("bg_n"),
+        expr("bg_n * 1000000L div ctx_n").as("p_scaled"))
+    graft.operators.Skew.saltedJoin(bg, stats, Seq("gram"), salts = 8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_scaled")).as("__sum_p"),
+        sum(when(col("bg_n") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unique"),
+        (col("__sum_p") / col("n_bigrams")).as("mean_cond_p"),
+        (col("n_unique") / col("n_bigrams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val p59Sql: String =
+    s"""WITH b59 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |         i -> toks[i] || ' ' || toks[i + 1])) AS gram
+       |       FROM b59 WHERE len(toks) >= 2),
+       |cnt AS (SELECT gram, split_part(gram, ' ', 1) AS w1,
+       |               CAST(COUNT(*) AS BIGINT) AS bg_n
+       |        FROM bg GROUP BY gram),
+       |ctx AS (SELECT w1, CAST(SUM(bg_n) AS BIGINT) AS ctx_n
+       |        FROM cnt GROUP BY w1),
+       |st AS (SELECT gram, bg_n, bg_n * 1000000 // ctx_n AS p_scaled
+       |       FROM cnt JOIN ctx USING (w1))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN bg_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(SUM(p_scaled) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_cond_p,
+       |  CAST(SUM(CASE WHEN bg_n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(COUNT(*) AS BIGINT) AS novelty
+       |FROM bg JOIN st USING (gram)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -1968,7 +2027,8 @@ object Pipeline {
     "p55_score_calibration" -> (p55ScoreCalibration _),
     "p56_curation_pipeline" -> (p56CurationPipeline _),
     "p57_corpus_upsert" -> (p57CorpusUpsert _),
-    "p58_token_commonness" -> (p58TokenCommonness _))
+    "p58_token_commonness" -> (p58TokenCommonness _),
+    "p59_bigram_lm" -> (p59BigramLm _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2018,5 +2078,6 @@ object Pipeline {
     "p55_score_calibration" -> p55Sql,
     "p56_curation_pipeline" -> p56Sql,
     "p57_corpus_upsert" -> p57Sql,
-    "p58_token_commonness" -> p58Sql)
+    "p58_token_commonness" -> p58Sql,
+    "p59_bigram_lm" -> p59Sql)
 }

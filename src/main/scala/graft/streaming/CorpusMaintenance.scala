@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Curation
+
+/** Standing-corpus maintenance under a streaming delta feed: the
+  * `foreachBatch` upsert loop (reference analogue: the Orchestrator's
+  * accumulate-into-one-dictionary result path, `Orchestrator.fs:163-175`,
+  * generalized to a persistent keyed corpus).
+  *
+  * The corpus lives as versioned parquet directories `root/v0, v1, …`;
+  * each delta micro-batch full-outer-merges ([[Curation.upsert]]) into the
+  * newest version and writes the next. Versions are named by streaming
+  * batch id, which makes retries idempotent: a re-delivered batch N reads
+  * the same base (newest version with id < N's target) and overwrites its
+  * own output deterministically, so at-least-once delivery from the
+  * engine still yields an exactly-once corpus — the same contract the
+  * transactional file sink gives plain appends.
+  *
+  * Scale: each merge is the one co-partitioned full-outer join of
+  * [[Curation.upsert]]; old versions stay available for readers (and for
+  * time travel) until vacuumed, so a 100 TB corpus never blocks reads
+  * during maintenance. Compose with [[graft.operators.Layout.compact]]
+  * when delta batches are small relative to file-size targets.
+  */
+object CorpusMaintenance {
+
+  private def versionsIn(spark: SparkSession, root: String): Seq[(Long, Path)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
+      .sortBy(_._1)
+  }
+
+  /** Newest corpus version path, or None before the first write. */
+  def latest(spark: SparkSession, root: String): Option[String] =
+    versionsIn(spark, root).lastOption.map(_._2.toString)
+
+  /** The `foreachBatch` callback: merge one delta micro-batch into the
+    * corpus at `root`, keyed by `keys`. Attach with
+    * `deltas.writeStream.foreachBatch(CorpusMaintenance.upsertBatch(spark, root, Seq("id")) _)`. */
+  def upsertBatch(spark: SparkSession, root: String, keys: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    // base = newest version written by an EARLIER batch; a retried batch
+    // therefore re-reads the same base and rewrites the same output
+    val base = versionsIn(spark, root).filter(_._1 <= batchId).lastOption
+    val merged = base match {
+      case Some((_, path)) =>
+        Curation.upsert(spark.read.parquet(path.toString), batch, keys)
+      case None => batch
+    }
+    merged.write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+  }
+}

@@ -70,6 +70,40 @@ class StreamingSpec extends SparkSpec {
     assert(sink.toSeq === want.toSeq)
   }
 
+  test("foreachBatch corpus upsert merges delta micro-batches exactly once") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.CorpusMaintenance
+    import spark.implicits._
+    val root = Files.createTempDirectory("corpus_").toString
+    val (corpus, in) = (s"$root/corpus", s"$root/in")
+    Files.createDirectories(Paths.get(in))
+    // v0: the standing corpus
+    Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0)).toDF("id", "txt", "rev")
+      .write.parquet(s"$corpus/v0")
+    // two delta files = two micro-batches (commutative: disjoint keys, so
+    // the file-listing order can't change the final corpus)
+    val d1 = Seq((2L, "b2", 1), (9L, "i", 1)).toDF("id", "txt", "rev")
+    val d2 = Seq((3L, "c2", 1), (8L, "h", 1)).toDF("id", "txt", "rev")
+    d1.coalesce(1).write.mode("append").parquet(in)
+    d2.coalesce(1).write.mode("append").parquet(in)
+    val q = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(CorpusMaintenance.upsertBatch(spark, corpus, Seq("id")) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(CorpusMaintenance.latest(spark, corpus).get)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === Seq((1L, "a", 0), (2L, "b2", 1), (3L, "c2", 1),
+      (8L, "h", 1), (9L, "i", 1)))
+    // both micro-batches left a version behind v0
+    assert(CorpusMaintenance.latest(spark, corpus).get.endsWith("v2"))
+  }
+
   test("streaming dedup collapses a doubled stream back to distinct events") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.count

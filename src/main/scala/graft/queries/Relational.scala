@@ -1186,6 +1186,111 @@ object Relational {
       |             ORDER BY epoch_us(o_orderdate), o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // =========================================================================
+  // q43 — statistical moments (variance / stddev / covariance / correlation)
+  // WITHOUT the built-in aggregates: Spark's stddev/corr stream IEEE doubles
+  // in partition order, so their results change run to run — unacceptable
+  // against a bit-exact oracle. Instead the five raw moments are exact
+  // DECIMAL sums (order-independent), each renarrowed once so its unscaled
+  // value stays under 2^53 (second moments to scale 0 — sum(y²) ≈ 3e15 at
+  // sf0.1; scale 4 would overflow the exact-double window), then the
+  // variance/corr formulas run on those doubles in one fixed expression
+  // order on both engines. Still one partial+final hash aggregation.
+  // =========================================================================
+  def q43StatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    def m0(c: Column): Column = // second-moment sums: renarrow to scale 0
+      sum(c).cast(DecimalType(38, 0)).cast(DoubleType)
+    val n = col("n")
+    val (sx, sy, sx2, sy2, sxy) =
+      (col("sx"), col("sy"), col("sx2"), col("sy2"), col("sxy"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        m0(x * x).as("sx2"), m0(y * y).as("sy2"), m0(x * y).as("sxy"))
+      .select(col("l_returnflag"), n,
+        ((sx2 - ((sx * sx) / n)) / (n - 1)).as("var_qty"),
+        sqrt((sx2 - ((sx * sx) / n)) / (n - 1)).as("stddev_qty"),
+        ((sxy - ((sx * sy) / n)) / (n - 1)).as("covar_qp"),
+        (((n * sxy) - (sx * sy)) /
+          (sqrt((n * sx2) - (sx * sx)) * sqrt((n * sy2) - (sy * sy))))
+          .as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  val q43Sql: String = {
+    def m0(prod: String) =
+      s"CAST(CAST(ROUND(SUM($prod), 0) AS DECIMAL(30,0)) AS DOUBLE)"
+    // DECIMAL(19,4), not (12,4): DuckDB executes a (p<=18)×(p<=18) decimal
+    // multiply in int64 and overflows on price×price; 19 digits forces the
+    // int128 kernel. The VALUES are identical — only the width changes.
+    val (x, y) = ("CAST(l_quantity AS DECIMAL(19,4))",
+      "CAST(l_extendedprice AS DECIMAL(19,4))")
+    s"""WITH m43 AS (SELECT l_returnflag,
+       |    COUNT(*) AS n,
+       |    ${sqlDsum("l_quantity")} AS sx,
+       |    ${sqlDsum("l_extendedprice")} AS sy,
+       |    ${m0(s"$x * $x")} AS sx2,
+       |    ${m0(s"$y * $y")} AS sy2,
+       |    ${m0(s"$x * $y")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  ((sx2 - ((sx * sx) / n)) / (n - 1)) AS var_qty,
+       |  sqrt((sx2 - ((sx * sx) / n)) / (n - 1)) AS stddev_qty,
+       |  ((sxy - ((sx * sy) / n)) / (n - 1)) AS covar_qp,
+       |  (((n * sxy) - (sx * sy)) /
+       |    (sqrt((n * sx2) - (sx * sx)) * sqrt((n * sy2) - (sy * sy))))
+       |    AS corr_qp
+       |FROM m43
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  // =========================================================================
+  // q44 — OHLC time-series resample: purchase events downsampled to 15-min
+  // buckets with open/high/low/close/volume — the canonical market-data
+  // shape. open/close are min_by/max_by under a (ts, event_id) composite
+  // order (event_id breaks ties, so the pick is deterministic under any
+  // partitioning); volume stages through DECIMAL. Buckets are integer
+  // µs-epoch divisions, identical on both engines. min_by/max_by partially
+  // aggregate map-side like any other agg, so bucket count (time span) can
+  // be small without creating a pre-shuffle hot spot.
+  // =========================================================================
+  def q44OhlcResample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("bucket", expr("unix_micros(ts) div 900000000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_trades"),
+        min_by(col("value"), struct(expr("unix_micros(ts)"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(expr("unix_micros(ts)"), col("event_id")))
+          .as("close"),
+        toDouble(sum(dec(col("value")))).as("volume"))
+      .orderBy("bucket")
+
+  val q44Sql: String = {
+    // DuckDB's min_by/max_by take a scalar ordering key, so the composite
+    // (ts, event_id) order is packed into one HUGEINT: epoch_us·2^32 + id —
+    // the same total order as Spark's lexicographic struct (ids < 2^32)
+    val ord = "CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id"
+    s"""SELECT epoch_us(ts) // 900000000 AS bucket,
+       |  COUNT(*) AS n_trades,
+       |  min_by("value", $ord) AS open,
+       |  MAX("value") AS high,
+       |  MIN("value") AS low,
+       |  max_by("value", $ord) AS close,
+       |  ${sqlToDouble(s"SUM(${sqlDec("\"value\"")})")} AS volume
+       |FROM events
+       |WHERE event_type = 'purchase'
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1226,7 +1331,9 @@ object Relational {
     "q38_asof_forward" -> (q38AsofForward _),
     "q39_forward_fill" -> (q39ForwardFill _),
     "q40_recursive_spine" -> (q40RecursiveSpine _),
-    "q42_window_functions" -> (q42WindowFunctions _))
+    "q42_window_functions" -> (q42WindowFunctions _),
+    "q43_stats_moments" -> (q43StatsMoments _),
+    "q44_ohlc_resample" -> (q44OhlcResample _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1266,5 +1373,7 @@ object Relational {
     "q38_asof_forward" -> q38Sql,
     "q39_forward_fill" -> q39Sql,
     "q40_recursive_spine" -> q40Sql,
-    "q42_window_functions" -> q42Sql)
+    "q42_window_functions" -> q42Sql,
+    "q43_stats_moments" -> q43Sql,
+    "q44_ohlc_resample" -> q44Sql)
 }

@@ -298,6 +298,33 @@ object Curation {
       .select(col(idCol), col("shard"), col("__rank").cast("int").as("pos"))
   }
 
+  /** Corpus snapshot diff: classify every key across two snapshots as
+    * `added` (new side only), `removed` (old side only), `changed` (both,
+    * any compared column differs) or `same`. The audit companion to
+    * [[upsert]] — run it between corpus versions to see what a delta did.
+    *
+    * Comparison is null-safe per column (`<=>`), so NULL→value and
+    * value→NULL both count as changes. Same scale shape as [[upsert]]:
+    * one co-partitioned full-outer join, unique keys per side, no
+    * broadcast, bucketed layouts make it exchange-free. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.as("o")
+    val n = newSnap.withColumn("__n", lit(true)).as("n")
+    val cond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val inOld = keys.map(k => col(s"o.$k")).map(_.isNotNull).reduce(_ || _)
+    val inNew = col("n.__n").isNotNull
+    val unchanged = compareCols
+      .map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+    o.join(n, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) :+
+          when(!inOld, lit("added"))
+            .when(!inNew, lit("removed"))
+            .when(unchanged, lit("same"))
+            .otherwise(lit("changed")).as("diff_status"): _*)
+  }
+
   /** Incremental corpus upsert (SQL MERGE semantics, batch form): every
     * `incoming` row replaces the same-key `existing` row wholesale;
     * unmatched rows from either side survive unchanged. Row-wise

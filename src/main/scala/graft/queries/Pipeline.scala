@@ -1968,6 +1968,48 @@ object Pipeline {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p60 — corpus snapshot diff: the audit step between corpus versions.
+  // The "next" snapshot is derived in-plan (every 5th doc revised, every
+  // non-revised 11th-remainder-3 doc dropped, every 7th re-keyed as new) and
+  // each key is classified added / removed / changed / same. Null-safe
+  // column compares; the oracle replays the diff as a FULL OUTER JOIN.
+  // =========================================================================
+  def p60SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val revised = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val kept = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 =!= 3)
+    val fresh = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))
+    val next = revised.unionAll(kept).unionAll(fresh)
+    graft.operators.Curation
+      .snapshotDiff(docs, next, Seq("doc_id"), Seq("lang", "text"))
+      .orderBy("doc_id")
+  }
+
+  val p60Sql: String =
+    """WITH olds AS (SELECT doc_id, lang, text FROM documents),
+      |news AS (
+      |  SELECT doc_id, lang, text || ' v2' AS text FROM documents
+      |  WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, text FROM documents
+      |  WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text FROM documents
+      |  WHERE doc_id % 7 = 0)
+      |SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.lang IS NOT DISTINCT FROM n.lang
+      |        AND o.text IS NOT DISTINCT FROM n.text THEN 'same'
+      |       ELSE 'changed' END AS diff_status
+      |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2028,7 +2070,8 @@ object Pipeline {
     "p56_curation_pipeline" -> (p56CurationPipeline _),
     "p57_corpus_upsert" -> (p57CorpusUpsert _),
     "p58_token_commonness" -> (p58TokenCommonness _),
-    "p59_bigram_lm" -> (p59BigramLm _))
+    "p59_bigram_lm" -> (p59BigramLm _),
+    "p60_snapshot_diff" -> (p60SnapshotDiff _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2079,5 +2122,6 @@ object Pipeline {
     "p56_curation_pipeline" -> p56Sql,
     "p57_corpus_upsert" -> p57Sql,
     "p58_token_commonness" -> p58Sql,
-    "p59_bigram_lm" -> p59Sql)
+    "p59_bigram_lm" -> p59Sql,
+    "p60_snapshot_diff" -> p60Sql)
 }

@@ -258,4 +258,20 @@ class RetrievalCurationSpec extends SparkSpec {
       Curation.upsert(existing, incoming.select("txt", "id", "n"), Seq("id"))
     }
   }
+
+  test("snapshotDiff: added/removed/changed/same with NULL transitions") {
+    val old = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d")), (5L, Some("e"))).toDF("id", "v")
+    val next = Seq(
+      (1L, Some("a")),                 // same
+      (2L, None: Option[String]),      // value→NULL must be CHANGED
+      (3L, Some("c")),                 // NULL→value must be CHANGED
+      (5L, Some("e")),                 // same (4 removed)
+      (9L, Some("i"))).toDF("id", "v") // added
+    val got = Curation.snapshotDiff(old, next, Seq("id"), Seq("v"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "same"), (2L, "changed"), (3L, "changed"),
+      (4L, "removed"), (5L, "same"), (9L, "added")))
+  }
 }

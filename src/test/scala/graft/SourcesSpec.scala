@@ -81,4 +81,22 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") &&
       plan.contains("o_year"), s"no partition pruning:\n$plan")
   }
+
+  test("schema evolution: mergeSchema unions old and new file schemas") {
+    import spark.implicits._
+    val dir = s"$tmp/evolving"
+    // v1 files know (id, a); a later writer adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSeq === Seq("id", "a", "b"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // old-file rows surface the new column as NULL; new-file rows carry it
+    assert(rows === Seq((1L, "x", None), (2L, "y", None),
+      (3L, "z", Some(30L))))
+  }
 }

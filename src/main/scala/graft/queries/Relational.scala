@@ -1291,6 +1291,70 @@ object Relational {
        |ORDER BY bucket""".stripMargin
   }
 
+  // =========================================================================
+  // q45 — fuzzy join (approximate string match): part-name pairs within edit
+  // distance 2, BLOCKED on p_brand — the join is an ordinary equi-join on
+  // the blocking key and the quadratic levenshtein only runs inside a
+  // block, never corpus × corpus (the same candidate-bounding discipline as
+  // the dedup operators; pick blocking keys so max block size is bounded at
+  // 100 TB). levenshtein is exact integer edit distance on both engines.
+  // =========================================================================
+  def q45FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.part(spark, dir)
+      .select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+        col("p_brand"))
+    val b = Tables.part(spark, dir)
+      .select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+        col("p_brand"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q45Sql: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // =========================================================================
+  // q46 — cohort retention: users bucketed by first-seen week; for each
+  // (cohort, weeks-since-first) cell, how many of the cohort's users were
+  // active. Two partial+final aggregations plus one co-partitioned join on
+  // user_id; the final (cohort, age) grid is tiny. Week buckets are integer
+  // µs-epoch divisions — everything stays exact integers.
+  // =========================================================================
+  def q46CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val cohorts = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort"))
+    weekly.join(cohorts, "user_id")
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "age")
+  }
+
+  val q46Sql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(week) AS cohort FROM weekly GROUP BY user_id)
+      |SELECT cohort, week - cohort AS age, COUNT(*) AS n_active
+      |FROM weekly JOIN cohorts USING (user_id)
+      |GROUP BY cohort, age
+      |ORDER BY cohort, age""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1333,7 +1397,9 @@ object Relational {
     "q40_recursive_spine" -> (q40RecursiveSpine _),
     "q42_window_functions" -> (q42WindowFunctions _),
     "q43_stats_moments" -> (q43StatsMoments _),
-    "q44_ohlc_resample" -> (q44OhlcResample _))
+    "q44_ohlc_resample" -> (q44OhlcResample _),
+    "q45_fuzzy_join" -> (q45FuzzyJoin _),
+    "q46_cohort_retention" -> (q46CohortRetention _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1375,5 +1441,7 @@ object Relational {
     "q40_recursive_spine" -> q40Sql,
     "q42_window_functions" -> q42Sql,
     "q43_stats_moments" -> q43Sql,
-    "q44_ohlc_resample" -> q44Sql)
+    "q44_ohlc_resample" -> q44Sql,
+    "q45_fuzzy_join" -> q45Sql,
+    "q46_cohort_retention" -> q46Sql)
 }

@@ -95,13 +95,30 @@ object CoreJobs {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q47 — the dice job read through the DataSource V2 paginated source
+    * ([[graft.sources.v2.PagedRollSource]]): the reference Loader's
+    * cursor-paged protocol as a real Spark connector, one InputPartition
+    * per page, column pruning pushed into the source (only `roll` is ever
+    * materialized). Shares q18's oracle: the source must reproduce the
+    * exact LCG stream the SQL replays. */
+  def pagedSourceDice(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, when}
+    spark.read.format("graft.sources.v2.PagedRollSource")
+      .option("rows", "100000").option("pageSize", "4096").load()
+      .select(when(col("roll") === 3L, "Win").otherwise("Lose").as("outcome"))
+      .groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+      .orderBy("outcome")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_mapreduce_flag_counts" -> (mapReduceFlagCounts _),
     "q18_mapreduce_dice" -> (mapReduceDice _),
-    "q41_cogroup" -> (cogroupUserActivity _))
+    "q41_cogroup" -> (cogroupUserActivity _),
+    "q47_paged_source" -> (pagedSourceDice _))
 
   val oracleSql: Map[String, String] = Map(
     "q17_mapreduce_flag_counts" -> mapReduceFlagCountsSql,
     "q18_mapreduce_dice" -> mapReduceDiceSql,
-    "q41_cogroup" -> cogroupUserActivitySql)
+    "q41_cogroup" -> cogroupUserActivitySql,
+    "q47_paged_source" -> mapReduceDiceSql)
 }

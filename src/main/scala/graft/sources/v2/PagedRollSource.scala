@@ -1,0 +1,116 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 implementation of the reference's pull-based paginated
+  * Loader (`/root/reference/Loader.fs:9-38`) — the §2a-1 source mapped to
+  * Spark's actual connector API instead of by subsumption argument.
+  *
+  * The reference advances a cursor `toSkip` by `take` rows per request and
+  * signals EOF with an empty page (`Orchestrator.fs:80-88`). Here each page
+  * becomes one `InputPartition` planned up front — Spark's scheduler deals
+  * pages to executors (the reference's round-robin batch dealing,
+  * `Orchestrator.fs:77,112`) and completion is the job barrier rather than
+  * receipt counting. Column pruning is honored via
+  * `SupportsPushDownRequiredColumns`: `select(roll)` never materializes ids.
+  *
+  * Rows are the deterministic LCG dice stream shared with q18
+  * (`Example-Job.fs:37-40`'s unseeded Random made reproducible), so the
+  * DuckDB oracle replays the source exactly.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.v2.PagedRollSource")
+  *     .option("rows", "100000").option("pageSize", "4096").load()
+  * }}}
+  */
+class PagedRollSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedRollSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // raw properties preserve the caller's key case — normalize
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PagedRollTable(
+      opts.getLong("rows", 100000L),
+      opts.getLong("pageSize", 4096L))
+  }
+}
+
+object PagedRollSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("roll", LongType, nullable = false)))
+
+  /** The q18 LCG die: deterministic, overflow-free in 64 bits. */
+  def rollOf(id: Long): Long = ((id * 48271L + 11L) % 2147483647L) % 6L + 1L
+}
+
+private[v2] class PagedRollTable(rows: Long, pageSize: Long)
+    extends Table with SupportsRead {
+  require(rows >= 0 && pageSize > 0, "rows >= 0 and pageSize > 0 required")
+  override def name: String = s"paged_rolls(rows=$rows, pageSize=$pageSize)"
+  override def schema: StructType = PagedRollSource.schema
+  override def capabilities: util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(rows, pageSize)
+}
+
+private[v2] class PagedScanBuilder(rows: Long, pageSize: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PagedRollSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PagedScan(rows, pageSize, required)
+}
+
+private[v2] class PagedScan(rows: Long, pageSize: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // one partition per Loader page: cursor = offset, take = pageSize
+  override def planInputPartitions(): Array[InputPartition] =
+    (0L until rows by pageSize)
+      .map(off => PagePartition(off, math.min(pageSize, rows - off))
+        : InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(required)
+}
+
+private[v2] case class PagePartition(offset: Long, count: Long)
+    extends InputPartition
+
+private[v2] class PagedReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val page = p.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1L
+      // resolve the pruned projection once per partition, not per row
+      private val getters: Array[Long => Long] = required.fields.map { f =>
+        f.name match {
+          case "id" => (id: Long) => id
+          case "roll" => PagedRollSource.rollOf _
+          case other => throw new IllegalArgumentException(
+            s"unknown column $other")
+        }
+      }
+      override def next(): Boolean = { i += 1; i < page.count }
+      override def get(): InternalRow = {
+        val id = page.offset + i
+        InternalRow.fromSeq(getters.toSeq.map(g => g(id)))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

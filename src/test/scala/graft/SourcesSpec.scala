@@ -82,6 +82,28 @@ class SourcesSpec extends SparkSpec {
       plan.contains("o_year"), s"no partition pruning:\n$plan")
   }
 
+  test("DSv2 paged source: one partition per page, complete ids, pruning") {
+    val df = spark.read.format("graft.sources.v2.PagedRollSource")
+      .option("rows", "10000").option("pageSize", "1024").load()
+    // ceil(10000/1024) = 10 pages, each a scheduled partition
+    assert(df.rdd.getNumPartitions === 10)
+    // every cursor position surfaced exactly once (EOF = planned bound,
+    // not an empty-page probe)
+    import spark.implicits._
+    assert(df.select("id").as[Long].collect().sorted.toSeq
+      === (0L until 10000L))
+    // rolls are the shared LCG stream
+    val r = df.filter(col("id") === 7L).select("roll").as[Long].head()
+    assert(r === graft.sources.v2.PagedRollSource.rollOf(7L))
+    // column pruning reaches the source: a roll-only projection must not
+    // read the id column (the scan's output schema is the pruned one)
+    val pruned = spark.read.format("graft.sources.v2.PagedRollSource")
+      .option("rows", "100").load().select("roll")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.schema.fieldNames.toSeq === Seq("roll"),
+      s"pruning did not reach the source: ${scan.schema}")
+  }
+
   test("schema evolution: mergeSchema unions old and new file schemas") {
     import spark.implicits._
     val dir = s"$tmp/evolving"

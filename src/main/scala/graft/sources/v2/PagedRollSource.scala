@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -60,7 +61,8 @@ private[v2] class PagedRollTable(rows: Long, pageSize: Long)
   override def name: String = s"paged_rolls(rows=$rows, pageSize=$pageSize)"
   override def schema: StructType = PagedRollSource.schema
   override def capabilities: util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(rows, pageSize)
 }
@@ -83,6 +85,52 @@ private[v2] class PagedScan(rows: Long, pageSize: Long, required: StructType)
       .map(off => PagePartition(off, math.min(pageSize, rows - off))
         : InputPartition)
       .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedMicroBatchStream(rows, pageSize, required)
+}
+
+/** Cursor position as a streaming offset — the reference's `toSkip`
+  * (`Loader.fs:14`) made a replayable checkpointed offset. */
+private[v2] case class CursorOffset(skip: Long) extends Offset {
+  override def json(): String = skip.toString
+}
+
+/** The streaming face of the paginated Loader: each micro-batch advances
+  * the cursor by exactly one page — `latestOffset(start, _)` IS the
+  * reference's batched flow control (`Orchestrator.fs:65-88`: fetch a
+  * chunk, wait for it to complete, fetch the next), with completion
+  * detection handled by the engine committing offsets instead of counting
+  * receipts. `SupportsTriggerAvailableNow` lets AvailableNow capture the
+  * EOF bound up front and drain page by page to it; restart resumes from
+  * the checkpointed cursor (exactly-once, StreamingSpec). */
+private[v2] class PagedMicroBatchStream(rows: Long, pageSize: Long,
+    required: StructType) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  override def initialOffset(): Offset = CursorOffset(0L)
+  // admission-controlled path: one Loader page per trigger
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    CursorOffset(math.min(start.asInstanceOf[CursorOffset].skip + pageSize, rows))
+  override def reportLatestOffset(): Offset = CursorOffset(rows) // EOF bound
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    CursorOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CursorOffset].skip
+    val e = end.asInstanceOf[CursorOffset].skip
+    // page the range exactly as the batch path does (one page per batch
+    // under admission control; wider ranges still split into pages)
+    (s until e by pageSize)
+      .map(off => PagePartition(off, math.min(pageSize, e - off))
+        : InputPartition)
+      .toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required)
 }

@@ -70,6 +70,28 @@ class StreamingSpec extends SparkSpec {
     assert(sink.toSeq === want.toSeq)
   }
 
+  test("DSv2 paged stream: one page per micro-batch, drains to EOF bound") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("paged_ckpt").toString
+    val q = spark.readStream.format("graft.sources.v2.PagedRollSource")
+      .option("rows", "5000").option("pageSize", "1024").load()
+      .writeStream.format("memory").queryName("paged_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // complete, exactly-once id stream
+    val ids = spark.table("paged_stream").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids === (0L until 5000L))
+    // batched flow control: ceil(5000/1024) = 5 pages, one per micro-batch
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 5,
+      s"expected 5 one-page micro-batches, got $dataBatches")
+    assert(q.recentProgress.filter(_.numInputRows > 0)
+      .forall(_.numInputRows <= 1024), "a micro-batch exceeded one page")
+  }
+
   test("foreachBatch corpus upsert merges delta micro-batches exactly once") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger

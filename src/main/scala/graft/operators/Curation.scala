@@ -298,6 +298,26 @@ object Curation {
       .select(col(idCol), col("shard"), col("__rank").cast("int").as("pos"))
   }
 
+  /** Deterministic importance sampling: keep each row with probability
+    * proportional to `weightCol` (a [0,1] score — e.g. quality), decided by
+    * the id's multiplicative hash against a per-row integer threshold, so
+    * membership is reproducible row-local arithmetic: no RNG state, no
+    * sample drift between runs, composable with [[hashSplit]] /
+    * [[sampleStratified]] / [[shuffleShards]] because each uses a distinct
+    * multiplier (this one: 2246822519). The quality-weighted downsample
+    * step of a curation pipeline ("keep good documents more often") as one
+    * scan-shaped filter.
+    *
+    * The threshold is `floor(weight * scale)`: weight 0 never keeps,
+    * weight 1 always keeps, granularity 1/scale. */
+  def importanceSample(df: DataFrame, idCol: String, weight: Column,
+      scale: Int = 1000): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val hash = pmod(pmod(col(idCol), lit(1000000007L)) * lit(2246822519L),
+      lit(1000000007L)) % scale
+    df.filter(hash < floor(weight * scale).cast("long"))
+  }
+
   /** Corpus snapshot diff: classify every key across two snapshots as
     * `added` (new side only), `removed` (old side only), `changed` (both,
     * any compared column differs) or `same`. The audit companion to

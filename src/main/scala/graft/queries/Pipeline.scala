@@ -2010,6 +2010,45 @@ object Pipeline {
       |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p61 — quality-weighted importance sampling: keep probability ∝ quality
+  // score, decided by deterministic row-local hash arithmetic (multiplier
+  // distinct from split/shard/strata hashes, so membership composes
+  // independently with all of them). The oracle replays hash and threshold
+  // exactly; quality doubles are bit-identical per p03/p55.
+  // =========================================================================
+  def p61ImportanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
+    graft.operators.Curation
+      .importanceSample(scored, "doc_id", col("quality"), 1000)
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val p61Sql: String = {
+    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH b61 AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+       |m61 AS (SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
+       |    least(len(toks) / 100.0, 1.0) AS len_score,
+       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
+       |  FROM b61),
+       |q61 AS (SELECT doc_id,
+       |    len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
+       |      (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |  FROM m61)
+       |SELECT doc_id, quality FROM q61
+       |WHERE ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       |        * 2246822519) % 1000000007 % 1000 < floor(quality * 1000)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2071,7 +2110,8 @@ object Pipeline {
     "p57_corpus_upsert" -> (p57CorpusUpsert _),
     "p58_token_commonness" -> (p58TokenCommonness _),
     "p59_bigram_lm" -> (p59BigramLm _),
-    "p60_snapshot_diff" -> (p60SnapshotDiff _))
+    "p60_snapshot_diff" -> (p60SnapshotDiff _),
+    "p61_importance_sample" -> (p61ImportanceSample _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2123,5 +2163,6 @@ object Pipeline {
     "p57_corpus_upsert" -> p57Sql,
     "p58_token_commonness" -> p58Sql,
     "p59_bigram_lm" -> p59Sql,
-    "p60_snapshot_diff" -> p60Sql)
+    "p60_snapshot_diff" -> p60Sql,
+    "p61_importance_sample" -> p61Sql)
 }

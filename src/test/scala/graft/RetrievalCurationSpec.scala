@@ -259,6 +259,20 @@ class RetrievalCurationSpec extends SparkSpec {
     }
   }
 
+  test("importanceSample: 0 drops all, 1 keeps all, monotone, on-rate") {
+    val df = (0L until 2000L).toDF("id")
+    def sample(w: Double) = Curation
+      .importanceSample(df.withColumn("w", lit(w)), "id", col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(sample(0.0).isEmpty)
+    assert(sample(1.0).size === 2000)
+    val (half, more) = (sample(0.5), sample(0.8))
+    // same id hash, growing threshold: higher weight strictly widens
+    assert(half.subsetOf(more))
+    assert(math.abs(half.size / 2000.0 - 0.5) < 0.05, s"rate ${half.size}")
+    assert(math.abs(more.size / 2000.0 - 0.8) < 0.05, s"rate ${more.size}")
+  }
+
   test("snapshotDiff: added/removed/changed/same with NULL transitions") {
     val old = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),

@@ -208,6 +208,44 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected one window exchange, got $hashEx:\n$plan")
   }
 
+  test("q44 OHLC: min_by/max_by aggregate partial+final like any agg") {
+    val plan = planString(Relational.q44OhlcResample(spark, sfDir))
+    val hashAggs = "HashAggregate|SortAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final aggregation:\n$plan")
+    assert(plan.contains("min_by") && plan.contains("max_by"),
+      s"open/close aggregates missing:\n$plan")
+  }
+
+  test("q45 fuzzy join: blocked equi-join, never a nested-loop product") {
+    val plan = planString(Relational.q45FuzzyJoin(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"fuzzy join must block on brand, not cross-join:\n$plan")
+  }
+
+  test("q46 cohort: user join is not a FORCED broadcast (AQE may choose)") {
+    // at test scale AQE rightly broadcasts the tiny cohort side; the scale
+    // property to gate is that the query doesn't HARDCODE a broadcast —
+    // with auto-broadcast off it must fall back to a co-partitioned join
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planString(Relational.q46CohortRetention(spark, sfDir))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"user-cohort join is a forced broadcast:\n$plan")
+      assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("p61 importance sample: scan-shaped — no exchange before the sort") {
+    val plan = planString(
+      graft.queries.Pipeline.p61ImportanceSample(spark, sfDir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"sampling must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"sampling must not join:\n$plan")
+  }
+
   test("p57 upsert: full-outer join co-partitions both sides, no broadcast") {
     val plan = planString(graft.queries.Pipeline.p57CorpusUpsert(spark, sfDir))
     assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")

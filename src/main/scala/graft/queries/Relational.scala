@@ -1300,16 +1300,28 @@ object Relational {
   // 100 TB). levenshtein is exact integer edit distance on both engines.
   // =========================================================================
   def q45FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.part(spark, dir)
-      .select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    // compute the expensive scalar on DISTINCT (brand, name) values — real
+    // catalogs repeat names heavily (64 distinct over 20k parts here), so
+    // the quadratic runs on distinct-pairs-within-block, then id pairs
+    // materialize by equi-joins. A first formulation ran levenshtein on
+    // every row pair: 16.3 s at sf0.1; this one is ~40x cheaper. The
+    // thresholded levenshtein (banded DP, early exit; returns -1 beyond
+    // the bound) replaces the full DP since only dist <= 2 survives.
+    val names = parts.select(col("p_brand"), col("p_name")).distinct()
+    val nameMatch = names.select(col("p_brand"), col("p_name").as("name_a"))
+      .join(names.select(col("p_brand"), col("p_name").as("name_b")),
+        Seq("p_brand"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0)
+    parts.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
         col("p_brand"))
-    val b = Tables.part(spark, dir)
-      .select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-        col("p_brand"))
-    a.join(b, Seq("p_brand"))
+      .join(nameMatch, Seq("p_brand", "name_a"))
+      .join(parts.select(col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"), col("p_brand")),
+        Seq("p_brand", "name_b"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("dist"))
       .orderBy("id_a", "id_b")

@@ -80,4 +80,23 @@ object Profiling {
         col("n"))
       .orderBy("bin")
   }
+
+  /** Piggyback data-quality metrics on whatever action the caller runs
+    * next: row count and per-column null counts collected through
+    * `Dataset.observe` — ZERO extra scans (metrics accumulate inside the
+    * existing job's tasks), vs [[profile]]'s dedicated aggregation pass.
+    * The pipeline-monitoring primitive for 100 TB jobs where a second
+    * pass over the input is unaffordable.
+    *
+    * Returns the instrumented frame (plan unchanged otherwise) and the
+    * [[org.apache.spark.sql.Observation]]; call `observation.get` after
+    * an action completes. Keys: `rows`, and `nulls_<col>` per column. */
+  def withObservedStats(df: DataFrame, name: String, cols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("rows") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"nulls_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

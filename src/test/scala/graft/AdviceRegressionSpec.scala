@@ -66,6 +66,18 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(got === "c", s"bucket-850 id $boundaryId assigned to $got")
   }
 
+  test("ivfTopK refuses a corpusIndex without its centroid bank") {
+    // r4 advice: probing a persisted index under a RECOMPUTED centroid bank
+    // silently collapses recall — the operator must demand the bank
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfTopK(corpus, corpus, k = 1,
+        corpusIndex = Some(corpus.withColumn("cell", lit(0))))
+    }
+    assert(e.getMessage.contains("centroid bank"))
+  }
+
   test("token_shingles skips null elements like simhash/minhash") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(

@@ -259,6 +259,19 @@ class RetrievalCurationSpec extends SparkSpec {
     }
   }
 
+  test("withObservedStats: metrics ride the action, no second scan") {
+    val df = Seq((1L, Some("a")), (2L, None: Option[String]),
+      (3L, Some("c")), (4L, None: Option[String])).toDF("id", "v")
+    val (instrumented, obs) = Profiling
+      .withObservedStats(df.filter(col("id") =!= 3L), "dq", Seq("v"))
+    // the instrumented frame computes the same result...
+    assert(instrumented.count() === 3)
+    // ...and the metrics were accumulated by that very action
+    val m = obs.get
+    assert(m("rows") === 3L)
+    assert(m("nulls_v") === 2L)
+  }
+
   test("importanceSample: 0 drops all, 1 keeps all, monotone, on-rate") {
     val df = (0L until 2000L).toDF("id")
     def sample(w: Double) = Curation

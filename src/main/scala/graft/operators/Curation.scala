@@ -304,8 +304,10 @@ object Curation {
     * membership is reproducible row-local arithmetic: no RNG state, no
     * sample drift between runs, composable with [[hashSplit]] /
     * [[sampleStratified]] / [[shuffleShards]] because each uses a distinct
-    * multiplier (this one: 2246822519). The quality-weighted downsample
-    * step of a curation pipeline ("keep good documents more often") as one
+    * multiplier (this one: 668265263 — reusing sampleStratified's
+    * 2246822519 would make the two memberships nested subsets, a silently
+    * biased corpus when composed). The quality-weighted downsample step of
+    * a curation pipeline ("keep good documents more often") as one
     * scan-shaped filter.
     *
     * The threshold is `floor(weight * scale)`: weight 0 never keeps,
@@ -313,7 +315,7 @@ object Curation {
   def importanceSample(df: DataFrame, idCol: String, weight: Column,
       scale: Int = 1000): DataFrame = {
     require(scale >= 1, "scale must be >= 1")
-    val hash = pmod(pmod(col(idCol), lit(1000000007L)) * lit(2246822519L),
+    val hash = pmod(pmod(col(idCol), lit(1000000007L)) * lit(668265263L),
       lit(1000000007L)) % scale
     df.filter(hash < floor(weight * scale).cast("long"))
   }
@@ -329,10 +331,15 @@ object Curation {
     * broadcast, bucketed layouts make it exchange-free. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
-    val o = oldSnap.as("o")
+    require(!oldSnap.columns.contains("__o") &&
+      !newSnap.columns.contains("__n"), "__o/__n are reserved")
+    // presence on BOTH sides via marker columns, never key non-nullness:
+    // the join matches NULL keys null-safely, so a NULL-keyed row would
+    // otherwise misreport as added/removed
+    val o = oldSnap.withColumn("__o", lit(true)).as("o")
     val n = newSnap.withColumn("__n", lit(true)).as("n")
     val cond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
-    val inOld = keys.map(k => col(s"o.$k")).map(_.isNotNull).reduce(_ || _)
+    val inOld = col("o.__o").isNotNull
     val inNew = col("n.__n").isNotNull
     val unchanged = compareCols
       .map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
@@ -364,6 +371,7 @@ object Curation {
       keys: Seq[String]): DataFrame = {
     require(existing.columns.sameElements(incoming.columns),
       s"schemas must match: ${existing.columns.toSeq} vs ${incoming.columns.toSeq}")
+    require(!incoming.columns.contains("__new"), "__new is reserved")
     val dataCols = existing.columns.filterNot(keys.contains).toSeq
     val e = existing.as("e")
     val i = incoming.withColumn("__new", lit(true)).as("i")

@@ -26,6 +26,29 @@ object Pipeline {
   private val sqlToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
 
+  /** Quality-score CTE pair `m$tag, q$tag` over a base CTE exposing `text`,
+    * `toks` and the `carry` columns; `q$tag` carries them plus `quality`.
+    * ONE oracle-side mirror of [[TF.qualityScoreFromTokens]] shared by
+    * every query that replays it (p44/p55/p56/p61) — p03Sql stays the
+    * definitional expansion (it also outputs the component ratios).
+    * Embed inside a stripMargin string. */
+  private def sqlQualityCtes(tag: String, base: String, carry: String)
+      : String = {
+    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""m$tag AS (SELECT $carry,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
+       |    least(len(toks) / 100.0, 1.0) AS len_score,
+       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
+       |  FROM $base),
+       |q$tag AS (SELECT $carry,
+       |    len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
+       |      (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |  FROM m$tag)"""
+  }
+
   // =========================================================================
   // p01 — exact deduplication: one representative (min id) per distinct text.
   // =========================================================================
@@ -1364,20 +1387,8 @@ object Pipeline {
   }
 
   val p44Sql: String = {
-    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""WITH b44 AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
-       |m44 AS (SELECT doc_id,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
-       |    least(len(toks) / 100.0, 1.0) AS len_score,
-       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
-       |    CASE WHEN len(toks) = 0 THEN 0.0
-       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
-       |  FROM b44),
-       |q44 AS (SELECT doc_id,
-       |    len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
-       |      (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
-       |  FROM m44),
+       |${sqlQualityCtes("44", "b44", "doc_id")},
        |t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
        |sh AS (SELECT doc_id,
        |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
@@ -1739,20 +1750,8 @@ object Pipeline {
   }
 
   val p55Sql: String = {
-    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""WITH b55 AS (SELECT doc_id, lang, text, $sqlToks AS toks FROM documents),
-       |m55 AS (SELECT doc_id, lang,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
-       |    least(len(toks) / 100.0, 1.0) AS len_score,
-       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
-       |    CASE WHEN len(toks) = 0 THEN 0.0
-       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
-       |  FROM b55),
-       |q55 AS (SELECT doc_id, lang,
-       |    len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
-       |      (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
-       |  FROM m55)
+       |${sqlQualityCtes("55", "b55", "doc_id, lang")}
        |SELECT doc_id, lang, quality,
        |  percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id)
        |    AS pct_rank,
@@ -1788,20 +1787,10 @@ object Pipeline {
   }
 
   val p56Sql: String = {
-    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""WITH b56 AS (SELECT doc_id, lang, source, text, $sqlToks AS toks
        |             FROM documents),
-       |m56 AS (SELECT doc_id, lang, text,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
-       |    least(len(toks) / 100.0, 1.0) AS len_score,
-       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
-       |    CASE WHEN len(toks) = 0 THEN 0.0
-       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
-       |  FROM b56),
-       |pass AS (SELECT doc_id, lang, text FROM m56
-       |  WHERE len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
-       |    (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 >= 0.5),
+       |${sqlQualityCtes("56", "b56", "doc_id, lang, text")},
+       |pass AS (SELECT doc_id, lang, text FROM q56 WHERE quality >= 0.5),
        |kept AS (SELECT doc_id, lang FROM pass
        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM pass GROUP BY text)),
        |sh56 AS (SELECT doc_id, source,
@@ -2028,26 +2017,13 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val p61Sql: String = {
-    val en = TF.stopwords("en").map(w => s"'$w'").mkString(", ")
+  val p61Sql: String =
     s"""WITH b61 AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
-       |m61 AS (SELECT doc_id,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) END AS alpha_ratio,
-       |    least(len(toks) / 100.0, 1.0) AS len_score,
-       |    least(len(list_filter(toks, t -> t IN ($en))) / greatest(len(toks), 1) * 5.0, 1.0) AS stop_score,
-       |    CASE WHEN len(toks) = 0 THEN 0.0
-       |         ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b) / len(toks) END AS wl
-       |  FROM b61),
-       |q61 AS (SELECT doc_id,
-       |    len_score * 0.3 + alpha_ratio * 0.3 + stop_score * 0.2 +
-       |      (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
-       |  FROM m61)
+       |${sqlQualityCtes("61", "b61", "doc_id")}
        |SELECT doc_id, quality FROM q61
        |WHERE ((((doc_id % 1000000007) + 1000000007) % 1000000007)
-       |        * 2246822519) % 1000000007 % 1000 < floor(quality * 1000)
+       |        * 668265263) % 1000000007 % 1000 < floor(quality * 1000)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -153,10 +153,17 @@ private[v2] class PagedReaderFactory(required: StructType)
             s"unknown column $other")
         }
       }
+      // one mutable row reused across get() calls (consumed before next(),
+      // per the reader contract) — no per-row allocation in the scan loop
+      private val values = new Array[Any](getters.length)
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       override def next(): Boolean = { i += 1; i < page.count }
       override def get(): InternalRow = {
         val id = page.offset + i
-        InternalRow.fromSeq(getters.toSeq.map(g => g(id)))
+        var j = 0
+        while (j < getters.length) { values(j) = getters(j)(id); j += 1 }
+        row
       }
       override def close(): Unit = ()
     }

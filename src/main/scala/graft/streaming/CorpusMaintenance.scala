@@ -45,9 +45,21 @@ object CorpusMaintenance {
     * `deltas.writeStream.foreachBatch(CorpusMaintenance.upsertBatch(spark, root, Seq("id")) _)`. */
   def upsertBatch(spark: SparkSession, root: String, keys: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
+    val versions = versionsIn(spark, root)
+    // guard against a FRESH checkpoint over an existing multi-version
+    // corpus: batch ids restart at 0, so the merge would silently rebase
+    // onto v0 and overwrite newer history. A legitimate retry of batch N
+    // may see its own output vN+1; anything newer means forked lineage.
+    versions.lastOption.foreach { case (newest, _) =>
+      require(newest <= batchId + 1,
+        s"corpus at $root is at v$newest but the stream is replaying batch " +
+          s"$batchId — restarting with a fresh checkpoint over an existing " +
+          "corpus would overwrite newer versions; resume from the original " +
+          "checkpoint or start a new corpus root")
+    }
     // base = newest version written by an EARLIER batch; a retried batch
     // therefore re-reads the same base and rewrites the same output
-    val base = versionsIn(spark, root).filter(_._1 <= batchId).lastOption
+    val base = versions.filter(_._1 <= batchId).lastOption
     val merged = base match {
       case Some((_, path)) =>
         Curation.upsert(spark.read.parquet(path.toString), batch, keys)

@@ -49,6 +49,26 @@ object Pipeline {
        |  FROM m$tag)"""
   }
 
+  /** Contaminated-doc CTE chain `sh$tag … cont$tag` over a base CTE
+    * exposing doc_id, source, toks: documents sharing >= 3 5-gram shingles
+    * with the src0 benchmark slice. ONE oracle-side mirror of
+    * [[p21Contamination]]'s shingle contract (short-doc fallback included),
+    * shared by the composition oracles (p56/p62); p21Sql stays the
+    * definitional expansion. Embed inside a stripMargin string. */
+  private def sqlContaminationCtes(tag: String, base: String): String =
+    s"""sh$tag AS (SELECT doc_id, source,
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 3),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+       |    END) AS sh
+       |  FROM $base),
+       |bench$tag AS (SELECT DISTINCT unnest(sh) AS gram FROM sh$tag
+       |              WHERE source = 'src0'),
+       |corp$tag AS (SELECT doc_id, unnest(sh) AS gram FROM sh$tag
+       |             WHERE source != 'src0'),
+       |cont$tag AS (SELECT doc_id FROM corp$tag JOIN bench$tag USING (gram)
+       |             GROUP BY doc_id HAVING COUNT(*) >= 3)"""
+
   // =========================================================================
   // p01 — exact deduplication: one representative (min id) per distinct text.
   // =========================================================================
@@ -1793,20 +1813,9 @@ object Pipeline {
        |pass AS (SELECT doc_id, lang, text FROM q56 WHERE quality >= 0.5),
        |kept AS (SELECT doc_id, lang FROM pass
        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM pass GROUP BY text)),
-       |sh56 AS (SELECT doc_id, source,
-       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-       |      ELSE list_transform(range(1, len(toks) - 3),
-       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
-       |    END) AS sh
-       |  FROM b56),
-       |bench56 AS (SELECT DISTINCT unnest(sh) AS gram FROM sh56
-       |            WHERE source = 'src0'),
-       |corp56 AS (SELECT doc_id, unnest(sh) AS gram FROM sh56
-       |           WHERE source != 'src0'),
-       |cont AS (SELECT doc_id FROM corp56 JOIN bench56 USING (gram)
-       |         GROUP BY doc_id HAVING COUNT(*) >= 3),
+       |${sqlContaminationCtes("56", "b56")},
        |clean AS (SELECT doc_id, lang FROM kept
-       |          WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM cont56))
        |SELECT doc_id, lang,
        |  CASE WHEN (((((doc_id % 1000000007) + 1000000007) % 1000000007)
        |              * 2654435761) % 1000000007) % 1000 < 800 THEN 'train'
@@ -2025,6 +2034,51 @@ object Pipeline {
        |        * 668265263) % 1000000007 % 1000 < floor(quality * 1000)
        |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p62 — capstone v2: the round-5 operators composed as ONE Catalyst plan.
+  // quality filter → quality-weighted importance sample (p61's op) →
+  // fingerprint-first dedup → decontamination anti-join → deterministic
+  // sharded shuffle (p46's op). Proves the new sampling and lifecycle
+  // operators compose with the established chain without materialization
+  // barriers; the oracle recomposes every stage from the shared SQL
+  // fragments (sqlQualityCtes / sqlContaminationCtes / the hash replays).
+  // =========================================================================
+  def p62CurationShards(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
+      .filter(col("quality") >= 0.5)
+    val sampled = graft.operators.Curation
+      .importanceSample(scored, "doc_id", col("quality"), 1000)
+    val kept = Dedup.exactKeptByFingerprint(sampled, "doc_id", "text")
+    val contaminated = p21Contamination(spark, dir).select(col("doc_id"))
+    val clean = kept.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    graft.operators.Curation.shuffleShards(clean, "doc_id", 4)
+      .orderBy("doc_id")
+  }
+
+  val p62Sql: String =
+    s"""WITH b62 AS (SELECT doc_id, source, text, $sqlToks AS toks
+       |             FROM documents),
+       |${sqlQualityCtes("62", "b62", "doc_id, text")},
+       |samp AS (SELECT doc_id, text FROM q62
+       |  WHERE quality >= 0.5
+       |    AND ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       |         * 668265263) % 1000000007 % 1000 < floor(quality * 1000)),
+       |kept AS (SELECT doc_id FROM samp
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM samp GROUP BY text)),
+       |${sqlContaminationCtes("62", "b62")},
+       |clean AS (SELECT doc_id FROM kept
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM cont62)),
+       |r AS (SELECT doc_id,
+       |    ((doc_id % 1000000007) * 3266489917) % 1000000007 AS rkey
+       |  FROM clean)
+       |SELECT doc_id, CAST(rkey % 4 AS INT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY rkey % 4
+       |                          ORDER BY rkey, doc_id) AS INT) AS pos
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2087,7 +2141,8 @@ object Pipeline {
     "p58_token_commonness" -> (p58TokenCommonness _),
     "p59_bigram_lm" -> (p59BigramLm _),
     "p60_snapshot_diff" -> (p60SnapshotDiff _),
-    "p61_importance_sample" -> (p61ImportanceSample _))
+    "p61_importance_sample" -> (p61ImportanceSample _),
+    "p62_curation_shards" -> (p62CurationShards _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2140,5 +2195,6 @@ object Pipeline {
     "p58_token_commonness" -> p58Sql,
     "p59_bigram_lm" -> p59Sql,
     "p60_snapshot_diff" -> p60Sql,
-    "p61_importance_sample" -> p61Sql)
+    "p61_importance_sample" -> p61Sql,
+    "p62_curation_shards" -> p62Sql)
 }

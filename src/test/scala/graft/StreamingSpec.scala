@@ -126,6 +126,26 @@ class StreamingSpec extends SparkSpec {
     assert(CorpusMaintenance.latest(spark, corpus).get.endsWith("v2"))
   }
 
+  test("corpus upsert refuses a fresh checkpoint over newer versions") {
+    import java.nio.file.Files
+    import graft.streaming.CorpusMaintenance
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("corpus_guard_").toString
+    val df = Seq((1L, "a")).toDF("id", "txt")
+    df.write.parquet(s"$corpus/v0")
+    df.write.parquet(s"$corpus/v5") // history from a prior run
+    // a restarted stream with a reset checkpoint replays batch 0 — merging
+    // would rebase onto v0 and overwrite v1..v5; it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      CorpusMaintenance.upsertBatch(spark, corpus, Seq("id"))(df, 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // a legitimate retry (its own output already present) still works
+    CorpusMaintenance.upsertBatch(spark, corpus, Seq("id"))(
+      Seq((2L, "b")).toDF("id", "txt"), 5L)
+    assert(CorpusMaintenance.latest(spark, corpus).get.endsWith("v6"))
+  }
+
   test("streaming dedup collapses a doubled stream back to distinct events") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.count

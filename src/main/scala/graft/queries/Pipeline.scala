@@ -2079,6 +2079,82 @@ object Pipeline {
        |                          ORDER BY rkey, doc_id) AS INT) AS pos
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p63 — hybrid retrieval: BM25 (lexical) and cosine kNN (dense) result
+  // lists fused by Reciprocal Rank Fusion, rrf = Σ 1/(60 + rank) — the
+  // standard hybrid-search combiner. Every term is an exact-operand IEEE
+  // division on integer ranks, so fusion is bit-exact; the two top-50
+  // lists are model-sized, so their global rank windows are as driver-safe
+  // as a broadcast centroid bank (the corpus-scale work happened inside
+  // bm25TopK / bruteForceTopK, both bounded top-k). vec_id aligns 1:1 with
+  // doc_id in the testdata, standing in for a doc-embedding join key.
+  // =========================================================================
+  def p63HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.operators.Retrieval
+      .bm25TopK(Tables.documents(spark, dir), "doc_id", "text", p42Terms, 50)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank_b"))
+    val emb = Tables.embeddings(spark, dir)
+    val vec = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_v"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val p63Sql: String = {
+    val terms = p42Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t63 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |d63 AS (SELECT doc_id, toks, len(toks) AS dl FROM t63),
+       |s63 AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM d63),
+       |e63 AS (SELECT doc_id, dl, unnest(toks) AS term FROM d63),
+       |tf63 AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e63
+       |         WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+       |df63 AS (SELECT term, COUNT(*) AS df FROM tf63 GROUP BY term),
+       |sc63 AS (SELECT tf63.doc_id,
+       |        ((CAST(s63.n_docs AS DOUBLE) - CAST(df63.df AS DOUBLE)) + 0.5)
+       |          / (CAST(df63.df AS DOUBLE) + 0.5) AS idf,
+       |        CAST(tf63.tf AS DOUBLE) AS tfd,
+       |        CAST(tf63.dl AS DOUBLE)
+       |          / (CAST(s63.total_dl AS DOUBLE) / CAST(s63.n_docs AS DOUBLE)) AS ratio
+       |       FROM tf63 JOIN df63 USING (term) CROSS JOIN s63),
+       |x63 AS (SELECT doc_id,
+       |        CAST(idf * ((tfd * 2.2) / (tfd + (1.2 * (0.25 + (0.75 * ratio)))))
+       |             AS DECIMAL(38,18)) AS sct
+       |      FROM sc63),
+       |lexs AS (SELECT doc_id, CAST(ROUND(SUM(sct), 6) AS DOUBLE) AS score
+       |  FROM x63 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+       |lex AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_b
+       |  FROM lexs),
+       |q63 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       |        WHERE vec_id = 0),
+       |c63 AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv
+       |        FROM embeddings),
+       |sim63 AS (SELECT doc_id,
+       |    ${sqlFoldDot("qv", "cv")} AS dt,
+       |    sqrt(${sqlFoldDot("qv", "qv")}) AS nq,
+       |    sqrt(${sqlFoldDot("cv", "cv")}) AS nc
+       |  FROM c63 CROSS JOIN q63 WHERE doc_id != 0),
+       |vr AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      (CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+       |            ELSE dt / (nq * nc) END) DESC, doc_id ASC) AS rank_v
+       |  FROM sim63),
+       |vec AS (SELECT doc_id, rank_v FROM vr WHERE rank_v <= 50),
+       |f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       |    COALESCE(1.0 / (60 + rank_b), 0.0)
+       |      + COALESCE(1.0 / (60 + rank_v), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       |SELECT doc_id, rrf FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2142,7 +2218,8 @@ object Pipeline {
     "p59_bigram_lm" -> (p59BigramLm _),
     "p60_snapshot_diff" -> (p60SnapshotDiff _),
     "p61_importance_sample" -> (p61ImportanceSample _),
-    "p62_curation_shards" -> (p62CurationShards _))
+    "p62_curation_shards" -> (p62CurationShards _),
+    "p63_hybrid_rrf" -> (p63HybridRrf _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2196,5 +2273,6 @@ object Pipeline {
     "p59_bigram_lm" -> p59Sql,
     "p60_snapshot_diff" -> p60Sql,
     "p61_importance_sample" -> p61Sql,
-    "p62_curation_shards" -> p62Sql)
+    "p62_curation_shards" -> p62Sql,
+    "p63_hybrid_rrf" -> p63Sql)
 }

@@ -2155,6 +2155,49 @@ object Pipeline {
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // =========================================================================
+  // p64 — training-mix accounting: the budget report a data pipeline ships
+  // with every snapshot — tokens and documents per (lang, split) cell plus
+  // each cell's share of the total token budget. Two partial+final
+  // aggregations; the grand total joins back as a broadcast scalar, so no
+  // second scan of the corpus. Counts exact ints; shares one IEEE division.
+  // =========================================================================
+  def p64TrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), size(col("toks")).as("n_toks"))
+    val cells = graft.operators.Curation
+      .hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("__total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("lang"), col("split"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("__total")).as("token_share"))
+      .orderBy("lang", "split")
+  }
+
+  val p64Sql: String =
+    s"""WITH b64 AS (SELECT doc_id, lang, len($sqlToks) AS n_toks
+       |             FROM documents),
+       |h64 AS (SELECT lang, n_toks,
+       |    (((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       |      * 2654435761) % 1000000007) % 1000 AS hash
+       |  FROM b64),
+       |s64 AS (SELECT lang, n_toks,
+       |    CASE WHEN hash < 800 THEN 'train'
+       |         WHEN hash < 900 THEN 'val' ELSE 'test' END AS split
+       |  FROM h64),
+       |cells AS (SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM s64 GROUP BY lang, split),
+       |t64 AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM cells)
+       |SELECT lang, split, n_docs, n_tokens,
+       |  n_tokens / total AS token_share
+       |FROM cells CROSS JOIN t64
+       |ORDER BY lang, split""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2219,7 +2262,8 @@ object Pipeline {
     "p60_snapshot_diff" -> (p60SnapshotDiff _),
     "p61_importance_sample" -> (p61ImportanceSample _),
     "p62_curation_shards" -> (p62CurationShards _),
-    "p63_hybrid_rrf" -> (p63HybridRrf _))
+    "p63_hybrid_rrf" -> (p63HybridRrf _),
+    "p64_training_mix" -> (p64TrainingMix _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2274,5 +2318,6 @@ object Pipeline {
     "p60_snapshot_diff" -> p60Sql,
     "p61_importance_sample" -> p61Sql,
     "p62_curation_shards" -> p62Sql,
-    "p63_hybrid_rrf" -> p63Sql)
+    "p63_hybrid_rrf" -> p63Sql,
+    "p64_training_mix" -> p64Sql)
 }

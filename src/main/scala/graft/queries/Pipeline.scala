@@ -69,6 +69,52 @@ object Pipeline {
        |cont$tag AS (SELECT doc_id FROM corp$tag JOIN bench$tag USING (gram)
        |             GROUP BY doc_id HAVING COUNT(*) >= 3)"""
 
+  /** hashSplit oracle replay: the sign-safe mod-first Knuth hash bucket in
+    * [0, 1000). ONE mirror of [[graft.operators.Curation.hashSplit]]'s
+    * arithmetic for every oracle that replays a split (p18/p56/p64) —
+    * the COMPAT note on the operator (mod-first vs multiply-first) applies
+    * here verbatim. */
+  private def sqlSplitHash(id: String): String =
+    s"((((($id % 1000000007) + 1000000007) % 1000000007) * 2654435761) " +
+      s"% 1000000007) % 1000"
+
+  /** The 0.8/0.1/0.1 split label off [[sqlSplitHash]] (integer cuts 800/900,
+    * rounded once like the operator's `math.round`). */
+  private def sqlSplitCase(id: String): String =
+    s"CASE WHEN ${sqlSplitHash(id)} < 800 THEN 'train' " +
+      s"WHEN ${sqlSplitHash(id)} < 900 THEN 'val' ELSE 'test' END"
+
+  /** BM25 oracle CTE chain `t$tag … x$tag` over `documents`: rational
+    * log-free idf, scores staged DECIMAL(38,18) in `x$tag.sct`. ONE mirror
+    * of [[graft.operators.Retrieval.bm25TopK]]'s arithmetic (p42/p63);
+    * callers aggregate `SUM(sct)` and rank/limit themselves. */
+  private def sqlBm25Ctes(tag: String, terms: Seq[String]): String = {
+    val ts = terms.map(t => s"'$t'").mkString(", ")
+    s"""t$tag AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |d$tag AS (SELECT doc_id, toks, len(toks) AS dl FROM t$tag),
+       |s$tag AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM d$tag),
+       |e$tag AS (SELECT doc_id, dl, unnest(toks) AS term FROM d$tag),
+       |tf$tag AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e$tag
+       |           WHERE term IN ($ts) GROUP BY doc_id, dl, term),
+       |df$tag AS (SELECT term, COUNT(*) AS df FROM tf$tag GROUP BY term),
+       |sc$tag AS (SELECT tf$tag.doc_id,
+       |        ((CAST(s$tag.n_docs AS DOUBLE) - CAST(df$tag.df AS DOUBLE)) + 0.5)
+       |          / (CAST(df$tag.df AS DOUBLE) + 0.5) AS idf,
+       |        CAST(tf$tag.tf AS DOUBLE) AS tfd,
+       |        CAST(tf$tag.dl AS DOUBLE)
+       |          / (CAST(s$tag.total_dl AS DOUBLE) / CAST(s$tag.n_docs AS DOUBLE)) AS ratio
+       |       FROM tf$tag JOIN df$tag USING (term) CROSS JOIN s$tag),
+       |x$tag AS (SELECT doc_id,
+       |        CAST(idf * ((tfd * 2.2) / (tfd + (1.2 * (0.25 + (0.75 * ratio)))))
+       |             AS DECIMAL(38,18)) AS sct
+       |      FROM sc$tag)"""
+  }
+
+  /** Zero-norm-safe cosine from a dot product and two norms — the single
+    * mirror of [[Similarity]]'s cosine convention (p06/p63). */
+  private def sqlCosine(dt: String, nq: String, nc: String): String =
+    s"CASE WHEN $nq = 0 OR $nc = 0 THEN 0.0 ELSE $dt / ($nq * $nc) END"
+
   // =========================================================================
   // p01 — exact deduplication: one representative (min id) per distinct text.
   // =========================================================================
@@ -240,7 +286,7 @@ object Pipeline {
        |  FROM c CROSS JOIN q
        |  WHERE query_id != neighbor_id),
        |r AS (SELECT query_id, neighbor_id,
-       |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dt / (nq * nc) END AS sim
+       |    ${sqlCosine("dt", "nq", "nc")} AS sim
        |  FROM s),
        |t AS (SELECT query_id, neighbor_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -514,20 +560,13 @@ object Pipeline {
       .orderBy("split")
 
   val p18Sql: String =
-    """WITH b AS (
-      |  SELECT doc_id,
-      |    (((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 1000000007) % 1000 AS bucket
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id,
-      |    CASE WHEN bucket < 800 THEN 'train'
-      |         WHEN bucket < 900 THEN 'val'
-      |         ELSE 'test' END AS split
-      |  FROM b)
-      |SELECT split, COUNT(*) AS n,
-      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-      |FROM s GROUP BY split
-      |ORDER BY split""".stripMargin
+    s"""WITH s AS (
+       |  SELECT doc_id, ${sqlSplitCase("doc_id")} AS split
+       |  FROM documents)
+       |SELECT split, COUNT(*) AS n,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM s GROUP BY split
+       |ORDER BY split""".stripMargin
 
   // =========================================================================
   // p20 — repetition scoring: share of the document taken by its most
@@ -742,7 +781,7 @@ object Pipeline {
        |  FROM c CROSS JOIN q
        |  WHERE query_id != neighbor_id),
        |r AS (SELECT query_id, neighbor_id,
-       |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dt / (nq * nc) END AS sim
+       |    ${sqlCosine("dt", "nq", "nc")} AS sim
        |  FROM s),
        |exact AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
@@ -1312,27 +1351,9 @@ object Pipeline {
       Tables.documents(spark, dir), "doc_id", "text", p42Terms, 50)
 
   val p42Sql: String = {
-    val terms = p42Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-       |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
-       |s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM d),
-       |e AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
-       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e
-       |       WHERE term IN ($terms) GROUP BY doc_id, dl, term),
-       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-       |sc AS (SELECT tf.doc_id,
-       |        ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
-       |          / (CAST(df.df AS DOUBLE) + 0.5) AS idf,
-       |        CAST(tf.tf AS DOUBLE) AS tfd,
-       |        CAST(tf.dl AS DOUBLE)
-       |          / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)) AS ratio
-       |       FROM tf JOIN df USING (term) CROSS JOIN s),
-       |x AS (SELECT doc_id,
-       |        CAST(idf * ((tfd * 2.2) / (tfd + (1.2 * (0.25 + (0.75 * ratio)))))
-       |             AS DECIMAL(38,18)) AS sct
-       |      FROM sc)
+    s"""WITH ${sqlBm25Ctes("42", p42Terms)}
        |SELECT doc_id, CAST(ROUND(SUM(sct), 6) AS DOUBLE) AS score
-       |FROM x GROUP BY doc_id
+       |FROM x42 GROUP BY doc_id
        |ORDER BY score DESC, doc_id
        |LIMIT 50""".stripMargin
   }
@@ -1816,12 +1837,7 @@ object Pipeline {
        |${sqlContaminationCtes("56", "b56")},
        |clean AS (SELECT doc_id, lang FROM kept
        |          WHERE doc_id NOT IN (SELECT doc_id FROM cont56))
-       |SELECT doc_id, lang,
-       |  CASE WHEN (((((doc_id % 1000000007) + 1000000007) % 1000000007)
-       |              * 2654435761) % 1000000007) % 1000 < 800 THEN 'train'
-       |       WHEN (((((doc_id % 1000000007) + 1000000007) % 1000000007)
-       |              * 2654435761) % 1000000007) % 1000 < 900 THEN 'val'
-       |       ELSE 'test' END AS split
+       |SELECT doc_id, lang, ${sqlSplitCase("doc_id")} AS split
        |FROM clean
        |ORDER BY doc_id""".stripMargin
   }
@@ -2108,25 +2124,7 @@ object Pipeline {
   }
 
   val p63Sql: String = {
-    val terms = p42Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH t63 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-       |d63 AS (SELECT doc_id, toks, len(toks) AS dl FROM t63),
-       |s63 AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM d63),
-       |e63 AS (SELECT doc_id, dl, unnest(toks) AS term FROM d63),
-       |tf63 AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e63
-       |         WHERE term IN ($terms) GROUP BY doc_id, dl, term),
-       |df63 AS (SELECT term, COUNT(*) AS df FROM tf63 GROUP BY term),
-       |sc63 AS (SELECT tf63.doc_id,
-       |        ((CAST(s63.n_docs AS DOUBLE) - CAST(df63.df AS DOUBLE)) + 0.5)
-       |          / (CAST(df63.df AS DOUBLE) + 0.5) AS idf,
-       |        CAST(tf63.tf AS DOUBLE) AS tfd,
-       |        CAST(tf63.dl AS DOUBLE)
-       |          / (CAST(s63.total_dl AS DOUBLE) / CAST(s63.n_docs AS DOUBLE)) AS ratio
-       |       FROM tf63 JOIN df63 USING (term) CROSS JOIN s63),
-       |x63 AS (SELECT doc_id,
-       |        CAST(idf * ((tfd * 2.2) / (tfd + (1.2 * (0.25 + (0.75 * ratio)))))
-       |             AS DECIMAL(38,18)) AS sct
-       |      FROM sc63),
+    s"""WITH ${sqlBm25Ctes("63", p42Terms)},
        |lexs AS (SELECT doc_id, CAST(ROUND(SUM(sct), 6) AS DOUBLE) AS score
        |  FROM x63 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
        |lex AS (SELECT doc_id,
@@ -2143,8 +2141,7 @@ object Pipeline {
        |  FROM c63 CROSS JOIN q63 WHERE doc_id != 0),
        |vr AS (SELECT doc_id,
        |    ROW_NUMBER() OVER (ORDER BY
-       |      (CASE WHEN nq = 0 OR nc = 0 THEN 0.0
-       |            ELSE dt / (nq * nc) END) DESC, doc_id ASC) AS rank_v
+       |      (${sqlCosine("dt", "nq", "nc")}) DESC, doc_id ASC) AS rank_v
        |  FROM sim63),
        |vec AS (SELECT doc_id, rank_v FROM vr WHERE rank_v <= 50),
        |f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
@@ -2181,14 +2178,8 @@ object Pipeline {
   val p64Sql: String =
     s"""WITH b64 AS (SELECT doc_id, lang, len($sqlToks) AS n_toks
        |             FROM documents),
-       |h64 AS (SELECT lang, n_toks,
-       |    (((((doc_id % 1000000007) + 1000000007) % 1000000007)
-       |      * 2654435761) % 1000000007) % 1000 AS hash
+       |s64 AS (SELECT lang, n_toks, ${sqlSplitCase("doc_id")} AS split
        |  FROM b64),
-       |s64 AS (SELECT lang, n_toks,
-       |    CASE WHEN hash < 800 THEN 'train'
-       |         WHEN hash < 900 THEN 'val' ELSE 'test' END AS split
-       |  FROM h64),
        |cells AS (SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
        |  FROM s64 GROUP BY lang, split),

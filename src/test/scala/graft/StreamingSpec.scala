@@ -140,10 +140,18 @@ class StreamingSpec extends SparkSpec {
       CorpusMaintenance.upsertBatch(spark, corpus, Seq("id"))(df, 0L)
     }
     assert(e.getMessage.contains("fresh checkpoint"))
-    // a legitimate retry (its own output already present) still works
+    // the normal next-batch path (newest == batchId) still works
     CorpusMaintenance.upsertBatch(spark, corpus, Seq("id"))(
       Seq((2L, "b")).toDF("id", "txt"), 5L)
     assert(CorpusMaintenance.latest(spark, corpus).get.endsWith("v6"))
+    // the retry boundary (newest == batchId + 1): batch 5 redelivered with
+    // its own v6 already on disk must NOT throw — it rebases on v5 and
+    // rewrites v6 idempotently
+    CorpusMaintenance.upsertBatch(spark, corpus, Seq("id"))(
+      Seq((2L, "b")).toDF("id", "txt"), 5L)
+    val v6 = spark.read.parquet(s"$corpus/v6").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v6 === Seq((1L, "a"), (2L, "b")))
   }
 
   test("streaming dedup collapses a doubled stream back to distinct events") {

@@ -74,7 +74,12 @@ object Bench {
     //      capture: rounds 1-4 all recorded "parsed": null because the full
     //      line plus the banner overflowed the driver's 2000-char window.
     println(s"""{"metric":"total_detail","value":${fmt(total, 4)},"unit":"sec","queries":${qmap(4)},"spread":$spread,"failures":$failures,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qmap(2)},"sf":"$sfDir"}""")
+    // the registry grows ~28 chars of contract line per query; if the
+    // 2-decimal form would near the driver's ~3.3k tail window, fall back
+    // to 1 decimal rather than risk a truncated (unparseable) last line
+    val line2 = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qmap(2)},"sf":"$sfDir"}"""
+    val line1 = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qmap(1)},"sf":"$sfDir"}"""
+    println(if (line2.length <= 2900) line2 else line1)
     spark.stop()
   }
 }

@@ -2189,6 +2189,27 @@ object Pipeline {
        |FROM cells CROSS JOIN t64
        |ORDER BY lang, split""".stripMargin
 
+  // =========================================================================
+  // p65 — near-dup cluster size distribution: the dedup-health report (how
+  // much of the corpus sits in 2-doc pairs vs pathological mega-clusters —
+  // the signal that decides whether bucket caps / thresholds need tuning).
+  // One extra tiny aggregation over p24's cluster sizes; the oracle nests
+  // p24's gaps-and-islands formulation verbatim.
+  // =========================================================================
+  def p65ClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    p24NearDupClusters(spark, dir)
+      .groupBy(col("n_docs").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  val p65Sql: String =
+    s"""SELECT n_docs AS cluster_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM (
+       |$p24Sql
+       |)
+       |GROUP BY n_docs ORDER BY cluster_size""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2254,7 +2275,8 @@ object Pipeline {
     "p61_importance_sample" -> (p61ImportanceSample _),
     "p62_curation_shards" -> (p62CurationShards _),
     "p63_hybrid_rrf" -> (p63HybridRrf _),
-    "p64_training_mix" -> (p64TrainingMix _))
+    "p64_training_mix" -> (p64TrainingMix _),
+    "p65_cluster_sizes" -> (p65ClusterSizes _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2310,5 +2332,6 @@ object Pipeline {
     "p61_importance_sample" -> p61Sql,
     "p62_curation_shards" -> p62Sql,
     "p63_hybrid_rrf" -> p63Sql,
-    "p64_training_mix" -> p64Sql)
+    "p64_training_mix" -> p64Sql,
+    "p65_cluster_sizes" -> p65Sql)
 }

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.functions.Hash64
+
+/** DuckDB SQL fragment builders that replay graft's 64-bit hash kernels —
+  * [[graft.functions.Hash64.fnv1a]], [[graft.functions.Hash64.mix]], and the
+  * derived simhash/minhash signatures — in exact HUGEINT arithmetic, so the
+  * custom-hash operators (p08/p09/p12) are hash-match oracle-checked instead
+  * of rows-only.
+  *
+  * Everything is unsigned mod-2^64 arithmetic staged in HUGEINT (128-bit):
+  * the only care points are (a) 64×64-bit products, which can reach 2^128
+  * and must be split into 32-bit halves ([[lo64MulConst]]/[[lo64Mul]]), and
+  * (b) Spark's `Long` being two's-complement — [[signed64]] converts the
+  * unsigned residue to the signed BIGINT Spark reports, and minhash's
+  * slot MIN compares in that signed domain (`GraftKernels.minhash` inits
+  * slots at `Long.MaxValue` and uses signed `<`).
+  *
+  * DuckDB `split(s, '')` yields code points while FNV-1a consumes UTF-8
+  * bytes, so [[utf8Bytes]] re-encodes each code point arithmetically.
+  */
+private[queries] object OracleHash {
+  /** 2^64 as a HUGEINT literal. */
+  val P64 = "18446744073709551616::HUGEINT"
+  /** 2^63 as a HUGEINT literal. */
+  val S63 = "9223372036854775808::HUGEINT"
+
+  /** UTF-8 byte list (INT) of string expr `e`. Empty string → []. */
+  def utf8Bytes(e: String): String =
+    s"flatten(list_transform(list_filter(split($e, ''), c -> c != ''), c -> CASE" +
+      " WHEN unicode(c) < 128 THEN [unicode(c)]" +
+      " WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64, 128 + unicode(c) % 64]" +
+      " WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]" +
+      " ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] END))"
+
+  /** FNV-1a over the UTF-8 bytes of string expr `e`, as unsigned HUGEINT.
+    * The offset basis is prepended so `list_reduce` starts from it (FNV of
+    * "" is the bare offset, same as the kernel). */
+  def fnv1a(e: String): String =
+    s"list_reduce(list_prepend(${java.lang.Long.toUnsignedString(Hash64.FnvOffset)}::HUGEINT, ${utf8Bytes(e)})," +
+      s" (h, b) -> (xor(h, b::HUGEINT) * ${Hash64.FnvPrime}::HUGEINT) % $P64)"
+
+  /** lo64(a * c) for a variable unsigned HUGEINT expr `a` (< 2^64) and a
+    * compile-time 64-bit constant `c`, split so no intermediate exceeds
+    * HUGEINT range. `a` is referenced three times — pass a column ref or a
+    * cheap expression. */
+  def lo64MulConst(a: String, c: Long): String = {
+    val cu = BigInt(java.lang.Long.toUnsignedString(c))
+    val chi = cu >> 32
+    val clo = cu & 0xffffffffL
+    s"((($a) % 4294967296::HUGEINT) * $clo::HUGEINT +" +
+      s" (((($a) % 4294967296::HUGEINT) * $chi::HUGEINT +" +
+      s" (($a) // 4294967296::HUGEINT) * $clo::HUGEINT) % 4294967296::HUGEINT)" +
+      s" * 4294967296::HUGEINT) % $P64"
+  }
+
+  /** lo64(a * b) for two variable unsigned HUGEINT exprs (< 2^64). Both are
+    * referenced three times — pass column refs. */
+  def lo64Mul(a: String, b: String): String =
+    s"((($a) % 4294967296::HUGEINT) * (($b) % 4294967296::HUGEINT) +" +
+      s" (((($a) % 4294967296::HUGEINT) * (($b) // 4294967296::HUGEINT) +" +
+      s" (($a) // 4294967296::HUGEINT) * (($b) % 4294967296::HUGEINT)) % 4294967296::HUGEINT)" +
+      s" * 4294967296::HUGEINT) % $P64"
+
+  /** SplitMix64 finalizer over unsigned HUGEINT expr `z` (< 2^64) — exact
+    * mirror of [[Hash64.mix]]. The expansion nests `z` ~27× (each xor/shift
+    * stage re-references its input), so `z` MUST be a column ref: stage the
+    * FNV fold into a CTE column first, then mix in the next CTE. */
+  def mix(z: String): String = {
+    val s1 = s"(($z) + ${java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)}::HUGEINT) % $P64"
+    val x1 = s"xor(($s1), ($s1) >> 30)"
+    val s2 = lo64MulConst(x1, 0xbf58476d1ce4e5b9L)
+    val x2 = s"xor(($s2), ($s2) >> 27)"
+    val s3 = lo64MulConst(x2, 0x94d049bb133111ebL)
+    s"xor(($s3), ($s3) >> 31)"
+  }
+
+  /** Two's-complement view of unsigned HUGEINT expr `u`: the signed BIGINT
+    * Spark's `Long` columns report. `u` is referenced twice. */
+  def signed64(u: String): String =
+    s"(CASE WHEN ($u) >= $S63 THEN ($u) - $P64 ELSE ($u) END)::BIGINT"
+
+  /** The minhash permutation coefficient bank as SQL VALUES rows
+    * `(j, a, b)` — the same seed-derived constants `MinHashSignature`
+    * generates (`a = mix(seed + 2j) | 1`, `b = mix(seed + 2j + 1)`),
+    * embedded as literals (they are model parameters, like the stopword
+    * list in the quality oracle; the per-shingle hashing and the a·h+b
+    * permutations are replayed in SQL arithmetic). */
+  def minhashCoefValues(numHashes: Int, seed: Long): String =
+    (0 until numHashes).map { j =>
+      val a = java.lang.Long.toUnsignedString(Hash64.mix(seed + 2L * j) | 1L)
+      val b = java.lang.Long.toUnsignedString(Hash64.mix(seed + 2L * j + 1L))
+      s"($j, $a::HUGEINT, $b::HUGEINT)"
+    }.mkString(", ")
+
+  // ------------------------------------------------------------------
+  // Vector-replay fragments: the LSH hyperplane machinery is pure
+  // integer→IEEE-double arithmetic (seeded planes) plus sequential
+  // double folds (the kernel accumulates dot products in index order),
+  // so DuckDB replays buckets bit-exactly — float inputs widen to
+  // double exactly on both engines, and strict left-to-right
+  // `list_reduce` reproduces the kernel's rounding sequence.
+  // ------------------------------------------------------------------
+
+  /** Sequential-order dot product of two DOUBLE[] exprs — the exact
+    * rounding sequence of `GraftKernels.hyperplaneBuckets`/`cosine`
+    * (same fold the established cosine oracle uses). */
+  def seqDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  /** The seeded hyperplane bank as SQL VALUES rows `(t, b, p DOUBLE[])` —
+    * the same constants `VectorFunctions.seededPlanes` derives (table t
+    * uses seed + t·7919), embedded as literals. `Double.toString` is
+    * round-trip exact and DuckDB's parser is correctly rounded, so the
+    * embedded plane values are bit-identical to the kernel's. */
+  def planesValues(tables: Int, bits: Int, dim: Int, seed: Long): String =
+    (0 until tables).flatMap { t =>
+      val ps = graft.functions.VectorFunctions.seededPlanes(bits, dim, seed + t * 7919L)
+      (0 until bits).map { b =>
+        s"($t, $b, [${ps(b).mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+
+  /** Multi-probe XOR masks (identity + all Hamming-≤radius flips) as a SQL
+    * list body — mirrors the flip enumeration in `Similarity.lshTopK` /
+    * `embeddingNearDupPairs`. */
+  def probeMasks(bits: Int, radius: Int): String = {
+    require(radius >= 0 && radius <= 2)
+    val flips1 = if (radius >= 1) (0 until bits).map(i => 1L << i) else Seq.empty
+    val flips2 = if (radius >= 2)
+      for { i <- 0 until bits; j <- (i + 1) until bits } yield (1L << i) | (1L << j)
+    else Seq.empty
+    (0L +: (flips1 ++ flips2)).mkString(", ")
+  }
+
+  /** Shared CTE chain: per-vector LSH buckets from a base CTE
+    * `emb(id, v DOUBLE[])` and a `planes(t, b, p)` CTE — one row per
+    * (id, table) with the bucket's bit built from sign(seqDot). */
+  def lshBucketCte(name: String): String =
+    s"""$name AS (
+       |  SELECT id, t, CAST(SUM(CASE WHEN ${seqDot("v", "p")} >= 0.0
+       |                        THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM emb CROSS JOIN planes GROUP BY id, t)""".stripMargin
+
+  /** Shared CTE chain computing per-doc simhash (unsigned `u` HUGEINT +
+    * signed `s` BIGINT) from a base CTE `t(doc_id, toks)` — used by both
+    * p09 (pairs) and p12 (per-doc hashes). Produces CTE `sim$tag(id, u, s)`
+    * covering EVERY doc (empty-token docs get simhash 0, the kernel's
+    * no-vote output). Embed inside a WITH list after `t`. */
+  def simhashCtes(tag: String): String =
+    s"""tok$tag AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |th0$tag AS (SELECT doc_id, ${fnv1a("tk")} AS h FROM tok$tag),
+       |th$tag AS (SELECT doc_id, ${mix("h")} AS mh FROM th0$tag),
+       |votes$tag AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (mh >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th$tag CROSS JOIN (SELECT unnest(range(64)) AS b) bits$tag
+       |  GROUP BY doc_id, b),
+       |sim0$tag AS (
+       |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+       |  FROM votes$tag GROUP BY doc_id),
+       |sim$tag AS (
+       |  SELECT t.doc_id AS id, COALESCE(u, 0::HUGEINT) AS u,
+       |         ${signed64("COALESCE(u, 0::HUGEINT)")} AS s
+       |  FROM t LEFT JOIN sim0$tag ON t.doc_id = sim0$tag.doc_id)""".stripMargin
+}

@@ -272,8 +272,9 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
-  private def sqlFoldDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+  /** Sequential-order dot fold — single-sourced in [[OracleHash.seqDot]]
+    * (shared with the LSH bucket replay). */
+  private def sqlFoldDot(a: String, b: String): String = OracleHash.seqDot(a, b)
 
   val p06Sql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -325,8 +326,12 @@ object Pipeline {
        |ORDER BY doc_a""".stripMargin
 
   // =========================================================================
-  // p08–p12 — custom-hash operators: no SQL oracle (driver rows-only check);
-  // semantics asserted in scalatest.
+  // p08/p09/p12 — custom-hash operators, oracle-checked by replaying the
+  // hash kernels in exact DuckDB HUGEINT arithmetic (see [[OracleHash]]).
+  // The LSH banding itself is verified by an INDEPENDENT formulation: the
+  // engine buckets on xxhash64 of each band's signature slice, while the
+  // oracle groups on the slice VALUES — the mathematical definition of
+  // banding that the hash-bucketing implements.
   // =========================================================================
 
   /** MinHash-LSH near-duplicate candidate pairs, Jaccard-verified. */
@@ -335,19 +340,113 @@ object Pipeline {
         numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** Replays: 3-token shingles → FNV-1a per shingle → 64 signed-min
+    * permutation slots (coefficient bank embedded as literals) → 16 bands
+    * of 4 slots grouped by slice value → in-bucket pairs under the same
+    * 200-member cap → exact-Jaccard verify at 0.4. */
+  val p08Sql: String = {
+    import OracleHash._
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id AS id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+       |  FROM t),
+       |shu AS (SELECT id, unnest(sh) AS s FROM sh),
+       |shh AS (SELECT id, ${fnv1a("s")} AS h FROM shu),
+       |coef(j, a, b) AS (SELECT * FROM (VALUES ${minhashCoefValues(64, 42L)})),
+       |slots AS (
+       |  SELECT id, j, MIN(${signed64(s"(${lo64Mul("a", "h")} + b) % $P64")}) AS slot
+       |  FROM shh CROSS JOIN coef GROUP BY id, j),
+       |sigs AS (SELECT id, list(slot ORDER BY j) AS sig FROM slots GROUP BY id),
+       |bands AS (
+       |  SELECT id, bd, sig[4*bd+1:4*bd+4] AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS bd) bs),
+       |grp AS (SELECT id, bd, key, COUNT(*) OVER (PARTITION BY bd, key) AS n FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM grp a JOIN grp b ON a.bd = b.bd AND a.key = b.key AND a.id < b.id
+       |  WHERE a.n <= 200 AND b.n <= 200),
+       |ver AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+       |         ELSE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |    END AS jaccard
+       |  FROM cand JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id)
+       |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** SimHash near-duplicate pairs (Hamming ≤ 3 on 64-bit fingerprints). */
   def p09DedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Replays the simhash bit-vote signature, then candidates by 16-bit
+    * segment equality (the pigeonhole guarantee the engine's 4×16 chunk
+    * index implements) and Hamming verify via `bit_count(xor(...))`. */
+  val p09Sql: String = {
+    import OracleHash._
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |${simhashCtes("")},
+       |chunks AS (
+       |  SELECT id, c, (u >> (16*c)) % 65536::HUGEINT AS ckey
+       |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS c) cs),
+       |grp AS (SELECT c, ckey, COUNT(*) OVER (PARTITION BY c, ckey) AS n, id FROM chunks),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM grp a JOIN grp b ON a.c = b.c AND a.ckey = b.ckey AND a.id < b.id
+       |  WHERE a.n <= 500 AND b.n <= 500)
+       |SELECT c.id_a, c.id_b, bit_count(xor(sa.s, sb.s)) AS hamming
+       |FROM cand c JOIN sim sa ON c.id_a = sa.id JOIN sim sb ON c.id_b = sb.id
+       |WHERE bit_count(xor(sa.s, sb.s)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** LSH-bucketed approximate nearest neighbors (recall measured in tests
-    * against p06's exact result). */
+    * against p06's exact result; buckets + rerank replayed bit-exactly by
+    * [[p10Sql]]). */
   def p10KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
         k = 5, dim = 64, tables = 8, bits = 6, multiProbe = true, probeRadius = 2)
       .orderBy("query_id", "rank")
+  }
+
+  /** Replays the full LSH path: seeded hyperplane bank as literals →
+    * sign-of-sequential-dot bucket bits → radius-2 multi-probe XOR masks
+    * on the query side → bucket-equality candidates → exact cosine rerank
+    * (p06's fold). The hyperplane signs are IEEE-double exact because both
+    * engines widen float→double losslessly and fold in index order. */
+  val p10Sql: String = {
+    import OracleHash._
+    s"""WITH planes(t, b, p) AS (SELECT * FROM (VALUES ${planesValues(8, 6, 64, 42L)})),
+       |emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${lshBucketCte("buck")},
+       |qb AS (
+       |  SELECT b.id AS query_id, t, xor(bucket, m.m) AS bucket
+       |  FROM buck b CROSS JOIN (SELECT unnest([${probeMasks(6, 2)}]) AS m) m
+       |  WHERE b.id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.id AS neighbor_id
+       |  FROM qb q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.query_id != c.id),
+       |qv AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
+       |cv AS (SELECT id AS neighbor_id, v AS cv FROM emb),
+       |s AS (SELECT query_id, neighbor_id,
+       |    ${seqDot("qv", "cv")} AS dt,
+       |    sqrt(${seqDot("qv", "qv")}) AS nq,
+       |    sqrt(${seqDot("cv", "cv")}) AS nc
+       |  FROM cand JOIN qv USING (query_id) JOIN cv USING (neighbor_id)),
+       |r AS (SELECT query_id, neighbor_id,
+       |    ${sqlCosine("dt", "nq", "nc")} AS sim FROM s),
+       |t2 AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS "rank" FROM r)
+       |SELECT query_id, "rank", neighbor_id, sim FROM t2
+       |WHERE "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
   }
 
   /** K-means-refined IVF bank for the corpus under `dir`, fitted once per
@@ -412,6 +511,37 @@ object Pipeline {
         threshold = 0.4, dim = 64, tables = 8, bits = 8, probeRadius = 2)
       .orderBy("id_a", "id_b")
 
+  /** Same bucket replay as [[p10Sql]] at the p11 parameters (8 tables ×
+    * 8 bits), with the pair-generation shape of `embeddingNearDupPairs`:
+    * radius-2 probes on one side, the bucket-cap on the unexpanded index
+    * side, `id_a < id_b`, cosine ≥ 0.4. */
+  val p11Sql: String = {
+    import OracleHash._
+    s"""WITH planes(t, b, p) AS (SELECT * FROM (VALUES ${planesValues(8, 8, 64, 42L)})),
+       |emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${lshBucketCte("buck")},
+       |probes AS (
+       |  SELECT id, t, xor(bucket, m.m) AS bucket
+       |  FROM buck CROSS JOIN (SELECT unnest([${probeMasks(8, 2)}]) AS m) m),
+       |idx AS (
+       |  SELECT id AS id_x, t, bucket
+       |  FROM (SELECT id, t, bucket, COUNT(*) OVER (PARTITION BY t, bucket) AS n FROM buck)
+       |  WHERE n <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT p.id AS id_a, i.id_x AS id_b
+       |  FROM probes p JOIN idx i ON p.t = i.t AND p.bucket = i.bucket
+       |  WHERE p.id < i.id_x),
+       |s AS (SELECT id_a, id_b,
+       |    ${seqDot("va.v", "vb.v")} AS dt,
+       |    sqrt(${seqDot("va.v", "va.v")}) AS nq,
+       |    sqrt(${seqDot("vb.v", "vb.v")}) AS nc
+       |  FROM cand JOIN emb va ON id_a = va.id JOIN emb vb ON id_b = vb.id),
+       |r AS (SELECT id_a, id_b,
+       |    ${sqlCosine("dt", "nq", "nc")} AS sim FROM s)
+       |SELECT id_a, id_b, sim FROM r WHERE sim >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** 64-bit content fingerprints + SimHash per document. */
   def p12Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -419,6 +549,19 @@ object Pipeline {
         HashFunctions.fingerprint64(col("text")).as("fingerprint"),
         HashFunctions.simhash64(TF.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
+
+  /** Replays fingerprint64 (FNV-1a → SplitMix64, staged per-CTE so the mix
+    * expansion sees only column refs) and the per-doc simhash. */
+  val p12Sql: String = {
+    import OracleHash._
+    s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+       |fp0 AS (SELECT doc_id, ${fnv1a("text")} AS h FROM t),
+       |fp AS (SELECT doc_id, ${signed64(mix("h"))} AS fingerprint FROM fp0),
+       |${simhashCtes("")}
+       |SELECT t.doc_id, fp.fingerprint, COALESCE(sim.s, 0) AS simhash
+       |FROM t JOIN fp USING (doc_id) LEFT JOIN sim ON t.doc_id = sim.id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 
   // =========================================================================
   // p13 — tumbling-window event aggregation (batch form of the streaming
@@ -2286,6 +2429,11 @@ object Pipeline {
     "p05_lang_id" -> p05Sql,
     "p06_knn_brute" -> p06Sql,
     "p07_ngram_jaccard" -> p07Sql,
+    "p08_dedup_minhash" -> p08Sql,
+    "p09_dedup_simhash" -> p09Sql,
+    "p10_knn_lsh" -> p10Sql,
+    "p11_embed_neardup" -> p11Sql,
+    "p12_fingerprint" -> p12Sql,
     "p13_event_windows" -> p13Sql,
     "p15_sql_functions" -> p15Sql,
     "p17_curation" -> p17Sql,

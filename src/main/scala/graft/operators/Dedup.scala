@@ -360,10 +360,55 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame =
     starWithRounds(pairs, maxIter)._1
 
+  /** Partition-local contraction pre-pass: co-locate edges by range of
+    * `src`, collapse each partition's components with an in-memory
+    * union-find, and emit the local star edges (member → partition-local
+    * min root). Connectivity is preserved — every original edge (a, b) has
+    * both endpoints pointing at the same local root — so the distributed
+    * star loop that follows starts from already-contracted stars and
+    * typically converges in 1–2 rounds instead of O(log n): each loop
+    * round costs two window exchanges plus a checksum action, so rounds,
+    * not rows, dominate the wall-clock of small-to-medium edge sets.
+    *
+    * Memory: union-find state is O(distinct nodes per partition) — ~16
+    * bytes/node — bounded by the shuffle partition sizing the caller
+    * already controls; the same budget a sort or hash-aggregate buffer of
+    * the partition would need. Applied only to LongType ids (every graft
+    * edge set) so output schemas never silently widen. */
+  private def localContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("id_a").as("_1"), col("id_b").as("_2"))
+      .repartitionByRange(col("_1"), col("_2"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (c != r) { val n = parent.getOrElse(c, c); parent.update(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        parent.keysIterator.toArray.iterator.flatMap { x =>
+          val r = find(x)
+          if (r != x) Iterator((x, r)) else Iterator.empty
+        }
+      }
+      .toDF("src", "dst")
+  }
+
   /** [[connectedComponentsStar]] plus the number of contraction rounds — the
     * O(log n) bound is the whole point of the variant, so tests assert it. */
   private[graft] def starWithRounds(
-      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+      pairs: DataFrame, maxIter: Int,
+      localContract: Boolean = true): (DataFrame, Int) = {
     // one materialization of the (possibly expensive) pair pipeline; the
     // node set, the initial edge set, and every loop round derive from it
     val base = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
@@ -411,7 +456,13 @@ object Dedup {
         .filter(col("src") =!= col("dst")).distinct()
     }
 
-    var edges = base.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // LongType edge sets (every graft id) go through the union-find
+    // pre-pass so the loop below starts from local stars; other id types
+    // enter the loop raw.
+    val preContract = localContract && base.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    var edges = (if (preContract) this.localContract(base)
+                 else base.select(col("id_a").as("src"), col("id_b").as("dst")))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var prev = checksum(edges)
     var iter = 0

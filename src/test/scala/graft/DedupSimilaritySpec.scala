@@ -140,10 +140,27 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.connectedComponents(chain, maxIter = 5).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+    // raw star path (pre-contraction off — the local union-find would
+    // legitimately collapse a 60-chain before round 1)
     val e2 = intercept[IllegalStateException] {
-      Dedup.connectedComponentsStar(chain, maxIter = 1).collect()
+      Dedup.starWithRounds(chain, maxIter = 1, localContract = false)
+        ._1.collect()
     }
     assert(e2.getMessage.contains("did not converge"))
+  }
+
+  test("local union-find pre-contraction: same labels, fewer rounds") {
+    // mixed shape: two chains, a cycle, an isolated edge
+    val edges = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 201L)))
+      .toDF("id_a", "id_b")
+    val (fast, roundsFast) = Dedup.starWithRounds(edges, maxIter = 30)
+    val (raw, roundsRaw) =
+      Dedup.starWithRounds(edges, maxIter = 30, localContract = false)
+    assert(fast.orderBy("id").collect().toSeq ===
+      raw.orderBy("id").collect().toSeq)
+    assert(roundsFast <= roundsRaw,
+      s"pre-contraction took $roundsFast rounds vs raw $roundsRaw")
   }
 
   test("nearDupKept keeps cluster representatives and untouched rows") {

@@ -531,6 +531,91 @@ object Dedup {
         (col("n_unique") / col("n_shingles")).as("novelty"))
   }
 
+  /** Cross-document duplicated-passage statistics — the exact-substring
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499): a length-`windowTokens`
+    * token window that appears verbatim in ≥ 2 distinct documents is a
+    * duplicated passage, and a document's duplicated-window share is the
+    * removal/weighting signal.
+    *
+    * Scale shape: every window crosses the exchange as its 8-byte
+    * `fingerprint64`, never as text — the fingerprint-first discipline of
+    * the exact-dedup path, applied per window. One count-distinct
+    * aggregation over (fingerprint → doc) and one co-partitioned join
+    * back; window generation itself is scan-shaped. Windows follow
+    * [[TextFunctions.tokenShingles]]' short-doc contract: a doc with fewer
+    * than `windowTokens` tokens yields ONE window (its whole token join),
+    * so a short doc duplicated verbatim elsewhere is still flagged.
+    *
+    * Returns (idCol, n_windows, n_dup_windows, dup_ratio). */
+  def duplicatePassageStats(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val wins = passageWindows(docs, idCol, textCol, windowTokens)
+    val freq = wins.select(col("__fp"), col(idCol)).distinct()
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
+    val flagged = wins.join(freq.filter(col("__nd") >= 2), "__fp")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    wins.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)) / col("n_windows"))
+          .as("dup_ratio"))
+  }
+
+  /** Exact duplicated-passage REMOVAL: every token covered by any
+    * cross-document duplicated window (per [[duplicatePassageStats]]'
+    * definition) is dropped and the surviving tokens are rejoined — the
+    * destructive half of exact-substring dedup.
+    *
+    * Token coverage explodes each flagged window into its ≤ `windowTokens`
+    * positions — bounded by (flagged windows × window length), small when
+    * duplication is rare and worth it when it isn't (those tokens are
+    * getting dropped). Reassembly groups each doc's surviving (position,
+    * token) pairs and sorts within the doc — a per-doc-sized buffer, the
+    * same budget any per-doc aggregation holds.
+    *
+    * Returns (idCol, n_tokens, n_kept, kept_text). */
+  def stripDuplicatePassages(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val wins = passageWindows(docs, idCol, textCol, windowTokens)
+    val freq = wins.select(col("__fp"), col(idCol)).distinct()
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
+    // flagged window at 0-based pos p covers tokens p .. p+L-1; positions
+    // past the doc's end (possible only for the short-doc fallback window)
+    // simply match no token row in the anti-join below
+    val covered = wins.join(freq.filter(col("__nd") >= 2), "__fp")
+      .select(col(idCol), explode(sequence(col("__pos"),
+        col("__pos") + windowTokens - 1)).as("__tpos"))
+      .distinct()
+    val tokpos = toks.select(col(idCol), size(col("__toks")).as("n_tokens"),
+      posexplode(col("__toks")).as(Seq("__tpos", "__tok")))
+    val kept = tokpos.join(covered, Seq(idCol, "__tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
+          x => x("__tok")), " ").as("kept_text"))
+    toks.select(col(idCol), size(col("__toks")).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** One row per (doc, 0-based window position) with the window's 8-byte
+    * fingerprint — the shared front of the duplicated-passage operators. */
+  private def passageWindows(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    docs.select(col(idCol),
+        posexplode(TextFunctions.tokenShingles(
+          TextFunctions.tokens(col(textCol)), windowTokens))
+          .as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"),
+        HashFunctions.fingerprint64(col("__gram")).as("__fp"))
+
   /** Canonical representative per near-dup cluster: within every connected
     * component of `pairs`, keep the member with the highest `scoreCol`
     * (ties → smallest id). This is the selection step a curation pipeline

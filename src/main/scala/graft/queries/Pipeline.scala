@@ -2353,6 +2353,65 @@ object Pipeline {
        |)
        |GROUP BY n_docs ORDER BY cluster_size""".stripMargin
 
+  // =========================================================================
+  // p66/p67 — exact duplicated-passage detection and removal (Lee et al.
+  // 2022 exact-substring dedup): windows cross the exchange as 8-byte
+  // fingerprints; the oracle replays the fingerprint in HUGEINT arithmetic
+  // and recomputes coverage from first principles.
+  // =========================================================================
+  def p66DupPassages(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatePassageStats(Tables.documents(spark, dir),
+        "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id")
+
+  private val sqlPassageCtes: String = {
+    import OracleHash._
+    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |w AS (SELECT doc_id, p - 1 AS pos,
+       |    CASE WHEN len(toks) < 8 THEN array_to_string(toks, ' ')
+       |         ELSE array_to_string(toks[p:p+7], ' ') END AS gram
+       |  FROM t CROSS JOIN
+       |    unnest(range(1, greatest(len(toks) - 6, 2))) AS r(p)),
+       |wh0 AS (SELECT doc_id, pos, ${fnv1a("gram")} AS h FROM w),
+       |wh AS (SELECT doc_id, pos, ${mix("h")} AS fp FROM wh0),
+       |freq AS (SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM wh)
+       |         GROUP BY fp HAVING COUNT(*) >= 2),
+       |flag AS (SELECT doc_id, pos FROM wh JOIN freq USING (fp))""".stripMargin
+  }
+
+  val p66Sql: String =
+    s"""WITH $sqlPassageCtes,
+       |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM wh GROUP BY doc_id),
+       |nd AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM flag GROUP BY doc_id)
+       |SELECT nw.doc_id, n_windows,
+       |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       |  COALESCE(n_dup_windows, 0) / n_windows AS dup_ratio
+       |FROM nw LEFT JOIN nd ON nw.doc_id = nd.doc_id
+       |ORDER BY nw.doc_id""".stripMargin
+
+  def p67PassageStrip(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicatePassages(Tables.documents(spark, dir),
+        "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id")
+
+  val p67Sql: String =
+    s"""WITH $sqlPassageCtes,
+       |cov AS (SELECT DISTINCT doc_id, pos + i.i AS tpos
+       |  FROM flag CROSS JOIN unnest(range(0, 8)) AS i(i)),
+       |tp AS (SELECT doc_id, p - 1 AS tpos, toks[p] AS tok, len(toks) AS n
+       |  FROM t CROSS JOIN unnest(range(1, len(toks) + 1)) AS r(p)),
+       |kept AS (
+       |  SELECT tp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY tp.tpos) AS kept_text
+       |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
+       |  WHERE cov.doc_id IS NULL
+       |  GROUP BY tp.doc_id)
+       |SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  COALESCE(n_kept, 0) AS n_kept,
+       |  COALESCE(kept_text, '') AS kept_text
+       |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2419,7 +2478,9 @@ object Pipeline {
     "p62_curation_shards" -> (p62CurationShards _),
     "p63_hybrid_rrf" -> (p63HybridRrf _),
     "p64_training_mix" -> (p64TrainingMix _),
-    "p65_cluster_sizes" -> (p65ClusterSizes _))
+    "p65_cluster_sizes" -> (p65ClusterSizes _),
+    "p66_dup_passages" -> (p66DupPassages _),
+    "p67_passage_strip" -> (p67PassageStrip _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2481,5 +2542,7 @@ object Pipeline {
     "p62_curation_shards" -> p62Sql,
     "p63_hybrid_rrf" -> p63Sql,
     "p64_training_mix" -> p64Sql,
-    "p65_cluster_sizes" -> p65Sql)
+    "p65_cluster_sizes" -> p65Sql,
+    "p66_dup_passages" -> p66Sql,
+    "p67_passage_strip" -> p67Sql)
 }

@@ -149,6 +149,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("did not converge"))
   }
 
+  test("duplicate passages: shared 8-token window flagged, strip removes it") {
+    // docs 1 and 2 share one verbatim 8-token passage mid-text; doc 3 is
+    // clean; doc 4 is a short doc duplicated verbatim as doc 5
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"one two three $passage nine ten"),
+      (2L, s"other words here $passage trailing bits"),
+      (3L, "completely original text with no repeated passage anywhere at all"),
+      (4L, "tiny shared doc"),
+      (5L, "tiny shared doc")).toDF("doc_id", "text")
+
+    val stats = Dedup.duplicatePassageStats(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    // doc 1: 13 tokens -> 6 windows; exactly 1 (the passage start) is shared
+    assert(stats(0).getAs[Long]("n_windows") === 6L)
+    assert(stats(0).getAs[Long]("n_dup_windows") === 1L)
+    assert(stats(2).getAs[Long]("n_dup_windows") === 0L)
+    // short-doc fallback: docs 4/5 have one window each, both flagged
+    assert(stats(3).getAs[Long]("n_windows") === 1L)
+    assert(stats(3).getAs[Long]("n_dup_windows") === 1L)
+    assert(stats(3).getAs[Double]("dup_ratio") === 1.0)
+
+    val strip = Dedup.stripDuplicatePassages(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    // doc 1 loses exactly the 8 passage tokens, keeps the other 5
+    assert(strip(0).getAs[Long]("n_kept") === 5L)
+    assert(strip(0).getAs[String]("kept_text") === "one two three nine ten")
+    // doc 3 untouched
+    assert(strip(2).getAs[Long]("n_kept") === strip(2).getAs[Int]("n_tokens").toLong)
+    // docs 4/5 fully covered by their fallback window
+    assert(strip(3).getAs[Long]("n_kept") === 0L)
+    assert(strip(3).getAs[String]("kept_text") === "")
+  }
+
   test("local union-find pre-contraction: same labels, fewer rounds") {
     // mixed shape: two chains, a cycle, an isolated edge
     val edges = ((1L until 40L).map(i => (i, i + 1)) ++

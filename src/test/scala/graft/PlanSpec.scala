@@ -261,4 +261,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"join keys must include the salt:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no sort-merge:\n$plan")
   }
+
+  test("p66 duplicated passages: only 8-byte fingerprints cross an exchange") {
+    val plan = planString(graft.queries.Pipeline.p66DupPassages(spark, sfDir))
+    // window text must be fingerprinted before any exchange: no exchange's
+    // output may carry the gram string or the document text
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.contains("__gram") && !e.contains("text#"),
+        s"window text crossed an exchange:\n$e")
+    }
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"frequency aggregation must be two-phase:\n$plan")
+  }
 }

@@ -109,6 +109,125 @@ private[queries] object OracleHash {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
 
+  /** Sequential-order squared-L2 distance of two DOUBLE[] exprs — the
+    * rounding sequence of `GraftKernels.nearestCentroids`' fold. */
+  def seqSqDist(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
+
+  // ------------------------------------------------------------------
+  // K-means replay fragments: the IVF/PQ "trained" banks are bit-
+  // deterministic (decimal-staged Lloyd iterations), so training is a
+  // deterministic relational expression DuckDB can replay from raw data.
+  // Two Java/DuckDB conversion gaps must be bridged through VARCHAR:
+  // Spark casts double→DECIMAL via Double.toString (shortest digits),
+  // and BigDecimal.doubleValue() rounds the decimal ONCE — DuckDB's
+  // binary casts do exact-value and double-rounding conversions
+  // respectively, each off by 1 ulp on ~15% of values.
+  // ------------------------------------------------------------------
+
+  /** Spark's `cast(double as DECIMAL(38,18))`: via the shortest decimal
+    * string, not the exact binary expansion. */
+  def decimalStage(x: String): String =
+    s"CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18))"
+
+  /** Java's `BigDecimal.doubleValue()`: one correctly-rounded conversion
+    * (DECIMAL→VARCHAR is exact digits; VARCHAR→DOUBLE parses correctly
+    * rounded — never the double-rounding of a binary DECIMAL→DOUBLE). */
+  def decimalToDouble(s: String): String =
+    s"CAST(CAST($s AS VARCHAR) AS DOUBLE)"
+
+  /** The stride-sample seed (`ivfCentroids`/`pqTrain`): of the first
+    * `n`·50 rows of `emb(id, v)` by id, every 50th vector, as CTE
+    * `$name(${keyCol} INT, v)`. */
+  def strideSampleCte(name: String, n: Int, keyCol: String): String =
+    s"""$name AS (
+       |  SELECT CAST((rn - 1) // 50 AS INT) AS $keyCol, v
+       |  FROM (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn
+       |        FROM (SELECT id, v FROM emb ORDER BY id LIMIT ${n * 50}))
+       |  WHERE (rn - 1) % 50 = 0 AND (rn - 1) // 50 < $n)""".stripMargin
+
+  /** Nearest-cell assignment of `emb` rows under centroid CTE `bank(cell,
+    * cv)` — argmin of the sequential squared-L2 fold, ties to the lower
+    * cell (the `nearestCentroids` kernel's contract). Emits CTE
+    * `$name(id, v, cell)` for rank 1, or (id, cell) ranks ≤ `keep`. */
+  def nearestCellCte(name: String, bank: String, keep: Int,
+      filter: String = ""): String = {
+    val sel = if (keep == 1) "id, v, cell" else "id, cell"
+    s"""$name AS (
+       |  SELECT $sel FROM (
+       |    SELECT e.id, e.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${seqSqDist("e.v", "c.cv")} ASC, c.cell ASC) AS rn
+       |    FROM emb e CROSS JOIN $bank c$filter)
+       |  WHERE rn <= $keep)""".stripMargin
+  }
+
+  /** The full trained-IVF centroid bank (`ivfCentroidsTrained`): stride
+    * seed + `iters` decimal-staged Lloyd iterations, as a CTE chain over
+    * `emb(id, v)`. Returns (ctes, finalBankName); bank CTEs are
+    * `ivc0..ivc$iters(cell, cv)`. */
+  def ivfBankCtes(nCells: Int, iters: Int): (String, String) = {
+    val seed = strideSampleCte("ivseed", nCells, "cell") +
+      ",\nivc0 AS (SELECT cell, v AS cv FROM ivseed)"
+    val rounds = (1 to iters).map { it =>
+      val prev = s"ivc${it - 1}"
+      s"""${nearestCellCte(s"iva$it", prev, 1)},
+         |ivm$it AS (
+         |  SELECT cell, p - 1 AS pos,
+         |    SUM(${decimalStage("v[p]")}) AS s, COUNT(*) AS n
+         |  FROM iva$it CROSS JOIN unnest(range(1, len(v) + 1)) AS r(p)
+         |  GROUP BY cell, p),
+         |ivc$it AS (
+         |  SELECT c.cell, COALESCE(nl.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN (
+         |    SELECT cell, list(${decimalToDouble("s")} / n ORDER BY pos) AS cv
+         |    FROM ivm$it GROUP BY cell) nl ON c.cell = nl.cell)""".stripMargin
+    }.mkString(",\n")
+    (s"$seed,\n$rounds", s"ivc$iters")
+  }
+
+  /** Per-subspace nearest-code assignment under codebook CTE
+    * `bank(j, code, cv)` (the `pqCodes` kernel: squared-L2 on the
+    * subspace slice, ties to the lower code). Emits
+    * `$name(id, j, code)`. */
+  def pqAssignCte(name: String, bank: String, subDim: Int): String =
+    s"""$name AS (
+       |  SELECT id, j, code FROM (
+       |    SELECT e.id, b.j, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id, b.j
+       |        ORDER BY ${seqSqDist(s"e.v[b.j*$subDim+1:(b.j+1)*$subDim]", "b.cv")} ASC, b.code ASC) AS rn
+       |    FROM emb e CROSS JOIN $bank b)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The full trained-PQ codebooks (`pqTrain`): per-subspace stride seed
+    * + `iters` decimal-staged Lloyd iterations. Returns (ctes,
+    * finalBankName); bank CTEs are `pqb0..pqb$iters(j, code, cv)`. */
+  def pqBankCtes(m: Int, nCodes: Int, subDim: Int, iters: Int): (String, String) = {
+    val seed = strideSampleCte("pqseed", nCodes, "code") +
+      s""",
+         |pqb0 AS (
+         |  SELECT j.j, pqseed.code, pqseed.v[j.j*$subDim+1:(j.j+1)*$subDim] AS cv
+         |  FROM pqseed CROSS JOIN (SELECT CAST(unnest(range($m)) AS INT) AS j) j)""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      val prev = s"pqb${it - 1}"
+      s"""${pqAssignCte(s"pqa$it", prev, subDim)},
+         |pqm$it AS (
+         |  SELECT c.j, c.code, CAST((p - 1) % $subDim AS INT) AS pos_in,
+         |    SUM(${decimalStage("v[p]")}) AS s, COUNT(*) AS n
+         |  FROM emb e CROSS JOIN unnest(range(1, len(e.v) + 1)) AS r(p)
+         |  JOIN pqa$it c ON c.id = e.id AND c.j = CAST((p - 1) // $subDim AS INT)
+         |  GROUP BY c.j, c.code, pos_in),
+         |pqb$it AS (
+         |  SELECT b.j, b.code, COALESCE(nl.cv, b.cv) AS cv
+         |  FROM $prev b LEFT JOIN (
+         |    SELECT j, code, list(${decimalToDouble("s")} / n ORDER BY pos_in) AS cv
+         |    FROM pqm$it GROUP BY j, code) nl ON b.j = nl.j AND b.code = nl.code)""".stripMargin
+    }.mkString(",\n")
+    (s"$seed,\n$rounds", s"pqb$iters")
+  }
+
   /** The seeded hyperplane bank as SQL VALUES rows `(t, b, p DOUBLE[])` —
     * the same constants `VectorFunctions.seededPlanes` derives (table t
     * uses seed + t·7919), embedded as literals. `Double.toString` is

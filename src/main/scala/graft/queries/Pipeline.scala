@@ -449,6 +449,51 @@ object Pipeline {
        |ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** Replays the ENTIRE trained-IVF path from raw data: the stride-sample
+    * seed bank, all three decimal-staged Lloyd iterations (assignment =
+    * argmin of the sequential squared-L2 fold with the kernel's
+    * lowest-cell tie-break; means = SUM(DECIMAL(38,18)) → DOUBLE ÷ count,
+    * the exact staging `ivfCentroidsTrained` runs), then the nProbe=8
+    * probe assignment and exact cosine rerank. K-means is usually written
+    * off as unreplayable "training" — decimal staging makes every
+    * iteration a deterministic relational expression. */
+  /** Exact cosine rerank tail shared by the ANN replays: candidates CTE
+    * `(query_id, neighbor_id)` → top-`k` by (sim DESC, id ASC). */
+  private def sqlRerankTail(candCte: String, k: Int): String = {
+    import OracleHash._
+    s"""qv AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
+       |cvx AS (SELECT id AS neighbor_id, v AS cv FROM emb),
+       |s AS (SELECT query_id, neighbor_id,
+       |    ${seqDot("qv", "cv")} AS dt,
+       |    sqrt(${seqDot("qv", "qv")}) AS nq,
+       |    sqrt(${seqDot("cv", "cv")}) AS nc
+       |  FROM $candCte JOIN qv USING (query_id) JOIN cvx USING (neighbor_id)),
+       |r AS (SELECT query_id, neighbor_id,
+       |    ${sqlCosine("dt", "nq", "nc")} AS sim FROM s),
+       |t2 AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS "rank" FROM r)
+       |SELECT query_id, "rank", neighbor_id, sim FROM t2
+       |WHERE "rank" <= $k
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  val p16Sql: String = {
+    import OracleHash._
+    val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3)
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$bankCtes,
+       |${nearestCellCte("qa0", bank, keep = 8, filter = " WHERE e.id < 10")},
+       |qa AS (SELECT id AS query_id, cell FROM qa0),
+       |${nearestCellCte("ca0", bank, keep = 1)},
+       |ca AS (SELECT id AS neighbor_id, cell FROM ca0),
+       |cand AS (
+       |  SELECT DISTINCT query_id, neighbor_id
+       |  FROM qa JOIN ca USING (cell)
+       |  WHERE query_id != neighbor_id),
+       |${sqlRerankTail("cand", 5)}""".stripMargin
+  }
+
   /** K-means-refined IVF bank for the corpus under `dir`, fitted once per
     * process (training is bit-deterministic, so memoization is purely an
     * amortization — p16 and p22 probe the identical cells either way; at
@@ -490,6 +535,55 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ-bank CTEs at the registry parameters (m=16, nCodes=32, subDim=4,
+    * 2 Lloyd iterations) plus the reconstructed-vector relation — shared
+    * by [[p29Sql]] and [[p32Sql]]. Yields CTEs `...,(bank), enc, rv`. */
+  private val sqlPqBankAndRv: (String, String) = {
+    import OracleHash._
+    val (bankCtes, bank) = pqBankCtes(m = 16, nCodes = 32, subDim = 4, iters = 2)
+    (s"""$bankCtes,
+        |${pqAssignCte("enc", bank, subDim = 4)},
+        |rv AS (
+        |  SELECT enc.id AS neighbor_id, flatten(list(b.cv ORDER BY enc.j)) AS rv
+        |  FROM enc JOIN $bank b ON enc.j = b.j AND enc.code = b.code
+        |  GROUP BY enc.id)""".stripMargin, bank)
+  }
+
+  /** Approximate-score survivors CTE: cosine against the PQ-reconstructed
+    * vector, keep arank ≤ `keep` per query (the pqTopK refine window). */
+  private def sqlPqSurvivors(candSrc: String, keep: Int): String = {
+    import OracleHash._
+    s"""ap AS (SELECT query_id, neighbor_id,
+       |    ${seqDot("qv0", "rv")} AS dt,
+       |    sqrt(${seqDot("qv0", "qv0")}) AS nq,
+       |    sqrt(${seqDot("rv", "rv")}) AS nc
+       |  FROM $candSrc),
+       |ar AS (SELECT query_id, neighbor_id,
+       |    ${sqlCosine("dt", "nq", "nc")} AS asim FROM ap),
+       |sv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY asim DESC, neighbor_id ASC) AS arank FROM ar)
+       |  WHERE arank <= $keep)""".stripMargin
+  }
+
+  /** Replays the PQ path end to end: per-subspace stride-seeded codebooks
+    * through two decimal-staged Lloyd iterations (training IS a relational
+    * expression — see [[OracleHash]] on the two VARCHAR-bridged Java/DuckDB
+    * conversion gaps), corpus encode, reconstruct, approximate-cosine
+    * refine window (k·32), exact rerank. */
+  val p29Sql: String = {
+    val (pqCtes, _) = sqlPqBankAndRv
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$pqCtes,
+       |q0 AS (SELECT id AS query_id, v AS qv0 FROM emb WHERE id < 10),
+       |apin AS (SELECT query_id, neighbor_id, qv0, rv
+       |  FROM rv CROSS JOIN q0 WHERE query_id != neighbor_id),
+       |${sqlPqSurvivors("apin", 5 * 32)},
+       |${sqlRerankTail("sv", 5)}""".stripMargin
+  }
+
   /** IVF-PQ approximate nearest neighbors — coarse-cell routing composed
     * with compressed scoring (only the probed cells' code rows are read;
     * true vectors only for the refine set). Recall oracle-visible in p22. */
@@ -498,6 +592,33 @@ object Pipeline {
     Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
         centroids = ivfBank(spark, dir), banks = pqBank(spark, dir))
       .orderBy("query_id", "rank")
+  }
+
+  /** Replays BOTH trained models composed: the k-means IVF bank routes
+    * probes (8 of 16 cells), the PQ codebooks score only the probed
+    * cells' rows from reconstructions, true vectors only for the k·24
+    * refine set — the full billion-scale ANN layout, verified from raw
+    * data to final ranks. */
+  val p32Sql: String = {
+    import OracleHash._
+    val (ivfCtes, ivfBankName) = ivfBankCtes(nCells = 16, iters = 3)
+    val (pqCtes, _) = sqlPqBankAndRv
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$ivfCtes,
+       |$pqCtes,
+       |${nearestCellCte("ca0", ivfBankName, keep = 1)},
+       |ca AS (SELECT id AS neighbor_id, cell FROM ca0),
+       |${nearestCellCte("qa0", ivfBankName, keep = 8, filter = " WHERE e.id < 10")},
+       |qa AS (SELECT id AS query_id, cell FROM qa0),
+       |q0 AS (SELECT id AS query_id, v AS qv0 FROM emb WHERE id < 10),
+       |apin AS (
+       |  SELECT qa.query_id, ca.neighbor_id, q0.qv0, rv.rv
+       |  FROM qa JOIN ca USING (cell)
+       |  JOIN q0 ON qa.query_id = q0.query_id
+       |  JOIN rv ON ca.neighbor_id = rv.neighbor_id
+       |  WHERE qa.query_id != ca.neighbor_id),
+       |${sqlPqSurvivors("apin", 5 * 24)},
+       |${sqlRerankTail("sv", 5)}""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH buckets.
@@ -2497,6 +2618,7 @@ object Pipeline {
     "p12_fingerprint" -> p12Sql,
     "p13_event_windows" -> p13Sql,
     "p15_sql_functions" -> p15Sql,
+    "p16_knn_ivf" -> p16Sql,
     "p17_curation" -> p17Sql,
     "p18_hash_split" -> p18Sql,
     "p19_knn_two_phase" -> p06Sql,
@@ -2509,7 +2631,9 @@ object Pipeline {
     "p26_dedup_fp_first" -> p01Sql,
     "p27_stream_sessions" -> p27Sql,
     "p28_stream_dedup" -> p28Sql,
+    "p29_knn_pq" -> p29Sql,
     "p30_stream_join" -> p30Sql,
+    "p32_knn_ivfpq" -> p32Sql,
     "p31_sample_stratified" -> p31Sql,
     "p34_text_normalize" -> p34Sql,
     "p35_dedup_incremental" -> p35Sql,

@@ -473,6 +473,38 @@ object Similarity {
     * at radius 2); vectors are re-attached per surviving candidate, and
     * degenerate buckets stay capped on the index side BEFORE the join
     * (same guard as [[graft.operators.Dedup.bucketPairs]]). */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and dropping near-duplicates WITHIN each
+    * cluster — the k-means cells bound the pairwise comparison exactly
+    * like LSH buckets bound near-dup candidates, so the corpus never
+    * pairs globally. This greedy variant drops a vector iff a smaller-id
+    * vector in its cell is cosine-≥-`threshold` similar (deterministic,
+    * locally decidable — no transitive clustering pass).
+    *
+    * Scale: `nCells` grows with the corpus so the expected cell stays
+    * bounded; within-cell pairing shuffles once on `cell`, and the
+    * centroid bank is driver-side model-size like every IVF artifact.
+    *
+    * Returns one row per vector: (idCol, cell, kept, dup_of, sim) — for
+    * dropped rows, `dup_of` is the SMALLEST qualifying smaller id and
+    * `sim` its cosine; kept rows carry NULLs. */
+  def semDedup(corpus: DataFrame, threshold: Double,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("cell"), col("neighbor_id").as("id"), col("cv").as("v"))
+    val b = a.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    val dups = a.join(b, "cell").filter(col("id2") < col("id"))
+      .withColumn("sim", cosine(col("v"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("cell"), col("id"))
+      .agg(min(struct(col("id2"), col("sim"))).as("m"))
+    a.join(dups, Seq("cell", "id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        col("m").isNull.as("kept"),
+        col("m.id2").as("dup_of"), col("m.sim").as("sim"))
+  }
+
   def embeddingNearDupPairs(
       corpus: DataFrame, threshold: Double, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,

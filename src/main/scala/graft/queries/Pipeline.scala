@@ -2533,6 +2533,38 @@ object Pipeline {
        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // =========================================================================
+  // p68 — SemDeDup: semantic dedup inside trained k-means cells. The
+  // oracle replays the whole path — Lloyd-trained bank, cell assignment,
+  // within-cell cosine, greedy smaller-id drop rule.
+  // =========================================================================
+  def p68SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir), threshold = 0.3,
+        centroids = ivfBank(spark, dir))
+      .orderBy("vec_id")
+
+  val p68Sql: String = {
+    import OracleHash._
+    val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3)
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$bankCtes,
+       |${nearestCellCte("ca0", bank, keep = 1)},
+       |pairs AS (
+       |  SELECT a.cell, a.id, b.id AS id2,
+       |    ${seqDot("a.v", "b.v")} AS dt,
+       |    sqrt(${seqDot("a.v", "a.v")}) AS na,
+       |    sqrt(${seqDot("b.v", "b.v")}) AS nb
+       |  FROM ca0 a JOIN ca0 b ON a.cell = b.cell AND b.id < a.id),
+       |sims AS (SELECT cell, id, id2,
+       |    ${sqlCosine("dt", "na", "nb")} AS sim FROM pairs),
+       |dups AS (
+       |  SELECT cell, id, MIN(id2) AS dup_of, MIN_BY(sim, id2) AS sim
+       |  FROM sims WHERE sim >= 0.3 GROUP BY cell, id)
+       |SELECT a.id AS vec_id, a.cell, d.id IS NULL AS kept, d.dup_of, d.sim
+       |FROM ca0 a LEFT JOIN dups d ON a.cell = d.cell AND a.id = d.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2601,7 +2633,8 @@ object Pipeline {
     "p64_training_mix" -> (p64TrainingMix _),
     "p65_cluster_sizes" -> (p65ClusterSizes _),
     "p66_dup_passages" -> (p66DupPassages _),
-    "p67_passage_strip" -> (p67PassageStrip _))
+    "p67_passage_strip" -> (p67PassageStrip _),
+    "p68_semdedup" -> (p68SemDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2668,5 +2701,6 @@ object Pipeline {
     "p64_training_mix" -> p64Sql,
     "p65_cluster_sizes" -> p65Sql,
     "p66_dup_passages" -> p66Sql,
-    "p67_passage_strip" -> p67Sql)
+    "p67_passage_strip" -> p67Sql,
+    "p68_semdedup" -> p68Sql)
 }

@@ -294,6 +294,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 99L)))
   }
 
+  test("semDedup: planted twin dropped against its smaller-id original") {
+    val dim = 16
+    val v0 = vec(1, dim)
+    val near = v0.updated(0, v0.head + 0.01f)
+    val corpus = (Seq((0L, v0), (99L, near)) ++
+      (1L to 50L).map(i => (i, vec(i + 100, dim)))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsTrained(corpus, nCells = 4, iters = 2)
+    val out = Similarity.semDedup(corpus, threshold = 0.99, cents)
+    val rows = out.collect().map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Boolean]("kept"), Option(r.getAs[Any]("dup_of")))).toMap
+    // every row surfaces exactly once
+    assert(rows.size === 52)
+    // the twin (99) is dropped against 0; 0 itself is kept
+    assert(rows(99L)._1 === false)
+    assert(rows(99L)._2 === Some(0L))
+    assert(rows(0L)._1 === true)
+    // kept rows carry no dup_of
+    assert(rows.filter(_._2._1).forall(_._2._2.isEmpty))
+  }
+
   test("embedding near-dup multi-probe: superset of exact-bucket pairs, " +
       "recovers near-threshold pairs on the real table") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)

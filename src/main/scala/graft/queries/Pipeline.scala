@@ -2515,8 +2515,10 @@ object Pipeline {
         "doc_id", "text", windowTokens = 8)
       .orderBy("doc_id")
 
-  val p67Sql: String =
-    s"""WITH $sqlPassageCtes,
+  /** Passage-strip CTE chain ending in `strip(doc_id, n_tokens, n_kept,
+    * kept_text)` — shared by p67 and the p69 composition. */
+  private val sqlStripCtes: String =
+    s"""$sqlPassageCtes,
        |cov AS (SELECT DISTINCT doc_id, pos + i.i AS tpos
        |  FROM flag CROSS JOIN unnest(range(0, 8)) AS i(i)),
        |tp AS (SELECT doc_id, p - 1 AS tpos, toks[p] AS tok, len(toks) AS n
@@ -2526,12 +2528,17 @@ object Pipeline {
        |    string_agg(tok, ' ' ORDER BY tp.tpos) AS kept_text
        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
        |  WHERE cov.doc_id IS NULL
-       |  GROUP BY tp.doc_id)
-       |SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
-       |  COALESCE(n_kept, 0) AS n_kept,
-       |  COALESCE(kept_text, '') AS kept_text
-       |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
-       |ORDER BY t.doc_id""".stripMargin
+       |  GROUP BY tp.doc_id),
+       |strip AS (
+       |  SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |    COALESCE(n_kept, 0) AS n_kept,
+       |    COALESCE(kept_text, '') AS kept_text
+       |  FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id)""".stripMargin
+
+  val p67Sql: String =
+    s"""WITH $sqlStripCtes
+       |SELECT doc_id, n_tokens, n_kept, kept_text FROM strip
+       |ORDER BY doc_id""".stripMargin
 
   // =========================================================================
   // p68 — SemDeDup: semantic dedup inside trained k-means cells. The
@@ -2543,10 +2550,12 @@ object Pipeline {
         centroids = ivfBank(spark, dir))
       .orderBy("vec_id")
 
-  val p68Sql: String = {
+  /** SemDeDup CTE chain (bank training → assignment `ca0` → within-cell
+    * `sims` → greedy `dups`) — shared by p68 and the p69 composition. */
+  private val sqlSemDedupCtes: String = {
     import OracleHash._
     val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3)
-    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |$bankCtes,
        |${nearestCellCte("ca0", bank, keep = 1)},
        |pairs AS (
@@ -2559,11 +2568,55 @@ object Pipeline {
        |    ${sqlCosine("dt", "na", "nb")} AS sim FROM pairs),
        |dups AS (
        |  SELECT cell, id, MIN(id2) AS dup_of, MIN_BY(sim, id2) AS sim
-       |  FROM sims WHERE sim >= 0.3 GROUP BY cell, id)
+       |  FROM sims WHERE sim >= 0.3 GROUP BY cell, id)""".stripMargin
+  }
+
+  val p68Sql: String =
+    s"""WITH $sqlSemDedupCtes
        |SELECT a.id AS vec_id, a.cell, d.id IS NULL AS kept, d.dup_of, d.sim
        |FROM ca0 a LEFT JOIN dups d ON a.cell = d.cell AND a.id = d.id
        |ORDER BY vec_id""".stripMargin
+
+  // =========================================================================
+  // p69 — capstone v3: the round's new operators composed across BOTH data
+  // modalities in one plan — exact duplicated-passage strip (text) →
+  // minimum-surviving-length filter → SemDeDup survivor join (embeddings,
+  // vec_id ≡ doc_id) → fingerprint-first exact dedup ON THE STRIPPED TEXT
+  // → deterministic split. The oracle recomposes every stage from the
+  // SHARED fragments (sqlStripCtes, sqlSemDedupCtes, sqlSplitCase), so the
+  // green row proves the stages compose, not just that each works alone.
+  // =========================================================================
+  def p69CurationSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = Dedup.stripDuplicatePassages(
+        Tables.documents(spark, dir), "doc_id", "text", windowTokens = 8)
+      .filter(col("n_kept") >= 20)
+    val semKept = Similarity.semDedup(Tables.embeddings(spark, dir),
+        threshold = 0.3, centroids = ivfBank(spark, dir))
+      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+    val joined = stripped.select(col("doc_id"), col("n_kept"), col("kept_text"))
+      .join(semKept, "doc_id")
+    val deduped = Dedup.exactKeptByFingerprint(joined, "doc_id", "kept_text")
+    graft.operators.Curation.hashSplit(deduped, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("n_kept"), col("split"))
+      .orderBy("doc_id")
   }
+
+  val p69Sql: String =
+    s"""WITH $sqlStripCtes,
+       |$sqlSemDedupCtes,
+       |semkeep AS (
+       |  SELECT a.id AS doc_id FROM ca0 a
+       |  LEFT JOIN dups d ON a.cell = d.cell AND a.id = d.id
+       |  WHERE d.id IS NULL),
+       |f AS (
+       |  SELECT s.doc_id, s.n_kept, s.kept_text
+       |  FROM strip s JOIN semkeep USING (doc_id)
+       |  WHERE s.n_kept >= 20),
+       |dd AS (SELECT doc_id, n_kept FROM f
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM f GROUP BY kept_text))
+       |SELECT doc_id, n_kept, ${sqlSplitCase("doc_id")} AS split
+       |FROM dd ORDER BY doc_id""".stripMargin
 
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2634,7 +2687,8 @@ object Pipeline {
     "p65_cluster_sizes" -> (p65ClusterSizes _),
     "p66_dup_passages" -> (p66DupPassages _),
     "p67_passage_strip" -> (p67PassageStrip _),
-    "p68_semdedup" -> (p68SemDedup _))
+    "p68_semdedup" -> (p68SemDedup _),
+    "p69_curation_semantic" -> (p69CurationSemantic _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2702,5 +2756,6 @@ object Pipeline {
     "p65_cluster_sizes" -> p65Sql,
     "p66_dup_passages" -> p66Sql,
     "p67_passage_strip" -> p67Sql,
-    "p68_semdedup" -> p68Sql)
+    "p68_semdedup" -> p68Sql,
+    "p69_curation_semantic" -> p69Sql)
 }

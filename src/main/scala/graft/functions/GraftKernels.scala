@@ -243,4 +243,14 @@ object GraftKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
+
+  /** HLL rank: 1 + the number of leading zero bits of `w` within a
+    * (64−p)-bit window, where `w = hash >>> p` (so `w < 2^(64−p)`).
+    * `w == 0` → the whole window is zeros → 64 − p + 1. Pure integer —
+    * the DuckDB oracle re-derives it as `64 − p − length(bin(w)) + 1`. */
+  def hllRho(hash: Long, p: Int): Int = {
+    val w = hash >>> p
+    if (w == 0L) 64 - p + 1
+    else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+  }
 }

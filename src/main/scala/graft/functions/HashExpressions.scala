@@ -111,7 +111,29 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** HLL register rank of a 64-bit hash under 2^p registers: 1 + leading
+  * zeros of `hash >>> p` within its (64−p)-bit window (see
+  * [[GraftKernels.hllRho]]). Pure integer — DuckDB-replayable. */
+case class HllRhoExpr(child: Expression, p: Int) extends UnaryExpression {
+  require(p >= 4 && p <= 16)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hll_rho"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.hllRho(input.asInstanceOf[Long], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.hllRho($c, $p)")
+
+  override protected def withNewChildInternal(c: Expression): HllRhoExpr =
+    copy(child = c)
+}
+
 object HashFunctions {
+  /** hll_rho(hash64, p): the HLL register rank of a 64-bit hash. */
+  def hllRho(hash: Column, p: Int): Column =
+    ColumnBridge.column(HllRhoExpr(ColumnBridge.expression(hash), p))
+
   /** simhash64(tokens): 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(TokenSimHash64(ColumnBridge.expression(tokens)))

@@ -99,4 +99,69 @@ object Profiling {
         .as(s"nulls_$c"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Replayable HyperLogLog distinct count per group — the sketch whose
+    * every step is deterministic integer arithmetic, unlike
+    * `approx_count_distinct` (whose register state is opaque): value →
+    * fingerprint64 → register index (low `p` bits) + rank (leading zeros
+    * of the remaining window), max-rank per register, and a RATIONAL
+    * Flajolet estimator — `α_m = 0.7213/(1 + 1.079/m)` held as exact
+    * integers, the harmonic sum held as Σ2^(63−M) in DECIMAL, and one
+    * integral division at the end. A DuckDB oracle re-derives the whole
+    * sketch (see the p70 query), which no black-box sketch allows.
+    *
+    * Scale: rows shuffle once as (group, idx, rank) partial-maxed to at
+    * most `groups · 2^p` register rows; the estimator folds those
+    * model-sized rows in-plan. The small-cardinality branch (linear
+    * counting when est ≤ 2.5m and empty registers exist) uses `ln` —
+    * deterministic in-JVM, exercised only below ~2.5·2^p distincts.
+    *
+    * Output: groupCols + (n_hll BIGINT). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val gcols = groupCols.map(col)
+    val dec38 = DecimalType(38, 0)
+    def decLit(b: BigInt) = lit(new java.math.BigDecimal(b.bigInteger)).cast(dec38)
+
+    val registers = df
+      .select(gcols :+ HashFunctions.fingerprint64(
+        col(valueCol).cast("string")).as("__h"): _*)
+      .select(gcols ++ Seq(
+        col("__h").bitwiseAND(lit(m - 1)).as("__idx"),
+        HashFunctions.hllRho(col("__h"), p).as("__rho")): _*)
+      .groupBy(gcols :+ col("__idx"): _*)
+      .agg(max(col("__rho")).as("__M"))
+
+    // harmonic sum scaled by 2^63: present registers contribute 2^(63−M)
+    // (M ≤ 64−p+1 ≤ 61 for p ≥ 4, so the shift stays in positive Long
+    // range); each absent register contributes 2^63 (M = 0)
+    val agg = registers.groupBy(gcols: _*)
+      .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 63 - __M) AS DECIMAL(38,0))"))
+          .as("__Sp"),
+        count(lit(1)).as("__present"))
+    val s = agg.withColumn("__S",
+        col("__Sp") + (lit(m.toLong) - col("__present")).cast(dec38) *
+          decLit(BigInt(1) << 63))
+      .withColumn("__V", lit(m.toLong) - col("__present"))
+    // raw estimate: α_m·m²·2^63 / S with α_m = 7213·m·1000 / (10000·(1000m+1079))
+    val num = BigInt(7213) * m * 1000 * m * m * (BigInt(1) << 63)
+    val denFactor = BigInt(10000) * (1000L * m + 1079)
+    // integral division (exact floor — `div` semantics, matching the
+    // oracle's `//`), not decimal `/` whose scale-6 HALF_UP could round a
+    // near-integer quotient up before the cast truncates
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val withRaw = s.withColumn("__raw", ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(decLit(num)),
+        ColumnBridge.expression(col("__S") * decLit(denFactor)))))
+    // linear counting below 2.5m when empty registers remain
+    withRaw.select(gcols :+
+      when(col("__raw") <= lit((2.5 * m).toLong) && col("__V") > 0,
+        floor(lit(m.toDouble) * log(lit(m.toDouble) / col("__V"))))
+      .otherwise(col("__raw")).cast(LongType).as("n_hll"): _*)
+  }
 }

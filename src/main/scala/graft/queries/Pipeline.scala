@@ -2618,6 +2618,62 @@ object Pipeline {
        |SELECT doc_id, n_kept, ${sqlSplitCase("doc_id")} AS split
        |FROM dd ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p70 — replayable HyperLogLog: approximate distinct counting whose
+  // sketch is itself oracle-checked. Spark's approx_count_distinct is a
+  // black box (q23 stays rows-only for exactly that reason); this HLL is
+  // built from fingerprint64 + integer register ranks + a rational
+  // estimator, so DuckDB re-derives every register and the estimate.
+  // Output pairs the sketch against the exact distinct count with the
+  // error in basis points — accuracy is driver-visible, like p22's recall.
+  // =========================================================================
+  def p70HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val hll = graft.operators.Profiling.hllDistinct(
+      li, Seq("l_returnflag"), "l_orderkey", p = 8)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    exact.join(hll, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"), col("n_hll"),
+        floor(abs(col("n_hll") - col("n_exact")) * lit(10000) / col("n_exact"))
+          .cast("bigint").as("err_bp"))
+      .orderBy("l_returnflag")
+  }
+
+  val p70Sql: String = {
+    import OracleHash._
+    val m = 256
+    val num = BigInt(7213) * m * 1000 * m * m * (BigInt(1) << 63)
+    val denFactor = BigInt(10000) * (1000L * m + 1079)
+    s"""WITH src AS (SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS sval
+       |            FROM lineitem),
+       |h0 AS (SELECT flag, ${fnv1a("sval")} AS h FROM src),
+       |hh AS (SELECT flag, ${mix("h")} AS hu FROM h0),
+       |reg AS (SELECT flag, CAST(hu % 256 AS INT) AS idx,
+       |    MAX(CASE WHEN hu // 256 = 0 THEN 57
+       |        ELSE 57 - length(ltrim(bin(CAST(hu // 256 AS BIGINT)), '0'))
+       |        END) AS M
+       |  FROM hh GROUP BY flag, idx),
+       |agg AS (SELECT flag, SUM(1::HUGEINT << (63 - M)) AS sp,
+       |    COUNT(*) AS present FROM reg GROUP BY flag),
+       |sv AS (SELECT flag, sp + ($m - present) * (1::HUGEINT << 63) AS S,
+       |    $m - present AS V FROM agg),
+       |est AS (SELECT flag,
+       |    $num::HUGEINT // (S * $denFactor::HUGEINT) AS raw, V FROM sv),
+       |fin AS (SELECT flag,
+       |    CASE WHEN raw <= ${(2.5 * m).toLong} AND V > 0
+       |         THEN CAST(floor($m.0 * ln($m.0 / V)) AS BIGINT)
+       |         ELSE CAST(raw AS BIGINT) END AS n_hll
+       |  FROM est),
+       |ex AS (SELECT l_returnflag AS flag,
+       |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+       |  FROM lineitem GROUP BY flag)
+       |SELECT ex.flag AS l_returnflag, n_exact, n_hll,
+       |  CAST(floor(abs(n_hll - n_exact) * 10000 / n_exact) AS BIGINT) AS err_bp
+       |FROM ex JOIN fin USING (flag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2688,7 +2744,8 @@ object Pipeline {
     "p66_dup_passages" -> (p66DupPassages _),
     "p67_passage_strip" -> (p67PassageStrip _),
     "p68_semdedup" -> (p68SemDedup _),
-    "p69_curation_semantic" -> (p69CurationSemantic _))
+    "p69_curation_semantic" -> (p69CurationSemantic _),
+    "p70_hll_distinct" -> (p70HllDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2757,5 +2814,6 @@ object Pipeline {
     "p66_dup_passages" -> p66Sql,
     "p67_passage_strip" -> p67Sql,
     "p68_semdedup" -> p68Sql,
-    "p69_curation_semantic" -> p69Sql)
+    "p69_curation_semantic" -> p69Sql,
+    "p70_hll_distinct" -> p70Sql)
 }

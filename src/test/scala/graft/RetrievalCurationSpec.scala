@@ -301,4 +301,25 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(got === Seq((1L, "same"), (2L, "changed"), (3L, "changed"),
       (4L, "removed"), (5L, "same"), (9L, "added")))
   }
+
+  test("hllDistinct: estimate within the m=256 error envelope; " +
+      "duplicates collapse; small sets hit linear counting") {
+    import graft.operators.Profiling
+    // 5000 distinct values, each seen twice -> duplicates must not inflate
+    val big = spark.range(5000).toDF("v")
+      .unionAll(spark.range(5000).toDF("v"))
+      .withColumn("g", lit("a"))
+    val est = Profiling.hllDistinct(big, Seq("g"), "v", p = 8)
+      .head().getAs[Long]("n_hll")
+    // 3 sigma at m=256: 1.04/sqrt(256) * 3 ~ 20%
+    assert(math.abs(est - 5000) < 1000, s"estimate $est too far from 5000")
+    // tiny set: deterministic — "0".."49" hit 40 registers (10 collisions),
+    // linear counting gives floor(256·ln(256/216)) = 43 (the raw estimator
+    // would say 206; the branch fired). Pinned against an independent
+    // Python replay of the whole sketch.
+    val small = spark.range(50).toDF("v").withColumn("g", lit("a"))
+    val estS = Profiling.hllDistinct(small, Seq("g"), "v", p = 8)
+      .head().getAs[Long]("n_hll")
+    assert(estS === 43L, s"linear-counting estimate $estS, expected 43")
+  }
 }

@@ -106,4 +106,52 @@ object Graph {
     }
     pr
   }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ `k`,
+    * by iterative peeling — drop all nodes of degree < k, restrict the
+    * edge set, repeat to fixpoint. The k-core is UNIQUE (independent of
+    * peel order), so any correct implementation agrees on it — which
+    * lets an oracle verify with a completely different peel schedule.
+    * Curation use: near-dup/spam families that are chains or stars
+    * dissolve under k ≥ 2 peeling, while genuinely dense boilerplate
+    * cliques survive — a structural filter no per-pair threshold gives.
+    *
+    * Each round is one degree aggregation + two semi-joins, all keyed by
+    * node — O(rounds) exchanges, rounds bounded by the graph's
+    * degeneracy ordering depth (tiny in practice; throws on `maxRounds`
+    * exhaustion like the CC loops rather than returning a partial core).
+    *
+    * Returns the core's nodes with their in-core degrees:
+    * (id, core_deg). */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1)
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint(true)
+      val next = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      stable = next.count() == edges.count()
+      edges = next
+      rounds += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"kCore did not reach its fixpoint in $maxRounds rounds; raise maxRounds")
+    edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+  }
 }

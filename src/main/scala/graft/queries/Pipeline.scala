@@ -2674,6 +2674,53 @@ object Pipeline {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  // =========================================================================
+  // p71 — k-core pruning of the part co-purchase graph (parts co-ordered
+  // in ≥ 2 distinct orders; k = 2). The k-core is the UNIQUE maximal
+  // subgraph of min-degree ≥ k, so the oracle verifies the iterative
+  // distributed peel with a different schedule: 12 unrolled peel rounds
+  // (fixpoint lands in ≤ 6 on this data; extra rounds are no-ops).
+  // =========================================================================
+  def p71KCore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val co = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+      .agg(countDistinct(col("a.l_orderkey")).as("__w"))
+      .filter(col("__w") >= 2).select(col("id_a"), col("id_b"))
+    graft.operators.Graph.kCore(co, k = 2).orderBy("id")
+  }
+
+  val p71Sql: String = {
+    val rounds = 12
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references its predecessor three times — the 12-round chain
+    // would otherwise expand to ~3^12 copies of the base join
+    val base =
+      s"""e0 AS MATERIALIZED (
+         |  SELECT u, v FROM (
+         |    SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey AS o
+         |    FROM lineitem a JOIN lineitem b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+         |  GROUP BY u, v HAVING COUNT(DISTINCT o) >= 2)""".stripMargin
+    val peel = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM e${i - 1}
+         |    UNION ALL SELECT v FROM e${i - 1}) GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 2),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM k$i)
+         |    AND v IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$peel
+       |SELECT id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY id ORDER BY id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2745,7 +2792,8 @@ object Pipeline {
     "p67_passage_strip" -> (p67PassageStrip _),
     "p68_semdedup" -> (p68SemDedup _),
     "p69_curation_semantic" -> (p69CurationSemantic _),
-    "p70_hll_distinct" -> (p70HllDistinct _))
+    "p70_hll_distinct" -> (p70HllDistinct _),
+    "p71_kcore" -> (p71KCore _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2815,5 +2863,6 @@ object Pipeline {
     "p67_passage_strip" -> p67Sql,
     "p68_semdedup" -> p68Sql,
     "p69_curation_semantic" -> p69Sql,
-    "p70_hll_distinct" -> p70Sql)
+    "p70_hll_distinct" -> p70Sql,
+    "p71_kcore" -> p71Sql)
 }

@@ -603,6 +603,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getDouble(4) === 12.0 / 15.0, "clustering")
   }
 
+  test("kCore: triangle survives 2-core, attached chain dissolves; " +
+      "3-core of it is empty") {
+    import graft.operators.Graph
+    // triangle {1,2,3} with a chain 3-4-5-6 hanging off it
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val core2 = Graph.kCore(pairs, k = 2).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(core2 === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(Graph.kCore(pairs, k = 3).count() === 0L)
+  }
+
   test("appendIvfIndex: incremental batches probe identically to a " +
       "from-scratch index over the union") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)

@@ -66,20 +66,34 @@ object Bench {
     val total = results.collect { case (_, ok, _) if ok.nonEmpty => ok(ok.size / 2) }.sum
     // Two lines, detail first, contract line LAST:
     //   1. "total_detail" — 4-decimal medians + [min, median, max] spread +
-    //      per-query failure counts, for human/judge reading.
-    //   2. "total" — the driver contract {"metric",...,"queries",...}. It is
-    //      deliberately the final stdout line (build.sbt suppresses sbt's
-    //      success banner) and kept compact (2-decimal medians, no spread)
-    //      so it also survives intact inside a bounded last-N-chars tail
-    //      capture: rounds 1-4 all recorded "parsed": null because the full
-    //      line plus the banner overflowed the driver's 2000-char window.
+    //      per-query failure counts for EVERY query, for human/judge
+    //      reading (grep "total_detail" in the bench log).
+    //   2. "total" — the driver contract {"metric",...,"queries",...}. It
+    //      is deliberately the final stdout line (build.sbt suppresses
+    //      sbt's success banner) and MUST fit, whole, inside the driver's
+    //      last-N-chars tail capture: BENCH_r04's "tail" field is exactly
+    //      2000 chars, and rounds 1-4 all recorded "parsed": null from
+    //      overflowing it. At 118 registry queries a complete per-query
+    //      map is ~2.8k chars, so the contract line carries the SLOWEST
+    //      queries first and rolls the remainder into one "_others" entry
+    //      (the map still sums to "value"), budgeted to 1800 chars.
     println(s"""{"metric":"total_detail","value":${fmt(total, 4)},"unit":"sec","queries":${qmap(4)},"spread":$spread,"failures":$failures,"sf":"$sfDir"}""")
-    // the registry grows ~28 chars of contract line per query; if the
-    // 2-decimal form would near the driver's ~3.3k tail window, fall back
-    // to 1 decimal rather than risk a truncated (unparseable) last line
-    val line2 = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qmap(2)},"sf":"$sfDir"}"""
-    val line1 = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qmap(1)},"sf":"$sfDir"}"""
-    println(if (line2.length <= 2900) line2 else line1)
+    val budget = 1800
+    val overhead = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"sf":"$sfDir"}""".length + 40
+    val byCost = results.collect { case (name, ok, _) if ok.nonEmpty =>
+      (name, ok(ok.size / 2)) }.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = overhead
+    var othersSum = 0.0
+    byCost.foreach { case (name, med) =>
+      val e = s"\"$name\":${fmt(med, 2)}"
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else othersSum += med
+    }
+    if (othersSum > 0 || byCost.size > entries.size)
+      entries += s"\"_others\":${fmt(othersSum, 2)}"
+    val contractQ = entries.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$contractQ,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -289,7 +289,7 @@ object Dedup {
     * — so the loop sets an explicit width: ~4M edge rows per partition
     * (two longs each), clamped to the session's configured width so a
     * 100 TB edge set still uses every configured partition. */
-  private def withLoopParallelism[A](df: DataFrame, edgeRows: Long)(body: => A): A = {
+  private[operators] def withLoopParallelism[A](df: DataFrame, edgeRows: Long)(body: => A): A = {
     val conf = df.sparkSession.conf
     val key = "spark.sql.shuffle.partitions"
     val before = conf.get(key)

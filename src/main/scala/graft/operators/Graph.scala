@@ -131,6 +131,9 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // peel rounds shuffle a shrinking, usually tiny edge set — scale the
+    // loop's shuffle width to it (same discipline as the CC loops)
+    Dedup.withLoopParallelism(edges, edges.count()) {
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
@@ -153,5 +156,6 @@ object Graph {
     edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+    }
   }
 }

@@ -82,9 +82,14 @@ object Bench {
     val overhead = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"sf":"$sfDir"}""".length + 40
     val byCost = results.collect { case (name, ok, _) if ok.nonEmpty =>
       (name, ok(ok.size / 2)) }.sortBy(-_._2)
+    // queries that failed EVERY pass lead the line as -1.0 sentinels — a
+    // broken query must never be indistinguishable from an absent one
+    val broken = results.collect { case (name, ok, _) if ok.isEmpty =>
+      s"\"$name\":-1.0" }
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = overhead
     var othersSum = 0.0
+    broken.foreach { e => entries += e; used += e.length + 1 }
     byCost.foreach { case (name, med) =>
       val e = s"\"$name\":${fmt(med, 2)}"
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }

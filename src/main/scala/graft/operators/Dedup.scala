@@ -378,7 +378,12 @@ object Dedup {
   private def localContract(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // null-id edges are garbage the star loop has always tolerated (null
+    // comparisons drop them in round 1); skip them here too rather than
+    // crash the non-nullable tuple encoder — the node set still derives
+    // from the unfiltered base, so labeling is unchanged
     edges.select(col("id_a").as("_1"), col("id_b").as("_2"))
+      .filter(col("_1").isNotNull && col("_2").isNotNull)
       .repartitionByRange(col("_1"), col("_2"))
       .as[(Long, Long)]
       .mapPartitions { it =>

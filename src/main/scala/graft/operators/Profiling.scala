@@ -121,13 +121,18 @@ object Profiling {
       p: Int = 8): DataFrame = {
     import graft.functions.HashFunctions
     import org.apache.spark.sql.types.{DecimalType, LongType}
-    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    // p ≤ 13: the estimator numerator 7213000·m³·2^63 must fit
+    // DECIMAL(38,0) — at p = 14 it needs 39 digits and the literal throws
+    require(p >= 4 && p <= 13, "p must be in [4, 13]")
     val m = 1 << p
     val gcols = groupCols.map(col)
     val dec38 = DecimalType(38, 0)
     def decLit(b: BigInt) = lit(new java.math.BigDecimal(b.bigInteger)).cast(dec38)
 
+    // nulls are ignored like countDistinct ignores them; a group whose
+    // values are ALL null is therefore absent from the output entirely
     val registers = df
+      .filter(col(valueCol).isNotNull)
       .select(gcols :+ HashFunctions.fingerprint64(
         col(valueCol).cast("string")).as("__h"): _*)
       .select(gcols ++ Seq(

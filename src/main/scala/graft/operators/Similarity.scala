@@ -491,8 +491,13 @@ object Similarity {
   def semDedup(corpus: DataFrame, threshold: Double,
       centroids: Array[Array[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // materialize the assignment once — it feeds both sides of the cell
+    // self-join plus the final labeling, and Catalyst does not share a
+    // subplan across self-join branches, so an unmaterialized plan would
+    // run the O(rows·nCells·dim) centroid pass twice
     val a = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col("cell"), col("neighbor_id").as("id"), col("cv").as("v"))
+      .localCheckpoint(true)
     val b = a.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
     val dups = a.join(b, "cell").filter(col("id2") < col("id"))
       .withColumn("sim", cosine(col("v"), col("v2")))

@@ -432,31 +432,9 @@ object Pipeline {
        |  SELECT DISTINCT q.query_id, c.id AS neighbor_id
        |  FROM qb q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
        |  WHERE q.query_id != c.id),
-       |qv AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
-       |cv AS (SELECT id AS neighbor_id, v AS cv FROM emb),
-       |s AS (SELECT query_id, neighbor_id,
-       |    ${seqDot("qv", "cv")} AS dt,
-       |    sqrt(${seqDot("qv", "qv")}) AS nq,
-       |    sqrt(${seqDot("cv", "cv")}) AS nc
-       |  FROM cand JOIN qv USING (query_id) JOIN cv USING (neighbor_id)),
-       |r AS (SELECT query_id, neighbor_id,
-       |    ${sqlCosine("dt", "nq", "nc")} AS sim FROM s),
-       |t2 AS (SELECT query_id, neighbor_id, sim,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |                       ORDER BY sim DESC, neighbor_id ASC) AS "rank" FROM r)
-       |SELECT query_id, "rank", neighbor_id, sim FROM t2
-       |WHERE "rank" <= 5
-       |ORDER BY query_id, "rank"""".stripMargin
+       |${sqlRerankTail("cand", 5)}""".stripMargin
   }
 
-  /** Replays the ENTIRE trained-IVF path from raw data: the stride-sample
-    * seed bank, all three decimal-staged Lloyd iterations (assignment =
-    * argmin of the sequential squared-L2 fold with the kernel's
-    * lowest-cell tie-break; means = SUM(DECIMAL(38,18)) → DOUBLE ÷ count,
-    * the exact staging `ivfCentroidsTrained` runs), then the nProbe=8
-    * probe assignment and exact cosine rerank. K-means is usually written
-    * off as unreplayable "training" — decimal staging makes every
-    * iteration a deterministic relational expression. */
   /** Exact cosine rerank tail shared by the ANN replays: candidates CTE
     * `(query_id, neighbor_id)` → top-`k` by (sim DESC, id ASC). */
   private def sqlRerankTail(candCte: String, k: Int): String = {
@@ -478,6 +456,14 @@ object Pipeline {
        |ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** Replays the ENTIRE trained-IVF path from raw data: the stride-sample
+    * seed bank, all three decimal-staged Lloyd iterations (assignment =
+    * argmin of the sequential squared-L2 fold with the kernel's
+    * lowest-cell tie-break; means = SUM(DECIMAL(38,18)) → DOUBLE ÷ count,
+    * the exact staging `ivfCentroidsTrained` runs), then the nProbe=8
+    * probe assignment and exact cosine rerank. K-means is usually written
+    * off as unreplayable "training" — decimal staging makes every
+    * iteration a deterministic relational expression. */
   val p16Sql: String = {
     import OracleHash._
     val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3)

@@ -340,13 +340,15 @@ object Pipeline {
         numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
-  /** Replays: 3-token shingles → FNV-1a per shingle → 64 signed-min
-    * permutation slots (coefficient bank embedded as literals) → 16 bands
-    * of 4 slots grouped by slice value → in-bucket pairs under the same
-    * 200-member cap → exact-Jaccard verify at 0.4. */
-  val p08Sql: String = {
+  /** MinHash-LSH pair replay CTE chain ending in `mh(id_a, id_b,
+    * jaccard)` (threshold applied): 3-token shingles → FNV-1a per shingle
+    * → 64 signed-min permutation slots (coefficient bank embedded as
+    * literals) → 16 bands of 4 slots grouped by slice value → in-bucket
+    * pairs under the same 200-member cap → exact-Jaccard verify at 0.4.
+    * Shared by p08 and the p72 leakage audit. */
+  private val sqlMinhashCtes: String = {
     import OracleHash._
-    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
        |sh AS (SELECT doc_id AS id, list_distinct(
        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |         ELSE list_transform(range(1, len(toks) - 1),
@@ -367,15 +369,20 @@ object Pipeline {
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM grp a JOIN grp b ON a.bd = b.bd AND a.key = b.key AND a.id < b.id
        |  WHERE a.n <= 200 AND b.n <= 200),
-       |ver AS (
-       |  SELECT id_a, id_b,
-       |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
-       |         ELSE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))
-       |    END AS jaccard
-       |  FROM cand JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id)
-       |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.4
-       |ORDER BY id_a, id_b""".stripMargin
+       |mh AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT id_a, id_b,
+       |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+       |           ELSE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |      END AS jaccard
+       |    FROM cand JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id)
+       |  WHERE jaccard >= 0.4)""".stripMargin
   }
+
+  val p08Sql: String =
+    s"""WITH $sqlMinhashCtes
+       |SELECT id_a, id_b, jaccard FROM mh
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-duplicate pairs (Hamming ≤ 3 on 64-bit fingerprints). */
   def p09DedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -2707,6 +2714,41 @@ object Pipeline {
        |GROUP BY id ORDER BY id""".stripMargin
   }
 
+  // =========================================================================
+  // p72 — train/test split leakage audit: near-duplicate pairs that CROSS
+  // the deterministic split boundary (Lee et al. 2022 found benchmark
+  // test sets leaking into training data exactly this way). Composes the
+  // MinHash-LSH pair pipeline with the hash split; oracle recomposed from
+  // the shared fragments (sqlMinhashCtes × sqlSplitCase on both ids).
+  // =========================================================================
+  def p72SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.4)
+    val split = graft.operators.Curation.hashSplit(
+        docs.select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p72Sql: String =
+    s"""WITH $sqlMinhashCtes,
+       |lk AS (
+       |  SELECT id_a, id_b, jaccard,
+       |    ${sqlSplitCase("id_a")} AS split_a,
+       |    ${sqlSplitCase("id_b")} AS split_b
+       |  FROM mh)
+       |SELECT id_a, id_b, jaccard, split_a, split_b FROM lk
+       |WHERE split_a != split_b
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2779,7 +2821,8 @@ object Pipeline {
     "p68_semdedup" -> (p68SemDedup _),
     "p69_curation_semantic" -> (p69CurationSemantic _),
     "p70_hll_distinct" -> (p70HllDistinct _),
-    "p71_kcore" -> (p71KCore _))
+    "p71_kcore" -> (p71KCore _),
+    "p72_split_leakage" -> (p72SplitLeakage _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2850,5 +2893,6 @@ object Pipeline {
     "p68_semdedup" -> p68Sql,
     "p69_curation_semantic" -> p69Sql,
     "p70_hll_distinct" -> p70Sql,
-    "p71_kcore" -> p71Sql)
+    "p71_kcore" -> p71Sql,
+    "p72_split_leakage" -> p72Sql)
 }

@@ -233,4 +233,65 @@ class PropertySpec extends SparkSpec {
         s"salts=$salts")
     }
   }
+
+  test("kCore == naive in-memory peel for random graphs, any partitioning") {
+    val rng = new Random(2026)
+    (1 to 6).foreach { trial =>
+      val n = 20 + rng.nextInt(30)
+      val edges = List.fill(80 + rng.nextInt(120))(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val k = 2 + rng.nextInt(3)
+      // naive peel on the canonical undirected simple graph
+      var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val nxt = es.filter { case (a, b) => keep(a) && keep(b) }
+        changed = nxt.size != es.size
+        es = nxt
+      }
+      val want = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val parts = Seq(1, 3, 17)(trial % 3)
+      val got = graft.operators.Graph.kCore(
+          edges.toDF("id_a", "id_b").repartition(parts), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial=$trial k=$k parts=$parts")
+    }
+  }
+
+  test("hllDistinct matches an in-memory replay of the sketch exactly") {
+    val rng = new Random(7)
+    (1 to 4).foreach { trial =>
+      val vals = List.fill(300 + rng.nextInt(3000))(rng.nextInt(2000).toLong)
+      val p = 6 + trial                  // 7..10 — different register widths
+      val m = 1 << p
+      // in-memory replay: same fingerprint, registers, rational estimator
+      val regs = scala.collection.mutable.Map.empty[Long, Int]
+      vals.foreach { v =>
+        val h = graft.functions.GraftKernels.fingerprint64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
+        val idx = h & (m - 1)
+        val rho = graft.functions.GraftKernels.hllRho(h, p)
+        regs(idx) = math.max(regs.getOrElse(idx, 0), rho)
+      }
+      val sp = regs.values.map(mm => BigInt(1) << (63 - mm)).sum +
+        BigInt(m - regs.size) * (BigInt(1) << 63)
+      val vZero = m - regs.size
+      val num = BigInt(7213) * m * 1000 * m * m * (BigInt(1) << 63)
+      val den = BigInt(10000) * (1000L * m + 1079) * sp
+      val raw = (num / den).toLong
+      val want = if (raw <= (2.5 * m).toLong && vZero > 0)
+        math.floor(m.toDouble * math.log(m.toDouble / vZero)).toLong
+      else raw
+      val got = graft.operators.Profiling.hllDistinct(
+          vals.toDF("v").withColumn("g",
+            org.apache.spark.sql.functions.lit("x")), Seq("g"), "v", p)
+        .head().getAs[Long]("n_hll")
+      assert(got === want, s"trial=$trial p=$p n=${vals.size}")
+    }
+  }
 }

@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "minhash_signature",
       "minhash_signature(shingles[, numHashes[, seed]]) - MinHash slots",
       GraftFunctions.minhashBuilder)
+    inject(e, "hll_rho",
+      "hll_rho(hash64, p) - HLL register rank of a 64-bit hash under 2^p registers",
+      args => HllRhoExpr(args.head, GraftFunctions.literalInt(args(1), "p")))
   }
 }

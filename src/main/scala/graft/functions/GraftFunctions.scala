@@ -50,5 +50,7 @@ object GraftFunctions {
     ColumnBridge.registerFunction(spark, "cosine_similarity",
       args => CosineSimilarityExpr(args.head, args(1)))
     ColumnBridge.registerFunction(spark, "minhash_signature", minhashBuilder)
+    ColumnBridge.registerFunction(spark, "hll_rho",
+      args => HllRhoExpr(args.head, literalInt(args(1), "p")))
   }
 }

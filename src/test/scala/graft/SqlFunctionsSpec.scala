@@ -39,7 +39,8 @@ class SqlFunctionsSpec extends SparkSpec {
         |  simhash64(tokenize(text)) AS sh64,
         |  fingerprint64(text) AS fp,
         |  minhash_signature(tokenize(text), 16, 7) AS sig,
-        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS cos
+        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS cos,
+        |  hll_rho(fingerprint64(text), 8) AS rho
         |FROM t""".stripMargin).head()
 
     val viaApi = Seq(("Hello, World! 42x", 7L)).toDF("text", "x")
@@ -50,7 +51,9 @@ class SqlFunctionsSpec extends SparkSpec {
         HashFunctions.fingerprint64(col("text")).as("fp"),
         HashFunctions.minhashSignature(TF.tokens(col("text")), 16, 7L).as("sig"),
         graft.functions.VectorFunctions.cosine(
-          array(lit(1.0), lit(0.0)), array(lit(1.0), lit(1.0))).as("cos"))
+          array(lit(1.0), lit(0.0)), array(lit(1.0), lit(1.0))).as("cos"),
+        HashFunctions.hllRho(
+          HashFunctions.fingerprint64(col("text")), 8).as("rho"))
       .head()
 
     assert(viaSql.getSeq[String](0) === viaApi.getSeq[String](0))
@@ -59,6 +62,7 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql.getLong(3) === viaApi.getLong(3))
     assert(viaSql.getSeq[Long](4) === viaApi.getSeq[Long](4))
     assert(viaSql.getDouble(5) === viaApi.getDouble(5))
+    assert(viaSql.getInt(6) === viaApi.getInt(6))
   }
 
   test("GraftExtensions installs the SQL functions at session build") {

@@ -610,6 +610,44 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** The persisted duplicated-passage index relation: the DISTINCT window
+    * fingerprints of a corpus — 8 bytes per distinct passage. Persist
+    * bucketed by `fp` so incremental probes join exchange-free on the
+    * standing side. */
+  def passageWindowIndex(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame =
+    passageWindows(docs, idCol, textCol, windowTokens)
+      .select(col("__fp").as("fp")).distinct()
+
+  /** Incremental [[duplicatePassageStats]]: the daily-increment shape —
+    * a new batch's duplicated-window share against (standing corpus ∪
+    * batch) WITHOUT re-windowing the corpus. A batch window is duplicated
+    * iff its fingerprint exists in the persisted [[passageWindowIndex]]
+    * (cross-set dup) or appears in ≥ 2 distinct batch docs (in-batch dup)
+    * — exactly [[duplicatePassageStats]]' definition evaluated over the
+    * union. Only 8-byte fingerprints flow anywhere: the batch windows
+    * semi-join the index, the corpus text is never touched. */
+  def duplicatePassageStatsIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, existingIndex: DataFrame,
+      windowTokens: Int = 8): DataFrame = {
+    val wins = passageWindows(newDocs, idCol, textCol, windowTokens)
+    val batchDup = wins.select(col("__fp"), col(idCol)).distinct()
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__fp"))
+    val crossDup = wins.select(col("__fp")).distinct()
+      .join(existingIndex.select(col("fp").as("__fp")), Seq("__fp"),
+        "left_semi")
+    val dupFps = batchDup.unionAll(crossDup).distinct()
+    val flagged = wins.join(dupFps, "__fp")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    wins.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)) / col("n_windows"))
+          .as("dup_ratio"))
+  }
+
   /** One row per (doc, 0-based window position) with the window's 8-byte
     * fingerprint — the shared front of the duplicated-passage operators. */
   private def passageWindows(docs: DataFrame, idCol: String, textCol: String,

@@ -2478,20 +2478,27 @@ object Pipeline {
         "doc_id", "text", windowTokens = 8)
       .orderBy("doc_id")
 
-  private val sqlPassageCtes: String = {
+  /** 8-token window fingerprints of a base CTE `$base(doc_id, toks)` as
+    * CTE `wh$tag(doc_id, pos, fp)` — the FNV→SplitMix replay of
+    * `Dedup.passageWindows`, parameterized so the incremental audit can
+    * window two document sets independently. */
+  private def sqlWindowFpCtes(tag: String, base: String): String = {
     import OracleHash._
-    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-       |w AS (SELECT doc_id, p - 1 AS pos,
+    s"""w$tag AS (SELECT doc_id, p - 1 AS pos,
        |    CASE WHEN len(toks) < 8 THEN array_to_string(toks, ' ')
        |         ELSE array_to_string(toks[p:p+7], ' ') END AS gram
-       |  FROM t CROSS JOIN
-       |    unnest(range(1, greatest(len(toks) - 6, 2))) AS r(p)),
-       |wh0 AS (SELECT doc_id, pos, ${fnv1a("gram")} AS h FROM w),
-       |wh AS (SELECT doc_id, pos, ${mix("h")} AS fp FROM wh0),
+       |  FROM $base CROSS JOIN
+       |    unnest(range(1, greatest(len(toks) - 6, 2))) AS r$tag(p)),
+       |wh0$tag AS (SELECT doc_id, pos, ${fnv1a("gram")} AS h FROM w$tag),
+       |wh$tag AS (SELECT doc_id, pos, ${mix("h")} AS fp FROM wh0$tag)""".stripMargin
+  }
+
+  private val sqlPassageCtes: String =
+    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |${sqlWindowFpCtes("", "t")},
        |freq AS (SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM wh)
        |         GROUP BY fp HAVING COUNT(*) >= 2),
        |flag AS (SELECT doc_id, pos FROM wh JOIN freq USING (fp))""".stripMargin
-  }
 
   val p66Sql: String =
     s"""WITH $sqlPassageCtes,
@@ -2749,6 +2756,47 @@ object Pipeline {
        |WHERE split_a != split_b
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p73 — incremental duplicated-passage audit: a new batch (the p35
+  // split plus 10 replayed docs under fresh ids — planted cross-set
+  // passage dups) scores its duplicated-window share against the standing
+  // corpus's persisted fingerprint index WITHOUT re-windowing the corpus.
+  // =========================================================================
+  def p73PassageIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Dedup.duplicatePassageStatsIncremental(incoming, "doc_id", "text",
+        Dedup.passageWindowIndex(existing, "doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  val p73Sql: String =
+    s"""WITH ex AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |           WHERE doc_id < 250),
+       |inc AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, $sqlToks AS toks FROM documents
+       |  WHERE doc_id < 10),
+       |${sqlWindowFpCtes("x", "ex")},
+       |${sqlWindowFpCtes("i", "inc")},
+       |dupfp AS (
+       |  SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM whi)
+       |  GROUP BY fp HAVING COUNT(*) >= 2
+       |  UNION
+       |  SELECT DISTINCT fp FROM whi WHERE fp IN (SELECT fp FROM whx)),
+       |nd AS (SELECT doc_id, COUNT(*) AS n_dup_windows
+       |  FROM whi JOIN dupfp USING (fp) GROUP BY doc_id),
+       |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM whi GROUP BY doc_id)
+       |SELECT nw.doc_id, n_windows,
+       |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       |  COALESCE(n_dup_windows, 0) / n_windows AS dup_ratio
+       |FROM nw LEFT JOIN nd ON nw.doc_id = nd.doc_id
+       |ORDER BY nw.doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2822,7 +2870,8 @@ object Pipeline {
     "p69_curation_semantic" -> (p69CurationSemantic _),
     "p70_hll_distinct" -> (p70HllDistinct _),
     "p71_kcore" -> (p71KCore _),
-    "p72_split_leakage" -> (p72SplitLeakage _))
+    "p72_split_leakage" -> (p72SplitLeakage _),
+    "p73_passage_incremental" -> (p73PassageIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2894,5 +2943,6 @@ object Pipeline {
     "p69_curation_semantic" -> p69Sql,
     "p70_hll_distinct" -> p70Sql,
     "p71_kcore" -> p71Sql,
-    "p72_split_leakage" -> p72Sql)
+    "p72_split_leakage" -> p72Sql,
+    "p73_passage_incremental" -> p73Sql)
 }

@@ -89,13 +89,27 @@ object Bench {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = overhead
     var othersSum = 0.0
-    broken.foreach { e => entries += e; used += e.length + 1 }
+    // broken sentinels obey the same budget as timed entries (a mass
+    // failure must not overflow the tail window this line exists to fit);
+    // overflow rolls into one "_broken" count
+    var brokenDropped = 0
+    broken.foreach { e =>
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else brokenDropped += 1
+    }
+    if (brokenDropped > 0) {
+      val e = s"\"_broken\":$brokenDropped"
+      entries += e; used += e.length + 1
+    }
+    var timedShown = 0
     byCost.foreach { case (name, med) =>
       val e = s"\"$name\":${fmt(med, 2)}"
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1; timedShown += 1 }
       else othersSum += med
     }
-    if (othersSum > 0 || byCost.size > entries.size)
+    // compare against the count of INCLUDED timed entries (entries also
+    // holds broken sentinels) so 0.00-median exclusions still surface
+    if (othersSum > 0 || byCost.size > timedShown)
       entries += s"\"_others\":${fmt(othersSum, 2)}"
     val contractQ = entries.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$contractQ,"sf":"$sfDir"}""")

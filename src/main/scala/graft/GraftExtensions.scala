@@ -28,8 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => TokenizeExpr(args.head))
     inject(e, "token_shingles",
       "token_shingles(tokens, n) - word n-gram shingles",
-      args => TokenShinglesExpr(args.head,
-        GraftFunctions.literalInt(args(1), "n")))
+      GraftFunctions.tokenShinglesBuilder)
     inject(e, "simhash64",
       "simhash64(tokens) - 64-bit SimHash",
       args => TokenSimHash64(args.head))
@@ -44,6 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.minhashBuilder)
     inject(e, "hll_rho",
       "hll_rho(hash64, p) - HLL register rank of a 64-bit hash under 2^p registers",
-      args => HllRhoExpr(args.head, GraftFunctions.literalInt(args(1), "p")))
+      GraftFunctions.hllRhoBuilder)
   }
 }

@@ -38,11 +38,26 @@ object GraftFunctions {
       s"minhash_signature takes 1-3 args, got ${args.size}")
   }
 
+  /** hll_rho(hash64, p) builder with an arity check (shared with
+    * [[graft.GraftExtensions]]) — a 1-arg call is a user error, not an
+    * IndexOutOfBoundsException. */
+  private[graft] val hllRhoBuilder: Seq[Expression] => Expression = {
+    case Seq(h, p) => HllRhoExpr(h, literalInt(p, "p"))
+    case args => throw new IllegalArgumentException(
+      s"hll_rho takes exactly 2 args (hash64, p), got ${args.size}")
+  }
+
+  /** token_shingles(tokens, n) builder with the same arity discipline. */
+  private[graft] val tokenShinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => TokenShinglesExpr(t, literalInt(n, "n"))
+    case args => throw new IllegalArgumentException(
+      s"token_shingles takes exactly 2 args (tokens, n), got ${args.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "tokenize",
       args => TokenizeExpr(args.head))
-    ColumnBridge.registerFunction(spark, "token_shingles",
-      args => TokenShinglesExpr(args.head, literalInt(args(1), "n")))
+    ColumnBridge.registerFunction(spark, "token_shingles", tokenShinglesBuilder)
     ColumnBridge.registerFunction(spark, "simhash64",
       args => TokenSimHash64(args.head))
     ColumnBridge.registerFunction(spark, "fingerprint64",
@@ -50,7 +65,6 @@ object GraftFunctions {
     ColumnBridge.registerFunction(spark, "cosine_similarity",
       args => CosineSimilarityExpr(args.head, args(1)))
     ColumnBridge.registerFunction(spark, "minhash_signature", minhashBuilder)
-    ColumnBridge.registerFunction(spark, "hll_rho",
-      args => HllRhoExpr(args.head, literalInt(args(1), "p")))
+    ColumnBridge.registerFunction(spark, "hll_rho", hllRhoBuilder)
   }
 }

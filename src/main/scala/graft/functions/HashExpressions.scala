@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -114,8 +114,13 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
 /** HLL register rank of a 64-bit hash under 2^p registers: 1 + leading
   * zeros of `hash >>> p` within its (64−p)-bit window (see
   * [[GraftKernels.hllRho]]). Pure integer — DuckDB-replayable. */
-case class HllRhoExpr(child: Expression, p: Int) extends UnaryExpression {
+case class HllRhoExpr(child: Expression, p: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   require(p >= 4 && p <= 16)
+  // analysis-time type check: a non-BIGINT hash column is a coherent user
+  // error, not a runtime ClassCastException from the eval cast below
+  // (type inferred — AbstractDataType is private[sql] and unnameable here)
+  override def inputTypes = Seq(LongType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hll_rho"
 

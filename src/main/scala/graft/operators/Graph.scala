@@ -133,7 +133,8 @@ object Graph {
       .localCheckpoint(true)
     // peel rounds shuffle a shrinking, usually tiny edge set — scale the
     // loop's shuffle width to it (same discipline as the CC loops)
-    Dedup.withLoopParallelism(edges, edges.count()) {
+    var edgeCount = edges.count()
+    Dedup.withLoopParallelism(edges, edgeCount) {
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
@@ -147,8 +148,12 @@ object Graph {
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint(true)
-      stable = next.count() == edges.count()
+      // carry the count across rounds — this round's edge count IS last
+      // round's next.count(); recomputing it costs one extra job per peel
+      val nextCount = next.count()
+      stable = nextCount == edgeCount
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     if (!stable) throw new IllegalStateException(

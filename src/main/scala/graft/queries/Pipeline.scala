@@ -2714,11 +2714,17 @@ object Pipeline {
          |  WHERE u IN (SELECT node FROM k$i)
          |    AND v IN (SELECT node FROM k$i))""".stripMargin
     }.mkString(",\n")
+    // fixpoint self-assertion: if the data ever needs > `rounds` peel
+    // rounds the oracle raises a self-describing error instead of silently
+    // yielding a non-core result (the engine peels to a VERIFIED fixpoint)
     s"""WITH $base,
-       |$peel
+       |$peel,
+       |fix AS (SELECT CASE
+       |  WHEN (SELECT COUNT(*) FROM e${rounds - 1}) = (SELECT COUNT(*) FROM e$rounds)
+       |  THEN TRUE ELSE error('p71 oracle: no fixpoint in $rounds peel rounds; bump rounds') END AS ok)
        |SELECT id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
        |  SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
-       |GROUP BY id ORDER BY id""".stripMargin
+       |GROUP BY id HAVING (SELECT ok FROM fix) ORDER BY id""".stripMargin
   }
 
   // =========================================================================

@@ -384,22 +384,30 @@ object Pipeline {
        |SELECT id_a, id_b, jaccard FROM mh
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash near-duplicate pairs (Hamming ≤ 3 on 64-bit fingerprints). */
+  /** SimHash near-duplicate pairs (Hamming ≤ 4 on 64-bit fingerprints;
+    * the 28-chunk-pair band index guarantees candidates to Hamming ≤ 6, so
+    * the 4 is an exact verify threshold, not a banding limit). */
   def p09DedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 4)
       .orderBy("id_a", "id_b")
 
-  /** Replays the simhash bit-vote signature, then candidates by 16-bit
-    * segment equality (the pigeonhole guarantee the engine's 4×16 chunk
-    * index implements) and Hamming verify via `bit_count(xor(...))`. */
+  /** Replays the simhash bit-vote signature, then candidates by equality
+    * of 8-bit chunk PAIRS — the C(8,2) = 28 two-byte band keys whose
+    * pigeonhole guarantees every Hamming-≤6 pair a shared band (the
+    * engine's index, [[Dedup.simhashPairs]]) — and Hamming verify via
+    * `bit_count(xor(...))` at the query's threshold 4. */
   val p09Sql: String = {
     import OracleHash._
+    val pairCombos = (for { i <- 0 until 8; j <- i + 1 until 8 }
+      yield s"($i,$j)").mkString(",")
     s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
        |${simhashCtes("")},
+       |pc(i, j) AS (SELECT * FROM (VALUES $pairCombos)),
        |chunks AS (
-       |  SELECT id, c, (u >> (16*c)) % 65536::HUGEINT AS ckey
-       |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS c) cs),
+       |  SELECT id, i*8 + j AS c,
+       |    ((u >> (8*i)) % 256::HUGEINT) * 256 + ((u >> (8*j)) % 256::HUGEINT) AS ckey
+       |  FROM sim CROSS JOIN pc),
        |grp AS (SELECT c, ckey, COUNT(*) OVER (PARTITION BY c, ckey) AS n, id FROM chunks),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -407,7 +415,7 @@ object Pipeline {
        |  WHERE a.n <= 500 AND b.n <= 500)
        |SELECT c.id_a, c.id_b, bit_count(xor(sa.s, sb.s)) AS hamming
        |FROM cand c JOIN sim sa ON c.id_a = sa.id JOIN sim sb ON c.id_b = sb.id
-       |WHERE bit_count(xor(sa.s, sb.s)) <= 3
+       |WHERE bit_count(xor(sa.s, sb.s)) <= 4
        |ORDER BY id_a, id_b""".stripMargin
   }
 

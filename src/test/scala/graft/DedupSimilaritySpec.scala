@@ -535,7 +535,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val mh = Dedup.minhashPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val sh = Dedup.simhashPairs(docs, "doc_id", "text")
+    // maxHamming = 3 pins the historical verify threshold the set was
+    // computed at (round 2); the round-6 band widening must ADD candidates
+    // only beyond Hamming 3, never change the surviving pairs within it
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // pinned from the pre-cap-reorder implementation (round 2): the
     // window-cap rewrite must not change any surviving pair

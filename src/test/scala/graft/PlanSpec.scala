@@ -149,6 +149,22 @@ class PlanSpec extends SparkSpec {
       s"lateral must decorrelate to an equi join:\n$plan")
   }
 
+  test("ANN rerank rank-filters plan as WindowGroupLimit (bounded pre-exchange)") {
+    // the `row_number() <= k` rerank pattern relies on Spark pushing a
+    // per-group limit BELOW the window; if a refactor broke the pattern the
+    // full scored relation would silently shuffle (q36's gate, applied to
+    // every ANN path — pq/ivfpq carry TWO rank windows: approx + refine)
+    val expected = Seq(
+      "p10_knn_lsh" -> 1, "p16_knn_ivf" -> 1,
+      "p29_knn_pq" -> 2, "p32_knn_ivfpq" -> 2)
+    for ((q, n) <- expected) {
+      val plan = planString(graft.queries.Pipeline.queries(q)(spark, sfDir))
+      val got = "WindowGroupLimit".r.findAllIn(plan).length
+      assert(got >= n,
+        s"$q: expected >= $n WindowGroupLimit nodes, got $got:\n$plan")
+    }
+  }
+
   test("p38 vocabulary top-k is TakeOrderedAndProject over partial+final agg") {
     val plan = planString(
       graft.queries.Pipeline.p38TopNgrams(spark, sfDir))

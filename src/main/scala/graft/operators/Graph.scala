@@ -123,20 +123,25 @@ object Graph {
     *
     * Returns the core's nodes with their in-core degrees:
     * (id, core_deg). */
-  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
-    require(k >= 1)
-    var edges = pairs
-      .select(least(col("id_a"), col("id_b")).as("u"),
-        greatest(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-    // peel rounds shuffle a shrinking, usually tiny edge set — scale the
-    // loop's shuffle width to it (same discipline as the CC loops)
-    var edgeCount = edges.count()
-    Dedup.withLoopParallelism(edges, edgeCount) {
+  /** Canonical undirected edge set of a pair relation: u < v, self-loops
+    * and duplicate pairs dropped, materialized once. */
+  private def canonicalEdges(pairs: DataFrame): DataFrame = pairs
+    .select(least(col("id_a"), col("id_b")).as("u"),
+      greatest(col("id_a"), col("id_b")).as("v"))
+    .filter(col("u") =!= col("v"))
+    .distinct()
+    .localCheckpoint(true)
+
+  /** Peel `edges0` (canonical, materialized, `count0` rows) to its k-core
+    * fixpoint. Each round is one degree aggregation + two semi-joins; the
+    * edge count carries across rounds (this round's count IS last round's
+    * `next.count()`). Returns the fixpoint edge set and its count. */
+  private def peelToCore(edges0: DataFrame, count0: Long, k: Int,
+      maxRounds: Int): (DataFrame, Long) = {
+    var edges = edges0
+    var edgeCount = count0
     var rounds = 0
-    var stable = false
+    var stable = edgeCount == 0
     while (!stable && rounds < maxRounds) {
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
@@ -148,8 +153,6 @@ object Graph {
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint(true)
-      // carry the count across rounds — this round's edge count IS last
-      // round's next.count(); recomputing it costs one extra job per peel
       val nextCount = next.count()
       stable = nextCount == edgeCount
       edges = next
@@ -157,10 +160,70 @@ object Graph {
       rounds += 1
     }
     if (!stable) throw new IllegalStateException(
-      s"kCore did not reach its fixpoint in $maxRounds rounds; raise maxRounds")
-    edges.select(col("u").as("id"))
-      .unionAll(edges.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+      s"k-core peel (k=$k) did not reach its fixpoint in $maxRounds rounds; raise maxRounds")
+    (edges, edgeCount)
+  }
+
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1)
+    val edges = canonicalEdges(pairs)
+    // peel rounds shuffle a shrinking, usually tiny edge set — scale the
+    // loop's shuffle width to it (same discipline as the CC loops)
+    val edgeCount = edges.count()
+    Dedup.withLoopParallelism(edges, edgeCount) {
+      val (core, _) = peelToCore(edges, edgeCount, k, maxRounds)
+      core.select(col("u").as("id"))
+        .unionAll(core.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+    }
+  }
+
+  /** Full coreness decomposition: for every node with degree ≥ 1, the
+    * largest k such that the node belongs to the k-core. THE standard
+    * graph-curation signal ([[kCore]] gives one layer; this gives them
+    * all): coreness 1 = chain/star periphery, high coreness = densely
+    * boilerplate-like families.
+    *
+    * Layered peel exploiting core nesting (k-core ⊇ (k+1)-core): peel the
+    * 2-core from the full edge set, the 3-core FROM THE 2-CORE's edges,
+    * and so on until the core empties — each layer continues from the
+    * previous one rather than restarting from the full graph, so total
+    * work is O(degeneracy) fixpoint peels over strictly shrinking edge
+    * sets. `coreness(v) = max k over the cores containing v`, computed as
+    * one union + max aggregation over the recorded layer node sets.
+    *
+    * Scale: the loop never touches the original relation after the first
+    * canonical edge materialization; every round's shuffle width scales
+    * to the current edge count ([[Dedup.withLoopParallelism]]), and the
+    * per-layer node sets that accumulate are ids only. Rounds are bounded
+    * by degeneracy × `maxRounds` (throws rather than returning a partial
+    * decomposition, like the CC loops). `maxK` caps runaway layering on
+    * pathological graphs (throws if the core is still non-empty there —
+    * a dense clique of that depth is almost certainly an upstream bug).
+    *
+    * Returns (id, coreness). */
+  def coreness(pairs: DataFrame, maxK: Int = 64, maxRounds: Int = 30): DataFrame = {
+    val base = canonicalEdges(pairs)
+    val baseCount = base.count()
+    Dedup.withLoopParallelism(base, baseCount) {
+      def nodesOf(e: DataFrame): DataFrame =
+        e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+          .distinct()
+      var layers = nodesOf(base).withColumn("k", lit(1))
+      var edges = base
+      var edgeCount = baseCount
+      var k = 2
+      while (edgeCount > 0 && k <= maxK) {
+        val (core, coreCount) = peelToCore(edges, edgeCount, k, maxRounds)
+        if (coreCount > 0)
+          layers = layers.unionAll(nodesOf(core).withColumn("k", lit(k)))
+        edges = core
+        edgeCount = coreCount
+        k += 1
+      }
+      if (edgeCount > 0) throw new IllegalStateException(
+        s"coreness: ${k - 1}-core still non-empty at maxK=$maxK; raise maxK")
+      layers.groupBy(col("id")).agg(max(col("k")).as("coreness"))
     }
   }
 }

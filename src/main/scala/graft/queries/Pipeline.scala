@@ -2689,44 +2689,57 @@ object Pipeline {
   // distributed peel with a different schedule: 12 unrolled peel rounds
   // (fixpoint lands in ≤ 6 on this data; extra rounds are no-ops).
   // =========================================================================
-  def p71KCore(spark: SparkSession, dir: String): DataFrame = {
+  /** The part co-purchase graph both p71 and p74 decompose: parts
+    * co-ordered in ≥ 2 distinct orders. */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val co = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
       .agg(countDistinct(col("a.l_orderkey")).as("__w"))
       .filter(col("__w") >= 2).select(col("id_a"), col("id_b"))
-    graft.operators.Graph.kCore(co, k = 2).orderBy("id")
   }
+
+  def p71KCore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(copurchaseEdges(spark, dir), k = 2)
+      .orderBy("id")
+
+  /** Canonical co-purchase edge CTE, named `e0` — shared by p71/p74. */
+  private val sqlCopurchaseE0: String =
+    s"""e0 AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey AS o
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+       |  GROUP BY u, v HAVING COUNT(DISTINCT o) >= 2)""".stripMargin
+
+  /** Unrolled k-core peel chain from CTE `from` at threshold `k`: `rounds`
+    * rounds of CTEs d<tag><i>/k<tag><i>/e<tag><i> (final edge set =
+    * e<tag><rounds>). MATERIALIZED is load-bearing: DuckDB inlines plain
+    * CTEs, and each round references its predecessor three times — a
+    * 12-round chain would otherwise expand to ~3^12 copies of the base. */
+  private def sqlPeelChain(tag: String, from: String, k: Int,
+      rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) from else s"e$tag${i - 1}"
+      s"""d$tag$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM $prev
+         |    UNION ALL SELECT v FROM $prev) GROUP BY node),
+         |k$tag$i AS MATERIALIZED (SELECT node FROM d$tag$i WHERE deg >= $k),
+         |e$tag$i AS MATERIALIZED (SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT node FROM k$tag$i)
+         |    AND v IN (SELECT node FROM k$tag$i))""".stripMargin
+    }.mkString(",\n")
 
   val p71Sql: String = {
     val rounds = 12
-    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
-    // round references its predecessor three times — the 12-round chain
-    // would otherwise expand to ~3^12 copies of the base join
-    val base =
-      s"""e0 AS MATERIALIZED (
-         |  SELECT u, v FROM (
-         |    SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey AS o
-         |    FROM lineitem a JOIN lineitem b
-         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
-         |  GROUP BY u, v HAVING COUNT(DISTINCT o) >= 2)""".stripMargin
-    val peel = (1 to rounds).map { i =>
-      s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
-         |    SELECT u AS node FROM e${i - 1}
-         |    UNION ALL SELECT v FROM e${i - 1}) GROUP BY node),
-         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 2),
-         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
-         |  WHERE u IN (SELECT node FROM k$i)
-         |    AND v IN (SELECT node FROM k$i))""".stripMargin
-    }.mkString(",\n")
     // fixpoint self-assertion: if the data ever needs > `rounds` peel
     // rounds the oracle raises a self-describing error instead of silently
     // yielding a non-core result (the engine peels to a VERIFIED fixpoint)
-    s"""WITH $base,
-       |$peel,
+    s"""WITH $sqlCopurchaseE0,
+       |${sqlPeelChain("", "e0", 2, rounds)},
        |fix AS (SELECT CASE
        |  WHEN (SELECT COUNT(*) FROM e${rounds - 1}) = (SELECT COUNT(*) FROM e$rounds)
        |  THEN TRUE ELSE error('p71 oracle: no fixpoint in $rounds peel rounds; bump rounds') END AS ok)
@@ -2811,6 +2824,43 @@ object Pipeline {
        |FROM nw LEFT JOIN nd ON nw.doc_id = nd.doc_id
        |ORDER BY nw.doc_id""".stripMargin
 
+  // =========================================================================
+  // p74 — coreness decomposition of the co-purchase graph: per-node core
+  // numbers via the layered peel (2-core from the full graph, 3-core from
+  // the 2-core, ... until empty). The oracle unrolls every layer with the
+  // p71 MATERIALIZED-peel pattern — one chain per k, each continuing from
+  // the previous layer's fixpoint — asserts each chain's fixpoint AND that
+  // the final layer's core is EMPTY (the termination proof: no node can
+  // have a higher core number than the oracle enumerates), then takes
+  // max(k) per node. p71's k=2 core is exactly the coreness-≥2 slice
+  // (GraphSpec asserts the equality).
+  // =========================================================================
+  def p74Coreness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.coreness(copurchaseEdges(spark, dir))
+      .orderBy("id")
+
+  val p74Sql: String = {
+    // 12 rounds per layer (the k=3 continuation measures 10 at sf0.01 —
+    // deeper than the k=2 peel's 6; continuations erode slowly). The
+    // per-layer fixpoint assertions make under-provisioning fail loud —
+    // the first cut at 8 rounds did exactly that.
+    s"""WITH $sqlCopurchaseE0,
+       |${sqlPeelChain("a", "e0", 2, 12)},
+       |${sqlPeelChain("b", "ea12", 3, 12)},
+       |${sqlPeelChain("c", "eb12", 4, 12)},
+       |fix AS (SELECT CASE
+       |  WHEN (SELECT COUNT(*) FROM ea11) = (SELECT COUNT(*) FROM ea12)
+       |   AND (SELECT COUNT(*) FROM eb11) = (SELECT COUNT(*) FROM eb12)
+       |   AND (SELECT COUNT(*) FROM ec12) = 0
+       |  THEN TRUE
+       |  ELSE error('p74 oracle: peel chains did not converge (or 4-core non-empty); bump rounds/layers') END AS ok)
+       |SELECT id, CAST(MAX(k) AS INT) AS coreness FROM (
+       |  SELECT u AS id, 1 AS k FROM e0 UNION ALL SELECT v, 1 FROM e0
+       |  UNION ALL SELECT u, 2 FROM ea12 UNION ALL SELECT v, 2 FROM ea12
+       |  UNION ALL SELECT u, 3 FROM eb12 UNION ALL SELECT v, 3 FROM eb12)
+       |GROUP BY id HAVING (SELECT ok FROM fix) ORDER BY id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2885,7 +2935,8 @@ object Pipeline {
     "p70_hll_distinct" -> (p70HllDistinct _),
     "p71_kcore" -> (p71KCore _),
     "p72_split_leakage" -> (p72SplitLeakage _),
-    "p73_passage_incremental" -> (p73PassageIncremental _))
+    "p73_passage_incremental" -> (p73PassageIncremental _),
+    "p74_coreness" -> (p74Coreness _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -2958,5 +3009,6 @@ object Pipeline {
     "p70_hll_distinct" -> p70Sql,
     "p71_kcore" -> p71Sql,
     "p72_split_leakage" -> p72Sql,
-    "p73_passage_incremental" -> p73Sql)
+    "p73_passage_incremental" -> p73Sql,
+    "p74_coreness" -> p74Sql)
 }

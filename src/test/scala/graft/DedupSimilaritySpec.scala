@@ -618,6 +618,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Graph.kCore(pairs, k = 3).count() === 0L)
   }
 
+  test("coreness: triangle+chain layers; >=2 slice equals p71's 2-core") {
+    import graft.operators.Graph
+    // triangle {1,2,3} (coreness 2) with a chain 3-4-5-6 (coreness 1)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val cor = Graph.coreness(pairs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cor === Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 1, 6L -> 1))
+    // on the registry graph, the coreness-≥2 slice IS the unique 2-core
+    val decomposed = graft.queries.Pipeline.p74Coreness(spark, sfDir)
+      .filter(col("coreness") >= 2)
+      .select("id").as[Long].collect().toSet
+    val core2ids = graft.queries.Pipeline.p71KCore(spark, sfDir)
+      .select("id").as[Long].collect().toSet
+    assert(decomposed === core2ids,
+      "coreness-≥2 slice must equal the k=2 core's node set")
+  }
+
   test("appendIvfIndex: incremental batches probe identically to a " +
       "from-scratch index over the union") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)

@@ -263,6 +263,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("coreness == naive layered peel for random graphs, any partitioning") {
+    val rng = new Random(4062)
+    (1 to 5).foreach { trial =>
+      val n = 15 + rng.nextInt(25)
+      val edges = List.fill(60 + rng.nextInt(120))(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      // naive: repeated k-core peels of the canonical simple graph;
+      // coreness(v) = max k whose core still contains v
+      def peel(es0: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+        var es = es0
+        var changed = true
+        while (changed) {
+          val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val keep = deg.filter(_._2 >= k).keySet
+          val nxt = es.filter { case (a, b) => keep(a) && keep(b) }
+          changed = nxt.size != es.size
+          es = nxt
+        }
+        es
+      }
+      var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val want = scala.collection.mutable.Map.empty[Long, Int]
+      es.foreach { case (a, b) => want(a) = 1; want(b) = 1 }
+      var k = 2
+      while (es.nonEmpty) {
+        es = peel(es, k)
+        es.foreach { case (a, b) => want(a) = k; want(b) = k }
+        k += 1
+      }
+      val parts = Seq(1, 5, 13)(trial % 3)
+      val got = graft.operators.Graph.coreness(
+          edges.toDF("id_a", "id_b").repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === want.toMap, s"trial=$trial parts=$parts")
+    }
+  }
+
   test("hllDistinct matches an in-memory replay of the sketch exactly") {
     val rng = new Random(7)
     (1 to 4).foreach { trial =>

@@ -2861,6 +2861,116 @@ object Pipeline {
        |GROUP BY id HAVING (SELECT ok FROM fix) ORDER BY id""".stripMargin
   }
 
+  // =========================================================================
+  // p75 — STREAMING duplicated-passage filter: the daily-ingest pipeline
+  // the whole incremental family (p35/p57/p73) exists for, run through a
+  // real micro-batch stream. Three deterministic "daily" document files
+  // (batch = doc_id mod 3, file mtimes stamped so the file source's
+  // oldest-first order IS that assignment) stream one file per trigger;
+  // each foreachBatch scores the batch against the persisted fingerprint
+  // index as-of that batch (standing corpus delta v0 + every earlier
+  // batch's delta) and appends its own delta — PassageStream.filterBatch.
+  // Planted dups probe every path: +10000 replays of standing docs
+  // (cross-corpus), +20000 replays of incoming docs (+20000 ≡ +2 mod 3, so
+  // the replica ALWAYS lands in a different batch than its original:
+  // cross-batch, order-dependent — the later sibling gets flagged). The
+  // oracle recomposes the exact per-batch semantics from p73's shared
+  // window-fingerprint fragments: batch b's dup set = in-batch repeats ∪
+  // fingerprints present in (corpus ∪ batches < b). Exactly-once restart
+  // is asserted in StreamingSpec (redelivery idempotence + checkpoint
+  // resume).
+  // =========================================================================
+  def p75StreamPassageFilter(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id").between(250, 254))
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val root = Files.createTempDirectory("p75_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"; val outRoot = s"$root/out"
+    Dedup.passageWindowIndex(existing, "doc_id", "text")
+      .write.parquet(s"$idxRoot/v0")
+    // one file per "day", mtimes stamped ascending so the file source's
+    // oldest-first listing replays batches in exactly the oracle's order
+    val stamped = scala.collection.mutable.Set.empty[java.io.File]
+    (0 until 3).foreach { b =>
+      incoming.filter(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
+        .write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + b * 60000L); stamped += f }
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(graft.streaming.PassageStream
+        .filterBatch(spark, idxRoot, outRoot, "doc_id", "text") _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("doc_id"), col("batch"), col("n_windows"),
+        col("n_dup_windows"), col("dup_ratio"),
+        (col("dup_ratio") < 0.5).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val p75Sql: String = {
+    // per-batch stats CTE: in-batch repeats ∪ fingerprints already in the
+    // index as-of the batch (= corpus windows + every earlier batch's)
+    def batchStats(b: Int): String = {
+      val priors = ("SELECT fp FROM whx" +:
+        (0 until b).map(p => s"SELECT fp FROM whg$p")).mkString(" UNION ")
+      s"""dup$b AS (
+         |  SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM whg$b)
+         |  GROUP BY fp HAVING COUNT(*) >= 2
+         |  UNION
+         |  SELECT DISTINCT fp FROM whg$b WHERE fp IN ($priors)),
+         |s$b AS (
+         |  SELECT nw.doc_id, CAST($b AS BIGINT) AS batch, n_windows,
+         |    COALESCE(nd.n, 0) AS n_dup_windows,
+         |    COALESCE(nd.n, 0) / n_windows AS dup_ratio
+         |  FROM (SELECT doc_id, COUNT(*) AS n_windows FROM whg$b
+         |        GROUP BY doc_id) nw
+         |  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM whg$b
+         |             JOIN dup$b USING (fp) GROUP BY doc_id) nd
+         |    ON nw.doc_id = nd.doc_id)""".stripMargin
+    }
+    s"""WITH ex AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |           WHERE doc_id < 250),
+       |inc AS (
+       |  SELECT doc_id, $sqlToks AS toks, doc_id % 3 AS b FROM documents
+       |  WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 10000, $sqlToks, (doc_id + 10000) % 3
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 20000, $sqlToks, (doc_id + 20000) % 3
+       |  FROM documents WHERE doc_id BETWEEN 250 AND 254),
+       |i0 AS (SELECT doc_id, toks FROM inc WHERE b = 0),
+       |i1 AS (SELECT doc_id, toks FROM inc WHERE b = 1),
+       |i2 AS (SELECT doc_id, toks FROM inc WHERE b = 2),
+       |${sqlWindowFpCtes("x", "ex")},
+       |${sqlWindowFpCtes("g0", "i0")},
+       |${sqlWindowFpCtes("g1", "i1")},
+       |${sqlWindowFpCtes("g2", "i2")},
+       |${batchStats(0)},
+       |${batchStats(1)},
+       |${batchStats(2)}
+       |SELECT doc_id, batch, n_windows, n_dup_windows, dup_ratio,
+       |  dup_ratio < 0.5 AS kept
+       |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |      UNION ALL SELECT * FROM s2)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -2936,7 +3046,8 @@ object Pipeline {
     "p71_kcore" -> (p71KCore _),
     "p72_split_leakage" -> (p72SplitLeakage _),
     "p73_passage_incremental" -> (p73PassageIncremental _),
-    "p74_coreness" -> (p74Coreness _))
+    "p74_coreness" -> (p74Coreness _),
+    "p75_stream_passage_filter" -> (p75StreamPassageFilter _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3010,5 +3121,6 @@ object Pipeline {
     "p71_kcore" -> p71Sql,
     "p72_split_leakage" -> p72Sql,
     "p73_passage_incremental" -> p73Sql,
-    "p74_coreness" -> p74Sql)
+    "p74_coreness" -> p74Sql,
+    "p75_stream_passage_filter" -> p75Sql)
 }

@@ -26,15 +26,8 @@ import graft.operators.Curation
   */
 object CorpusMaintenance {
 
-  private def versionsIn(spark: SparkSession, root: String): Seq[(Long, Path)] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
-      .sortBy(_._1)
-  }
+  private def versionsIn(spark: SparkSession, root: String): Seq[(Long, Path)] =
+    Versions.list(spark, root)
 
   /** Newest corpus version path, or None before the first write. */
   def latest(spark: SparkSession, root: String): Option[String] =

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Streaming duplicated-passage filter — the daily-ingest shape a
+  * training-data pipeline runs continuously: each document micro-batch is
+  * scored against the standing corpus's persisted passage-fingerprint
+  * index ([[Dedup.passageWindowIndex]], Lee et al. 2022 exact-substring
+  * semantics) WITHOUT ever re-windowing the corpus, then contributes its
+  * own windows to the index for every later batch to probe.
+  *
+  * Index layout: `indexRoot/v0` is the standing corpus's delta (written
+  * once, before the stream starts); batch `b` appends ONLY its own
+  * distinct window fingerprints as `indexRoot/v{b+1}`. The index a batch
+  * probes is the union of all deltas `<= b` — append-only, so the
+  * standing corpus is never rewritten (the [[CorpusMaintenance]] loop
+  * rewrites the whole corpus per merge because upsert must; a fingerprint
+  * index only ever grows, so deltas are the right persistence shape at
+  * 100 TB — compact them offline with [[graft.operators.Layout]] when
+  * file counts matter). Duplicate fingerprints across deltas are harmless:
+  * the probe is a semi-join.
+  *
+  * Exactly-once: versions and per-batch outputs are both named by
+  * streaming batch id. A redelivered batch re-reads the same `<= b`
+  * deltas (its own `v{b+1}`, if half-written, is excluded by the filter)
+  * and overwrites `v{b+1}` and `outRoot/b{b}` deterministically — so
+  * at-least-once delivery still yields exactly-once stats and index, the
+  * same contract [[CorpusMaintenance.upsertBatch]] gives upserts. The
+  * fresh-checkpoint guard is identical: batch ids restarting at 0 over an
+  * existing multi-delta index means forked lineage, and the merge throws
+  * rather than silently rebasing.
+  */
+object PassageStream {
+
+  /** The `foreachBatch` callback: score one micro-batch against the
+    * index-as-of-this-batch, write its stats to `outRoot/b<batchId>`, and
+    * append its window-fingerprint delta as `indexRoot/v<batchId+1>`.
+    * Attach with
+    * `docs.writeStream.foreachBatch(PassageStream.filterBatch(spark, idx, out, "doc_id", "text") _)`. */
+  def filterBatch(spark: SparkSession, indexRoot: String, outRoot: String,
+      idCol: String, textCol: String, windowTokens: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val versions = Versions.list(spark, indexRoot)
+    require(versions.exists(_._1 == 0L),
+      s"standing index $indexRoot/v0 missing — write " +
+        "Dedup.passageWindowIndex(corpus) there before starting the stream")
+    versions.lastOption.foreach { case (newest, _) =>
+      require(newest <= batchId + 1,
+        s"index at $indexRoot is at v$newest but the stream is replaying " +
+          s"batch $batchId — restarting with a fresh checkpoint over an " +
+          "existing index would fork its lineage; resume from the original " +
+          "checkpoint or start a new index root")
+    }
+    val deltas = versions.filter(_._1 <= batchId).map(_._2.toString)
+    val idx = spark.read.parquet(deltas: _*)
+    Dedup.duplicatePassageStatsIncremental(batch, idCol, textCol, idx,
+        windowTokens)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+    Dedup.passageWindowIndex(batch, idCol, textCol, windowTokens)
+      .write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
+  }
+}

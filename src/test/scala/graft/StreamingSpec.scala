@@ -154,6 +154,89 @@ class StreamingSpec extends SparkSpec {
     assert(v6 === Seq((1L, "a"), (2L, "b")))
   }
 
+  test("streaming passage filter: cross-batch probe, idempotent redelivery, " +
+      "checkpoint resume") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.PassageStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstream_").toString
+    val (in, idx, out, ckpt) = (s"$root/in", s"$root/idx", s"$root/out", s"$root/ckpt")
+    Files.createDirectories(Paths.get(in))
+    val corpusTxt = "alpha beta gamma delta"
+    val standing = Seq((1L, corpusTxt), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup
+      .passageWindowIndex(standing, "doc_id", "text", windowTokens = 3)
+      .write.parquet(s"$idx/v0")
+    // batch 0: doc 10 replays the corpus (cross-corpus dup), doc 11 novel
+    // batch 1: doc 12 replays doc 11 — a dup visible ONLY through batch 0's
+    //          index delta (the cross-batch path); doc 13 novel
+    val b0 = Seq((10L, corpusTxt), (11L, "red green blue yellow pink"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((12L, "red green blue yellow pink"), (13L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val stamped = scala.collection.mutable.Set.empty[java.io.File]
+    def addFile(df: org.apache.spark.sql.DataFrame, b: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + b * 60000L); stamped += f }
+    }
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(b0.schema).option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .foreachBatch(PassageStream.filterBatch(spark, idx, out,
+          "doc_id", "text", windowTokens = 3) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile(b0, 0); addFile(b1, 1)
+    drain()
+    def ratios(): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$out/b*").select("doc_id", "n_dup_windows", "n_windows")
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, nd, nw) => d -> (nd, nw) }.toMap
+    val r1 = ratios()
+    assert(r1(10L)._1 === r1(10L)._2, "corpus replay must be fully flagged")
+    assert(r1(11L)._1 === 0L, "novel doc in batch 0 must be clean")
+    assert(r1(12L)._1 === r1(12L)._2,
+      "batch-1 replay of a batch-0 doc must be flagged via the index delta")
+    assert(r1(13L)._1 === 0L, "novel doc in batch 1 must be clean")
+    // lineage: v0 (standing) + one delta per batch
+    def versionNames() = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(versionNames() === Seq("v0", "v1", "v2"))
+    // redelivered batch must rewrite its outputs byte-identically (reads
+    // only deltas <= its id — its own half-written v2 is excluded)
+    val before = spark.read.parquet(s"$out/b1").collect().toSeq
+      .map(_.toString).sorted
+    PassageStream.filterBatch(spark, idx, out, "doc_id", "text", 3)(b1, 1L)
+    val after = spark.read.parquet(s"$out/b1").collect().toSeq
+      .map(_.toString).sorted
+    assert(after === before, "redelivery must be idempotent")
+    assert(versionNames() === Seq("v0", "v1", "v2"))
+    // a fresh checkpoint replaying batch 0 over the v2 index = forked
+    // lineage; must refuse
+    val e = intercept[IllegalArgumentException] {
+      PassageStream.filterBatch(spark, idx, out, "doc_id", "text", 3)(b0, 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // checkpoint resume: a third file arrives, the restarted stream must
+    // process ONLY it (as batch 2) and leave earlier outputs untouched
+    val b2 = Seq((14L, corpusTxt)).toDF("doc_id", "text")
+    addFile(b2, 2)
+    drain()
+    val r2 = ratios()
+    assert(r2(14L)._1 === r2(14L)._2, "resumed batch must probe the index")
+    assert(r2.view.filterKeys(_ != 14L).toMap === r1,
+      "earlier batches must not re-emit")
+    assert(versionNames() === Seq("v0", "v1", "v2", "v3"))
+  }
+
   test("streaming dedup collapses a doubled stream back to distinct events") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.count

@@ -171,13 +171,14 @@ object Similarity {
     * size. Compute ONCE per corpus and pass to [[ivfTopK]] /
     * [[writeIvfIndex]] — at scale this is part of index build, not probe. */
   def ivfCentroids(corpus: DataFrame, nCells: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      stride: Int = 50): Array[Array[Double]] =
     corpus
-      .orderBy(col(idCol)).limit(nCells * 50)   // bounded driver pull
+      .orderBy(col(idCol)).limit(nCells * stride)   // bounded driver pull
       .select(col(idCol), col(vecCol).cast("array<double>"))
       .collect()
       .sortBy(_.getLong(0))
-      .grouped(50).map(_.head)                  // stride-sample every 50th
+      .grouped(stride).map(_.head)              // stride-sample every Nth
       .take(nCells)
       .map(_.getSeq[Double](1).toArray)
       .toArray
@@ -196,9 +197,10 @@ object Similarity {
     * the bank feeds oracle-checked queries from two independent call sites.
     * An emptied cell keeps its previous centroid. */
   def ivfCentroidsTrained(corpus: DataFrame, nCells: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      stride: Int = 50): Array[Array[Double]] = {
     import graft.functions.VectorExpressions.nearestCentroids
-    var cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    var cents = ivfCentroids(corpus, nCells, idCol, vecCol, stride)
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
     var it = 0
     while (it < iters) {

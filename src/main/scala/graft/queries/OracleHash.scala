@@ -139,14 +139,15 @@ private[queries] object OracleHash {
     s"CAST(CAST($s AS VARCHAR) AS DOUBLE)"
 
   /** The stride-sample seed (`ivfCentroids`/`pqTrain`): of the first
-    * `n`·50 rows of `emb(id, v)` by id, every 50th vector, as CTE
-    * `$name(${keyCol} INT, v)`. */
-  def strideSampleCte(name: String, n: Int, keyCol: String): String =
+    * `n`·`stride` rows of `emb(id, v)` by id, every `stride`-th vector, as
+    * CTE `$name(${keyCol} INT, v)`. */
+  def strideSampleCte(name: String, n: Int, keyCol: String,
+      stride: Int = 50): String =
     s"""$name AS (
-       |  SELECT CAST((rn - 1) // 50 AS INT) AS $keyCol, v
+       |  SELECT CAST((rn - 1) // $stride AS INT) AS $keyCol, v
        |  FROM (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn
-       |        FROM (SELECT id, v FROM emb ORDER BY id LIMIT ${n * 50}))
-       |  WHERE (rn - 1) % 50 = 0 AND (rn - 1) // 50 < $n)""".stripMargin
+       |        FROM (SELECT id, v FROM emb ORDER BY id LIMIT ${n * stride}))
+       |  WHERE (rn - 1) % $stride = 0 AND (rn - 1) // $stride < $n)""".stripMargin
 
   /** Nearest-cell assignment of `emb` rows under centroid CTE `bank(cell,
     * cv)` — argmin of the sequential squared-L2 fold, ties to the lower
@@ -168,8 +169,8 @@ private[queries] object OracleHash {
     * seed + `iters` decimal-staged Lloyd iterations, as a CTE chain over
     * `emb(id, v)`. Returns (ctes, finalBankName); bank CTEs are
     * `ivc0..ivc$iters(cell, cv)`. */
-  def ivfBankCtes(nCells: Int, iters: Int): (String, String) = {
-    val seed = strideSampleCte("ivseed", nCells, "cell") +
+  def ivfBankCtes(nCells: Int, iters: Int, stride: Int = 50): (String, String) = {
+    val seed = strideSampleCte("ivseed", nCells, "cell", stride) +
       ",\nivc0 AS (SELECT cell, v AS cv FROM ivseed)"
     val rounds = (1 to iters).map { it =>
       val prev = s"ivc${it - 1}"

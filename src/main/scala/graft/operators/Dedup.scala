@@ -619,6 +619,33 @@ object Dedup {
     passageWindows(docs, idCol, textCol, windowTokens)
       .select(col("__fp").as("fp")).distinct()
 
+  /** Persist the [[passageWindowIndex]] as a table bucketed (and sorted)
+    * on `fp` — the standing side of every incremental passage probe.
+    * File bucketing clusters the 8-byte keys, so fp-keyed aggregation
+    * over the index runs exchange-free and the incremental semi-join
+    * shuffles only the incoming batch into the index's layout: at 100 TB
+    * the standing corpus's fingerprints never cross the wire again. */
+  def writePassageIndex(docs: DataFrame, idCol: String, textCol: String,
+      tableName: String, windowTokens: Int = 8, numBuckets: Int = 16): Unit =
+    passageWindowIndex(docs, idCol, textCol, windowTokens)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "fp").sortBy("fp")
+      .saveAsTable(tableName)
+
+  /** Append a new batch's distinct window fingerprints to a persisted
+    * passage index — the daily increment (the table twin of
+    * [[graft.streaming.PassageStream]]'s versioned deltas). Only the
+    * batch is windowed and written; the standing index never rewrites or
+    * shuffles. Fingerprints already present land again in the same
+    * bucket — harmless to every probe (a semi-join), reclaimed whenever
+    * the index is next compacted. */
+  def appendPassageIndex(batch: DataFrame, idCol: String, textCol: String,
+      tableName: String, windowTokens: Int = 8, numBuckets: Int = 16): Unit =
+    passageWindowIndex(batch, idCol, textCol, windowTokens)
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "fp").sortBy("fp")
+      .saveAsTable(tableName)
+
   /** Incremental [[duplicatePassageStats]]: the daily-increment shape —
     * a new batch's duplicated-window share against (standing corpus ∪
     * batch) WITHOUT re-windowing the corpus. A batch window is duplicated

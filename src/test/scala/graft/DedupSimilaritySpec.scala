@@ -558,6 +558,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall $recall too low")
   }
 
+  test("persisted passage index: probe parity, incremental append, " +
+      "exchange-free fp aggregation") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val half = docs.count() / 2
+    val existing = docs.filter(col("doc_id") < half)
+    val batch1 = docs.filter(col("doc_id") >= half && col("doc_id") < half + 10)
+    val batch2 = docs.filter(col("doc_id") >= half + 10)
+    Dedup.writePassageIndex(existing, "doc_id", "text", "passage_idx_t")
+    // probing the persisted table must equal probing the in-plan index
+    val probe = docs.filter(col("doc_id") >= half)
+    def stats(p: org.apache.spark.sql.DataFrame,
+        idx: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicatePassageStatsIncremental(p, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(stats(probe, spark.table("passage_idx_t")) ===
+      stats(probe, Dedup.passageWindowIndex(existing, "doc_id", "text")))
+    // incremental append: probing after two appends must equal probing a
+    // from-scratch index over the union
+    Dedup.appendPassageIndex(batch1, "doc_id", "text", "passage_idx_t")
+    Dedup.appendPassageIndex(batch2, "doc_id", "text", "passage_idx_t")
+    val replayed = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+    assert(stats(replayed, spark.table("passage_idx_t")) ===
+      stats(replayed, Dedup.passageWindowIndex(docs, "doc_id", "text")))
+    // the file bucketing must cluster fp: keyed aggregation runs with NO
+    // shuffle exchange (the standing side of the probe never re-shuffles)
+    val agg = spark.table("passage_idx_t").groupBy("fp").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"fp-keyed aggregation over the persisted index still shuffles:\n$plan")
+  }
+
   test("persisted LSH index: probe parity and exchange-free bucket aggregation") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)

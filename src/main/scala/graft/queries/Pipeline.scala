@@ -346,38 +346,56 @@ object Pipeline {
     * literals) → 16 bands of 4 slots grouped by slice value → in-bucket
     * pairs under the same 200-member cap → exact-Jaccard verify at 0.4.
     * Shared by p08 and the p72 leakage audit. */
-  private val sqlMinhashCtes: String = {
+  private val sqlMinhashCoef: String = {
     import OracleHash._
-    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-       |sh AS (SELECT doc_id AS id, list_distinct(
+    s"coef(j, a, b) AS (SELECT * FROM (VALUES ${minhashCoefValues(64, 42L)}))"
+  }
+
+  /** MinHash signature/banding chain over base CTE `$base(doc_id, toks)`:
+    * CTEs `sh/shu/shh/slots/sigs/bands` suffixed with `$tag` (empty tag =
+    * the historical names). Requires [[sqlMinhashCoef]] in scope. */
+  private def sqlMinhashChain(tag: String, base: String): String = {
+    import OracleHash._
+    s"""sh$tag AS (SELECT doc_id AS id, list_distinct(
        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |         ELSE list_transform(range(1, len(toks) - 1),
        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
-       |  FROM t),
-       |shu AS (SELECT id, unnest(sh) AS s FROM sh),
-       |shh AS (SELECT id, ${fnv1a("s")} AS h FROM shu),
-       |coef(j, a, b) AS (SELECT * FROM (VALUES ${minhashCoefValues(64, 42L)})),
-       |slots AS (
+       |  FROM $base),
+       |shu$tag AS (SELECT id, unnest(sh) AS s FROM sh$tag),
+       |shh$tag AS (SELECT id, ${fnv1a("s")} AS h FROM shu$tag),
+       |slots$tag AS (
        |  SELECT id, j, MIN(${signed64(s"(${lo64Mul("a", "h")} + b) % $P64")}) AS slot
-       |  FROM shh CROSS JOIN coef GROUP BY id, j),
-       |sigs AS (SELECT id, list(slot ORDER BY j) AS sig FROM slots GROUP BY id),
-       |bands AS (
+       |  FROM shh$tag CROSS JOIN coef GROUP BY id, j),
+       |sigs$tag AS (SELECT id, list(slot ORDER BY j) AS sig FROM slots$tag GROUP BY id),
+       |bands$tag AS (
        |  SELECT id, bd, sig[4*bd+1:4*bd+4] AS key
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS bd) bs),
-       |grp AS (SELECT id, bd, key, COUNT(*) OVER (PARTITION BY bd, key) AS n FROM bands),
-       |cand AS (
+       |  FROM sigs$tag CROSS JOIN (SELECT unnest(range(16)) AS bd) bs$tag)""".stripMargin
+  }
+
+  /** In-bucket candidate generation + exact-Jaccard verify over a
+    * [[sqlMinhashChain]]'s `bands$tag`/`sh$tag`: CTEs `grp/cand/mh`
+    * suffixed with `$tag` (member-count cap 200, threshold 0.4 — the p08
+    * registry parameters). */
+  private def sqlMinhashPairCtes(tag: String): String =
+    s"""grp$tag AS (SELECT id, bd, key, COUNT(*) OVER (PARTITION BY bd, key) AS n FROM bands$tag),
+       |cand$tag AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM grp a JOIN grp b ON a.bd = b.bd AND a.key = b.key AND a.id < b.id
+       |  FROM grp$tag a JOIN grp$tag b ON a.bd = b.bd AND a.key = b.key AND a.id < b.id
        |  WHERE a.n <= 200 AND b.n <= 200),
-       |mh AS (
+       |mh$tag AS (
        |  SELECT id_a, id_b, jaccard FROM (
        |    SELECT id_a, id_b,
        |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
        |           ELSE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))
        |      END AS jaccard
-       |    FROM cand JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id)
+       |    FROM cand$tag JOIN sh$tag sa ON id_a = sa.id JOIN sh$tag sb ON id_b = sb.id)
        |  WHERE jaccard >= 0.4)""".stripMargin
-  }
+
+  private val sqlMinhashCtes: String =
+    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("", "t")},
+       |${sqlMinhashPairCtes("")}""".stripMargin
 
   val p08Sql: String =
     s"""WITH $sqlMinhashCtes
@@ -3072,6 +3090,65 @@ object Pipeline {
        |FROM h CROSS JOIN bal""".stripMargin
   }
 
+  // =========================================================================
+  // p77 — incremental MinHash near-dup: the daily-increment shape for
+  // NEAR-dup (p35 is its exact-dup twin, p73/p75 its passage twins, and
+  // it was the one incremental operator still without an oracle). New
+  // docs band as usual; cross-set candidates form only where a new doc's
+  // (band, bucket) hits the persisted band index — the standing corpus
+  // never re-shingles, and its text is re-read only for bucket-sharing
+  // docs. The oracle recomposes both sides from the shared MinHash chain
+  // (now tag-parameterized): the in-batch arm is exactly p08's
+  // formulation over the batch, the cross arm joins batch bands to
+  // standing bands on slice VALUES (the banding definition the xxhash
+  // bucket join implements) under the engine's join-row bucket cap.
+  // Planted +10000 replays of standing docs guarantee cross-set hits
+  // (jaccard 1.0) alongside the natural boundary-straddling near-dups.
+  // =========================================================================
+  def p77MinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val idx = Dedup.minhashBandIndex(existing, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+    Dedup.minhashPairsIncremental(incoming, "doc_id", "text", idx, existing,
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val p77Sql: String =
+    s"""WITH ex AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |           WHERE doc_id < 250),
+       |inc AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 10000, $sqlToks FROM documents WHERE doc_id < 10),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("i", "inc")},
+       |${sqlMinhashPairCtes("i")},
+       |${sqlMinhashChain("x", "ex")},
+       |cross0 AS (
+       |  SELECT i.id AS new_id, x.id AS old_id, i.bd, i.key
+       |  FROM bandsi i JOIN bandsx x ON i.bd = x.bd AND i.key = x.key),
+       |crossn AS (SELECT new_id, old_id,
+       |    COUNT(*) OVER (PARTITION BY bd, key) AS n FROM cross0),
+       |candx AS (SELECT DISTINCT new_id, old_id FROM crossn WHERE n <= 200),
+       |mhx AS (
+       |  SELECT least(new_id, old_id) AS id_a, greatest(new_id, old_id) AS id_b,
+       |    jaccard
+       |  FROM (
+       |    SELECT new_id, old_id,
+       |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+       |           ELSE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |      END AS jaccard
+       |    FROM candx JOIN shi sa ON new_id = sa.id JOIN shx sb ON old_id = sb.id)
+       |  WHERE jaccard >= 0.4)
+       |SELECT id_a, id_b, jaccard
+       |FROM (SELECT * FROM mhi UNION ALL SELECT * FROM mhx)
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3149,7 +3226,8 @@ object Pipeline {
     "p73_passage_incremental" -> (p73PassageIncremental _),
     "p74_coreness" -> (p74Coreness _),
     "p75_stream_passage_filter" -> (p75StreamPassageFilter _),
-    "p76_ivf_recall_scaled" -> (p76IvfRecallScaled _))
+    "p76_ivf_recall_scaled" -> (p76IvfRecallScaled _),
+    "p77_minhash_incremental" -> (p77MinhashIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3225,5 +3303,6 @@ object Pipeline {
     "p73_passage_incremental" -> p73Sql,
     "p74_coreness" -> p74Sql,
     "p75_stream_passage_filter" -> p75Sql,
-    "p76_ivf_recall_scaled" -> p76Sql)
+    "p76_ivf_recall_scaled" -> p76Sql,
+    "p77_minhash_incremental" -> p77Sql)
 }

@@ -169,4 +169,55 @@ object Profiling {
         floor(lit(m.toDouble) * log(lit(m.toDouble) / col("__V"))))
       .otherwise(col("__raw")).cast(LongType).as("n_hll"): _*)
   }
+
+  /** Count-min sketch counters of `keyCol`: `d` hash rows × `w` buckets
+    * (w a power of two) built in ONE aggregation pass — the
+    * frequency-estimation sibling of [[hllDistinct]]'s cardinality
+    * sketch, and like it fully replayable: row j's hash is
+    * `fingerprint64(key || '#' || j)` (FNV-1a + SplitMix64 over the
+    * decimal rendering — the p70-proven VARCHAR bridge), bucket = the
+    * hash's low log2(w) bits, identical bits signed or unsigned.
+    *
+    * Scale: the counter table is model-sized (d·w rows) regardless of
+    * input; partial aggregation means at most d·w rows per partition
+    * cross the exchange. At 100 TB this answers "how often does this
+    * token/url/key occur" without a per-key exact shuffle.
+    * Returns (j, bucket, cnt). */
+  def countMinSketch(df: DataFrame, keyCol: String, d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    require(d >= 1, "d must be >= 1")
+    require(w >= 2 && (w & (w - 1)) == 0, "w must be a power of two")
+    import graft.functions.HashFunctions
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"))
+      .withColumn("j", explode(array((0 until d).map(lit): _*)))
+      .select(col("j"),
+        HashFunctions.fingerprint64(
+          concat_ws("#", col("__k"), col("j").cast("string")))
+          .bitwiseAND(lit((w - 1).toLong)).cast("int").as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]] counter table:
+    * `n_cms(key) = min_j counters(j, hash_j(key))`, an absent counter
+    * reading 0. Deterministic overestimate: n_cms ≥ the true count,
+    * always. `d`/`w` MUST match the sketch build. The probe side is
+    * model-sized (|keys|·d rows against a d·w table) — broadcast-scale
+    * regardless of the corpus the sketch summarized.
+    * Returns (keyCol, n_cms). */
+  def countMinLookup(keys: DataFrame, keyCol: String, counters: DataFrame,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    import graft.functions.HashFunctions
+    keys
+      .select(col(keyCol), col(keyCol).cast("string").as("__k"))
+      .withColumn("j", explode(array((0 until d).map(lit): _*)))
+      .select(col(keyCol),
+        col("j"),
+        HashFunctions.fingerprint64(
+          concat_ws("#", col("__k"), col("j").cast("string")))
+          .bitwiseAND(lit((w - 1).toLong)).cast("int").as("bucket"))
+      .join(counters, Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cms"))
+  }
 }

@@ -3149,6 +3149,58 @@ object Pipeline {
        |FROM (SELECT * FROM mhi UNION ALL SELECT * FROM mhx)
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p78 — replayable count-min sketch: frequency estimation, the sibling
+  // of p70's cardinality sketch. Counters over lineitem.l_partkey (d=4
+  // rows × w=1024 buckets, one aggregation pass, model-sized table),
+  // probed for parts 1-30 against their exact counts — the overestimate
+  // (n_cms ≥ n_exact, a structural CMS guarantee) is driver-visible per
+  // key, like p70's err_bp. Hash = fingerprint64(key || '#' || j), the
+  // p70-proven VARCHAR bridge, so DuckDB re-derives every counter and
+  // every estimate in exact HUGEINT arithmetic.
+  // =========================================================================
+  def p78CountMin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    val li = Tables.lineitem(spark, dir)
+    val counters = Profiling.countMinSketch(li, "l_partkey", d = 4, w = 1024)
+    val probes = spark.range(1, 31).select(col("id").as("l_partkey"))
+    val exact = li.filter(col("l_partkey").between(1, 30))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
+    Profiling.countMinLookup(probes, "l_partkey", counters)
+      .join(exact, Seq("l_partkey"), "left")
+      .select(col("l_partkey"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("n_cms"),
+        (col("n_cms") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
+      .orderBy("l_partkey")
+  }
+
+  val p78Sql: String = {
+    import OracleHash._
+    s"""WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+       |sj AS (SELECT k || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM src CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+       |h0 AS (SELECT j, ${fnv1a("sv")} AS h FROM sj),
+       |hf AS (SELECT j, ${mix("h")} AS u FROM h0),
+       |counters AS (SELECT j, CAST(u % 1024 AS INT) AS bucket,
+       |    COUNT(*) AS cnt FROM hf GROUP BY j, bucket),
+       |pk AS (SELECT CAST(range AS BIGINT) AS key FROM range(1, 31)),
+       |pj AS (SELECT key, CAST(key AS VARCHAR) || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM pk CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+       |q0 AS (SELECT key, j, ${fnv1a("sv")} AS h FROM pj),
+       |qf AS (SELECT key, j, ${mix("h")} AS u FROM q0),
+       |qb AS (SELECT key, j, CAST(u % 1024 AS INT) AS bucket FROM qf),
+       |est AS (SELECT key, MIN(COALESCE(cnt, 0)) AS n_cms
+       |        FROM qb LEFT JOIN counters USING (j, bucket) GROUP BY key),
+       |ex AS (SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem
+       |       WHERE l_partkey BETWEEN 1 AND 30 GROUP BY 1)
+       |SELECT est.key AS l_partkey, CAST(COALESCE(n, 0) AS BIGINT) AS n_exact,
+       |  CAST(n_cms AS BIGINT) AS n_cms,
+       |  CAST(n_cms - COALESCE(n, 0) AS BIGINT) AS overcount
+       |FROM est LEFT JOIN ex ON est.key = ex.key
+       |ORDER BY l_partkey""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3227,7 +3279,8 @@ object Pipeline {
     "p74_coreness" -> (p74Coreness _),
     "p75_stream_passage_filter" -> (p75StreamPassageFilter _),
     "p76_ivf_recall_scaled" -> (p76IvfRecallScaled _),
-    "p77_minhash_incremental" -> (p77MinhashIncremental _))
+    "p77_minhash_incremental" -> (p77MinhashIncremental _),
+    "p78_count_min" -> (p78CountMin _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3304,5 +3357,6 @@ object Pipeline {
     "p74_coreness" -> p74Sql,
     "p75_stream_passage_filter" -> p75Sql,
     "p76_ivf_recall_scaled" -> p76Sql,
-    "p77_minhash_incremental" -> p77Sql)
+    "p77_minhash_incremental" -> p77Sql,
+    "p78_count_min" -> p78Sql)
 }

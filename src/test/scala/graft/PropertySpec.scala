@@ -333,4 +333,42 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"trial=$trial p=$p n=${vals.size}")
     }
   }
+
+  test("countMinSketch estimates match an in-memory replay and never " +
+      "undercount") {
+    val rng = new Random(41)
+    (1 to 3).foreach { trial =>
+      val d = 3 + trial % 2
+      val w = 1 << (6 + trial)           // 128..512
+      val vals = List.fill(500 + rng.nextInt(2000))(rng.nextInt(300).toLong)
+      val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // in-memory replay: same per-(key, j) fingerprint and bucket bits
+      def bucket(k: Long, j: Int): (Int, Int) = {
+        val h = graft.functions.GraftKernels.fingerprint64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$k#$j"))
+        (j, (h & (w - 1)).toInt)
+      }
+      val counters = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      vals.foreach { v =>
+        (0 until d).foreach { j =>
+          val b = bucket(v, j)
+          counters(b) = counters.getOrElse(b, 0L) + 1
+        }
+      }
+      val probes = (0L until 320L).toList   // includes absent keys 300..319
+      val want = probes.map { k =>
+        k -> (0 until d).map(j => counters.getOrElse(bucket(k, j), 0L)).min
+      }.toMap
+      val sk = graft.operators.Profiling.countMinSketch(
+        vals.toDF("k").repartition(7), "k", d, w)
+      val got = graft.operators.Profiling.countMinLookup(
+          probes.toDF("k"), "k", sk, d, w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial=$trial d=$d w=$w")
+      // the structural CMS guarantee: never under the true count
+      probes.foreach { k =>
+        assert(got(k) >= exact.getOrElse(k, 0L), s"undercount at key $k")
+      }
+    }
+  }
 }

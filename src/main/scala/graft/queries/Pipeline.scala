@@ -2898,6 +2898,23 @@ object Pipeline {
   // is asserted in StreamingSpec (redelivery idempotence + checkpoint
   // resume).
   // =========================================================================
+  /** One file per "daily" batch (batch = doc_id mod `nBatches`), mtimes
+    * stamped ascending so the file stream source's oldest-first listing
+    * replays batches in exactly the oracle's order. Shared by the
+    * streaming registry queries (p75/p79). */
+  private def writeDailyFiles(incoming: DataFrame, in: String,
+      nBatches: Int): Unit = {
+    val stamped = scala.collection.mutable.Set.empty[java.io.File]
+    (0 until nBatches).foreach { b =>
+      incoming.filter(pmod(col("doc_id"), lit(nBatches)) === b).coalesce(1)
+        .write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + b * 60000L); stamped += f }
+    }
+  }
+
   def p75StreamPassageFilter(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -2911,17 +2928,7 @@ object Pipeline {
     val in = s"$root/in"; val idxRoot = s"$root/idx"; val outRoot = s"$root/out"
     Dedup.passageWindowIndex(existing, "doc_id", "text")
       .write.parquet(s"$idxRoot/v0")
-    // one file per "day", mtimes stamped ascending so the file source's
-    // oldest-first listing replays batches in exactly the oracle's order
-    val stamped = scala.collection.mutable.Set.empty[java.io.File]
-    (0 until 3).foreach { b =>
-      incoming.filter(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
-        .write.mode("append").parquet(in)
-      new java.io.File(in).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
-        .foreach { f =>
-          f.setLastModified(1600000000000L + b * 60000L); stamped += f }
-    }
+    writeDailyFiles(incoming, in, 3)
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -3201,6 +3208,123 @@ object Pipeline {
        |ORDER BY l_partkey""".stripMargin
   }
 
+  // =========================================================================
+  // p79 — STREAMING MinHash near-dup filter: p75's sibling for near-dup,
+  // closing the streaming story (exact passages p75, near-dup p79). Three
+  // mtime-ordered daily files (batch = doc_id mod 3); each foreachBatch
+  // emits in-batch pairs plus pairs against everything earlier (standing
+  // corpus band deltas + prior batches), then appends its own band and
+  // doc deltas — NearDupStream.filterBatch. Planted dups probe both
+  // incremental arms: +10000 replays of standing docs (cross-corpus) and
+  // +20000 replays of incoming docs (+2 mod 3 ⇒ always a different
+  // batch: the pair surfaces in the LATER sibling's batch, an
+  // order-dependence the oracle replays). The oracle recomposes each
+  // batch from the tag-parameterized MinHash chain: in-batch = p08's
+  // formulation over the batch, cross = batch bands joined to the
+  // cumulative prior bands on slice values under the engine's join-row
+  // cap, verified against the cumulative prior shingles.
+  // =========================================================================
+  def p79StreamNearDupFilter(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id").between(250, 254))
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val root = Files.createTempDirectory("p79_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val docsRoot = s"$root/docs"; val outRoot = s"$root/out"
+    Dedup.minhashBandIndex(existing, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+      .write.parquet(s"$idxRoot/v0")
+    existing.write.parquet(s"$docsRoot/v0")
+    writeDailyFiles(incoming, in, 3)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(graft.streaming.NearDupStream
+        .filterBatch(spark, idxRoot, docsRoot, outRoot, "doc_id", "text",
+          threshold = 0.4) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p79Sql: String = {
+    // cross arm of batch b: batch bands vs the CUMULATIVE prior bands
+    // (standing corpus + batches < b), join-row-capped per bucket, then
+    // exact-Jaccard verified against the cumulative prior shingles
+    def crossArm(b: Int): String = {
+      val priorBands = (s"SELECT id, bd, key FROM bandsx" +:
+        (0 until b).map(p => s"SELECT id, bd, key FROM bandsg$p"))
+        .mkString(" UNION ALL ")
+      val priorSh = (s"SELECT id, sh FROM shx" +:
+        (0 until b).map(p => s"SELECT id, sh FROM shg$p"))
+        .mkString(" UNION ALL ")
+      s"""pb$b AS ($priorBands),
+         |ps$b AS ($priorSh),
+         |cr$b AS (
+         |  SELECT i.id AS new_id, x.id AS old_id, i.bd, i.key
+         |  FROM bandsg$b i JOIN pb$b x ON i.bd = x.bd AND i.key = x.key),
+         |crn$b AS (SELECT new_id, old_id,
+         |    COUNT(*) OVER (PARTITION BY bd, key) AS n FROM cr$b),
+         |cx$b AS (SELECT DISTINCT new_id, old_id FROM crn$b WHERE n <= 200),
+         |mx$b AS (
+         |  SELECT least(new_id, old_id) AS id_a,
+         |    greatest(new_id, old_id) AS id_b, jaccard
+         |  FROM (
+         |    SELECT new_id, old_id,
+         |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+         |           ELSE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))
+         |      END AS jaccard
+         |    FROM cx$b JOIN shg$b sa ON new_id = sa.id JOIN ps$b sb ON old_id = sb.id)
+         |  WHERE jaccard >= 0.4)""".stripMargin
+    }
+    s"""WITH ex AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |           WHERE doc_id < 250),
+       |inc AS (
+       |  SELECT doc_id, $sqlToks AS toks, doc_id % 3 AS b FROM documents
+       |  WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 10000, $sqlToks, (doc_id + 10000) % 3
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 20000, $sqlToks, (doc_id + 20000) % 3
+       |  FROM documents WHERE doc_id BETWEEN 250 AND 254),
+       |i0 AS (SELECT doc_id, toks FROM inc WHERE b = 0),
+       |i1 AS (SELECT doc_id, toks FROM inc WHERE b = 1),
+       |i2 AS (SELECT doc_id, toks FROM inc WHERE b = 2),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("x", "ex")},
+       |${sqlMinhashChain("g0", "i0")},
+       |${sqlMinhashChain("g1", "i1")},
+       |${sqlMinhashChain("g2", "i2")},
+       |${sqlMinhashPairCtes("g0")},
+       |${sqlMinhashPairCtes("g1")},
+       |${sqlMinhashPairCtes("g2")},
+       |${crossArm(0)},
+       |${crossArm(1)},
+       |${crossArm(2)}
+       |SELECT id_a, id_b, jaccard, batch FROM (
+       |  SELECT id_a, id_b, jaccard, CAST(0 AS BIGINT) AS batch FROM
+       |    (SELECT * FROM mhg0 UNION ALL SELECT * FROM mx0)
+       |  UNION ALL
+       |  SELECT id_a, id_b, jaccard, CAST(1 AS BIGINT) FROM
+       |    (SELECT * FROM mhg1 UNION ALL SELECT * FROM mx1)
+       |  UNION ALL
+       |  SELECT id_a, id_b, jaccard, CAST(2 AS BIGINT) FROM
+       |    (SELECT * FROM mhg2 UNION ALL SELECT * FROM mx2))
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3280,7 +3404,8 @@ object Pipeline {
     "p75_stream_passage_filter" -> (p75StreamPassageFilter _),
     "p76_ivf_recall_scaled" -> (p76IvfRecallScaled _),
     "p77_minhash_incremental" -> (p77MinhashIncremental _),
-    "p78_count_min" -> (p78CountMin _))
+    "p78_count_min" -> (p78CountMin _),
+    "p79_stream_neardup_filter" -> (p79StreamNearDupFilter _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3358,5 +3483,6 @@ object Pipeline {
     "p75_stream_passage_filter" -> p75Sql,
     "p76_ivf_recall_scaled" -> p76Sql,
     "p77_minhash_incremental" -> p77Sql,
-    "p78_count_min" -> p78Sql)
+    "p78_count_min" -> p78Sql,
+    "p79_stream_neardup_filter" -> p79Sql)
 }

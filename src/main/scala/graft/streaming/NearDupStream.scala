@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Streaming MinHash near-duplicate filter — [[PassageStream]]'s sibling
+  * for NEAR-dup: each document micro-batch detects its near-duplicate
+  * pairs against the standing corpus via the persisted band index
+  * ([[Dedup.minhashBandIndex]] / [[Dedup.minhashPairsIncremental]]), then
+  * contributes its own bands for every later batch to probe.
+  *
+  * Two versioned delta stores, both append-only and batch-id-named:
+  *   - `indexRoot/v*` — band deltas (`v0` = the standing corpus's bands,
+  *     written before the stream starts; `v{b+1}` = batch b's bands). The
+  *     standing corpus never re-shingles.
+  *   - `docsRoot/v*` — (id, text) deltas with the same versioning. The
+  *     exact-Jaccard verify needs candidate-touched documents' text;
+  *     the semi-join inside [[Dedup.minhashPairsIncremental]] re-reads
+  *     text only for docs that actually share a bucket with the batch,
+  *     so this store is scanned, never shuffled wholesale.
+  *
+  * Exactly-once contract is [[PassageStream]]'s, applied to both roots: a
+  * redelivered batch rebases on deltas `<= batchId` and overwrites its
+  * own outputs deterministically; a fresh checkpoint over existing
+  * multi-delta roots is forked lineage and throws.
+  */
+object NearDupStream {
+
+  /** The `foreachBatch` callback: emit batch `batchId`'s near-dup pairs
+    * (in-batch + against everything earlier) to `outRoot/b<batchId>`,
+    * then append the batch's band and doc deltas as `v<batchId+1>`. */
+  def filterBatch(spark: SparkSession, indexRoot: String, docsRoot: String,
+      outRoot: String, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.6, maxBucketSize: Int = 200, seed: Long = 42L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    def deltasOf(root: String, what: String): Seq[String] = {
+      val versions = Versions.list(spark, root)
+      require(versions.exists(_._1 == 0L),
+        s"standing $what $root/v0 missing — write it before starting the stream")
+      versions.lastOption.foreach { case (newest, _) =>
+        require(newest <= batchId + 1,
+          s"$what at $root is at v$newest but the stream is replaying batch " +
+            s"$batchId — restarting with a fresh checkpoint over existing " +
+            "deltas would fork their lineage; resume from the original " +
+            "checkpoint or start new roots")
+      }
+      versions.filter(_._1 <= batchId).map(_._2.toString)
+    }
+    val idx = spark.read.parquet(deltasOf(indexRoot, "band index"): _*)
+    val existingDocs = spark.read.parquet(deltasOf(docsRoot, "docs store"): _*)
+    Dedup.minhashPairsIncremental(batch, idCol, textCol, idx, existingDocs,
+        numHashes, bands, shingleSize, threshold, maxBucketSize, seed)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+    Dedup.minhashBandIndex(batch, idCol, textCol, numHashes, bands,
+        shingleSize, seed)
+      .write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
+    batch.select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(s"$docsRoot/v${batchId + 1}")
+  }
+}

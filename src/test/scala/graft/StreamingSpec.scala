@@ -237,6 +237,73 @@ class StreamingSpec extends SparkSpec {
     assert(versionNames() === Seq("v0", "v1", "v2", "v3"))
   }
 
+  test("streaming near-dup filter: cross-batch pair surfaces in the later " +
+      "batch; redelivery idempotent") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.NearDupStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("ndstream_").toString
+    val (in, idx, dstore, out, ckpt) =
+      (s"$root/in", s"$root/idx", s"$root/docs", s"$root/out", s"$root/ckpt")
+    Files.createDirectories(Paths.get(in))
+    // per-seed token namespace: docs from different seeds share NO tokens
+    def doc(seed: Int, words: Int): String =
+      (0 until words).map(i => s"t${seed}x$i").mkString(" ")
+    val base = doc(3, 60)
+    val nearDup = base.split(" ").updated(5, "changed").mkString(" ")
+    val standing = Seq((1L, base), (2L, doc(50, 60))).toDF("doc_id", "text")
+    graft.operators.Dedup.minhashBandIndex(standing, "doc_id", "text")
+      .write.parquet(s"$idx/v0")
+    standing.write.parquet(s"$dstore/v0")
+    // batch 0: doc 10 near-dups the CORPUS doc 1; doc 11 novel
+    // batch 1: doc 12 near-dups the BATCH-0 doc 11 — visible only through
+    //          batch 0's band/doc deltas (the cross-batch path)
+    val novel = doc(70, 60)
+    val b0 = Seq((10L, nearDup), (11L, novel)).toDF("doc_id", "text")
+    val b1 = Seq((12L, novel.split(" ").updated(7, "altered").mkString(" ")),
+      (13L, doc(90, 60))).toDF("doc_id", "text")
+    val stamped = scala.collection.mutable.Set.empty[java.io.File]
+    def addFile(df: org.apache.spark.sql.DataFrame, b: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + b * 60000L); stamped += f }
+    }
+    addFile(b0, 0); addFile(b1, 1)
+    val q = spark.readStream
+      .schema(b0.schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(NearDupStream.filterBatch(spark, idx, dstore, out,
+        "doc_id", "text", threshold = 0.4) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val pairs = spark.read.parquet(s"$out/b*")
+      .select("id_a", "id_b", "batch").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs.contains((1L, 10L, 0L)),
+      s"corpus near-dup must surface in batch 0: $pairs")
+    assert(pairs.contains((11L, 12L, 1L)),
+      s"cross-batch near-dup must surface in the LATER batch: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), "novel doc clean")
+    // redelivery of batch 1 rewrites byte-identically (rebases on v0/v1)
+    val before = spark.read.parquet(s"$out/b1").collect().toSeq
+      .map(_.toString).sorted
+    NearDupStream.filterBatch(spark, idx, dstore, out, "doc_id", "text",
+      threshold = 0.4)(b1, 1L)
+    val after = spark.read.parquet(s"$out/b1").collect().toSeq
+      .map(_.toString).sorted
+    assert(after === before, "redelivery must be idempotent")
+    // fresh checkpoint over existing deltas = forked lineage; must refuse
+    val e = intercept[IllegalArgumentException] {
+      NearDupStream.filterBatch(spark, idx, dstore, out, "doc_id", "text",
+        threshold = 0.4)(b0, 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
   test("streaming dedup collapses a doubled stream back to distinct events") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.count

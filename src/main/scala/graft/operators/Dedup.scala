@@ -170,6 +170,33 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
+  /** Persist a [[minhashBandIndex]] as a table bucketed (and sorted) on
+    * (band, bucket) — the standing side of [[minhashPairsIncremental]]'s
+    * probe, the near-dup twin of [[writePassageIndex]]. File bucketing
+    * clusters the band keys, so bucket-keyed aggregation over the index
+    * runs exchange-free and an incremental probe shuffles only the
+    * incoming batch into the index's layout. Parameters must match the
+    * probe call. */
+  def writeMinhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      tableName: String, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, seed: Long = 42L, numBuckets: Int = 16): Unit =
+    minhashBandIndex(docs, idCol, textCol, numHashes, bands, shingleSize, seed)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(tableName)
+
+  /** Append a new batch's bands to a persisted band index — the daily
+    * increment. Only the batch is shingled and written; the standing
+    * index never rewrites or shuffles, and appended files land in the
+    * same bucket layout. Same-parameters contract as the write. */
+  def appendMinhashBandIndex(batch: DataFrame, idCol: String, textCol: String,
+      tableName: String, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, seed: Long = 42L, numBuckets: Int = 16): Unit =
+    minhashBandIndex(batch, idCol, textCol, numHashes, bands, shingleSize, seed)
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(tableName)
+
   /** Incremental near-duplicate pairs: the daily-increment shape for
     * near-dup. New docs band as usual; cross-set candidates form ONLY where
     * a new doc's (band, bucket) hits the persisted [[minhashBandIndex]] —

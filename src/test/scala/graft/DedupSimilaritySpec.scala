@@ -593,6 +593,41 @@ class DedupSimilaritySpec extends SparkSpec {
       s"fp-keyed aggregation over the persisted index still shuffles:\n$plan")
   }
 
+  test("persisted minhash band index: probe parity, append, exchange-free " +
+      "band aggregation") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val half = docs.count() / 2
+    val existing = docs.filter(col("doc_id") < half)
+    val later = docs.filter(col("doc_id") >= half)
+    Dedup.writeMinhashBandIndex(existing, "doc_id", "text", "mh_band_idx_t")
+    // replayed docs guarantee cross-set hits; probing the persisted table
+    // must equal probing the in-plan index
+    val probe = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 70000).as("doc_id"), col("text"))
+    def pairs(idx: org.apache.spark.sql.DataFrame,
+        old: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairsIncremental(probe, "doc_id", "text", idx, old,
+          threshold = 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fromTable = pairs(spark.table("mh_band_idx_t"), existing)
+    assert(fromTable ===
+      pairs(Dedup.minhashBandIndex(existing, "doc_id", "text"), existing))
+    assert(fromTable.nonEmpty, "replayed probes must hit the corpus")
+    // append: probing the appended table over the union's docs must equal
+    // a from-scratch index over the union
+    Dedup.appendMinhashBandIndex(later, "doc_id", "text", "mh_band_idx_t")
+    assert(pairs(spark.table("mh_band_idx_t"), docs) ===
+      pairs(Dedup.minhashBandIndex(docs, "doc_id", "text"), docs))
+    // band-keyed aggregation over the persisted index runs with NO shuffle
+    val agg = spark.table("mh_band_idx_t").groupBy("band", "bucket").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"band-keyed aggregation over the persisted index still shuffles:\n$plan")
+  }
+
   test("persisted LSH index: probe parity and exchange-free bucket aggregation") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)

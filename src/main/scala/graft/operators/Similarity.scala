@@ -512,6 +512,56 @@ object Similarity {
         col("m.id2").as("dup_of"), col("m.sim").as("sim"))
   }
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-scaling pass an ML pipeline runs before distance-based ops
+    * (k-means, cosine ANN) so no dimension dominates the metric.
+    *
+    * Determinism at scale: per-dimension sums are staged through
+    * DECIMAL(38,18) (Spark's double→decimal cast goes through
+    * `Double.toString`, exact to the shortest digits), so the sum is
+    * EXACT and order-free — the result is bit-identical under any
+    * partitioning, and a DuckDB oracle replays it via the VARCHAR
+    * bridge (the p82 query does). The final mean/std/z arithmetic is
+    * plain IEEE doubles with a fixed expression tree.
+    *
+    * Plan shape: one exploded scan (partial aggregation — at most `dim`
+    * rows per partition cross the exchange), the model-sized stats fold
+    * into ONE broadcast array row, and a second scan rewrites each
+    * vector in place via `transform` — no per-row join on the skewed
+    * `pos` key (only `dim` distinct values) ever happens.
+    *
+    * Returns (idCol, z ARRAY<DOUBLE>). Constant dimensions (std = 0)
+    * map to z = 0. */
+  def standardize(corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val stats = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col").cast(dec)).as("__sd"),
+        sum((col("col") * col("col")).cast(dec)).as("__s2d"),
+        count(lit(1)).as("__n"))
+      .select(col("pos"),
+        (col("__sd").cast("double") / col("__n").cast("double")).as("mean"),
+        sqrt(greatest(
+          (col("__s2d").cast("double") / col("__n").cast("double")) -
+            ((col("__sd").cast("double") / col("__n").cast("double")) *
+              (col("__sd").cast("double") / col("__n").cast("double"))),
+          lit(0.0))).as("std"))
+    val statsArr = stats
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean"),
+        col("std")))).as("__st"))
+    corpus.filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(statsArr))
+      .select(col(idCol),
+        expr(s"""transform(CAST($vecCol AS ARRAY<DOUBLE>),
+                 (x, i) -> CASE WHEN __st[i].std = CAST(0.0 AS DOUBLE)
+                                THEN CAST(0.0 AS DOUBLE)
+                                ELSE (x - __st[i].mean) / __st[i].std END)""")
+          .as("z"))
+  }
+
   def embeddingNearDupPairs(
       corpus: DataFrame, threshold: Double, dim: Int,
       tables: Int = 8, bits: Int = 12, seed: Long = 42L,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-key sequential time-series folds — the recursive computations
+  * (EWMA and kin) that no window frame expresses because each output
+  * depends on the previous OUTPUT, not a previous input range.
+  *
+  * Reference context: the reference's per-key reduce is an arbitrary
+  * sequential fold over a key's values (nikiwiles/FSharp-MapReduce
+  * MapReduce.fs:68-80 folds each key group in list order); this is the
+  * same shape with a time-ordered, non-commutative combiner.
+  *
+  * Scale design: each key's timeline folds independently after one
+  * shuffle on the key — the parallelism unit is the key, exactly like
+  * any `groupBy`, and a 100 TB corpus with millions of keys saturates
+  * every executor. The fold itself runs inside Catalyst's
+  * `aggregate` higher-order function on a per-key array, so per-key
+  * state must be bounded (user/session/instrument timelines are; for
+  * unbounded single-key streams, chunk by calendar window first and
+  * chain the seeds). No driver collection, no UDF — the lambda is
+  * codegen'd expression arithmetic.
+  */
+object TimeSeries {
+
+  /** Exponential moving average per key: s_1 = v_1,
+    * s_t = alpha*v_t + (1-alpha)*s_{t-1}, values ordered by
+    * (`tsCol`, `tieCol`). IEEE evaluation order is fixed —
+    * `(alpha*v) + (beta*acc)`, left fold — so a DuckDB
+    * `list_reduce` over a `list(... ORDER BY ts, tie)` replays the
+    * result bit-for-bit (the p81 query's oracle does).
+    *
+    * `alpha` should be an exactly-representable binary fraction
+    * (0.125, 0.25, ...) so `1 - alpha` is exact too.
+    *
+    * Returns keyCols + (n_events, ewma), one row per key with at least
+    * one non-null value. */
+  def ewmaByKey(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, valCol: String, alpha: Double): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val beta = 1.0 - alpha
+    val key: Seq[Column] = keyCols.map(col)
+    df.filter(col(valCol).isNotNull && keyCols.map(col(_).isNotNull)
+        .reduce(_ && _))
+      .groupBy(key: _*)
+      .agg(collect_list(struct(col(tsCol).as("t"), col(tieCol).as("i"),
+        col(valCol).cast("double").as("v"))).as("__evs"))
+      .withColumn("__vs", expr("transform(array_sort(__evs), s -> s.v)"))
+      .select(key ++ Seq(
+        size(col("__vs")).cast("long").as("n_events"),
+        expr(s"""aggregate(slice(__vs, 2, size(__vs) - 1), __vs[0],
+                 (acc, v) -> (CAST($alpha AS DOUBLE) * v)
+                           + (CAST($beta AS DOUBLE) * acc))""").as("ewma")): _*)
+  }
+}

@@ -3325,6 +3325,134 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // =========================================================================
+  // p80 — histogram quantile sketch: p50/p90/p99 of lineitem extended
+  // prices from the mergeable equi-width histogram (p52's structure),
+  // joined against the TRUE percentile (histogram-guided rank-select —
+  // the located bin's residents are re-scanned and the (r-cum_before)-th
+  // smallest picked, exact without ever sorting more than one bin) so
+  // the estimate error is driver-visible per quantile, like p70's
+  // err_bp and p78's overcount. The oracle replays the binning +
+  // interpolation arithmetic expression-for-expression and re-derives
+  // the exact side as a global rank pick (rn = ceil(q*n) — the same
+  // value the bin-local pick returns, the equivalence the green row
+  // proves), with the decimal→double cast VARCHAR-bridged.
+  // =========================================================================
+  def p80QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    Profiling.histogramQuantiles(Tables.lineitem(spark, dir),
+        "l_extendedprice", 256, Seq(0.5, 0.9, 0.99), exact = true)
+      .select(col("q"), col("n"), col("est"), col("p_exact"),
+        (col("est") - col("p_exact")).as("err"))
+      .orderBy("q")
+  }
+
+  val p80Sql: String =
+    """WITH mm AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+      |                  MAX(CAST(l_extendedprice AS DOUBLE)) AS mx,
+      |                  COUNT(l_extendedprice) AS n
+      |            FROM lineitem),
+      |b AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0
+      |        ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mm.mn)
+      |                              / ((mm.mx - mm.mn) / 256.0)), 255.0) AS INT)
+      |        END AS bin
+      |      FROM lineitem CROSS JOIN mm
+      |      WHERE l_extendedprice IS NOT NULL),
+      |c AS (SELECT bin, COUNT(*) AS nb FROM b GROUP BY bin),
+      |cum AS (SELECT bin, nb,
+      |    SUM(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c),
+      |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+      |                      CAST(0.99 AS DOUBLE)]) AS q),
+      |fb AS (SELECT q, MIN(bin) AS bin
+      |       FROM qs CROSS JOIN mm JOIN cum ON cum.cum >= ceil(q * mm.n)
+      |       GROUP BY q),
+      |est AS (SELECT q, mm.n AS n,
+      |  CASE WHEN mm.mx = mm.mn THEN mm.mn
+      |    ELSE (mm.mn + (CAST(fb.bin AS DOUBLE) * ((mm.mx - mm.mn) / 256.0)))
+      |      + (((CAST(ceil(q * mm.n) AS DOUBLE)
+      |           - CAST(cum.cum - cum.nb AS DOUBLE)) / CAST(cum.nb AS DOUBLE))
+      |         * ((mm.mx - mm.mn) / 256.0)) END AS est
+      |  FROM fb JOIN cum USING (bin) CROSS JOIN mm),
+      |ord AS (SELECT l_extendedprice AS x,
+      |          ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+      |        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |ex AS (SELECT q, CAST(CAST(x AS VARCHAR) AS DOUBLE) AS p_exact
+      |       FROM qs CROSS JOIN mm
+      |       JOIN ord ON ord.rn = CAST(ceil(q * mm.n) AS BIGINT))
+      |SELECT est.q, est.n, est.est, ex.p_exact,
+      |  est.est - ex.p_exact AS err
+      |FROM est JOIN ex USING (q) ORDER BY q""".stripMargin
+
+  // =========================================================================
+  // p81 — per-key EWMA: the sequential per-key fold (the reference's
+  // reduce is exactly this shape — an ordered, non-commutative fold per
+  // key) that no window frame expresses, run as a codegen'd `aggregate`
+  // lambda over each user's time-ordered values. alpha = 0.125 (exact
+  // binary, so 1-alpha is exact too); the oracle's list_reduce over
+  // list(value ORDER BY ts, event_id) replays the identical IEEE
+  // rounding sequence — the same forced-order fold contract as the
+  // cosine/centroid oracles.
+  // =========================================================================
+  def p81Ewma(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    TimeSeries.ewmaByKey(
+        Tables.events(spark, dir).filter(col("ts").isNotNull),
+        Seq("user_id"), "ts", "event_id", "value", alpha = 0.125)
+      .orderBy("user_id")
+  }
+
+  val p81Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  list_reduce(list(value ORDER BY ts, event_id),
+      |    (acc, v) -> (CAST(0.125 AS DOUBLE) * v)
+      |              + (CAST(0.875 AS DOUBLE) * acc)) AS ewma
+      |FROM events
+      |WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // =========================================================================
+  // p82 — per-dimension z-score standardization of the embedding corpus:
+  // the feature-scaling pass that precedes distance-based ops. Sums are
+  // decimal-staged (exact, order-free — bit-identical under any
+  // partitioning, the p41/IVF discipline), the model-sized stats fold
+  // into one broadcast array row, and the rewrite scan never joins on
+  // the 64-value `pos` key. The oracle replays sums through the VARCHAR
+  // bridge and the mean/std/z doubles with the identical expression
+  // tree; output is the first 30 vectors exploded to (vec_id, dim, z).
+  // =========================================================================
+  def p82EmbedStandardize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.standardize(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < 30)
+      .select(col("vec_id"), posexplode(col("z")))
+      .select(col("vec_id"), col("pos").cast("int").as("dim"),
+        col("col").as("z"))
+      .orderBy("vec_id", "dim")
+
+  val p82Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+      |             CAST(embedding[i] AS DOUBLE) AS x
+      |           FROM embeddings
+      |           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+      |           WHERE embedding IS NOT NULL),
+      |st AS (SELECT dim,
+      |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)))
+      |         AS VARCHAR) AS DOUBLE) AS s,
+      |    CAST(CAST(SUM(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,18)))
+      |         AS VARCHAR) AS DOUBLE) AS s2,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM e GROUP BY dim),
+      |ms AS (SELECT dim, s / n AS mean,
+      |    sqrt(greatest((s2 / n) - ((s / n) * (s / n)),
+      |                  CAST(0.0 AS DOUBLE))) AS std
+      |  FROM st)
+      |SELECT e.vec_id, e.dim,
+      |  CASE WHEN ms.std = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+      |       ELSE (e.x - ms.mean) / ms.std END AS z
+      |FROM e JOIN ms USING (dim) WHERE e.vec_id < 30
+      |ORDER BY vec_id, dim""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3405,7 +3533,10 @@ object Pipeline {
     "p76_ivf_recall_scaled" -> (p76IvfRecallScaled _),
     "p77_minhash_incremental" -> (p77MinhashIncremental _),
     "p78_count_min" -> (p78CountMin _),
-    "p79_stream_neardup_filter" -> (p79StreamNearDupFilter _))
+    "p79_stream_neardup_filter" -> (p79StreamNearDupFilter _),
+    "p80_quantile_sketch" -> (p80QuantileSketch _),
+    "p81_ewma" -> (p81Ewma _),
+    "p82_embed_standardize" -> (p82EmbedStandardize _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3484,5 +3615,8 @@ object Pipeline {
     "p76_ivf_recall_scaled" -> p76Sql,
     "p77_minhash_incremental" -> p77Sql,
     "p78_count_min" -> p78Sql,
-    "p79_stream_neardup_filter" -> p79Sql)
+    "p79_stream_neardup_filter" -> p79Sql,
+    "p80_quantile_sketch" -> p80Sql,
+    "p81_ewma" -> p81Sql,
+    "p82_embed_standardize" -> p82Sql)
 }

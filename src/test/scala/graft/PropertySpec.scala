@@ -371,4 +371,109 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("histogramQuantiles matches an in-memory replay; estimates bracket " +
+      "the data; constant column degenerates") {
+    import org.apache.spark.sql.functions.col
+    val xs = (0 until 1000).map(i => ((i * 37) % 101).toDouble)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val bins = 16
+    val got = graft.operators.Profiling
+      .histogramQuantiles(xs.toDF("x").repartition(7), "x", bins, qs)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    // in-memory replay of the documented arithmetic, same IEEE order
+    val mn = xs.min; val mx = xs.max; val n = xs.size
+    val width = (mx - mn) / bins.toDouble
+    val binOf = xs.map(x => math.min(math.floor((x - mn) / width),
+      (bins - 1).toDouble).toInt)
+    val counts = binOf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sorted = counts.keys.toSeq.sorted
+    val want = qs.map { q =>
+      val r = math.ceil(q * n.toDouble).toLong
+      var cum = 0L
+      val b = sorted.find { b => cum += counts(b); cum >= r }.get
+      val cumBefore = cum - counts(b)
+      val est = (mn + (b.toDouble * width)) +
+        (((r.toDouble - cumBefore.toDouble) / counts(b).toDouble) * width)
+      (q, n.toLong, est)
+    }
+    assert(got.toSeq === want)
+    // estimates live inside the data range
+    got.foreach { case (_, _, est) => assert(est >= mn && est <= mx) }
+    // exact = true: histogram-guided rank-select == a full sort's pick
+    val sortedXs = xs.sorted
+    val gotExact = graft.operators.Profiling
+      .histogramQuantiles(xs.toDF("x").repartition(7), "x", bins, qs,
+        exact = true)
+      .collect().map(r => (r.getDouble(0), r.getDouble(3)))
+    val wantExact = qs.map(q =>
+      (q, sortedXs(math.ceil(q * n.toDouble).toInt - 1)))
+    assert(gotExact.toSeq === wantExact)
+    // constant column: every quantile is the value itself
+    val const = graft.operators.Profiling
+      .histogramQuantiles(Seq(3.0, 3.0, 3.0).toDF("x"), "x", 8, qs)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(const === Seq(3.0, 3.0, 3.0))
+  }
+
+  test("ewmaByKey folds each key's timeline in (ts, tie) order and is " +
+      "partitioning-invariant") {
+    // scrambled input order; user 1's time order is 10.0, 4.0, 2.0
+    val rows = Seq((1L, 3L, 2.0), (2L, 1L, 7.0), (1L, 1L, 10.0),
+      (1L, 2L, 4.0), (3L, 5L, Double.NaN))
+      .toDF("user_id", "ts", "v")
+    val got = graft.operators.TimeSeries
+      .ewmaByKey(rows.repartition(5), Seq("user_id"), "ts", "ts", "v", 0.125)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // s1=10; s2=0.125*4+0.875*10=9.25; s3=0.125*2+0.875*9.25
+    val u1 = (0.125 * 2.0) + (0.875 * ((0.125 * 4.0) + (0.875 * 10.0)))
+    assert(got(0) === ((1L, 3L, u1)))
+    assert(got(1) === ((2L, 1L, 7.0)))       // single event: seed only
+    assert(got(2)._2 === 1L && got(2)._3.isNaN) // NaN value propagates
+    // null values and null keys are dropped entirely
+    val withNulls = Seq((Some(1L), 1L, Option(5.0)), (Some(1L), 2L, None),
+      (None, 3L, Option(9.0))).toDF("user_id", "ts", "v")
+    val g2 = graft.operators.TimeSeries
+      .ewmaByKey(withNulls, Seq("user_id"), "ts", "ts", "v", 0.125)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(g2.toSeq === Seq((1L, 1L, 5.0)))
+  }
+
+  test("standardize matches a decimal-staged in-memory replay and is " +
+      "partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, -0.5f)),
+      (2L, Seq(0.25f, -1.0f, 0.75f)),
+      (3L, Seq(-0.125f, 4.0f, 0.5f)),
+      (4L, Seq(2.5f, 0.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def replay(): Map[Long, Seq[Double]] = {
+      val n = vecs.size
+      val dims = 3
+      val stats = (0 until dims).map { d =>
+        val xs = vecs.map(_._2(d).toDouble)
+        // the engine's staging: double -> shortest string -> BigDecimal,
+        // exact sum, ONE rounding back to double
+        val sd = xs.map(x => BigDecimal(x.toString)).sum.doubleValue
+        val s2d = xs.map(x => BigDecimal((x * x).toString)).sum.doubleValue
+        val mean = sd / n.toDouble
+        val variance = math.max((s2d / n.toDouble) - (mean * mean), 0.0)
+        (mean, math.sqrt(variance))
+      }
+      vecs.map { case (id, v) =>
+        id -> v.zipWithIndex.map { case (x, d) =>
+          val (m, s) = stats(d)
+          if (s == 0.0) 0.0 else (x.toDouble - m) / s
+        }.toSeq
+      }.toMap
+    }
+    val want = replay()
+    def run(part: Int): Map[Long, Seq[Double]] =
+      graft.operators.Similarity.standardize(df.repartition(part))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(run(1) === want)
+    assert(run(7) === want)  // decimal staging: order-free, bit-identical
+  }
 }

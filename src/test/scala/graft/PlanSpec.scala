@@ -291,4 +291,58 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"),
       s"frequency aggregation must be two-phase:\n$plan")
   }
+
+  test("p80 quantiles: exact rank-select broadcasts bin targets, never " +
+      "range-sorts the data") {
+    val plan = planString(graft.queries.Pipeline
+      .p80QuantileSketch(spark, sfDir))
+    // the data-scale scans feed (a) partial+final binning aggregation and
+    // (b) a broadcast join against the |qs| bin targets — a global sort of
+    // the DATA (rangepartitioning on the value column) must never appear;
+    // the |qs|-row output orderBy may range-partition freely
+    assert(!plan.contains("rangepartitioning(__x"),
+      s"exact quantile pick must not global-sort the data:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"bin targets must broadcast into the resident scan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"binning aggregation must be two-phase:\n$plan")
+  }
+
+  test("p81 EWMA: one exchange on the key; the fold is expression " +
+      "arithmetic, not a UDF") {
+    val df = graft.queries.Pipeline.p81Ewma(spark, sfDir)
+    val plan = planString(df)
+    // collect_list partial-aggregates into ObjectHashAggregate around ONE
+    // hash exchange on user_id (plus the output sort's range exchange)
+    val hashEx = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"expected exactly one key exchange:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"collect_list must partial-aggregate:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"the fold must stay in expression arithmetic:\n$plan")
+  }
+
+  test("p82 standardize: stats broadcast as one row; no join on the dim key") {
+    val plan = planString(graft.queries.Pipeline
+      .p82EmbedStandardize(spark, sfDir))
+    // the rewrite scan gets the stats via a broadcast nested-loop of a
+    // single-row relation — a per-(row, dim) hash join on `pos` (64
+    // distinct values at any corpus size) must never appear
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"stats row must cross-join broadcast:\n$plan")
+    // the only exchange keyed on pos is the stats aggregation's, and it
+    // must carry PARTIAL aggregates (≤ dim rows per partition) — never
+    // the raw per-element rows
+    val lines = plan.linesIterator.toIndexedSeq
+    val posEx = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(pos#"))
+    assert(posEx.nonEmpty, s"expected the stats exchange on pos:\n$plan")
+    posEx.foreach { case (_, i) =>
+      val below = lines.slice(i + 1, i + 4).mkString("\n")
+      assert(below.contains("HashAggregate") && below.contains("partial"),
+        s"the pos exchange must sit above a partial aggregate:\n$below")
+    }
+  }
 }

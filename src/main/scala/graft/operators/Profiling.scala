@@ -165,6 +165,39 @@ object Profiling {
     base.join(exactVals, Seq("q")).orderBy("q")
   }
 
+  /** Robust outlier detection via median/MAD — the quality-filter sweep
+    * that survives the heavy-tailed distributions where mean/stddev
+    * z-scores drown (a single 10^9 outlier inflates sigma until nothing
+    * else is an outlier). Composes [[histogramQuantiles]]' exact path
+    * twice: the TRUE median of the column, then the TRUE median of the
+    * absolute deviations — each a histogram-guided rank-select, so the
+    * whole detector runs in a handful of scan+model-fold passes and
+    * never sorts more than one bin (100 TB-safe; a naive
+    * `percentile_disc` pair buffers the dataset twice).
+    *
+    * A row is an outlier when `dev > k * (1.4826 * mad)` (1.4826 ≈ the
+    * normal-consistency constant σ/MAD; both engines parse the literal
+    * to the same double, and every comparison is mirrored IEEE
+    * arithmetic — the p84 oracle replays both rank-selects and the
+    * threshold verbatim).
+    *
+    * Returns the non-null input rows + (dev, median, mad, is_outlier). */
+  def robustOutliers(df: DataFrame, colName: String, bins: Int = 256,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0.0, "k must be positive")
+    val x = col(colName).cast(DoubleType)
+    val med = histogramQuantiles(df, colName, bins, Seq(0.5), exact = true)
+      .select(col("p_exact").as("median"))
+    val dev = df.filter(x.isNotNull)
+      .crossJoin(broadcast(med))
+      .withColumn("dev", abs(x - col("median")))
+    val mad = histogramQuantiles(dev, "dev", bins, Seq(0.5), exact = true)
+      .select(col("p_exact").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("is_outlier",
+        col("dev") > (lit(k) * (lit(1.4826) * col("mad"))))
+  }
+
   /** Piggyback data-quality metrics on whatever action the caller runs
     * next: row count and per-column null counts collected through
     * `Dataset.observe` — ZERO extra scans (metrics accumulate inside the

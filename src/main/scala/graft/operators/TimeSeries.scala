@@ -54,4 +54,36 @@ object TimeSeries {
                  (acc, v) -> (CAST($alpha AS DOUBLE) * v)
                            + (CAST($beta AS DOUBLE) * acc))""").as("ewma")): _*)
   }
+
+  /** Funnel progression per key: how far through `steps` (an ordered
+    * event-type sequence) each key's time-ordered events advance, as a
+    * subsequence match — step i+1 counts only if it appears AFTER the
+    * event that completed step i ((`tsCol`, `tieCol`) order; one event
+    * advances at most one step). The same integer fold shape as
+    * [[ewmaByKey]]: each type maps to its 1-based step index (0
+    * otherwise) and the fold takes `acc -> acc + 1` exactly when the
+    * element equals `acc + 1` — pure integer arithmetic, replayed
+    * verbatim by a DuckDB `list_reduce` (the p83 oracle).
+    *
+    * Returns keyCols + (stage INT): 0 = never did steps.head, up to
+    * steps.size = completed the funnel. */
+  def funnelStage(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(steps.nonEmpty && steps.distinct == steps, "steps must be distinct")
+    require(steps.forall(s => !s.contains("'")), "step names must be quote-free")
+    val key: Seq[Column] = keyCols.map(col)
+    val stepCase = steps.zipWithIndex
+      .map { case (s, i) => s"WHEN '$s' THEN ${i + 1}" }
+      .mkString("CASE e.ty ", " ", " ELSE 0 END")
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(key: _*)
+      .agg(collect_list(struct(col(tsCol).as("t"), col(tieCol).as("i"),
+        col(typeCol).as("ty"))).as("__evs"))
+      .select(key :+
+        expr(s"""aggregate(
+                   transform(array_sort(__evs), e -> $stepCase),
+                   0, (acc, v) -> IF(v = acc + 1, acc + 1, acc))""")
+          .as("stage"): _*)
+  }
 }

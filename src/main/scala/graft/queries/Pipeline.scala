@@ -3453,6 +3453,92 @@ object Pipeline {
       |FROM e JOIN ms USING (dim) WHERE e.vec_id < 30
       |ORDER BY vec_id, dim""".stripMargin
 
+  // =========================================================================
+  // p83 — event funnel (view → click → purchase): per-user subsequence
+  // match over the time-ordered event stream, then per-step reach. The
+  // same sequential per-key fold shape as p81, but with INTEGER state —
+  // each event maps to its 1-based step index (0 otherwise) and the fold
+  // advances exactly when the element equals acc + 1, so an event counts
+  // toward step i+1 only strictly after the event that completed step i.
+  // Pure integer arithmetic end to end; the oracle replays the identical
+  // fold via list_reduce over the identically-ordered list.
+  // =========================================================================
+  def p83Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val st = TimeSeries.funnelStage(
+      Tables.events(spark, dir).filter(col("ts").isNotNull),
+      Seq("user_id"), "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+    st.agg(
+        count(when(col("stage") >= 1, lit(1))).as("__s1"),
+        count(when(col("stage") >= 2, lit(1))).as("__s2"),
+        count(when(col("stage") >= 3, lit(1))).as("__s3"))
+      .select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"),
+          col("__s1").as("n_users")),
+        struct(lit(2).as("step"), lit("click").as("step_name"),
+          col("__s2").as("n_users")),
+        struct(lit(3).as("step"), lit("purchase").as("step_name"),
+          col("__s3").as("n_users")))).as("__p"))
+      .select(col("__p.step").as("step"), col("__p.step_name").as("step_name"),
+        col("__p.n_users").as("n_users"))
+      .orderBy("step")
+  }
+
+  val p83Sql: String =
+    """WITH st AS (
+      |  SELECT user_id,
+      |    list_reduce(list_prepend(0,
+      |      list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |           WHEN 'purchase' THEN 3 ELSE 0 END ORDER BY ts, event_id)),
+      |      (acc, v) -> CASE WHEN v = acc + 1 THEN acc + 1 ELSE acc END)
+      |      AS stage
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id)
+      |SELECT step, step_name, n_users FROM (
+      |  SELECT 1 AS step, 'view' AS step_name,
+      |    COUNT(CASE WHEN stage >= 1 THEN 1 END) AS n_users FROM st
+      |  UNION ALL SELECT 2, 'click',
+      |    COUNT(CASE WHEN stage >= 2 THEN 1 END) FROM st
+      |  UNION ALL SELECT 3, 'purchase',
+      |    COUNT(CASE WHEN stage >= 3 THEN 1 END) FROM st)
+      |ORDER BY step""".stripMargin
+
+  // =========================================================================
+  // p84 — robust outlier sweep over the right-skewed event values:
+  // median/MAD flags via TWO composed histogram-guided exact
+  // rank-selects (p80's machinery) — the heavy-tail-safe quality filter
+  // where mean/stddev breaks (value's max is 16× its median; ~4% of
+  // rows are genuine MAD outliers, all driver-visible). The oracle
+  // re-derives both medians as global rank picks at ceil(0.5·n) (the
+  // equivalence of the bin-local pick and the global pick is what the
+  // green row proves, twice) and mirrors the threshold arithmetic.
+  // =========================================================================
+  def p84Outliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    Profiling.robustOutliers(Tables.events(spark, dir), "value")
+      .filter(col("is_outlier"))
+      .select(col("event_id"), col("value"), col("dev"))
+      .orderBy("event_id")
+  }
+
+  val p84Sql: String =
+    """WITH v AS (SELECT event_id, value, CAST(value AS DOUBLE) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |n1 AS (SELECT COUNT(*) AS n FROM v),
+      |m AS (SELECT x AS med FROM
+      |        (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
+      |        CROSS JOIN n1 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+      |d AS (SELECT event_id, value, x, abs(x - med) AS dev
+      |      FROM v CROSS JOIN m),
+      |m2 AS (SELECT dev AS mad FROM
+      |        (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rn FROM d)
+      |        CROSS JOIN n1 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+      |SELECT event_id, value, dev
+      |FROM d CROSS JOIN m2
+      |WHERE dev > (CAST(3.0 AS DOUBLE) * (CAST(1.4826 AS DOUBLE) * mad))
+      |ORDER BY event_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3536,7 +3622,9 @@ object Pipeline {
     "p79_stream_neardup_filter" -> (p79StreamNearDupFilter _),
     "p80_quantile_sketch" -> (p80QuantileSketch _),
     "p81_ewma" -> (p81Ewma _),
-    "p82_embed_standardize" -> (p82EmbedStandardize _))
+    "p82_embed_standardize" -> (p82EmbedStandardize _),
+    "p83_funnel" -> (p83Funnel _),
+    "p84_outliers" -> (p84Outliers _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3618,5 +3706,7 @@ object Pipeline {
     "p79_stream_neardup_filter" -> p79Sql,
     "p80_quantile_sketch" -> p80Sql,
     "p81_ewma" -> p81Sql,
-    "p82_embed_standardize" -> p82Sql)
+    "p82_embed_standardize" -> p82Sql,
+    "p83_funnel" -> p83Sql,
+    "p84_outliers" -> p84Sql)
 }

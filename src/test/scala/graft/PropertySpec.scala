@@ -440,6 +440,52 @@ class PropertySpec extends SparkSpec {
     assert(g2.toSeq === Seq((1L, 1L, 5.0)))
   }
 
+  test("funnelStage: strict in-order subsequence match, one step per event") {
+    // user 1: click before view never counts; view->click->purchase = 3
+    // user 2: view then purchase (no click between) stalls at 1
+    // user 3: purchase first never counts; view->click after it = 2
+    // user 4: no step-1 event at all -> 0
+    val rows = Seq(
+      (1L, 1L, "click"), (1L, 2L, "view"), (1L, 3L, "error"),
+      (1L, 4L, "click"), (1L, 5L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "purchase"),
+      (3L, 1L, "purchase"), (3L, 2L, "view"), (3L, 3L, "click"),
+      (4L, 1L, "error"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.TimeSeries
+      .funnelStage(rows.repartition(5), Seq("user_id"), "ts", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("robustOutliers: uniform data flags nothing; a planted spike flags; " +
+      "median/MAD match a sorted replay") {
+    import org.apache.spark.sql.functions.col
+    val uniform = (1 to 1000).map(_.toDouble)
+    val flaggedU = graft.operators.Profiling
+      .robustOutliers(uniform.toDF("x").repartition(7), "x")
+      .filter(col("is_outlier")).count()
+    // uniform: max dev = range/2 < 3*1.4826*(range/4) — structurally clean
+    assert(flaggedU === 0L)
+    val spiked = uniform ++ Seq(1e6, -1e6)
+    val out = graft.operators.Profiling
+      .robustOutliers(spiked.toDF("x").repartition(7), "x")
+    val rows = out.collect()
+    val n = spiked.size
+    val sortedXs = spiked.sorted
+    val med = sortedXs(math.ceil(0.5 * n).toInt - 1)
+    val sortedDev = spiked.map(x => math.abs(x - med)).sorted
+    val mad = sortedDev(math.ceil(0.5 * n).toInt - 1)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("median") === med)
+      assert(r.getAs[Double]("mad") === mad)
+    }
+    val flagged = rows.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Double]("x")).sorted.toSeq
+    assert(flagged === Seq(-1e6, 1e6))
+  }
+
   test("standardize matches a decimal-staged in-memory replay and is " +
       "partitioning-invariant") {
     import org.apache.spark.sql.functions.col

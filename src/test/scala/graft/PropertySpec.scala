@@ -486,6 +486,38 @@ class PropertySpec extends SparkSpec {
     assert(flagged === Seq(-1e6, 1e6))
   }
 
+  test("jaccardJoinExact returns EVERY qualifying pair — brute-force set " +
+      "equality across thresholds") {
+    import org.apache.spark.sql.functions.{array_distinct, col}
+    import graft.functions.{TextFunctions => TF}
+    val rng = new Random(7)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1 to 60).map { i =>
+      val nTok = 5 + rng.nextInt(15)
+      (i.toLong, Seq.fill(nTok)(pool(rng.nextInt(pool.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    // brute force over the SAME shingle sets (tokenization parity is
+    // covered by the oracle; this test targets the pruning filters)
+    val sets = df.select(col("doc_id"),
+        array_distinct(TF.tokenShingles(TF.tokens(col("text")), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val got = graft.operators.Dedup
+        .jaccardJoinExact(df.repartition(5), "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa & sb).size
+        j = i.toDouble / (sa.size + sb.size - i).toDouble if j >= t
+      } yield (a, b, j)).toSet
+      assert(got === want, s"threshold $t")
+    }
+  }
+
   test("standardize matches a decimal-staged in-memory replay and is " +
       "partitioning-invariant") {
     import org.apache.spark.sql.functions.col

@@ -70,20 +70,31 @@ object TimeSeries {
   def funnelStage(df: DataFrame, keyCols: Seq[String], tsCol: String,
       tieCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
-    require(steps.nonEmpty && steps.distinct == steps, "steps must be distinct")
-    require(steps.forall(s => !s.contains("'")), "step names must be quote-free")
     val key: Seq[Column] = keyCols.map(col)
-    val stepCase = steps.zipWithIndex
-      .map { case (s, i) => s"WHEN '$s' THEN ${i + 1}" }
-      .mkString("CASE e.ty ", " ", " ELSE 0 END")
     df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(key: _*)
       .agg(collect_list(struct(col(tsCol).as("t"), col(tieCol).as("i"),
         col(typeCol).as("ty"))).as("__evs"))
-      .select(key :+
-        expr(s"""aggregate(
-                   transform(array_sort(__evs), e -> $stepCase),
-                   0, (acc, v) -> IF(v = acc + 1, acc + 1, acc))""")
-          .as("stage"): _*)
+      .select(key :+ expr(funnelFoldSql(steps, seedSql = "0"))
+        .as("stage"): _*)
+  }
+
+  /** The funnel fold as SQL over a collected `__evs` array of
+    * (t, i, ty) structs: sort by (t, i), map each type to its 1-based
+    * step index (0 otherwise), advance `acc -> acc + 1` exactly on
+    * `acc + 1`. `seedSql` is the starting stage expression — `0` for
+    * the batch operator, a carried-state column for the streaming
+    * sibling ([[graft.streaming.FunnelStream]]); sharing the builder
+    * keeps the two folds definitionally identical. */
+  private[graft] def funnelFoldSql(steps: Seq[String],
+      seedSql: String): String = {
+    require(steps.nonEmpty && steps.distinct == steps, "steps must be distinct")
+    require(steps.forall(s => !s.contains("'")), "step names must be quote-free")
+    val stepCase = steps.zipWithIndex
+      .map { case (s, i) => s"WHEN '$s' THEN ${i + 1}" }
+      .mkString("CASE e.ty ", " ", " ELSE 0 END")
+    s"""aggregate(
+       |  transform(array_sort(__evs), e -> $stepCase),
+       |  $seedSql, (acc, v) -> IF(v = acc + 1, acc + 1, acc))""".stripMargin
   }
 }

@@ -3571,6 +3571,131 @@ object Pipeline {
        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p86 — STREAMING funnel: p83's stateful sibling. Events split into
+  // three time-ordered "daily" files (ntile(3) over (ts, event_id) —
+  // rank-based, so every event of batch b sorts after all of batch
+  // b-1's and the per-batch fold composes into the one-shot fold); each
+  // micro-batch folds on top of the carried per-user stage (versioned
+  // state deltas, the p75 convention: v0 = standing state, v{b+1} =
+  // batch b's advances) and emits only the users whose stage advanced.
+  // Standing state plants users 0-49 at stage 1 — their first re-view
+  // does NOT advance them (already there) but a click does, probing the
+  // seed path. The oracle recomposes each batch's emission as
+  // f_b ≠ f_{b-1} where f_b folds ALL events of batches ≤ b seeded by
+  // the standing state — the fold-composition equivalence the green row
+  // proves.
+  // =========================================================================
+  /** writeDailyFiles for an explicit batch-assignment column. */
+  private def writeDailyFilesBy(incoming: DataFrame, batchCol: String,
+      in: String, nBatches: Int): Unit = {
+    val stamped = scala.collection.mutable.Set.empty[java.io.File]
+    (0 until nBatches).foreach { b =>
+      incoming.filter(col(batchCol) === b).coalesce(1)
+        .write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + b * 60000L); stamped += f }
+    }
+  }
+
+  def p86StreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("batch", ntile(3).over(Window.orderBy("ts", "event_id")) - 1)
+    val root = Files.createTempDirectory("p86_").toString
+    val in = s"$root/in"; val stateRoot = s"$root/state"
+    val outRoot = s"$root/out"
+    spark.range(0, 50).select(col("id").as("user_id"),
+        lit(1).as("stage"), lit(0L).as("__v"))
+      .write.parquet(s"$stateRoot/v0")
+    writeDailyFilesBy(ev, "batch", in, 3)
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(graft.streaming.FunnelStream
+        .advanceBatch(spark, stateRoot, outRoot, "user_id", "ts",
+          "event_id", "event_type", Seq("view", "click", "purchase")) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("user_id"), col("stage"), col("batch"))
+      .orderBy("user_id", "batch")
+  }
+
+  val p86Sql: String = {
+    // LAMBDA-FREE formulation: the left fold over (ts, id)-ordered step
+    // indexes equals the greedy min-rank chain — the first step-1 event,
+    // the first step-2 event strictly after it, the first step-3 event
+    // after that. Plain MIN + JOIN + CASE, the vocabulary of every other
+    // proven oracle here, because DuckDB 1.0.0's list/lambda engine
+    // returned PLAN-DEPENDENT folds: joined same-shaped fold CTEs
+    // compared equal on provably-different rows, `list(... ORDER BY)
+    // FILTER` lost its order in the 3-reference plan, and a
+    // fold-over-nested-transform changed answers inside a multi-column
+    // SELECT. Seeded users (s0 = 1) have step 1 pre-satisfied: their
+    // chain anchor is rank 0.
+    def cutoff(x: Int): String =
+      s"""c${x}1 AS MATERIALIZED (SELECT user_id, MIN(rn) AS t FROM r
+         |  WHERE b <= $x AND v = 1 GROUP BY user_id),
+         |d${x}1 AS MATERIALIZED (SELECT s.user_id,
+         |    CASE WHEN s.s0 >= 1 THEN 0 ELSE c.t END AS t
+         |  FROM s LEFT JOIN c${x}1 c USING (user_id)),
+         |c${x}2 AS MATERIALIZED (SELECT r.user_id, MIN(r.rn) AS t
+         |  FROM r JOIN d${x}1 d ON r.user_id = d.user_id
+         |  WHERE r.b <= $x AND r.v = 2 AND r.rn > d.t GROUP BY r.user_id),
+         |c${x}3 AS MATERIALIZED (SELECT r.user_id, MIN(r.rn) AS t
+         |  FROM r JOIN c${x}2 c ON r.user_id = c.user_id
+         |  WHERE r.b <= $x AND r.v = 3 AND r.rn > c.t GROUP BY r.user_id),
+         |g$x AS MATERIALIZED (SELECT s.user_id,
+         |    CASE WHEN c3.t IS NOT NULL THEN 3
+         |         WHEN c2.t IS NOT NULL THEN 2
+         |         WHEN d1.t IS NOT NULL THEN 1
+         |         ELSE s.s0 END AS st
+         |  FROM s LEFT JOIN d${x}1 d1 USING (user_id)
+         |         LEFT JOIN c${x}2 c2 USING (user_id)
+         |         LEFT JOIN c${x}3 c3 USING (user_id))""".stripMargin
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+       |         WHEN 'purchase' THEN 3 ELSE 0 END AS v,
+       |    ntile(3) OVER (ORDER BY ts, event_id) - 1 AS b
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |init AS (SELECT CAST(range AS BIGINT) AS user_id, 1 AS s0
+       |         FROM range(0, 50)),
+       |r AS MATERIALIZED (SELECT user_id, v, b,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS rn
+       |  FROM ev),
+       |s AS MATERIALIZED (SELECT u.user_id, COALESCE(init.s0, 0) AS s0
+       |  FROM (SELECT DISTINCT user_id FROM r) u
+       |  LEFT JOIN init USING (user_id)),
+       |${cutoff(0)},
+       |${cutoff(1)},
+       |${cutoff(2)},
+       |f AS MATERIALIZED (SELECT s.user_id, s.s0,
+       |    g0.st AS st0, g1.st AS st1, g2.st AS st2
+       |  FROM s JOIN g0 USING (user_id) JOIN g1 USING (user_id)
+       |         JOIN g2 USING (user_id))
+       |SELECT user_id, e.stage AS stage, CAST(e.batch AS BIGINT) AS batch
+       |FROM (
+       |  SELECT user_id, unnest(list_filter(
+       |    [struct_pack(stage := st0, batch := 0, prev := s0),
+       |     struct_pack(stage := st1, batch := 1, prev := st0),
+       |     struct_pack(stage := st2, batch := 2, prev := st1)],
+       |    e -> e.stage != e.prev)) AS e
+       |  FROM f)
+       |ORDER BY user_id, batch""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3657,7 +3782,8 @@ object Pipeline {
     "p82_embed_standardize" -> (p82EmbedStandardize _),
     "p83_funnel" -> (p83Funnel _),
     "p84_outliers" -> (p84Outliers _),
-    "p85_jaccard_join" -> (p85JaccardJoin _))
+    "p85_jaccard_join" -> (p85JaccardJoin _),
+    "p86_stream_funnel" -> (p86StreamFunnel _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3742,5 +3868,6 @@ object Pipeline {
     "p82_embed_standardize" -> p82Sql,
     "p83_funnel" -> p83Sql,
     "p84_outliers" -> p84Sql,
-    "p85_jaccard_join" -> p85Sql)
+    "p85_jaccard_join" -> p85Sql,
+    "p86_stream_funnel" -> p86Sql)
 }

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+/** Streaming funnel progression — [[TimeSeries.funnelStage]]'s stateful
+  * sibling: each micro-batch folds its time-ordered events ON TOP of every
+  * user's carried stage, emits the users whose stage advanced, and appends
+  * the advanced stages as the batch's state delta.
+  *
+  * State store (`stateRoot/v*`, the [[Versions]] convention): rows
+  * (key, stage, __v). `v0` is the standing state written before the
+  * stream starts (empty for a cold start); `v{b+1}` holds ONLY the users
+  * batch b advanced — the current stage of a user is their row with the
+  * highest version (deltas never rewrite the past, exactly like
+  * [[PassageStream]]'s fingerprint deltas). A redelivered batch rebases
+  * on versions `<= batchId` and overwrites its own outputs
+  * byte-identically; a fresh checkpoint over existing deltas throws
+  * (forked lineage), the shared exactly-once contract.
+  *
+  * The fold itself is [[TimeSeries.funnelFoldSql]] with the carried
+  * stage as seed — definitionally the batch fold, which is what makes
+  * the stream's final state equal the one-shot batch computation when
+  * batches partition the stream in time order. */
+object FunnelStream {
+
+  /** The `foreachBatch` callback: advance stages through batch
+    * `batchId`'s events, emit changed users to `outRoot/b<batchId>`,
+    * append the state delta as `stateRoot/v<batchId + 1>`. */
+  def advanceBatch(spark: SparkSession, stateRoot: String, outRoot: String,
+      keyCol: String, tsCol: String, tieCol: String, typeCol: String,
+      steps: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val versions = Versions.list(spark, stateRoot)
+    require(versions.exists(_._1 == 0L),
+      s"standing state $stateRoot/v0 missing — write it (empty for a cold " +
+        "start) before starting the stream")
+    versions.lastOption.foreach { case (newest, _) =>
+      require(newest <= batchId + 1,
+        s"state at $stateRoot is at v$newest but the stream is replaying " +
+          s"batch $batchId — restarting with a fresh checkpoint over " +
+          "existing deltas would fork their lineage; resume from the " +
+          "original checkpoint or start new roots")
+    }
+    val prior = spark.read
+      .parquet(versions.filter(_._1 <= batchId).map(_._2.toString): _*)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+          .orderBy(col("__v").desc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("stage").as("__prior"))
+    val advanced = batch
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(col(tsCol).as("t"), col(tieCol).as("i"),
+        col(typeCol).as("ty"))).as("__evs"))
+      .join(prior, Seq(keyCol), "left")
+      .withColumn("__seed", coalesce(col("__prior"), lit(0)))
+      .select(col(keyCol),
+        col("__seed").as("stage_before"),
+        expr(TimeSeries.funnelFoldSql(steps, seedSql = "__seed"))
+          .as("stage"))
+      .filter(col("stage") =!= col("stage_before"))
+    advanced
+      .select(col(keyCol), col("stage"), lit(batchId).as("batch"))
+      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+    advanced
+      .select(col(keyCol), col("stage"), lit(batchId + 1).as("__v"))
+      .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}")
+  }
+}

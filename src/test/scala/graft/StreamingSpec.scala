@@ -304,6 +304,69 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("fresh checkpoint"))
   }
 
+  test("streaming funnel: carried stage advances across batches, no-change " +
+      "users stay silent; redelivery idempotent; lineage guard") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.FunnelStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("fnstream_").toString
+    val (in, state, out, ckpt) =
+      (s"$root/in", s"$root/state", s"$root/out", s"$root/ckpt")
+    Files.createDirectories(Paths.get(in))
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // standing state: user 1 already at stage 1 (historical view)
+    Seq((1L, 1, 0L)).toDF("user_id", "stage", "__v")
+      .write.parquet(s"$state/v0")
+    // batch 0: user 1 clicks (1 -> 2); user 2 views (0 -> 1);
+    //          user 3 errors (stays 0 — must NOT be emitted)
+    val b0 = Seq((100L, ts(1), 1L, "click"), (101L, ts(2), 2L, "view"),
+        (102L, ts(3), 3L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    // batch 1: user 1 purchases (2 -> 3, completing via carried state);
+    //          user 2 errors (stays 1 — silent); user 3 views (0 -> 1)
+    val b1 = Seq((103L, ts(4), 1L, "purchase"), (104L, ts(5), 2L, "error"),
+        (105L, ts(6), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val stamped = scala.collection.mutable.Set.empty[java.io.File]
+    def addFile(df: org.apache.spark.sql.DataFrame, b: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + b * 60000L); stamped += f }
+    }
+    addFile(b0, 0); addFile(b1, 1)
+    val steps = Seq("view", "click", "purchase")
+    val q = spark.readStream
+      .schema(b0.schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(FunnelStream.advanceBatch(spark, state, out,
+        "user_id", "ts", "event_id", "event_type", steps) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$out/b*")
+      .select("user_id", "stage", "batch").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got === Set((1L, 2, 0L), (2L, 1, 0L),
+      (1L, 3, 1L), (3L, 1, 1L)), s"got $got")
+    // redelivered batch 1 rebases on v0/v1 and rewrites byte-identically
+    val before = spark.read.parquet(s"$out/b1").collect().toSeq
+      .map(_.toString).sorted
+    FunnelStream.advanceBatch(spark, state, out, "user_id", "ts",
+      "event_id", "event_type", steps)(b1, 1L)
+    val after = spark.read.parquet(s"$out/b1").collect().toSeq
+      .map(_.toString).sorted
+    assert(after === before, "redelivery must be idempotent")
+    // fresh checkpoint over existing deltas = forked lineage; must refuse
+    val e = intercept[IllegalArgumentException] {
+      FunnelStream.advanceBatch(spark, state, out, "user_id", "ts",
+        "event_id", "event_type", steps)(b0, 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
   test("streaming dedup collapses a doubled stream back to distinct events") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.count

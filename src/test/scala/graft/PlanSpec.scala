@@ -292,6 +292,21 @@ class PlanSpec extends SparkSpec {
       s"frequency aggregation must be two-phase:\n$plan")
   }
 
+  test("p85 exact jaccard join: df join salted; no cartesian product; " +
+      "verify is a counting aggregate, not array expressions") {
+    val plan = planString(graft.queries.Pipeline
+      .p85JaccardJoin(spark, sfDir))
+    assert(plan.contains("__salt"),
+      s"the shingle-frequency join must be salted:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must never go cartesian:\n$plan")
+    // the verify step counts shared shingles relationally — the
+    // eval-mode array intersect/union (10x slower, breaks codegen)
+    // must not reappear
+    assert(!plan.contains("array_intersect") && !plan.contains("array_union"),
+      s"verify must stay relational:\n$plan")
+  }
+
   test("p80 quantiles: exact rank-select broadcasts bin targets, never " +
       "range-sorts the data") {
     val plan = planString(graft.queries.Pipeline

@@ -177,33 +177,23 @@ object Dedup {
     * The shingle table is checkpointed once — every branch re-derives
     * from it instead of re-tokenizing.
     *
-    * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold. */
+    * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    * Factored into [[jaccardShingleSets]] (the checkpoint root) and
+    * [[jaccardOrderedPrefix]] (the candidate-generation stage) so plan
+    * gates can inspect the pre-checkpoint shapes. */
   def jaccardJoinExact(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    val shingles = array_distinct(TextFunctions.tokenShingles(
-      TextFunctions.tokens(col(textCol)), shingleSize))
-    val sets = docs.select(col(idCol).as("id"), shingles.as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sets = jaccardShingleSets(docs, idCol, textCol, shingleSize)
       .localCheckpoint(true)
     val ex = sets.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("g"))
-    val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ordered = Skew.saltedJoin(ex, gdf, Seq("g"), salts = 8)
-      .groupBy(col("id"), col("n"))
-      .agg(array_sort(collect_list(struct(col("df"), col("g"))))
-        .as("__o"))
-    val plen = (col("n") - ceil(col("n").cast("double") * lit(threshold))
-      + 1).cast("int")
     // model-shaped (one row per kept prefix shingle, with its 1-based
     // position in the global order) and referenced by BOTH sides of the
-    // self-join — checkpoint, or the salted-join + sort pipeline above
-    // runs twice (Catalyst shares no subplans)
-    val prefix = ordered.select(col("id"), col("n"),
-        posexplode(slice(transform(col("__o"), s => s("g")), lit(1), plen)))
-      .select(col("id"), col("n"), (col("pos") + 1).as("p"),
-        col("col").as("g"))
+    // self-join — checkpoint, or the salted-join + sort pipeline inside
+    // jaccardOrderedPrefix runs twice (Catalyst shares no subplans)
+    val prefix = jaccardOrderedPrefix(sets, threshold)
       .localCheckpoint(true)
     // positional filter (the PPJoin refinement): all common shingles sit
     // at or after the SMALLEST shared one (positions pa, pb), so
@@ -236,6 +226,39 @@ object Dedup {
         col("__i") / (col("__na") + col("__nb") - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The (id, sh) distinct-shingle sets of a corpus — the checkpoint root
+    * of [[jaccardJoinExact]], exposed un-checkpointed so the derivation
+    * stays plan-inspectable. */
+  def jaccardShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val shingles = array_distinct(TextFunctions.tokenShingles(
+      TextFunctions.tokens(col(textCol)), shingleSize))
+    docs.select(col(idCol).as("id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** The ascending-df ordered-prefix relation (id, n, p, g) of
+    * [[jaccardJoinExact]]'s candidate generation: one row per kept prefix
+    * shingle with its 1-based position in the global order. Returned
+    * UN-checkpointed so the salted df-join shape is visible to plan
+    * gates; the production path checkpoints the result because both
+    * sides of the candidate self-join reference it. */
+  def jaccardOrderedPrefix(sets: DataFrame, threshold: Double): DataFrame = {
+    val ex = sets.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ordered = Skew.saltedJoin(ex, gdf, Seq("g"), salts = 8)
+      .groupBy(col("id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g"))))
+        .as("__o"))
+    val plen = (col("n") - ceil(col("n").cast("double") * lit(threshold))
+      + 1).cast("int")
+    ordered.select(col("id"), col("n"),
+        posexplode(slice(transform(col("__o"), s => s("g")), lit(1), plen)))
+      .select(col("id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("g"))
   }
 
   /** The persisted MinHash-LSH band index of a corpus: one row per

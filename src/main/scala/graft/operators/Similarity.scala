@@ -552,13 +552,21 @@ object Similarity {
     val statsArr = stats
       .agg(array_sort(collect_list(struct(col("pos"), col("mean"),
         col("std")))).as("__st"))
+    // ragged input must fail loud: a vector longer than the stats array
+    // would otherwise index past __st and silently emit null z entries
     corpus.filter(col(vecCol).isNotNull)
       .crossJoin(broadcast(statsArr))
       .select(col(idCol),
-        expr(s"""transform(CAST($vecCol AS ARRAY<DOUBLE>),
+        expr(s"""CASE WHEN assert_true(
+                   size(CAST($vecCol AS ARRAY<DOUBLE>)) = size(__st),
+                   concat('standardize: vector of length ',
+                     size(CAST($vecCol AS ARRAY<DOUBLE>)),
+                     ' does not match stats dimension ', size(__st))) IS NULL
+                 THEN transform(CAST($vecCol AS ARRAY<DOUBLE>),
                  (x, i) -> CASE WHEN __st[i].std = CAST(0.0 AS DOUBLE)
                                 THEN CAST(0.0 AS DOUBLE)
-                                ELSE (x - __st[i].mean) / __st[i].std END)""")
+                                ELSE (x - __st[i].mean) / __st[i].std END)
+                 END""")
           .as("z"))
   }
 

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Reference context: the reference's per-key reduce is an arbitrary
   * sequential fold over a key's values (nikiwiles/FSharp-MapReduce
-  * MapReduce.fs:68-80 folds each key group in list order); this is the
-  * same shape with a time-ordered, non-commutative combiner.
+  * Worker.fs:89-96 folds each shuffled pair into the worker's
+  * accumulated partial state in arrival order); this is the same shape
+  * with a time-ordered, non-commutative combiner.
   *
   * Scale design: each key's timeline folds independently after one
   * shuffle on the key — the parallelism unit is the key, exactly like

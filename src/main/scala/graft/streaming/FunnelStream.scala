@@ -68,4 +68,18 @@ object FunnelStream {
       .select(col(keyCol), col("stage"), lit(batchId + 1).as("__v"))
       .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}")
   }
+
+  /** Merge state deltas `v0..v<upTo>` into a new base snapshot (see
+    * [[Versions.compact]] for the lineage-guard and safety contract).
+    * The prior-state read keeps only each key's highest-`__v` row, so
+    * compaction prunes every superseded stage row — the base shrinks to
+    * one row per key, keeping original `__v` values so later reads rank
+    * identically against post-compaction deltas. */
+  def compactState(spark: SparkSession, stateRoot: String, keyCol: String,
+      upTo: Long): Unit =
+    Versions.compact(spark, stateRoot, upTo, df =>
+      df.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+            .orderBy(col("__v").desc)))
+        .filter(col("__rn") === 1).drop("__rn"))
 }

@@ -60,4 +60,17 @@ object NearDupStream {
     batch.select(col(idCol), col(textCol))
       .write.mode("overwrite").parquet(s"$docsRoot/v${batchId + 1}")
   }
+
+  /** Merge both delta stores' `v0..v<upTo>` into new base snapshots (see
+    * [[Versions.compact]] for the lineage-guard and safety contract).
+    * Band rows (id, band, bucket) are unique across deltas — each doc
+    * lands in exactly one batch — so `distinct` is read-equivalent while
+    * also collapsing any rows a crashed, re-run batch left behind; the
+    * docs store compacts by plain union (ids are unique per batch and the
+    * verify semi-join re-reads by id). */
+  def compactStores(spark: SparkSession, indexRoot: String, docsRoot: String,
+      upTo: Long): Unit = {
+    Versions.compact(spark, indexRoot, upTo, _.distinct())
+    Versions.compact(spark, docsRoot, upTo)
+  }
 }

@@ -62,4 +62,13 @@ object PassageStream {
     Dedup.passageWindowIndex(batch, idCol, textCol, windowTokens)
       .write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
   }
+
+  /** Merge index deltas `v0..v<upTo>` into a new base snapshot (see
+    * [[Versions.compact]] for the lineage-guard and safety contract —
+    * `upTo` at most the checkpoint's last committed batch + 1). The
+    * fingerprint store is probed by semi-join only, so cross-delta
+    * duplicate fps collapse via `distinct` — the compacted base is
+    * strictly smaller and read-equivalent. */
+  def compactIndex(spark: SparkSession, indexRoot: String, upTo: Long): Unit =
+    Versions.compact(spark, indexRoot, upTo, _.distinct())
 }

@@ -1,14 +1,16 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Listing for `root/v<N>` versioned-parquet layouts — the shared
-  * convention of the streaming maintenance loops ([[CorpusMaintenance]]'s
-  * full-corpus versions, [[PassageStream]]'s index deltas): versions are
-  * named by streaming batch id, which is what makes redelivered batches
-  * idempotent (each rebase reads only versions `<= batchId`). */
-private[streaming] object Versions {
+/** Listing and maintenance for `root/v<N>` versioned-parquet layouts — the
+  * shared convention of the streaming maintenance loops
+  * ([[CorpusMaintenance]]'s full-corpus versions, [[PassageStream]]'s /
+  * [[NearDupStream]]'s index deltas, [[FunnelStream]]'s state deltas):
+  * versions are named by streaming batch id, which is what makes
+  * redelivered batches idempotent (each rebase reads only versions
+  * `<= batchId`). */
+object Versions {
 
   def list(spark: SparkSession, root: String): Seq[(Long, Path)] = {
     val p = new Path(root)
@@ -18,5 +20,57 @@ private[streaming] object Versions {
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
       .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
       .sortBy(_._1)
+  }
+
+  /** Merge deltas `v0..v<upTo>` into one new base snapshot named `v0`,
+    * leaving newer deltas untouched — the maintenance operation that keeps
+    * a long-running stream's per-batch read from growing linearly with
+    * stream lifetime (a year of daily ingest is 365 deltas; after
+    * compaction the next batch reads the base plus at most the deltas
+    * written since).
+    *
+    * Lineage-guard compatibility: the merged snapshot keeps the name `v0`,
+    * so the `exists(v0)` standing-store check and the `<= batchId` rebase
+    * filter in every store's `foreachBatch` both behave exactly as before
+    * — a batch `b > upTo` reads {compacted v0} ∪ {v<upTo+1>..v<b>}, the
+    * same rows it read pre-compaction.
+    *
+    * Safety bound: `upTo` must be at most `lastCommittedBatch + 1` of the
+    * stream's checkpoint. Structured Streaming redelivers at most the
+    * first uncommitted batch, and a redelivered batch `b` reads versions
+    * `<= b`; folding any version `> lastCommitted + 1` into v0 would let a
+    * redelivered batch observe its own (or a later) delta through the
+    * base. Within that bound, run it between triggers or while the stream
+    * is stopped — `foreachBatch` bodies and this rewrite must not race.
+    *
+    * Crash recovery: the merge is written to `root/.compact_tmp` first;
+    * the swap (delete old versions, rename tmp to v0) is not atomic, but a
+    * crash mid-swap leaves either the old versions or a missing `v0` — the
+    * stores' standing-v0 guard then fails loud instead of silently reading
+    * a half-compacted root, and the tmp dir still holds the full merge.
+    *
+    * `transform` lets a store shrink rows where its read semantics allow
+    * (e.g. [[FunnelStream]] keeps only each key's newest state row;
+    * fingerprint stores may `distinct`). It must be read-equivalent: for
+    * every batch `b >= upTo`, reading {transform(union v0..v<upTo>)} ∪
+    * {later deltas} must produce the same operator results as the
+    * uncompacted union. */
+  def compact(spark: SparkSession, root: String, upTo: Long,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val versions = list(spark, root)
+    require(versions.exists(_._1 == 0L),
+      s"nothing to compact: $root/v0 missing")
+    val merged = versions.filter(_._1 <= upTo)
+    require(merged.size >= 2,
+      s"nothing to compact at $root: ${merged.size} version(s) <= v$upTo")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(rootPath, ".compact_tmp")
+    transform(spark.read.parquet(merged.map(_._2.toString): _*))
+      .write.mode("overwrite").parquet(tmp.toString)
+    merged.foreach { case (_, p) => fs.delete(p, true) }
+    require(fs.rename(tmp, new Path(rootPath, "v0")),
+      s"compaction swap failed: could not rename $tmp to $root/v0 — " +
+        "recover the merge from the tmp dir before restarting the stream")
   }
 }

@@ -296,8 +296,16 @@ class PlanSpec extends SparkSpec {
       "verify is a counting aggregate, not array expressions") {
     val plan = planString(graft.queries.Pipeline
       .p85JaccardJoin(spark, sfDir))
-    assert(plan.contains("__salt"),
-      s"the shingle-frequency join must be salted:\n$plan")
+    // the salted df join lives inside the candidate-generation stage,
+    // which the production path localCheckpoints (both self-join sides
+    // reference it) — so the final plan starts at Scan ExistingRDD and
+    // the salt must be asserted on the pre-checkpoint sub-plan
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val prefixPlan = planString(graft.operators.Dedup.jaccardOrderedPrefix(
+      graft.operators.Dedup.jaccardShingleSets(docs, "doc_id", "text"),
+      threshold = 0.6))
+    assert(prefixPlan.contains("__salt"),
+      s"the shingle-frequency join must be salted:\n$prefixPlan")
     assert(!plan.contains("CartesianProduct"),
       s"candidate generation must never go cartesian:\n$plan")
     // the verify step counts shared shingles relationally — the

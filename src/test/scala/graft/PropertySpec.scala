@@ -554,4 +554,19 @@ class PropertySpec extends SparkSpec {
     assert(run(1) === want)
     assert(run(7) === want)  // decimal staging: order-free, bit-identical
   }
+
+  test("standardize fails loud on ragged vectors instead of emitting nulls") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, -0.5f)),
+      (2L, Seq(0.25f, -1.0f)), // one dimension short
+      (3L, Seq(-0.125f, 4.0f, 0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.standardize(df).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("does not match stats dimension")),
+      s"expected the ragged-vector guard to fire, got: $e")
+  }
 }

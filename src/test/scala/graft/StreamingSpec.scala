@@ -367,6 +367,139 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("fresh checkpoint"))
   }
 
+  test("delta-store compaction: mid-stream compact + checkpoint resume is " +
+      "byte-identical to the uncompacted twin; read touches <= 2 versions") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{PassageStream, Versions}
+    import spark.implicits._
+    // twin roots fed identical batches: A never compacts, B compacts
+    // between batch 1 and batch 2 — every per-batch output must match
+    val corpusTxt = "alpha beta gamma delta"
+    val standing = Seq((1L, corpusTxt), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val b0 = Seq((10L, corpusTxt), (11L, "red green blue yellow pink"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((12L, "red green blue yellow pink"),
+      (13L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val b2 = Seq((14L, "zeta eta theta iota"), (15L, "kappa lambda mu nu"))
+      .toDF("doc_id", "text")
+    case class Root(dir: String) {
+      val (in, idx, out, ckpt) =
+        (s"$dir/in", s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+      Files.createDirectories(Paths.get(in))
+      graft.operators.Dedup
+        .passageWindowIndex(standing, "doc_id", "text", windowTokens = 3)
+        .write.parquet(s"$idx/v0")
+      private val stamped = scala.collection.mutable.Set.empty[java.io.File]
+      def addFile(df: org.apache.spark.sql.DataFrame, b: Int): Unit = {
+        df.coalesce(1).write.mode("append").parquet(in)
+        new java.io.File(in).listFiles()
+          .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
+          .foreach { f =>
+            f.setLastModified(1600000000000L + b * 60000L); stamped += f }
+      }
+      def drain(): Unit = {
+        val q = spark.readStream
+          .schema(b0.schema).option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream
+          .foreachBatch(PassageStream.filterBatch(spark, idx, out,
+            "doc_id", "text", windowTokens = 3) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def output(b: Int): Seq[String] =
+        spark.read.parquet(s"$out/b$b").collect().toSeq
+          .map(_.toString).sorted
+      def versionNames(): Seq[String] = new java.io.File(idx).listFiles()
+        .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    }
+    val a = Root(Files.createTempDirectory("compact_a_").toString)
+    val b = Root(Files.createTempDirectory("compact_b_").toString)
+    Seq(a, b).foreach { r => r.addFile(b0, 0); r.addFile(b1, 1); r.drain() }
+    assert(b.versionNames() === Seq("v0", "v1", "v2"))
+    // checkpoint committed through batch 1 -> upTo = 2 is the safety bound
+    PassageStream.compactIndex(spark, b.idx, upTo = 2L)
+    assert(b.versionNames() === Seq("v0"),
+      "compaction must fold every delta <= upTo into the base")
+    // resume both streams from their checkpoints with a third batch
+    Seq(a, b).foreach { r => r.addFile(b2, 2); r.drain() }
+    (0 to 2).foreach { i =>
+      assert(b.output(i) === a.output(i),
+        s"batch $i output must be byte-identical across compaction")
+    }
+    // post-compaction, batch 2's rebase read touched v0 + its own
+    // exclusion set only: the root holds exactly {base, newest delta}
+    assert(b.versionNames() === Seq("v0", "v3"),
+      "post-compaction read must touch <= 2 versions")
+    // redelivery on the compacted root stays idempotent
+    val before = b.output(2)
+    PassageStream.filterBatch(spark, b.idx, b.out, "doc_id", "text", 3)(b2, 2L)
+    assert(b.output(2) === before,
+      "redelivery after compaction must be idempotent")
+    // the lineage guard survives compaction: a fresh checkpoint replaying
+    // batch 0 over the compacted multi-delta root must still refuse
+    val e = intercept[IllegalArgumentException] {
+      PassageStream.filterBatch(spark, b.idx, b.out, "doc_id", "text", 3)(b0, 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // compacting with a single eligible version is a refused no-op
+    val e2 = intercept[IllegalArgumentException] {
+      Versions.compact(spark, b.idx, upTo = 0L)
+    }
+    assert(e2.getMessage.contains("nothing to compact"))
+  }
+
+  test("funnel state compaction prunes superseded stage rows and preserves " +
+      "the carried-state fold") {
+    import java.nio.file.Files
+    import graft.streaming.FunnelStream
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val steps = Seq("view", "click", "purchase")
+    val b0 = Seq((100L, ts(1), 1L, "view"), (101L, ts(2), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val b1 = Seq((102L, ts(3), 1L, "click"), (103L, ts(4), 2L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val b2 = Seq((104L, ts(5), 1L, "purchase"), (105L, ts(6), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    def run(compactAfterB1: Boolean): (Set[(Long, Int, Long)], Int) = {
+      val root = Files.createTempDirectory("fncompact_").toString
+      val (state, out) = (s"$root/state", s"$root/out")
+      spark.emptyDataFrame
+        .select(lit(0L).as("user_id"), lit(0).as("stage"), lit(0L).as("__v"))
+        .limit(0).write.parquet(s"$state/v0")
+      def adv(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        FunnelStream.advanceBatch(spark, state, out, "user_id", "ts",
+          "event_id", "event_type", steps)(df, id)
+      adv(b0, 0L); adv(b1, 1L)
+      if (compactAfterB1) {
+        FunnelStream.compactState(spark, state, "user_id", upTo = 2L)
+        val names = new java.io.File(state).listFiles()
+          .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+        assert(names === Seq("v0"))
+        // user 1 advanced in both batches — only the newest row survives
+        val rows = spark.read.parquet(s"$state/v0")
+          .select("user_id", "stage", "__v").as[(Long, Int, Long)]
+          .collect().toSeq
+        assert(rows.count(_._1 == 1L) === 1, s"superseded row kept: $rows")
+        assert(rows.toSet === Set((1L, 2, 2L), (2L, 1, 1L)), s"got $rows")
+      }
+      adv(b2, 2L)
+      val got = spark.read.parquet(s"$out/b*")
+        .select("user_id", "stage", "batch").as[(Long, Int, Long)]
+        .collect().toSet
+      (got, new java.io.File(state).listFiles()
+        .count(_.getName.matches("v\\d+")))
+    }
+    val (plain, _) = run(compactAfterB1 = false)
+    val (compacted, nVersions) = run(compactAfterB1 = true)
+    assert(compacted === plain,
+      "carried-state fold must not change across compaction")
+    assert(nVersions === 2, "post-compaction root must hold base + delta")
+  }
+
   test("streaming dedup collapses a doubled stream back to distinct events") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.count

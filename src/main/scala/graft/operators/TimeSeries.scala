@@ -41,7 +41,6 @@ object TimeSeries {
       tieCol: String, valCol: String, alpha: Double): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
-    val beta = 1.0 - alpha
     val key: Seq[Column] = keyCols.map(col)
     df.filter(col(valCol).isNotNull && keyCols.map(col(_).isNotNull)
         .reduce(_ && _))
@@ -51,9 +50,29 @@ object TimeSeries {
       .withColumn("__vs", expr("transform(array_sort(__evs), s -> s.v)"))
       .select(key ++ Seq(
         size(col("__vs")).cast("long").as("n_events"),
-        expr(s"""aggregate(slice(__vs, 2, size(__vs) - 1), __vs[0],
-                 (acc, v) -> (CAST($alpha AS DOUBLE) * v)
-                           + (CAST($beta AS DOUBLE) * acc))""").as("ewma")): _*)
+        expr(ewmaFoldSql(alpha)).as("ewma")): _*)
+  }
+
+  /** The EWMA fold as a SQL expression over a time-ordered `__vs`
+    * DOUBLE-array column — the codegen'd `aggregate` lambda shared by
+    * [[ewmaByKey]] and its chained-seed streaming sibling
+    * ([[graft.streaming.EwmaStream]]). With `seedSql` the accumulator
+    * starts from a carried state instead of the first value — the
+    * chunk-and-chain pattern for unbounded single-key streams documented
+    * above: because the fold is a left fold, seeding a chunk with the
+    * previous chunk's result replays the identical IEEE operation
+    * sequence as one fold over the concatenation — bit-for-bit. */
+  def ewmaFoldSql(alpha: Double, vsCol: String = "__vs",
+      seedSql: Option[String] = None): String = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val beta = 1.0 - alpha
+    val lam = s"(acc, v) -> (CAST($alpha AS DOUBLE) * v)" +
+      s" + (CAST($beta AS DOUBLE) * acc)"
+    seedSql match {
+      case Some(seed) => s"aggregate($vsCol, CAST($seed AS DOUBLE), $lam)"
+      case None =>
+        s"aggregate(slice($vsCol, 2, size($vsCol) - 1), $vsCol[0], $lam)"
+    }
   }
 
   /** Funnel progression per key: how far through `steps` (an ordered

@@ -3696,6 +3696,177 @@ object Pipeline {
        |ORDER BY user_id, batch""".stripMargin
   }
 
+  // =========================================================================
+  // p87 — scale-adaptive IVF-PQ recall + cell-balance gate: p76's insurance
+  // extended to the composed path. p32 pins the 16-cell coarse bank, the
+  // exact pattern p76 proved rots at 10× data (IVF recall 0.94 → 0.78);
+  // the coarse stage is the scale-sensitive half of IVF-PQ (codebook
+  // quantization error does not grow with corpus size — the refine window
+  // re-ranks from true vectors either way), so this row routes through the
+  // scaled 128-cell/stride-15 bank probing 48, with the registry PQ
+  // codebooks (m=16, nCodes=32) scoring the probed cells. The coarse
+  // bank's balance bound rides along exactly as in p76. The oracle replays
+  // BOTH trained models from raw data (decimal-staged Lloyd for the coarse
+  // bank, per-subspace stride-seeded Lloyd for the codebooks) through the
+  // probe → reconstruct → refine-window → exact-rerank chain.
+  // =========================================================================
+  def p87IvfPqRecallScaled(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+    val bank = scaledIvfBank(spark, dir)
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    val ann = Similarity.ivfPqTopK(qs, emb, k = 5,
+      centroids = bank, banks = pqBank(spark, dir),
+      nProbe = math.min(48, bank.length))
+    val balance = Similarity.ivfAssign(emb, bank)
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"),
+        sum(col("sz")).as("n_vecs"))
+    ann.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("total")))
+      .crossJoin(broadcast(balance))
+      .select(lit("ivfpq_scaled").as("method"), col("hits"), col("total"),
+        (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("recall"),
+        col("n_cells"), col("max_cell"),
+        (col("max_cell") * col("n_cells") <= col("n_vecs") * 4).as("balanced"))
+  }
+
+  val p87Sql: String = {
+    import OracleHash._
+    val (ivfCtes, ivfBankName) = ivfBankCtes(nCells = 128, iters = 3,
+      stride = 15)
+    val (pqCtes, _) = sqlPqBankAndRv
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$ivfCtes,
+       |$pqCtes,
+       |${nearestCellCte("ca0", ivfBankName, keep = 1)},
+       |ca AS (SELECT id AS neighbor_id, cell FROM ca0),
+       |${nearestCellCte("qa0", ivfBankName, keep = 48, filter = " WHERE e.id < 10")},
+       |qa AS (SELECT id AS query_id, cell FROM qa0),
+       |q0 AS (SELECT id AS query_id, v AS qv0 FROM emb WHERE id < 10),
+       |apin AS (
+       |  SELECT qa.query_id, ca.neighbor_id, q0.qv0, rv.rv
+       |  FROM qa JOIN ca USING (cell)
+       |  JOIN q0 ON qa.query_id = q0.query_id
+       |  JOIN rv ON ca.neighbor_id = rv.neighbor_id
+       |  WHERE qa.query_id != ca.neighbor_id),
+       |${sqlPqSurvivors("apin", 5 * 24)},
+       |qv AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
+       |cvx AS (SELECT id AS neighbor_id, v AS cv FROM emb),
+       |sx AS (SELECT query_id, neighbor_id,
+       |    ${seqDot("qv", "cv")} AS dt,
+       |    sqrt(${seqDot("qv", "qv")}) AS nq,
+       |    sqrt(${seqDot("cv", "cv")}) AS nc
+       |  FROM sv JOIN qv USING (query_id) JOIN cvx USING (neighbor_id)),
+       |annr AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${sqlCosine("dt", "nq", "nc")} DESC, neighbor_id ASC) AS rk
+       |    FROM sx) WHERE rk <= 5),
+       |se AS (SELECT query_id, neighbor_id,
+       |    ${seqDot("qv", "cv")} AS dt,
+       |    sqrt(${seqDot("qv", "qv")}) AS nq,
+       |    sqrt(${seqDot("cv", "cv")}) AS nc
+       |  FROM cvx CROSS JOIN qv WHERE query_id != neighbor_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${sqlCosine("dt", "nq", "nc")} DESC, neighbor_id ASC) AS rk
+       |    FROM se) WHERE rk <= 5),
+       |sizes AS (SELECT cell, COUNT(*) AS sz FROM ca GROUP BY cell),
+       |bal AS (SELECT COUNT(*) AS n_cells, MAX(sz) AS max_cell,
+       |        SUM(sz) AS n_vecs FROM sizes),
+       |h AS (SELECT
+       |  (SELECT COUNT(*) FROM annr JOIN exact USING (query_id, neighbor_id)) AS hits,
+       |  (SELECT COUNT(*) FROM exact) AS total)
+       |SELECT 'ivfpq_scaled' AS method, CAST(hits AS BIGINT) AS hits,
+       |  CAST(total AS BIGINT) AS total,
+       |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall,
+       |  CAST(n_cells AS BIGINT) AS n_cells, CAST(max_cell AS BIGINT) AS max_cell,
+       |  max_cell * n_cells <= 4 * n_vecs AS balanced
+       |FROM h CROSS JOIN bal""".stripMargin
+  }
+
+  // =========================================================================
+  // p88 — STREAMING per-key EWMA: p81's stateful sibling and the chained-
+  // seed operator the TimeSeries scaladoc promised (verdict r6 "What's
+  // missing #2"). Events split into three time-ordered files (the p86
+  // ntile convention — every event of batch b sorts after all of batch
+  // b-1's); each micro-batch seeds its codegen'd fold with the carried
+  // (n_events, ewma) DOUBLE-state and emits every key that saw values.
+  // Because the EWMA recurrence is a left fold, the seeded batch fold
+  // replays the identical IEEE sequence as one fold over the cumulative
+  // prefix — so the oracle needs NO seeded-fold machinery: batch b's
+  // emission for a user is exactly p81's list_reduce over the user's
+  // first n_{<=b} values (MATERIALIZED list CTE, one single-fold arm per
+  // batch — the shape p81 proved deterministic in DuckDB 1.0.0, avoiding
+  // the joined-fold-CTE and multi-fold-SELECT planner traps p86 hit).
+  // =========================================================================
+  def p88StreamEwma(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("batch", ntile(3).over(Window.orderBy("ts", "event_id")) - 1)
+    val root = Files.createTempDirectory("p88_").toString
+    val in = s"$root/in"; val stateRoot = s"$root/state"
+    val outRoot = s"$root/out"
+    spark.range(0).select(col("id").as("user_id"),
+        lit(0L).as("n_events"), lit(0.0).as("ewma"), lit(0L).as("__v"))
+      .write.parquet(s"$stateRoot/v0")
+    writeDailyFilesBy(ev, "batch", in, 3)
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(graft.streaming.EwmaStream
+        .advanceBatch(spark, stateRoot, outRoot, "user_id", "ts",
+          "event_id", "value", alpha = 0.125) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("user_id"), col("n_events"), col("ewma"), col("batch"))
+      .orderBy("user_id", "batch")
+  }
+
+  val p88Sql: String = {
+    val lam = """(acc, v) -> (CAST(0.125 AS DOUBLE) * v)
+                |              + (CAST(0.875 AS DOUBLE) * acc)""".stripMargin
+    def arm(b: Int): String = {
+      val guard = if (b == 0) "n0 > 0" else s"n$b > n${b - 1}"
+      s"""SELECT user_id, CAST(n$b AS BIGINT) AS n_events,
+         |  list_reduce(vs[1:n$b], $lam) AS ewma, CAST($b AS BIGINT) AS batch
+         |FROM l WHERE $guard""".stripMargin
+    }
+    s"""WITH ev AS (SELECT user_id, value AS v, ts, event_id,
+       |    ntile(3) OVER (ORDER BY ts, event_id) - 1 AS b
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+       |l AS MATERIALIZED (SELECT user_id,
+       |    list(v ORDER BY ts, event_id) AS vs,
+       |    COUNT(*) FILTER (WHERE b <= 0) AS n0,
+       |    COUNT(*) FILTER (WHERE b <= 1) AS n1,
+       |    COUNT(*) AS n2
+       |  FROM ev GROUP BY user_id)
+       |${arm(0)}
+       |UNION ALL
+       |${arm(1)}
+       |UNION ALL
+       |${arm(2)}
+       |ORDER BY user_id, batch""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3783,7 +3954,9 @@ object Pipeline {
     "p83_funnel" -> (p83Funnel _),
     "p84_outliers" -> (p84Outliers _),
     "p85_jaccard_join" -> (p85JaccardJoin _),
-    "p86_stream_funnel" -> (p86StreamFunnel _))
+    "p86_stream_funnel" -> (p86StreamFunnel _),
+    "p87_ivfpq_recall_scaled" -> (p87IvfPqRecallScaled _),
+    "p88_stream_ewma" -> (p88StreamEwma _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -3869,5 +4042,7 @@ object Pipeline {
     "p83_funnel" -> p83Sql,
     "p84_outliers" -> p84Sql,
     "p85_jaccard_join" -> p85Sql,
-    "p86_stream_funnel" -> p86Sql)
+    "p86_stream_funnel" -> p86Sql,
+    "p87_ivfpq_recall_scaled" -> p87Sql,
+    "p88_stream_ewma" -> p88Sql)
 }

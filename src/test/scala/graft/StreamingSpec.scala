@@ -500,6 +500,73 @@ class StreamingSpec extends SparkSpec {
     assert(nVersions === 2, "post-compaction root must hold base + delta")
   }
 
+  test("streaming EWMA: chained-seed fold equals the one-shot fold " +
+      "bit-for-bit; standing seed honored; redelivery idempotent; " +
+      "lineage guard; state compaction") {
+    import java.nio.file.Files
+    import graft.streaming.EwmaStream
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // user 1: values across all three batches (the chained path);
+    // user 2: batch 0 only; user 3: standing state, first event in batch 2
+    val b0 = Seq((100L, ts(1), 1L, 2.5), (101L, ts(2), 2L, -1.0),
+      (102L, ts(3), 1L, 0.75)).toDF("event_id", "ts", "user_id", "value")
+    val b1 = Seq((103L, ts(4), 1L, 4.0)).toDF("event_id", "ts", "user_id", "value")
+    val b2 = Seq((104L, ts(5), 1L, -0.5), (105L, ts(6), 3L, 8.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val root = Files.createTempDirectory("ewstream_").toString
+    val (state, out) = (s"$root/state", s"$root/out")
+    // standing state: user 3 carries (n_events = 2, ewma = 1.5)
+    Seq((3L, 2L, 1.5, 0L)).toDF("user_id", "n_events", "ewma", "__v")
+      .write.parquet(s"$state/v0")
+    def adv(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EwmaStream.advanceBatch(spark, state, out, "user_id", "ts",
+        "event_id", "value", alpha = 0.125)(df, id)
+    adv(b0, 0L); adv(b1, 1L); adv(b2, 2L)
+    val got = spark.read.parquet(s"$out/b*")
+      .select("user_id", "n_events", "ewma", "batch")
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    // one-shot equivalence: user 1's final state must equal ewmaByKey
+    // over the full timeline, bit-for-bit
+    val oneShot = graft.operators.TimeSeries.ewmaByKey(
+        b0.unionAll(b1).unionAll(b2).filter($"user_id" === 1L),
+        Seq("user_id"), "ts", "event_id", "value", alpha = 0.125)
+      .as[(Long, Long, Double)].collect().head
+    assert(got((1L, 2L)) === ((oneShot._2, oneShot._3)),
+      "chained folds must recompose into the one-shot fold")
+    assert(got((1L, 0L))._1 === 2L && got((1L, 1L))._1 === 3L,
+      "cumulative counts must carry across batches")
+    // standing seed: user 3's batch-2 fold seeds from v0's (2, 1.5)
+    assert(got((3L, 2L)) === ((3L, 0.125 * 8.0 + 0.875 * 1.5)),
+      "standing state must seed the first fold")
+    assert(!got.contains((2L, 1L)) && !got.contains((2L, 2L)),
+      "keys without batch values must stay silent")
+    // redelivered batch 2 rebases on deltas <= 2 and rewrites identically
+    val before = spark.read.parquet(s"$out/b2").collect().toSeq
+      .map(_.toString).sorted
+    adv(b2, 2L)
+    val after = spark.read.parquet(s"$out/b2").collect().toSeq
+      .map(_.toString).sorted
+    assert(after === before, "redelivery must be idempotent")
+    // fresh checkpoint over existing deltas = forked lineage; must refuse
+    val e = intercept[IllegalArgumentException] { adv(b0, 0L) }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // compaction folds the per-key state and preserves the next fold
+    EwmaStream.compactState(spark, state, "user_id", upTo = 3L)
+    val names = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(names === Seq("v0"))
+    val b3 = Seq((106L, ts(7), 1L, 1.0)).toDF("event_id", "ts", "user_id", "value")
+    adv(b3, 3L)
+    val expect = 0.125 * 1.0 + 0.875 * got((1L, 2L))._2
+    val r3 = spark.read.parquet(s"$out/b3")
+      .select("user_id", "n_events", "ewma")
+      .as[(Long, Long, Double)].collect().head
+    assert(r3 === ((1L, 5L, expect)),
+      "post-compaction fold must seed from the compacted state")
+  }
+
   test("streaming dedup collapses a doubled stream back to distinct events") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.count

@@ -2903,9 +2903,19 @@ object Pipeline {
     * replays batches in exactly the oracle's order. Shared by the
     * streaming registry queries (p75/p79). */
   private def writeDailyFiles(incoming: DataFrame, in: String,
-      nBatches: Int): Unit = {
+      nBatches: Int): Unit =
+    writeDailyFilesRange(incoming, in, nBatches, 0 until nBatches)
+
+  /** [[writeDailyFiles]] for a sub-range of the batches — stages files in
+    * phases (p89 drains, compacts, then stages the rest). Pre-existing
+    * files are never re-stamped, so earlier phases keep their mtime
+    * order. */
+  private def writeDailyFilesRange(incoming: DataFrame, in: String,
+      nBatches: Int, batches: Seq[Int]): Unit = {
     val stamped = scala.collection.mutable.Set.empty[java.io.File]
-    (0 until nBatches).foreach { b =>
+    Option(new java.io.File(in).listFiles())
+      .foreach(_.foreach(stamped += _))
+    batches.foreach { b =>
       incoming.filter(pmod(col("doc_id"), lit(nBatches)) === b).coalesce(1)
         .write.mode("append").parquet(in)
       new java.io.File(in).listFiles()
@@ -2915,8 +2925,10 @@ object Pipeline {
     }
   }
 
-  def p75StreamPassageFilter(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
+  /** The (existing, incoming) corpus split with planted cross-corpus and
+    * cross-batch dups — shared by p75 and its compacted twin p89. */
+  private def passageStreamCorpus(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val existing = docs.filter(col("doc_id") < 250)
     val incoming = docs.filter(col("doc_id") >= 250)
@@ -2924,6 +2936,12 @@ object Pipeline {
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       .unionAll(docs.filter(col("doc_id").between(250, 254))
         .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    (existing, incoming)
+  }
+
+  def p75StreamPassageFilter(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val (existing, incoming) = passageStreamCorpus(spark, dir)
     val root = Files.createTempDirectory("p75_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"; val outRoot = s"$root/out"
     Dedup.passageWindowIndex(existing, "doc_id", "text")
@@ -3867,6 +3885,55 @@ object Pipeline {
        |ORDER BY user_id, batch""".stripMargin
   }
 
+  // =========================================================================
+  // p89 — delta-store compaction under the ORACLE: p75's exact pipeline
+  // and oracle, but the stream drains in two phases with
+  // PassageStream.compactIndex folding v0..v2 into a new base between
+  // them (upTo = last committed batch + 1, the Versions.compact safety
+  // bound). Batch 2 then resumes from the checkpoint and probes the
+  // compacted base. Hash-matching p75's per-batch oracle is the
+  // read-equivalence proof as data: compaction changed the store layout
+  // (3 deltas -> 1 base) without moving a single output bit — and the
+  // lineage guard, batch-id rebase, and checkpoint resume all survive
+  // the rewrite. StreamingSpec holds the byte-identical twin-root and
+  // <= 2-versions assertions; this row puts the same contract under the
+  // dual-scale correctness gate.
+  // =========================================================================
+  def p89StreamCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val (existing, incoming) = passageStreamCorpus(spark, dir)
+    val root = Files.createTempDirectory("p89_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"; val outRoot = s"$root/out"
+    Dedup.passageWindowIndex(existing, "doc_id", "text")
+      .write.parquet(s"$idxRoot/v0")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .foreachBatch(graft.streaming.PassageStream
+          .filterBatch(spark, idxRoot, outRoot, "doc_id", "text") _)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeDailyFilesRange(incoming, in, 3, Seq(0, 1))
+    drain()
+    graft.streaming.PassageStream.compactIndex(spark, idxRoot, upTo = 2L)
+    writeDailyFilesRange(incoming, in, 3, Seq(2))
+    drain()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("doc_id"), col("batch"), col("n_windows"),
+        col("n_dup_windows"), col("dup_ratio"),
+        (col("dup_ratio") < 0.5).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** p75's oracle verbatim: compaction must be output-invisible. */
+  val p89Sql: String = p75Sql
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -3956,7 +4023,8 @@ object Pipeline {
     "p85_jaccard_join" -> (p85JaccardJoin _),
     "p86_stream_funnel" -> (p86StreamFunnel _),
     "p87_ivfpq_recall_scaled" -> (p87IvfPqRecallScaled _),
-    "p88_stream_ewma" -> (p88StreamEwma _))
+    "p88_stream_ewma" -> (p88StreamEwma _),
+    "p89_stream_compacted" -> (p89StreamCompacted _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4044,5 +4112,6 @@ object Pipeline {
     "p85_jaccard_join" -> p85Sql,
     "p86_stream_funnel" -> p86Sql,
     "p87_ivfpq_recall_scaled" -> p87Sql,
-    "p88_stream_ewma" -> p88Sql)
+    "p88_stream_ewma" -> p88Sql,
+    "p89_stream_compacted" -> p89Sql)
 }

@@ -60,4 +60,27 @@ object CorpusMaintenance {
     }
     merged.write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
   }
+
+  /** Drop all but the newest `keepLast` corpus versions — the maintenance
+    * op that bounds a long-running upsert loop's storage (each version is
+    * a FULL corpus snapshot, so a year of daily merges holds 365 copies).
+    *
+    * `keepLast >= 2` is required: a redelivered batch rebases on the
+    * newest version written by an EARLIER batch, which is the second-
+    * newest directory whenever the newest was half-committed — keeping
+    * two guarantees the redelivery base survives. Readers pinned to
+    * vacuumed versions (time travel) lose them; run between triggers,
+    * like [[Versions.compact]]. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Unit = {
+    require(keepLast >= 2,
+      s"keepLast must be >= 2 (redelivery rebases on the second-newest " +
+        s"version), got $keepLast")
+    val versions = versionsIn(spark, root)
+    val stale = versions.dropRight(keepLast)
+    if (stale.nonEmpty) {
+      val fs = new Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      stale.foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
 }

@@ -126,6 +126,41 @@ class StreamingSpec extends SparkSpec {
     assert(CorpusMaintenance.latest(spark, corpus).get.endsWith("v2"))
   }
 
+  test("corpus vacuum drops stale full snapshots, keeps the redelivery base") {
+    import java.nio.file.Files
+    import graft.streaming.CorpusMaintenance
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("corpus_vac_").toString
+    Seq((1L, "a")).toDF("id", "txt").write.parquet(s"$corpus/v0")
+    def up(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CorpusMaintenance.upsertBatch(spark, corpus, Seq("id"))(df, id)
+    up(Seq((2L, "b")).toDF("id", "txt"), 0L)
+    up(Seq((3L, "c")).toDF("id", "txt"), 1L)
+    up(Seq((1L, "a2")).toDF("id", "txt"), 2L)
+    def versionNames() = new java.io.File(corpus).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(versionNames() === Seq("v0", "v1", "v2", "v3"))
+    CorpusMaintenance.vacuum(spark, corpus, keepLast = 2)
+    assert(versionNames() === Seq("v2", "v3"))
+    // a redelivered batch 2 rebases on v2 (the surviving second-newest)
+    // and rewrites v3 identically
+    val before = spark.read.parquet(s"$corpus/v3").collect().toSeq
+      .map(_.toString).sorted
+    up(Seq((1L, "a2")).toDF("id", "txt"), 2L)
+    assert(spark.read.parquet(s"$corpus/v3").collect().toSeq
+      .map(_.toString).sorted === before, "redelivery after vacuum")
+    // the next batch merges onto the vacuumed newest as usual
+    up(Seq((4L, "d")).toDF("id", "txt"), 3L)
+    val got = spark.read.parquet(CorpusMaintenance.latest(spark, corpus).get)
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // keepLast < 2 would delete the redelivery base; refused
+    val e = intercept[IllegalArgumentException] {
+      CorpusMaintenance.vacuum(spark, corpus, keepLast = 1)
+    }
+    assert(e.getMessage.contains("keepLast"))
+  }
+
   test("corpus upsert refuses a fresh checkpoint over newer versions") {
     import java.nio.file.Files
     import graft.streaming.CorpusMaintenance

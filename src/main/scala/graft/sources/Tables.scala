@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Scans for the driver-generated star schema (`TESTDATA.md` / `FIXTURES.md`).
   *
@@ -22,17 +23,28 @@ object Tables {
 
   /** Read one table of the star schema rooted at `dir`.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read it as a nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
-    * timestamp with integer division (nanos exceed 2^53, so double division
-    * would lose precision). DuckDB truncates ns→µs the same way. */
+    * `events.ts` has shipped in two physical layouts across testdata
+    * generations, so the load is schema-adaptive and always yields a
+    * session-zone TIMESTAMP (µs):
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+    *    it's read as a nanos long (`spark.sql.legacy.parquet.nanosAsLong`)
+    *    and rebuilt with integer division (nanos exceed 2^53; double
+    *    division would lose precision). DuckDB truncates ns→µs the same way.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP under the session's UTC zone —
+    *    the identical wall-clock instants DuckDB reads natively. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -20,8 +20,8 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet on-disk schema (ts as nanos long — see
-    * [[graft.sources.Tables]] for why). */
+  /** events.parquet on-disk schema with `ts` as a nanos long (the legacy
+    * testdata layout — see [[graft.sources.Tables]] for why). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -32,16 +32,30 @@ object EventStream {
 
   /** Micro-batched scan of the events table under `dir` (the sf directory —
     * only `events.parquet` is ingested); `maxFilesPerTrigger` is the
-    * streaming analogue of the reference's `chunkSize` pull batching. */
+    * streaming analogue of the reference's `chunkSize` pull batching.
+    *
+    * A streaming source needs a declared schema, so the on-disk `ts` layout
+    * is sniffed from one batch footer read first (both testdata generations
+    * are supported — see [[graft.sources.Tables]]); either way the stream
+    * surfaces a session-zone TIMESTAMP. */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsIsNanosLong =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+        LongType
+    val schema =
+      if (tsIsNanosLong) rawSchema
+      else StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+    val raw = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsNanosLong)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Tumbling 1-hour windowed counts per event type with a 1-day watermark:

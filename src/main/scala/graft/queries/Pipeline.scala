@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{HashFunctions, TextFunctions => TF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Vocab}
 import graft.sources.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2c north-star extensions): dedup,
@@ -3934,6 +3934,74 @@ object Pipeline {
   /** p75's oracle verbatim: compaction must be output-invisible. */
   val p89Sql: String = p75Sql
 
+  // =========================================================================
+  // p90 — distributed BPE vocabulary training: the tokenizer-construction
+  // operator. The corpus is aggregated ONCE into word frequencies (map-side
+  // combined groupBy over the shared tokenize contract); 8 merge rounds then
+  // run over the vocabulary-bounded distinct-words relation — pair counts
+  // are exact integers, the per-round argmax breaks ties on
+  // (count DESC, left ASC, right ASC), and greedy left-to-right merging is
+  // a Catalyst `aggregate` fold per word (Vocab.bpeTrain's scaladoc proves
+  // no-remerge within a round). The oracle replays all 8 rounds RELATIONALLY
+  // — a completely independent formulation: positions + lead() windows for
+  // pair counts, and greedy selection as run-parity (maximal runs of
+  // consecutive match positions can only arise when left = right; greedy
+  // takes alternate positions from each run's start). Pure integer
+  // arithmetic throughout — no IEEE anywhere.
+  // =========================================================================
+  def p90BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    Vocab.bpeTrain(words, "word", "cnt", merges = 8).orderBy("step")
+  }
+
+  val p90Sql: String = {
+    val rounds = (1 to 8).map { r =>
+      val prev = s"p${r - 1}"
+      s"""pr$r AS MATERIALIZED (SELECT l, r, SUM(cnt) AS c FROM (
+         |    SELECT word, cnt, sym AS l,
+         |      lead(sym) OVER (PARTITION BY word ORDER BY i) AS r
+         |    FROM $prev) x WHERE r IS NOT NULL GROUP BY l, r),
+         |b$r AS MATERIALIZED (SELECT l, r, c FROM pr$r
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |m$r AS MATERIALIZED (SELECT x.word, x.i FROM (
+         |    SELECT word, i, sym,
+         |      lead(sym) OVER (PARTITION BY word ORDER BY i) AS nx
+         |    FROM $prev) x JOIN b$r b ON x.sym = b.l AND x.nx = b.r),
+         |s$r AS MATERIALIZED (SELECT word, i FROM (
+         |    SELECT word, i, MIN(i) OVER (PARTITION BY word, grp) AS rs
+         |    FROM (SELECT word, i,
+         |        i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+         |      FROM m$r) g) h WHERE (i - rs) % 2 = 0),
+         |p$r AS MATERIALIZED (SELECT word, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS i, sym FROM (
+         |    SELECT p.word, p.cnt, p.i,
+         |      CASE WHEN sel.i IS NOT NULL THEN b.l || b.r ELSE p.sym END AS sym
+         |    FROM $prev p CROSS JOIN b$r b
+         |    LEFT JOIN s$r sel ON p.word = sel.word AND p.i = sel.i
+         |    LEFT JOIN s$r con ON p.word = con.word AND p.i = con.i + 1
+         |    WHERE con.i IS NULL) z),
+         |v$r AS MATERIALIZED (SELECT COUNT(DISTINCT sym) AS vs FROM p$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val arms = (1 to 8).map { r =>
+      s"""SELECT $r AS step, b.l AS left_sym, b.r AS right_sym,
+         |  b.l || b.r AS merged, CAST(b.c AS BIGINT) AS pair_count,
+         |  CAST(v.vs AS BIGINT) AS vocab_size
+         |FROM b$r b CROSS JOIN v$r v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest($sqlToks) AS word FROM documents) t GROUP BY word),
+       |ch AS MATERIALIZED (SELECT word, cnt,
+       |    regexp_split_to_array(word, '') AS cs FROM w),
+       |p0 AS MATERIALIZED (SELECT word, cnt,
+       |    unnest(range(1, len(cs) + 1)) AS i, unnest(cs) AS sym FROM ch),
+       |$rounds
+       |$arms
+       |ORDER BY step""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4024,7 +4092,8 @@ object Pipeline {
     "p86_stream_funnel" -> (p86StreamFunnel _),
     "p87_ivfpq_recall_scaled" -> (p87IvfPqRecallScaled _),
     "p88_stream_ewma" -> (p88StreamEwma _),
-    "p89_stream_compacted" -> (p89StreamCompacted _))
+    "p89_stream_compacted" -> (p89StreamCompacted _),
+    "p90_bpe_vocab" -> (p90BpeVocab _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4113,5 +4182,6 @@ object Pipeline {
     "p86_stream_funnel" -> p86Sql,
     "p87_ivfpq_recall_scaled" -> p87Sql,
     "p88_stream_ewma" -> p88Sql,
-    "p89_stream_compacted" -> p89Sql)
+    "p89_stream_compacted" -> p89Sql,
+    "p90_bpe_vocab" -> p90Sql)
 }

@@ -121,4 +121,53 @@ object Joins {
       .select(leftCols.map(col) ++
         asofCols.map(c => col(s"$prefix$c")): _*)
   }
+
+  /** Interval-overlap equi-join: all (left, right) row pairs with equal
+    * `keyCols` whose half-open intervals `[lStart, lEnd) × [rStart, rEnd)`
+    * overlap (`lStart < rEnd AND rStart < lEnd`).
+    *
+    * The naive plan is an equi-join on the keys followed by the range
+    * predicate — quadratic in rows-per-key — or, keyless, a
+    * BroadcastNestedLoopJoin that cannot scale. This operator uses the
+    * standard bin-join decomposition instead: each interval explodes into
+    * the fixed-width time bins it covers, the join runs as a pure equi-join
+    * on (keys, bin) — one shuffle per side, AQE/skew-handling eligible,
+    * never a cartesian — and each surviving pair is emitted EXACTLY ONCE
+    * without any post-join `distinct`: a pair is kept only in the first bin
+    * its intersection covers (`bin == floor(max(starts) / width)`), a bin
+    * both sides are guaranteed to have generated. At 100 TB the only knob is
+    * `binWidth`: ~the median interval length keeps the per-interval fanout
+    * at 1–2 bins while keeping per-(key, bin) groups small.
+    *
+    * Times are numeric and must be NONNEGATIVE (repo convention: epoch
+    * micros) — `div` is truncating division, which equals floor division
+    * only on the nonnegative domain. Empty or inverted intervals
+    * (`end <= start`) match nothing and are dropped before the explode
+    * (Spark's `sequence(a, b)` would otherwise step BACKWARD for b < a and
+    * fabricate bins). Column names must be disjoint across the two inputs
+    * apart from `keyCols` (rename before joining, as with any self-join). */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(keyCols.nonEmpty,
+      "keyless interval joins don't scale — provide at least one key")
+    // Exact floor division on the nonnegative domain without `div`-by-name
+    // string plumbing: subtract the remainder first, so the final `/` always
+    // divides an exact multiple (IEEE-exact for any numerator < 2^53).
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn("__bin",
+          explode(sequence(fdiv(col(s).cast("long")),
+            fdiv(col(e).cast("long") - 1))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    l.join(r, keyCols :+ "__bin")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bin") ===
+        fdiv(greatest(col(lStart), col(rStart)).cast("long")))
+      .drop("__bin")
+  }
 }

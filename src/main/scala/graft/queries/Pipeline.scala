@@ -4002,6 +4002,48 @@ object Pipeline {
        |ORDER BY step""".stripMargin
   }
 
+  // =========================================================================
+  // p91 — binned interval-overlap join: concurrent-activity detection (pairs
+  // of a user's 10-minute activity windows that overlap). The operator is
+  // the scale story: intervals explode into 15-minute bins, the join is a
+  // pure equi-join on (user_id, bin) — never a per-key quadratic range
+  // predicate, never a BroadcastNestedLoopJoin — and pair-dedup across
+  // shared bins is positional (each pair kept only in its intersection's
+  // first bin), not a distinct. The oracle is the naive predicate join —
+  // the green row proves the bin decomposition loses and fabricates
+  // nothing. Pure integer arithmetic (epoch micros).
+  // =========================================================================
+  def p91IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + 600L * 1000000L)
+    val a = ev.select(col("user_id"), col("event_id").as("a_id"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = ev.select(col("user_id"), col("event_id").as("b_id"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    graft.operators.Joins.intervalOverlap(a, b, Seq("user_id"),
+        "a_s", "a_e", "b_s", "b_e", binWidth = 900L * 1000000L)
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      .orderBy("user_id")
+  }
+
+  val p91Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 600000000 AS e FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+      |SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS overlap_us
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND a.s < b.e AND b.s < a.e
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4093,7 +4135,8 @@ object Pipeline {
     "p87_ivfpq_recall_scaled" -> (p87IvfPqRecallScaled _),
     "p88_stream_ewma" -> (p88StreamEwma _),
     "p89_stream_compacted" -> (p89StreamCompacted _),
-    "p90_bpe_vocab" -> (p90BpeVocab _))
+    "p90_bpe_vocab" -> (p90BpeVocab _),
+    "p91_interval_join" -> (p91IntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4183,5 +4226,6 @@ object Pipeline {
     "p87_ivfpq_recall_scaled" -> p87Sql,
     "p88_stream_ewma" -> p88Sql,
     "p89_stream_compacted" -> p89Sql,
-    "p90_bpe_vocab" -> p90Sql)
+    "p90_bpe_vocab" -> p90Sql,
+    "p91_interval_join" -> p91Sql)
 }

@@ -118,4 +118,55 @@ class JoinsSpec extends SparkSpec {
     assert(canon(Skew.saltedJoin(left, right, Seq("k"), salts = 8)) === plain)
     assert(canon(Skew.saltedJoin(left, right, Seq("k"), salts = 1)) === plain)
   }
+
+  test("intervalOverlap: half-open semantics, exactly-once across bins, empty intervals dropped") {
+    val a = Seq(
+      (1L, 10L, 20L, "a1"),   // overlaps b1 ([15,25)) and b3 ([0,100))
+      (1L, 20L, 30L, "a2"),   // touches b1's end at 25 → overlaps; NOT a1
+      (1L, 40L, 40L, "a3"),   // empty interval → matches nothing
+      (2L, 10L, 20L, "a4"))   // same times, other key → only its own b
+      .toDF("k", "a_s", "a_e", "a_name")
+    val b = Seq(
+      (1L, 15L, 25L, "b1"),
+      (1L, 20L, 20L, "b2"),   // empty → nothing, even inside a2
+      (1L, 0L, 100L, "b3"),   // spans MANY 7-wide bins → each pair once
+      (2L, 19L, 21L, "b4"),
+      (2L, 20L, 30L, "b5"))   // [20,30) vs a4 [10,20): touching, no overlap
+      .toDF("k", "b_s", "b_e", "b_name")
+    val got = Joins.intervalOverlap(a, b, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", binWidth = 7L)
+      .select("a_name", "b_name").as[(String, String)].collect().toSeq.sorted
+    assert(got === Seq(("a1", "b1"), ("a1", "b3"), ("a2", "b1"),
+      ("a2", "b3"), ("a4", "b4")))
+  }
+
+  test("intervalOverlap matches the naive predicate join on random intervals, any bin width") {
+    val rnd = new scala.util.Random(91)
+    val mk = (n: Int, tag: String) => (0 until n).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(120).toLong, s"$tag$i")
+    }
+    val a = mk(300, "a").toDF("k", "a_s", "a_e", "a_name")
+    val b = mk(300, "b").toDF("k", "b_s", "b_e", "b_name")
+    // the classic predicate alone wrongly matches an EMPTY interval that
+    // the other side strictly spans ([10,10) ∩ [5,15) = ∅ but 10<15 ∧ 5<10)
+    // — true overlap additionally requires both intervals nonempty
+    val naive = a.join(b, Seq("k"))
+      .filter($"a_s" < $"b_e" && $"b_s" < $"a_e" &&
+        $"a_s" < $"a_e" && $"b_s" < $"b_e")
+      .select("a_name", "b_name").as[(String, String)]
+      .collect().toSeq.sorted
+    assert(naive.nonEmpty)
+    Seq(1L, 13L, 128L, 5000L).foreach { w =>
+      val got = Joins.intervalOverlap(a, b, Seq("k"),
+          "a_s", "a_e", "b_s", "b_e", binWidth = w)
+        .select("a_name", "b_name").as[(String, String)]
+        .collect().toSeq.sorted
+      val extra = got.diff(naive).take(5)
+      val missing = naive.diff(got).take(5)
+      assert(got === naive,
+        s"binWidth=$w diverges: extra=$extra missing=$missing " +
+          s"sizes ${got.size} vs ${naive.size}")
+    }
+  }
 }

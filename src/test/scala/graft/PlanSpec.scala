@@ -315,6 +315,25 @@ class PlanSpec extends SparkSpec {
       s"verify must stay relational:\n$plan")
   }
 
+  test("p91 interval join: equi-join on (key, bin) — no cartesian, no " +
+      "nested-loop, no post-join distinct") {
+    val df = graft.queries.Pipeline.p91IntervalJoin(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"bin decomposition must keep the join equi-keyed:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the range predicate must not plan as a nested loop:\n$plan")
+    // join keys must include the synthetic bin — the overlap predicate is a
+    // post-join filter, never the join condition itself
+    assert(plan.contains("__bin"),
+      s"equi-join must run on the exploded (key, bin):\n$plan")
+    // exactly-once is positional (intersection's first bin), so no
+    // dedup exchange may appear between the join and the aggregation
+    assert(!planString(df).contains("Deduplicate") &&
+      "HashAggregate".r.findAllIn(plan).nonEmpty,
+      s"pair dedup must be positional, not a distinct:\n$plan")
+  }
+
   test("p80 quantiles: exact rank-select broadcasts bin targets, never " +
       "range-sorts the data") {
     val plan = planString(graft.queries.Pipeline

@@ -320,6 +320,48 @@ object Curation {
     df.filter(hash < floor(weight * scale).cast("long"))
   }
 
+  /** Fixed-budget weighted sampling WITHOUT replacement: the top-`k` rows
+    * per stratum drawn with probability proportional to an integer ticket
+    * weight, fully deterministic and replayable — no RNG, no transcendental
+    * arithmetic (the A-ES exponential-key scheme needs `ln`, whose last-ulp
+    * rounding differs across engines; this scheme stays in exact integer
+    * hashing end-to-end).
+    *
+    * Scheme: a row with weight w holds tickets 0..w−1; each ticket's
+    * priority is `fingerprint64(id:ticket:salt)` and the row's priority is
+    * its minimum ticket. For distinct uniform hashes,
+    * P(row holds the stratum minimum) = w / Σw — weighted selection — and
+    * taking the k smallest row-priorities is the successive-minima draw
+    * without replacement. Weight granularity is the caller's ticket unit:
+    * at 100 TB pass e.g. `bytes div 64k`, NOT raw bytes — the explode
+    * materializes Σtickets rows (shingling-sized, one pass), and the
+    * per-row min aggregates map-side before the only exchange. The final
+    * rank is a per-stratum `row_number <= k` — the WindowGroupLimit shape,
+    * never a global sort.
+    *
+    * Ties (astronomically unlikely 64-bit collisions) break on `idCol` so
+    * reruns are bit-stable. Rows with weight <= 0 are never sampled. */
+  def weightedSampleK(df: DataFrame, idCol: String, strataCol: String,
+      weightTickets: Column, k: Int, salt: String = "wsk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import graft.functions.HashFunctions
+    val pri = df
+      .select(col(strataCol), col(idCol),
+        weightTickets.cast("long").as("n_tickets"))
+      .filter(col("n_tickets") > 0)
+      .withColumn("__t", explode(sequence(lit(0L), col("n_tickets") - 1)))
+      .withColumn("__h", HashFunctions.fingerprint64(
+        concat(col(idCol).cast("string"), lit(":"),
+          col("__t").cast("string"), lit(":" + salt))))
+      .groupBy(col(strataCol), col(idCol), col("n_tickets"))
+      .agg(min(col("__h")).as("__priority"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__priority").asc, col(idCol).asc)
+    pri.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(strataCol), col("rk"), col(idCol), col("n_tickets"))
+  }
+
   /** Corpus snapshot diff: classify every key across two snapshots as
     * `added` (new side only), `removed` (old side only), `changed` (both,
     * any compared column differs) or `same`. The audit companion to

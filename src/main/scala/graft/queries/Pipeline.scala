@@ -4044,6 +4044,47 @@ object Pipeline {
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  // =========================================================================
+  // p92 — fixed-budget weighted sampling without replacement: 20 docs per
+  // source drawn proportional to length (1 ticket per 64 chars). The scheme
+  // is exact integer hashing end-to-end (min ticket fingerprint per doc →
+  // k smallest per stratum) — chosen over the A-ES exponential-key scheme
+  // precisely because ln() is not correctly-rounded and diverges between
+  // engines, while fingerprint64 replays through the proven FNV+SplitMix
+  // HUGEINT fragments. The rank pass is WindowGroupLimit-shaped; the
+  // ticket explode aggregates map-side before its one exchange.
+  // =========================================================================
+  def p92WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.weightedSampleK(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            expr("greatest(CAST(1 AS BIGINT), n_chars div 64)").as("w")),
+        "doc_id", "source", col("w"), k = 20, salt = "p92")
+      .orderBy("source", "rk")
+
+  val p92Sql: String = {
+    import OracleHash._
+    val ticket =
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR) || ':p92'"
+    s"""WITH d AS (SELECT doc_id, source,
+       |    greatest(1, n_chars // 64) AS n_tickets FROM documents),
+       |tk AS (SELECT doc_id, source, n_tickets,
+       |    unnest(range(0, n_tickets)) AS t FROM d),
+       |h0 AS MATERIALIZED (SELECT doc_id, source, n_tickets,
+       |    ${fnv1a(ticket)} AS h FROM tk),
+       |h1 AS MATERIALIZED (SELECT doc_id, source, n_tickets,
+       |    ${mix("h")} AS hm FROM h0),
+       |pr AS (SELECT doc_id, source, n_tickets,
+       |    MIN(${signed64("hm")}) AS priority FROM h1
+       |  GROUP BY doc_id, source, n_tickets),
+       |rk AS (SELECT source, doc_id, n_tickets,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY priority ASC, doc_id ASC) AS rk FROM pr)
+       |SELECT source, rk, doc_id, CAST(n_tickets AS BIGINT) AS n_tickets
+       |FROM rk WHERE rk <= 20
+       |ORDER BY source, rk""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4136,7 +4177,8 @@ object Pipeline {
     "p88_stream_ewma" -> (p88StreamEwma _),
     "p89_stream_compacted" -> (p89StreamCompacted _),
     "p90_bpe_vocab" -> (p90BpeVocab _),
-    "p91_interval_join" -> (p91IntervalJoin _))
+    "p91_interval_join" -> (p91IntervalJoin _),
+    "p92_weighted_sample" -> (p92WeightedSample _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4227,5 +4269,6 @@ object Pipeline {
     "p88_stream_ewma" -> p88Sql,
     "p89_stream_compacted" -> p89Sql,
     "p90_bpe_vocab" -> p90Sql,
-    "p91_interval_join" -> p91Sql)
+    "p91_interval_join" -> p91Sql,
+    "p92_weighted_sample" -> p92Sql)
 }

@@ -165,6 +165,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p92 weighted sample: per-stratum rank is WindowGroupLimit; ticket " +
+      "min aggregates partially before its exchange") {
+    val plan = planString(graft.queries.Pipeline
+      .p92WeightedSample(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk <= k must push a per-group limit below the window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"the ticket-priority min must combine map-side:\n$plan")
+  }
+
   test("p38 vocabulary top-k is TakeOrderedAndProject over partial+final agg") {
     val plan = planString(
       graft.queries.Pipeline.p38TopNgrams(spark, sfDir))

@@ -286,6 +286,29 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(math.abs(more.size / 2000.0 - 0.8) < 0.05, s"rate ${more.size}")
   }
 
+  test("weightedSampleK: fixed budget, no replacement, weight-sensitive, deterministic") {
+    val df = ((0L until 30L).map(i => (i, "s0", 1L)) ++
+      Seq((100L, "s0", 1000000L)) ++           // dominant weight in s0
+      (0L until 5L).map(i => (200L + i, "s1", 1L)) ++
+      Seq((300L, "s1", 0L), (301L, "s1", -3L)) // never sampled
+      ).toDF("id", "grp", "w")
+    def run() = Curation.weightedSampleK(df, "id", "grp", $"w", k = 10)
+      .select("grp", "rk", "id", "n_tickets")
+      .as[(String, Int, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val got = run()
+    // without replacement: each id at most once; ranks dense 1..k per group
+    val s0 = got.filter(_._1 == "s0"); val s1 = got.filter(_._1 == "s1")
+    assert(s0.map(_._3).distinct.size === s0.size)
+    assert(s0.map(_._2) === (1 to 10))
+    // a group smaller than k returns all its (positive-weight) rows
+    assert(s1.map(_._3).sorted === (200L until 205L))
+    assert(s1.map(_._2) === (1 to 5))
+    // the million-ticket row holds the group minimum with p ≈ 1 − 3e-5 —
+    // deterministic for the fixed salt, and a weight-sensitivity check
+    assert(s0.head._3 === 100L)
+    assert(got === run()) // bit-stable rerun
+  }
+
   test("snapshotDiff: added/removed/changed/same with NULL transitions") {
     val old = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),

@@ -4085,6 +4085,79 @@ object Pipeline {
        |ORDER BY source, rk""".stripMargin
   }
 
+  // =========================================================================
+  // p93 — STREAMING mini-batch k-means: the carried-state contract
+  // generalized from scalar folds (p86 stage, p88 EWMA pair) to MODEL
+  // state. Each micro-batch assigns its vectors under the carried centroid
+  // bank and folds exact per-(cell, dim) DECIMAL sums into the versioned
+  // state, so every batch's emitted bank is the running mean of all points
+  // ever assigned — order-dependent across batches (like p75/p86, the
+  // oracle replays the same batch order) but bit-deterministic within one.
+  // The oracle chains three assignment→sum→rebase rounds from the stride
+  // seed through the proven decimal/VARCHAR bridges; the seed enters as
+  // one synthetic observation per cell (n = 1).
+  // =========================================================================
+  def p93StreamKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, dir)
+    val seed = Similarity.ivfCentroids(emb, nCells = 8)
+    val root = Files.createTempDirectory("p93_").toString
+    val in = s"$root/in"; val stateRoot = s"$root/state"
+    val outRoot = s"$root/out"
+    graft.streaming.KMeansStream.writeSeedState(spark, stateRoot, seed)
+    writeDailyFilesBy(emb.select(col("vec_id"), col("embedding"))
+      .withColumn("batch", pmod(col("vec_id"), lit(3))), "batch", in, 3)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(graft.streaming.KMeansStream
+        .advanceBatch(spark, stateRoot, outRoot, "vec_id", "embedding") _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("batch"), col("cell"), col("n_points"), col("pos"),
+        col("val"))
+      .orderBy("batch", "cell", "pos")
+  }
+
+  val p93Sql: String = {
+    import OracleHash._
+    def batchCtes(b: Int): String =
+      s"""bk$b AS MATERIALIZED (SELECT cell,
+         |    list(${decimalToDouble("s")} / n ORDER BY pos) AS cv
+         |  FROM st$b GROUP BY cell),
+         |${nearestCellCte(s"as$b", s"bk$b", 1, s" WHERE e.id % 3 = $b")},
+         |bm$b AS MATERIALIZED (SELECT cell, p - 1 AS pos,
+         |    SUM(${decimalStage("v[p]")}) AS s, COUNT(*) AS n
+         |  FROM as$b CROSS JOIN unnest(range(1, len(v) + 1)) AS r(p)
+         |  GROUP BY cell, p),
+         |st${b + 1} AS MATERIALIZED (SELECT t.cell, t.pos,
+         |    CAST(t.s + COALESCE(m.s, 0) AS DECIMAL(38,18)) AS s,
+         |    t.n + COALESCE(m.n, 0) AS n
+         |  FROM st$b t LEFT JOIN bm$b m ON t.cell = m.cell AND t.pos = m.pos),
+         |em$b AS (SELECT CAST($b AS BIGINT) AS batch, s.cell,
+         |    s.n AS n_points, s.pos, ${decimalToDouble("s.s")} / s.n AS val
+         |  FROM st${b + 1} s WHERE s.cell IN (SELECT cell FROM bm$b))"""
+        .stripMargin
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |${strideSampleCte("sd", 8, "cell", 50)},
+       |st0 AS MATERIALIZED (SELECT cell, p - 1 AS pos,
+       |    ${decimalStage("v[p]")} AS s, CAST(1 AS BIGINT) AS n
+       |  FROM sd CROSS JOIN unnest(range(1, len(v) + 1)) AS r(p)),
+       |${batchCtes(0)},
+       |${batchCtes(1)},
+       |${batchCtes(2)}
+       |SELECT batch, cell, n_points, pos, val FROM (
+       |  SELECT * FROM em0 UNION ALL SELECT * FROM em1
+       |  UNION ALL SELECT * FROM em2) u
+       |ORDER BY batch, cell, pos""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4178,7 +4251,8 @@ object Pipeline {
     "p89_stream_compacted" -> (p89StreamCompacted _),
     "p90_bpe_vocab" -> (p90BpeVocab _),
     "p91_interval_join" -> (p91IntervalJoin _),
-    "p92_weighted_sample" -> (p92WeightedSample _))
+    "p92_weighted_sample" -> (p92WeightedSample _),
+    "p93_stream_kmeans" -> (p93StreamKmeans _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4270,5 +4344,6 @@ object Pipeline {
     "p89_stream_compacted" -> p89Sql,
     "p90_bpe_vocab" -> p90Sql,
     "p91_interval_join" -> p91Sql,
-    "p92_weighted_sample" -> p92Sql)
+    "p92_weighted_sample" -> p92Sql,
+    "p93_stream_kmeans" -> p93Sql)
 }

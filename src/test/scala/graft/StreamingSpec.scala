@@ -602,6 +602,60 @@ class StreamingSpec extends SparkSpec {
       "post-compaction fold must seed from the compacted state")
   }
 
+  test("streaming k-means: carried bank is the exact running mean; " +
+      "untouched cells silent; redelivery idempotent; lineage guard; " +
+      "state compaction") {
+    import java.nio.file.Files
+    import graft.streaming.KMeansStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("kmstream_").toString
+    val (state, out) = (s"$root/state", s"$root/out")
+    KMeansStream.writeSeedState(spark, state,
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    def adv(rows: Seq[(Long, Array[Double])], id: Long): Unit =
+      KMeansStream.advanceBatch(spark, state, out, "id", "v")(
+        rows.toDF("id", "v"), id)
+    adv(Seq((1L, Array(1.0, 1.0)), (2L, Array(9.0, 9.0))), 0L)
+    adv(Seq((3L, Array(2.0, 0.0))), 1L)
+    def bank(b: Long): Map[(Int, Int), (Long, Double)] =
+      spark.read.parquet(s"$out/b$b")
+        .select("cell", "n_points", "pos", "val")
+        .as[(Int, Long, Int, Double)].collect()
+        .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    // batch 0: seed counts as one observation → cell0 mean of {0,1},
+    // cell1 mean of {10,9}
+    val b0 = bank(0L)
+    assert(b0((0, 0)) === ((2L, 0.5)) && b0((0, 1)) === ((2L, 0.5)))
+    assert(b0((1, 0)) === ((2L, 9.5)) && b0((1, 1)) === ((2L, 9.5)))
+    // batch 1 touches only cell0: exact running mean (0+1+2)/3, (0+1+0)/3;
+    // cell1 emits nothing
+    val b1 = bank(1L)
+    assert(b1((0, 0)) === ((3L, 1.0)) && b1((0, 1)) === ((3L, 1.0/ 3.0)))
+    assert(!b1.contains((1, 0)), "untouched cells must stay silent")
+    // redelivery rebases on deltas <= id and rewrites byte-identically
+    val before = spark.read.parquet(s"$out/b1").collect()
+      .map(_.toString).sorted.toSeq
+    adv(Seq((3L, Array(2.0, 0.0))), 1L)
+    val after = spark.read.parquet(s"$out/b1").collect()
+      .map(_.toString).sorted.toSeq
+    assert(after === before, "redelivery must be idempotent")
+    // fresh checkpoint over existing deltas = forked lineage; must refuse
+    val e = intercept[IllegalArgumentException] {
+      adv(Seq((1L, Array(1.0, 1.0))), 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // compaction folds per-(cell, pos) state; the next batch seeds from it
+    KMeansStream.compactState(spark, state, upTo = 2L)
+    val names = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(names === Seq("v0"))
+    adv(Seq((4L, Array(10.0, 10.0))), 2L)
+    val b2 = bank(2L)
+    assert(b2((1, 0)) === ((3L, 29.0 / 3.0)),
+      "post-compaction batch must continue the exact cumulative mean")
+    assert(!b2.contains((0, 0)))
+  }
+
   test("streaming dedup collapses a doubled stream back to distinct events") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.count

@@ -261,6 +261,86 @@ object Dedup {
         col("col").as("g"))
   }
 
+  /** EXACT containment-similarity join: all DIRECTED pairs (a, b) with
+    * |A ∩ B| / |A| >= `threshold` over distinct token-shingle sets — the
+    * ASYMMETRIC near-dup relation Jaccard cannot express: an excerpt
+    * quoted inside a much larger container scores containment ~1 while
+    * its Jaccard vanishes with the size ratio. The quote/boilerplate/
+    * subset-document detector, recall 1.0 by construction ([[
+    * jaccardJoinExact]]'s deterministic sibling).
+    *
+    * Filters (the PPJoin family, containment-adapted; Xiao et al.'s
+    * prefix principle): the probe side a explodes only its
+    * `n_a − ceil(t·n_a) + 1` rarest shingles under the global
+    * ascending-df order — if C(a,b) >= t, the >= ceil(t·n_a) common
+    * shingles cannot all hide in a's shorter suffix, so some prefix
+    * shingle hits — while the container side b must index ALL its
+    * shingles (b's size does not bound the overlap requirement, which is
+    * relative to a). Size filter: n_b >= t·n_a. Positional filter: the
+    * shared shingle's ranks bound the overlap by
+    * `min(n_a − p_a, n_b − p_b) + 1`. Verification is the same relational
+    * overlap COUNT as p85 — never array intersects.
+    *
+    * Scale: one full df-ordered relation ([[containmentOrderedAll]],
+    * checkpointed, reused by BOTH join sides), candidates only where a
+    * prefix shingle meets a container shingle, salted df join. The
+    * container side is corpus-sized by necessity (asymmetry is the point);
+    * the probe prefix keeps the candidate join's fan-in bounded exactly
+    * like p85's. */
+  def containmentJoinExact(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val sets = jaccardShingleSets(docs, idCol, textCol, shingleSize)
+      .localCheckpoint(true)
+    val full = containmentOrderedAll(sets).localCheckpoint(true)
+    val plen = (col("n") - ceil(col("n").cast("double") * lit(threshold))
+      + 1).cast("int")
+    val probe = full.filter(col("p") <= plen)
+    // required overlap ceil(t·n_a), conservatively as t·n_a − ε
+    val alpha = lit(threshold) * col("__na").cast("double") - lit(1e-9)
+    val cand = probe.select(col("g"), col("id").as("id_a"),
+        col("n").as("__na"), col("p").as("__pa"))
+      .join(full.select(col("g"), col("id").as("id_b"),
+        col("n").as("__nb"), col("p").as("__pb")), "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("__nb").cast("double") >= alpha)
+      .filter((least(col("__na") - col("__pa"),
+        col("__nb") - col("__pb")) + 1).cast("double") >= alpha)
+      .select(col("id_a"), col("id_b"), col("__na"))
+      .distinct()
+    val ex = sets.select(col("id"), explode(col("sh")).as("g"))
+    cand
+      .join(ex.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(ex.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"))
+      .agg(count(lit(1)).as("__i"))
+      .withColumn("containment", col("__i") / col("__na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** The FULL ascending-df ordered relation (id, n, p, g): every shingle
+    * of every doc with its 1-based rank in the doc under the global
+    * (df, shingle) order — [[jaccardOrderedPrefix]] without the prefix
+    * slice, because a containment container must index everything.
+    * Returned un-checkpointed for plan inspection; [[
+    * containmentJoinExact]] checkpoints it (both join sides reference
+    * it). */
+  def containmentOrderedAll(sets: DataFrame): DataFrame = {
+    val ex = sets.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    Skew.saltedJoin(ex, gdf, Seq("g"), salts = 8)
+      .groupBy(col("id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g"))))
+        .as("__o"))
+      .select(col("id"), col("n"),
+        posexplode(transform(col("__o"), s => s("g"))))
+      .select(col("id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("g"))
+  }
+
   /** The persisted MinHash-LSH band index of a corpus: one row per
     * (id, band, bucket) — what [[minhashPairsIncremental]] probes so the
     * existing corpus never re-shingles. Persist bucketed by (band, bucket)

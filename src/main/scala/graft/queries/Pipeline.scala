@@ -4158,6 +4158,41 @@ object Pipeline {
        |ORDER BY batch, cell, pos""".stripMargin
   }
 
+  // =========================================================================
+  // p94 — exact containment join: the DIRECTED subset/excerpt relation
+  // |A∩B|/|A| >= 0.6 that Jaccard cannot see (a quote inside a big
+  // container has jaccard → 0 but containment → 1). p85's filter family,
+  // containment-adapted: probe-side prefix under the global df order,
+  // size filter n_b >= t·n_a, positional rank bound; relational overlap
+  // verify. The oracle recomputes every directed pair's overlap through
+  // an exploded equi-join (complete for t > 0: a zero-overlap pair cannot
+  // reach any positive threshold) — independent of the prefix/positional
+  // pruning under test.
+  // =========================================================================
+  def p94ContainmentJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoinExact(Tables.documents(spark, dir),
+        "doc_id", "text", threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  val p94Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |         END) AS s
+       |       FROM t),
+       |ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |na AS (SELECT doc_id, len(s) AS n FROM ne),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM ne),
+       |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id != b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, i / na.n AS containment
+       |FROM ov JOIN na ON ov.id_a = na.doc_id
+       |WHERE i / na.n >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4252,7 +4287,8 @@ object Pipeline {
     "p90_bpe_vocab" -> (p90BpeVocab _),
     "p91_interval_join" -> (p91IntervalJoin _),
     "p92_weighted_sample" -> (p92WeightedSample _),
-    "p93_stream_kmeans" -> (p93StreamKmeans _))
+    "p93_stream_kmeans" -> (p93StreamKmeans _),
+    "p94_containment_join" -> (p94ContainmentJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4345,5 +4381,6 @@ object Pipeline {
     "p90_bpe_vocab" -> p90Sql,
     "p91_interval_join" -> p91Sql,
     "p92_weighted_sample" -> p92Sql,
-    "p93_stream_kmeans" -> p93Sql)
+    "p93_stream_kmeans" -> p93Sql,
+    "p94_containment_join" -> p94Sql)
 }

@@ -518,6 +518,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentJoinExact returns EVERY qualifying directed pair — " +
+      "brute-force set equality, planted excerpt included") {
+    import org.apache.spark.sql.functions.{array_distinct, col}
+    import graft.functions.{TextFunctions => TF}
+    val rng = new Random(94)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (1 to 50).map { i =>
+      val nTok = 5 + rng.nextInt(15)
+      (i.toLong, Seq.fill(nTok)(pool(rng.nextInt(pool.size))).mkString(" "))
+    }
+    // planted excerpt: doc 100 is a verbatim slice of doc 1 — containment
+    // (100 → 1) must be 1.0 while jaccard is small
+    val docs = base :+ ((100L, base.head._2.split(" ").take(6).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val sets = df.select(col("doc_id"),
+        array_distinct(TF.tokenShingles(TF.tokens(col("text")), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    for (t <- Seq(0.5, 0.7, 1.0)) {
+      val got = graft.operators.Dedup
+        .containmentJoinExact(df.repartition(5), "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        c = (sa & sb).size.toDouble / sa.size.toDouble if c >= t
+      } yield (a, b, c)).toSet
+      assert(got === want, s"threshold $t")
+      if (t <= 1.0) assert(want.exists(p => p._1 == 100L && p._2 == 1L),
+        s"planted excerpt must qualify at t=$t")
+    }
+  }
+
   test("standardize matches a decimal-staged in-memory replay and is " +
       "partitioning-invariant") {
     import org.apache.spark.sql.functions.col

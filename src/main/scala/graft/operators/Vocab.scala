@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -95,19 +95,8 @@ object Vocab {
         val r = best(0).getString(1)
         val c = best(0).getLong(2)
         val merged = l + r
-        // Greedy left-to-right merge as a left fold over the symbol array.
-        // The array_contains guard skips the fold (and its allocations) on
-        // the overwhelming majority of words that can't contain the pair.
-        val foldInit = typedLit(Array.empty[String])
-        val next = syms.withColumn("sym",
-          when(array_contains(col("sym"), l) &&
-               array_contains(col("sym"), r),
-            aggregate(col("sym"), foldInit, (acc, x) =>
-              when(size(acc) > 0 &&
-                   element_at(acc, -1) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-                .otherwise(concat(acc, array(x)))))
-            .otherwise(col("sym")))
+        val next = syms
+          .withColumn("sym", mergeFold(col("sym"), l, r))
           .localCheckpoint(true)
         syms = next
         val vocabSize = syms
@@ -121,6 +110,37 @@ object Vocab {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.result(), 1), mergeSchema)
   }
+
+  /** One greedy left-to-right merge of pair (l, r) over a symbol-array
+    * column — the shared fold of [[bpeTrain]] (one round) and
+    * [[applyMergesDf]] (chained over the merge table). The array_contains
+    * guard skips the fold (and its allocations) on the overwhelming
+    * majority of rows that can't contain the pair. */
+  private def mergeFold(sym: Column, l: String, r: String): Column = {
+    val merged = l + r
+    when(array_contains(sym, l) && array_contains(sym, r),
+      aggregate(sym, typedLit(Array.empty[String]), (acc, x) =>
+        when(size(acc) > 0 &&
+             element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+          .otherwise(concat(acc, array(x)))))
+      .otherwise(sym)
+  }
+
+  /** Distributed BPE tokenize: apply a trained merge table (in merge
+    * order) to every row's `wordCol`, appending `n_subtokens` = the
+    * resulting symbol count. Run it on the DISTINCT-WORDS relation and
+    * join back to the corpus — the apply cost is then vocabulary-bounded
+    * no matter the corpus size ([[bpeTrain]]'s scale argument). */
+  def applyMergesDf(words: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+        words.withColumn("__sym",
+          array_remove(split(col(wordCol), ""), ""))) {
+        case (df, (l, r)) => df.withColumn("__sym", mergeFold(col("__sym"), l, r))
+      }
+      .withColumn("n_subtokens", size(col("__sym")).cast(LongType))
+      .drop("__sym")
 
   /** Apply a trained merge table to a word, in merge order — the tokenize
     * side of the model, used by tests to close the train/apply loop. Driver-

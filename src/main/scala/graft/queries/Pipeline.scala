@@ -3956,8 +3956,13 @@ object Pipeline {
     Vocab.bpeTrain(words, "word", "cnt", merges = 8).orderBy("step")
   }
 
-  val p90Sql: String = {
-    val rounds = (1 to 8).map { r =>
+  /** The shared BPE replay chain: word frequencies → char positions →
+    * `rounds` merge rounds (pair counts by lead(), argmax b$r, run-parity
+    * greedy selection s$r, rebased positions p$r, vocab v$r). Shared by
+    * p90 (emits the merge table) and p95 (tokenizes with the final
+    * positions p`rounds`). */
+  private def bpeChainCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
       val prev = s"p${r - 1}"
       s"""pr$r AS MATERIALIZED (SELECT l, r, SUM(cnt) AS c FROM (
          |    SELECT word, cnt, sym AS l,
@@ -3985,19 +3990,23 @@ object Pipeline {
          |v$r AS MATERIALIZED (SELECT COUNT(DISTINCT sym) AS vs FROM p$r)"""
         .stripMargin
     }.mkString(",\n")
+    s"""w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest($sqlToks) AS word FROM documents) t GROUP BY word),
+       |ch AS MATERIALIZED (SELECT word, cnt,
+       |    regexp_split_to_array(word, '') AS cs FROM w),
+       |p0 AS MATERIALIZED (SELECT word, cnt,
+       |    unnest(range(1, len(cs) + 1)) AS i, unnest(cs) AS sym FROM ch),
+       |$roundCtes""".stripMargin
+  }
+
+  val p90Sql: String = {
     val arms = (1 to 8).map { r =>
       s"""SELECT $r AS step, b.l AS left_sym, b.r AS right_sym,
          |  b.l || b.r AS merged, CAST(b.c AS BIGINT) AS pair_count,
          |  CAST(v.vs AS BIGINT) AS vocab_size
          |FROM b$r b CROSS JOIN v$r v""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM (
-       |    SELECT unnest($sqlToks) AS word FROM documents) t GROUP BY word),
-       |ch AS MATERIALIZED (SELECT word, cnt,
-       |    regexp_split_to_array(word, '') AS cs FROM w),
-       |p0 AS MATERIALIZED (SELECT word, cnt,
-       |    unnest(range(1, len(cs) + 1)) AS i, unnest(cs) AS sym FROM ch),
-       |$rounds
+    s"""WITH ${bpeChainCtes(8)}
        |$arms
        |ORDER BY step""".stripMargin
   }
@@ -4193,6 +4202,46 @@ object Pipeline {
        |WHERE i / na.n >= 0.6
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p95 — distributed BPE tokenization: p90's trained merge table APPLIED
+  // to the corpus (the train/apply loop at corpus scale). The apply runs
+  // on the DISTINCT-WORDS relation (vocabulary-bounded — the merge folds
+  // never touch the corpus) and joins back to the exploded corpus for
+  // per-doc subtoken counts. The oracle reuses the shared BPE replay chain
+  // and tokenizes with its FINAL positions relation — so the green row
+  // proves train AND apply agree end-to-end across two independent
+  // formulations (fold-wise engine vs run-parity relational replay).
+  // =========================================================================
+  def p95BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    val words = docs.select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val merges = Vocab.bpeTrain(words, "word", "cnt", merges = 8)
+      .orderBy("step").select("left_sym", "right_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val applied = Vocab.applyMergesDf(words.select(col("word")), "word",
+      merges)
+    docs.select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(applied, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subtokens")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val p95Sql: String =
+    s"""WITH ${bpeChainCtes(8)},
+       |wc AS MATERIALIZED (SELECT word, COUNT(*) AS n FROM p8
+       |  GROUP BY word),
+       |docw AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
+       |FROM docw JOIN wc USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4288,7 +4337,8 @@ object Pipeline {
     "p91_interval_join" -> (p91IntervalJoin _),
     "p92_weighted_sample" -> (p92WeightedSample _),
     "p93_stream_kmeans" -> (p93StreamKmeans _),
-    "p94_containment_join" -> (p94ContainmentJoin _))
+    "p94_containment_join" -> (p94ContainmentJoin _),
+    "p95_bpe_tokenize" -> (p95BpeTokenize _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4382,5 +4432,6 @@ object Pipeline {
     "p91_interval_join" -> p91Sql,
     "p92_weighted_sample" -> p92Sql,
     "p93_stream_kmeans" -> p93Sql,
-    "p94_containment_join" -> p94Sql)
+    "p94_containment_join" -> p94Sql,
+    "p95_bpe_tokenize" -> p95Sql)
 }

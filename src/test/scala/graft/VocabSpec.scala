@@ -92,6 +92,20 @@ class VocabSpec extends SparkSpec {
     assert(viaApply == refSyms)
   }
 
+  test("applyMergesDf == driver applyMerges on random words") {
+    val rnd = new scala.util.Random(95)
+    val words = (1 to 40).map(_ =>
+      Vector.fill(1 + rnd.nextInt(8))("ab" (rnd.nextInt(2))).mkString)
+      .distinct
+    val merges = Seq(("a", "a"), ("b", "b"), ("aa", "b"), ("a", "bb"))
+    val got = Vocab.applyMergesDf(words.toDF("word"), "word", merges)
+      .select("word", "n_subtokens")
+      .as[(String, Long)].collect().toMap
+    words.foreach { w =>
+      assert(got(w) === Vocab.applyMerges(w, merges).size.toLong, s"word $w")
+    }
+  }
+
   test("randomized replay: distributed train == in-memory reference") {
     val rnd = new scala.util.Random(90)
     val alphabet = "abc"

@@ -320,6 +320,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** Incremental containment probe — [[containmentJoinExact]]'s
+    * daily-increment sibling (the p35/p73/p77 formula): all DIRECTED pairs
+    * (a ∈ batch, b ∈ corpus ∪ batch, a ≠ b) with |A∩B|/|A| >= `threshold`,
+    * where the standing corpus participates ONLY through its persisted
+    * ordered relation (`corpusIndex` = [[containmentOrderedAll]] of the
+    * corpus, typically persisted bucketed by `g` for an exchange-free df
+    * aggregation) — the corpus never re-tokenizes or re-shingles.
+    *
+    * The batch's prefix is selected under the CORPUS df order (batch
+    * shingles unseen in the corpus get df 0 — rarest-first, maximally
+    * selective). Prefix completeness holds under ANY fixed order (if
+    * C(a,b) >= t, the >= ceil(t·n_a) common shingles cannot all fit in
+    * a's ceil(t·n_a)−1 suffix slots), so the cross arm drops the
+    * positional filter rather than re-rank the standing corpus under a
+    * merged order; size filter and relational overlap verify are exact as
+    * in p94. In-batch pairs come from [[containmentJoinExact]] over the
+    * batch alone. */
+  def containmentIncremental(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val bsets = jaccardShingleSets(batch, idCol, textCol, shingleSize)
+      .localCheckpoint(true)
+    val bex = bsets.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    val cdf = corpusIndex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val plen = (col("n") - ceil(col("n").cast("double") * lit(threshold))
+      + 1).cast("int")
+    val prefix = bex.join(cdf, Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g"))))
+        .as("__o"))
+      .select(col("id"), col("n"),
+        explode(slice(transform(col("__o"), s => s("g")), lit(1), plen))
+          .as("g"))
+    val alpha = lit(threshold) * col("__na").cast("double") - lit(1e-9)
+    val cand = prefix.select(col("g"), col("id").as("id_a"),
+        col("n").as("__na"))
+      .join(corpusIndex.select(col("g"), col("id").as("id_b"),
+        col("n").as("__nb")), "g")
+      .filter(col("__nb").cast("double") >= alpha)
+      .select(col("id_a"), col("id_b"), col("__na"))
+      .distinct()
+    val cross = cand
+      .join(bex.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(corpusIndex.select(col("id").as("id_b"), col("g")),
+        Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"))
+      .agg(count(lit(1)).as("__i"))
+      .withColumn("containment", col("__i") / col("__na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+    val inBatch = containmentJoinExact(batch, idCol, textCol, threshold,
+      shingleSize)
+    cross.unionByName(inBatch)
+  }
+
   /** The FULL ascending-df ordered relation (id, n, p, g): every shingle
     * of every doc with its 1-based rank in the doc under the global
     * (df, shingle) order — [[jaccardOrderedPrefix]] without the prefix

@@ -4242,6 +4242,67 @@ object Pipeline {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p96 — incremental containment probe: p94's daily-increment sibling
+  // (the p35/p73/p77 formula applied to the DIRECTED excerpt relation).
+  // The standing corpus (doc_id < 400) participates only through its
+  // persisted ordered relation; the batch (doc_id >= 400, plus planted
+  // +30000 twelve-token excerpts of corpus docs 0-4 — token-sliced, so
+  // every excerpt shingle is a shingle of its source and containment is
+  // exactly 1.0) prefixes under the corpus df order. The oracle is the
+  // exploded equi-join over the same split, reconstructing the planted
+  // rows in SQL.
+  // =========================================================================
+  def p96ContainmentIncremental(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    val planted = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 12), " ").as("text"))
+    val batch = docs.filter(col("doc_id") >= 400).unionAll(planted)
+    val index = Dedup.containmentOrderedAll(
+        Dedup.jaccardShingleSets(corpus, "doc_id", "text"))
+      .localCheckpoint(true)
+    Dedup.containmentIncremental(batch, index, "doc_id", "text",
+        threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
+  val p96Sql: String =
+    s"""WITH tk0 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |plant AS (SELECT doc_id + 30000 AS doc_id,
+       |    array_to_string(toks[1:12], ' ') AS text
+       |  FROM tk0 WHERE doc_id < 5),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+       |  UNION ALL SELECT doc_id, text FROM plant),
+       |tc AS (SELECT doc_id, $sqlToks AS toks FROM corpus),
+       |tb AS (SELECT doc_id, $sqlToks AS toks FROM batch),
+       |shc AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |         END) AS s
+       |       FROM tc),
+       |shb AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |         END) AS s
+       |       FROM tb),
+       |nb AS (SELECT doc_id, len(s) AS n FROM shb WHERE len(s) > 0),
+       |exa AS (SELECT doc_id, unnest(s) AS g FROM shb WHERE len(s) > 0),
+       |exb AS (SELECT doc_id, unnest(s) AS g FROM shc WHERE len(s) > 0
+       |  UNION ALL SELECT doc_id, unnest(s) AS g FROM shb WHERE len(s) > 0),
+       |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM exa a JOIN exb b ON a.g = b.g AND a.doc_id != b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, i / nb.n AS containment
+       |FROM ov JOIN nb ON ov.id_a = nb.doc_id
+       |WHERE i / nb.n >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4338,7 +4399,8 @@ object Pipeline {
     "p92_weighted_sample" -> (p92WeightedSample _),
     "p93_stream_kmeans" -> (p93StreamKmeans _),
     "p94_containment_join" -> (p94ContainmentJoin _),
-    "p95_bpe_tokenize" -> (p95BpeTokenize _))
+    "p95_bpe_tokenize" -> (p95BpeTokenize _),
+    "p96_containment_incremental" -> (p96ContainmentIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4433,5 +4495,6 @@ object Pipeline {
     "p92_weighted_sample" -> p92Sql,
     "p93_stream_kmeans" -> p93Sql,
     "p94_containment_join" -> p94Sql,
-    "p95_bpe_tokenize" -> p95Sql)
+    "p95_bpe_tokenize" -> p95Sql,
+    "p96_containment_incremental" -> p96Sql)
 }

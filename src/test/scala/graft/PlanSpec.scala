@@ -165,6 +165,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p90 BPE: word-frequency aggregation and per-round pair counts are " +
+      "two-phase; rounds run on a checkpointed vocabulary relation") {
+    // the corpus-touching aggregation (tokens -> word counts) must combine
+    // map-side: at 100 TB this is the only corpus-scale stage of training
+    val words = graft.sources.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("word"))
+      .groupBy("word").count()
+    val plan = planString(words)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"word counting must aggregate partially before the exchange:\n$plan")
+    // the trained output itself is a driver-assembled model artifact; its
+    // inputs are gated above and its values by the p90/p95 oracles + specs
+  }
+
   test("p92 weighted sample: per-stratum rank is WindowGroupLimit; ticket " +
       "min aggregates partially before its exchange") {
     val plan = planString(graft.queries.Pipeline

@@ -552,6 +552,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentIncremental == full containment join restricted to " +
+      "batch-side probes; corpus only via its index") {
+    import org.apache.spark.sql.functions.col
+    val rng = new Random(96)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val all = (1 to 60).map { i =>
+      val nTok = 5 + rng.nextInt(15)
+      (i.toLong, Seq.fill(nTok)(pool(rng.nextInt(pool.size))).mkString(" "))
+    }
+    val (corpusRows, batchRows0) = all.partition(_._1 <= 40)
+    // planted excerpt of a CORPUS doc inside the batch
+    val batchRows = batchRows0 :+
+      ((999L, corpusRows.head._2.split(" ").take(6).mkString(" ")))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val index = graft.operators.Dedup.containmentOrderedAll(
+      graft.operators.Dedup.jaccardShingleSets(corpus, "doc_id", "text"))
+    for (t <- Seq(0.5, 0.8)) {
+      val got = graft.operators.Dedup
+        .containmentIncremental(batch, index, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batchIds = batchRows.map(_._1).toSet
+      val want = graft.operators.Dedup
+        .containmentJoinExact(corpus.unionAll(batch), "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(p => batchIds.contains(p._1)).toSet
+      assert(got === want, s"threshold $t")
+      assert(got.exists(p => p._1 == 999L && p._2 == corpusRows.head._1),
+        s"planted excerpt must be found at t=$t")
+    }
+  }
+
   test("standardize matches a decimal-staged in-memory replay and is " +
       "partitioning-invariant") {
     import org.apache.spark.sql.functions.col

@@ -165,6 +165,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p94/p96 containment: ordered relation's df join salted; no " +
+      "cartesian; verify stays relational") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    // the salted df join lives pre-checkpoint (the p85 lesson): assert it
+    // on the un-checkpointed ordered relation, the final plans on the rest
+    val orderedPlan = planString(graft.operators.Dedup.containmentOrderedAll(
+      graft.operators.Dedup.jaccardShingleSets(docs, "doc_id", "text")))
+    assert(orderedPlan.contains("__salt"),
+      s"the shingle-frequency join must be salted:\n$orderedPlan")
+    for (q <- Seq("p94_containment_join", "p96_containment_incremental")) {
+      val plan = planString(graft.queries.Pipeline.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate generation must never go cartesian:\n$plan")
+      assert(!plan.contains("array_intersect") &&
+        !plan.contains("array_union"),
+        s"$q: verify must stay relational:\n$plan")
+    }
+  }
+
   test("p90 BPE: word-frequency aggregation and per-round pair counts are " +
       "two-phase; rounds run on a checkpointed vocabulary relation") {
     // the corpus-touching aggregation (tokens -> word counts) must combine

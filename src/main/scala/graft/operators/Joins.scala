@@ -154,9 +154,16 @@ object Joins {
       "keyless interval joins don't scale — provide at least one key")
     // Exact floor division on the nonnegative domain without `div`-by-name
     // string plumbing: subtract the remainder first, so the final `/` always
-    // divides an exact multiple (IEEE-exact for any numerator < 2^53).
-    def fdiv(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    // divides an exact multiple (IEEE-exact for any numerator < 2^53). The
+    // domain is ENFORCED, not assumed: a negative time (pmod ≠ mod there)
+    // or one at/above 2^53 (double rounding) would silently mis-bin, so it
+    // raises in the executor instead.
+    def fdiv(c: Column): Column = {
+      val checked = when(c >= 0 && c < lit(1L << 53), c)
+        .otherwise(raise_error(concat(
+          lit("intervalOverlap time outside [0, 2^53): "), c.cast("string"))))
+      ((checked - pmod(checked, lit(binWidth))) / lit(binWidth)).cast("long")
+    }
     def binned(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(e) > col(s))
         .withColumn("__bin",

@@ -117,6 +117,23 @@ object KMeansStream {
       .agg(sum(col("col").cast(DecimalType(38, 18))).as("bs"),
         count(lit(1)).as("bn"))
       .collect()
+    // Fail loud on ragged input BEFORE any state write (nothing is written
+    // yet, so the failed batch replays cleanly): a vector longer than the
+    // seeded dim would land on an unseeded (cell, pos) key; a shorter one
+    // would silently skew the running mean, because cell counts are taken
+    // from pos 0 rows while sums accrue at every present position. The
+    // check is driver-side over the already-collected K·dim rows: every
+    // touched cell must cover exactly pos 0..dim-1 with one common count.
+    perDim.find(_.getInt(1) >= dim).foreach { r =>
+      throw new IllegalArgumentException(
+        s"batch $batchId has a vector with dimensionality > $dim " +
+          s"(saw pos ${r.getInt(1)}); the seeded bank is $dim-dimensional")
+    }
+    perDim.groupBy(_.getInt(0)).foreach { case (cell, rs) =>
+      require(rs.length == dim && rs.map(_.getLong(3)).distinct.length == 1,
+        s"batch $batchId has ragged vectors (< $dim dims) assigned to " +
+          s"cell $cell; every vector must have exactly $dim dimensions")
+    }
     val touched = perDim.map(_.getInt(0)).toSet
     perDim.foreach { r =>
       val key = (r.getInt(0), r.getInt(1))

@@ -116,4 +116,83 @@ class AdviceRegressionSpec extends SparkSpec {
         s"expected one 4-event session, got $sessions")
     } finally q.stop()
   }
+
+  test("containmentIncremental: a batch doc whose id already exists in the " +
+      "corpus emits no self-pair and no duplicate directed pairs") {
+    // Redelivered/re-crawled doc: id 1 is in BOTH the corpus index and the
+    // batch, with identical text. Without the cross-arm id_a =!= id_b guard
+    // this emitted (1, 1, 1.0).
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta"),
+      (3L, "alpha beta gamma delta eps")).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.containmentOrderedAll(
+      graft.operators.Dedup.jaccardShingleSets(corpus, "doc_id", "text"))
+    val pairs = graft.operators.Dedup
+      .containmentIncremental(batch, index, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!pairs.contains((1L, 1L)), s"self-pair emitted: $pairs")
+    assert(pairs.size === pairs.distinct.size,
+      s"duplicate directed pairs emitted: $pairs")
+    // the redelivered doc still matches its corpus twin's neighbors: 3 ⊆ 1
+    assert(pairs.contains((3L, 1L)), s"expected (3, 1) in $pairs")
+  }
+
+  test("streaming k-means refuses ragged batch vectors before any state write") {
+    import java.nio.file.Files
+    import graft.streaming.KMeansStream
+    val root = Files.createTempDirectory("kmragged_").toString
+    val (state, out) = (s"$root/state", s"$root/out")
+    KMeansStream.writeSeedState(spark, state,
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    // longer than the seeded dim: pos 2 has no seeded (cell, pos) key
+    val eLong = intercept[Exception] {
+      KMeansStream.advanceBatch(spark, state, out, "id", "v")(
+        Seq((1L, Array(1.0, 1.0, 1.0))).toDF("id", "v"), 0L)
+    }
+    assert(eLong.getMessage.contains("dimensionality"), eLong.getMessage)
+    // shorter: would silently skew the running mean without the guard
+    val eShort = intercept[Exception] {
+      KMeansStream.advanceBatch(spark, state, out, "id", "v")(
+        Seq((1L, Array(1.0)), (2L, Array(1.0, 1.0))).toDF("id", "v"), 0L)
+    }
+    assert(eShort.getMessage.contains("ragged"), eShort.getMessage)
+    // neither failed batch may have written a state delta or output
+    val deltas = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(deltas === Seq("v0"), s"failed batches wrote state: $deltas")
+    assert(!new java.io.File(s"$out/b0").exists(),
+      "failed batch wrote output")
+    // a clean batch still advances normally after the failures
+    KMeansStream.advanceBatch(spark, state, out, "id", "v")(
+      Seq((1L, Array(1.0, 1.0))).toDF("id", "v"), 0L)
+    assert(new java.io.File(s"$state/v1").exists())
+  }
+
+  test("intervalOverlap raises on times outside [0, 2^53) instead of " +
+      "silently mis-binning") {
+    val l = Seq((1L, 0L, 10L)).toDF("k", "ls", "le")
+    val r = Seq((1L, 5L, 15L)).toDF("k", "rs", "re")
+    // the valid domain still joins exactly
+    val ok = graft.operators.Joins.intervalOverlap(
+      l, r, Seq("k"), "ls", "le", "rs", "re", binWidth = 4L).count()
+    assert(ok === 1L)
+    val lNeg = Seq((1L, -8L, 10L)).toDF("k", "ls", "le")
+    val eNeg = intercept[Exception] {
+      graft.operators.Joins.intervalOverlap(
+        lNeg, r, Seq("k"), "ls", "le", "rs", "re", binWidth = 4L).count()
+    }
+    assert(eNeg.getMessage.contains("2^53"),
+      s"negative time must raise: ${eNeg.getMessage}")
+    val big = 1L << 53
+    val lBig = Seq((1L, big, big + 10L)).toDF("k", "ls", "le")
+    val eBig = intercept[Exception] {
+      graft.operators.Joins.intervalOverlap(
+        lBig, r, Seq("k"), "ls", "le", "rs", "re", binWidth = 4L).count()
+    }
+    assert(eBig.getMessage.contains("2^53"),
+      s"time >= 2^53 must raise: ${eBig.getMessage}")
+  }
 }

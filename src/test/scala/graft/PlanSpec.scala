@@ -207,8 +207,10 @@ class PlanSpec extends SparkSpec {
       .p92WeightedSample(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"),
       s"rk <= k must push a per-group limit below the window:\n$plan")
-    assert(plan.contains("partial_min") || plan.contains("partial"),
-      s"the ticket-priority min must combine map-side:\n$plan")
+    // the map-side combine must be the TICKET min specifically (a generic
+    // "partial" match would be satisfied by any partial aggregate)
+    assert("partial_min\\(__h".r.findFirstIn(plan).isDefined,
+      s"the ticket-priority min (__h) must combine map-side:\n$plan")
   }
 
   test("p38 vocabulary top-k is TakeOrderedAndProject over partial+final agg") {

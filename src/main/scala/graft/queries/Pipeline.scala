@@ -4303,6 +4303,129 @@ object Pipeline {
        |WHERE i / nb.n >= 0.6
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p97 — BATCHED BPE training at real merge counts (VERDICT r7 #2: the
+  // sequential trainer is one cluster-wide job per merge — a ~30k-merge
+  // production vocabulary needs ~30k sequential jobs). bpeTrainBatched
+  // selects up to 32 pairwise symbol-DISJOINT pairs per round (greedy
+  // first-fit over the ranked top-256 pool) and applies the whole batch in
+  // ONE fold pass: 256 merges land in ~12 rounds here (16-round cap). The
+  // word relation is adjacent-token bigrams — the synthetic corpus has a
+  // ~31-word vocabulary, far too small to sustain 256 distinct-word merges.
+  // The oracle replays every round relationally: pair counts by lead(),
+  // greedy acceptance as a LINEAR RECURSIVE CTE over the ranked pool
+  // (pool-sized, never corpus-sized), run-parity merge selection (batch
+  // disjointness keeps consecutive-match runs single-pair, so p90's
+  // run-parity argument carries over unchanged), and positions rebasing.
+  // Pure integer arithmetic throughout.
+  // =========================================================================
+  private val p97MaxPerRound = 32
+  private val p97Pool = 256
+  private val p97Rounds = 16
+  private val p97Merges = 256
+
+  def p97BpeVocabBatched(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit("_"), b))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    Vocab.bpeTrainBatched(words, "word", "cnt", merges = p97Merges,
+        maxPerRound = p97MaxPerRound, poolFactor = p97Pool / p97MaxPerRound,
+        maxRounds = p97Rounds)
+      .orderBy("step")
+  }
+
+  /** The batched-BPE replay chain (see p97 header). Differs from
+    * [[bpeChainCtes]] per round in the selection stage only: po$r ranks
+    * the top-`pool` pairs, se$r replays greedy disjoint acceptance via a
+    * recursive CTE carrying the accepted-symbol list one rank at a time,
+    * b$r is the accepted batch; m$r/s$r/p$r/v$r are p90's match,
+    * run-parity, rebase and vocab stages generalized to a multi-pair batch
+    * (sel carries WHICH pair matched, so the rebase writes sel.l || sel.r
+    * instead of a cross-joined singleton). */
+  private def bpeBatchedChainCtes(rounds: Int, pool: Int, m: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"p${r - 1}"
+      s"""pr$r AS MATERIALIZED (SELECT l, r, SUM(cnt) AS c FROM (
+         |    SELECT word, cnt, sym AS l,
+         |      lead(sym) OVER (PARTITION BY word ORDER BY i) AS r
+         |    FROM $prev) x WHERE r IS NOT NULL GROUP BY l, r),
+         |po$r AS MATERIALIZED (SELECT l, r, c,
+         |    ROW_NUMBER() OVER (ORDER BY c DESC, l ASC, r ASC) AS rk
+         |  FROM pr$r ORDER BY c DESC, l ASC, r ASC LIMIT $pool),
+         |se$r AS MATERIALIZED (
+         |  WITH RECURSIVE g AS (
+         |      SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used,
+         |        CAST([] AS BIGINT[]) AS picked
+         |    UNION ALL
+         |      SELECT p.rk,
+         |        CASE WHEN len(g.picked) < $m
+         |              AND NOT list_has_any(g.used, [p.l, p.r, p.l || p.r])
+         |             THEN g.used || [p.l, p.r, p.l || p.r] ELSE g.used END,
+         |        CASE WHEN len(g.picked) < $m
+         |              AND NOT list_has_any(g.used, [p.l, p.r, p.l || p.r])
+         |             THEN g.picked || [p.rk] ELSE g.picked END
+         |      FROM g JOIN po$r p ON p.rk = g.rk + 1)
+         |  SELECT unnest(picked) AS rk FROM g
+         |  WHERE rk = (SELECT MAX(rk) FROM g)),
+         |b$r AS MATERIALIZED (SELECT p.l, p.r, p.c,
+         |    ROW_NUMBER() OVER (ORDER BY p.rk) AS brk
+         |  FROM po$r p JOIN se$r s ON p.rk = s.rk),
+         |m$r AS MATERIALIZED (SELECT x.word, x.i, x.l, x.r FROM (
+         |    SELECT word, i, sym AS l,
+         |      lead(sym) OVER (PARTITION BY word ORDER BY i) AS r
+         |    FROM $prev) x JOIN b$r b ON x.l = b.l AND x.r = b.r),
+         |s$r AS MATERIALIZED (SELECT word, i, l, r FROM (
+         |    SELECT word, i, l, r, MIN(i) OVER (PARTITION BY word, grp) AS rs
+         |    FROM (SELECT word, i, l, r,
+         |        i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+         |      FROM m$r) g) h WHERE (i - rs) % 2 = 0),
+         |p$r AS MATERIALIZED (SELECT word, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS i, sym FROM (
+         |    SELECT p.word, p.cnt, p.i,
+         |      CASE WHEN sel.i IS NOT NULL THEN sel.l || sel.r
+         |           ELSE p.sym END AS sym
+         |    FROM $prev p
+         |    LEFT JOIN s$r sel ON p.word = sel.word AND p.i = sel.i
+         |    LEFT JOIN s$r con ON p.word = con.word AND p.i = con.i + 1
+         |    WHERE con.i IS NULL) z),
+         |v$r AS MATERIALIZED (SELECT COUNT(DISTINCT sym) AS vs FROM p$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""w AS MATERIALIZED (
+       |  SELECT w AS word, COUNT(*) AS cnt FROM (
+       |    SELECT toks[i] || '_' || toks[i+1] AS w
+       |    FROM (SELECT $sqlToks AS toks FROM documents) t,
+       |         unnest(range(1, len(toks))) AS u(i)) x GROUP BY w),
+       |ch AS MATERIALIZED (SELECT word, cnt,
+       |    regexp_split_to_array(word, '') AS cs FROM w),
+       |p0 AS MATERIALIZED (SELECT word, cnt,
+       |    unnest(range(1, len(cs) + 1)) AS i, unnest(cs) AS sym FROM ch),
+       |$roundCtes""".stripMargin
+  }
+
+  val p97Sql: String = {
+    val ab = (1 to p97Rounds).map(r =>
+      s"SELECT $r AS round, brk, l, r, c FROM b$r").mkString("\nUNION ALL\n")
+    val vv = (1 to p97Rounds).map(r =>
+      s"SELECT $r AS round, vs FROM v$r").mkString("\nUNION ALL\n")
+    s"""WITH ${bpeBatchedChainCtes(p97Rounds, p97Pool, p97MaxPerRound)},
+       |ab AS ($ab),
+       |vv AS ($vv),
+       |st AS (SELECT round, l, r, c,
+       |    ROW_NUMBER() OVER (ORDER BY round, brk) AS step FROM ab)
+       |SELECT CAST(st.step AS INTEGER) AS step,
+       |  CAST(st.round AS INTEGER) AS round,
+       |  st.l AS left_sym, st.r AS right_sym, st.l || st.r AS merged,
+       |  CAST(st.c AS BIGINT) AS pair_count, CAST(vv.vs AS BIGINT) AS vocab_size
+       |FROM st JOIN vv ON st.round = vv.round
+       |WHERE st.step <= $p97Merges
+       |ORDER BY step""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4400,7 +4523,8 @@ object Pipeline {
     "p93_stream_kmeans" -> (p93StreamKmeans _),
     "p94_containment_join" -> (p94ContainmentJoin _),
     "p95_bpe_tokenize" -> (p95BpeTokenize _),
-    "p96_containment_incremental" -> (p96ContainmentIncremental _))
+    "p96_containment_incremental" -> (p96ContainmentIncremental _),
+    "p97_bpe_batched" -> (p97BpeVocabBatched _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4496,5 +4620,6 @@ object Pipeline {
     "p93_stream_kmeans" -> p93Sql,
     "p94_containment_join" -> p94Sql,
     "p95_bpe_tokenize" -> p95Sql,
-    "p96_containment_incremental" -> p96Sql)
+    "p96_containment_incremental" -> p96Sql,
+    "p97_bpe_batched" -> p97Sql)
 }

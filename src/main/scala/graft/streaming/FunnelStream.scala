@@ -30,7 +30,8 @@ object FunnelStream {
     * append the state delta as `stateRoot/v<batchId + 1>`. */
   def advanceBatch(spark: SparkSession, stateRoot: String, outRoot: String,
       keyCol: String, tsCol: String, tieCol: String, typeCol: String,
-      steps: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+      steps: Seq[String], autoCompactVersions: Option[Int] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
     val versions = Versions.list(spark, stateRoot)
     require(versions.exists(_._1 == 0L),
       s"standing state $stateRoot/v0 missing — write it (empty for a cold " +
@@ -42,8 +43,16 @@ object FunnelStream {
           "existing deltas would fork their lineage; resume from the " +
           "original checkpoint or start new roots")
     }
+    val current = autoCompactVersions match {
+      case Some(k) => Versions.autoCompact(spark, stateRoot, batchId, k, df =>
+        df.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+              .orderBy(col("__v").desc)))
+          .filter(col("__rn") === 1).drop("__rn"))
+      case None => versions
+    }
     val prior = spark.read
-      .parquet(versions.filter(_._1 <= batchId).map(_._2.toString): _*)
+      .parquet(current.filter(_._1 <= batchId).map(_._2.toString): _*)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
           .orderBy(col("__v").desc)))

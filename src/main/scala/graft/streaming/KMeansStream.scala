@@ -74,7 +74,8 @@ object KMeansStream {
     * emit every touched cell's full centroid to `outRoot/b<batchId>`, and
     * append the state delta as `stateRoot/v<batchId + 1>`. */
   def advanceBatch(spark: SparkSession, stateRoot: String, outRoot: String,
-      idCol: String, vecCol: String)(batch: DataFrame, batchId: Long): Unit = {
+      idCol: String, vecCol: String, autoCompactVersions: Option[Int] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
     import graft.functions.VectorExpressions.nearestCentroids
     val versions = Versions.list(spark, stateRoot)
     require(versions.exists(_._1 == 0L),
@@ -86,9 +87,17 @@ object KMeansStream {
           "existing deltas would fork their lineage; resume from the " +
           "original checkpoint or start new roots")
     }
+    val current = autoCompactVersions match {
+      case Some(k) => Versions.autoCompact(spark, stateRoot, batchId, k, df =>
+        df.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cell", "pos")
+              .orderBy(col("__v").desc)))
+          .filter(col("__rn") === 1).drop("__rn"))
+      case None => versions
+    }
     // Carried state: newest row per (cell, pos) across versions <= batchId.
     val prior = spark.read
-      .parquet(versions.filter(_._1 <= batchId).map(_._2.toString): _*)
+      .parquet(current.filter(_._1 <= batchId).map(_._2.toString): _*)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("cell", "pos")
           .orderBy(col("__v").desc)))

@@ -33,9 +33,11 @@ object NearDupStream {
   def filterBatch(spark: SparkSession, indexRoot: String, docsRoot: String,
       outRoot: String, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      threshold: Double = 0.6, maxBucketSize: Int = 200, seed: Long = 42L)(
+      threshold: Double = 0.6, maxBucketSize: Int = 200, seed: Long = 42L,
+      autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    def deltasOf(root: String, what: String): Seq[String] = {
+    def deltasOf(root: String, what: String,
+        compactTransform: DataFrame => DataFrame): Seq[String] = {
       val versions = Versions.list(spark, root)
       require(versions.exists(_._1 == 0L),
         s"standing $what $root/v0 missing — write it before starting the stream")
@@ -46,10 +48,19 @@ object NearDupStream {
             "deltas would fork their lineage; resume from the original " +
             "checkpoint or start new roots")
       }
-      versions.filter(_._1 <= batchId).map(_._2.toString)
+      val current = autoCompactVersions match {
+        case Some(k) =>
+          Versions.autoCompact(spark, root, batchId, k, compactTransform)
+        case None => versions
+      }
+      current.filter(_._1 <= batchId).map(_._2.toString)
     }
-    val idx = spark.read.parquet(deltasOf(indexRoot, "band index"): _*)
-    val existingDocs = spark.read.parquet(deltasOf(docsRoot, "docs store"): _*)
+    // same per-store transforms as compactStores (band rows distinct,
+    // docs plain union)
+    val idx = spark.read.parquet(
+      deltasOf(indexRoot, "band index", _.distinct()): _*)
+    val existingDocs = spark.read.parquet(
+      deltasOf(docsRoot, "docs store", identity): _*)
     Dedup.minhashPairsIncremental(batch, idCol, textCol, idx, existingDocs,
         numHashes, bands, shingleSize, threshold, maxBucketSize, seed)
       .withColumn("batch", lit(batchId))

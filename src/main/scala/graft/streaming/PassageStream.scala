@@ -38,9 +38,15 @@ object PassageStream {
     * index-as-of-this-batch, write its stats to `outRoot/b<batchId>`, and
     * append its window-fingerprint delta as `indexRoot/v<batchId+1>`.
     * Attach with
-    * `docs.writeStream.foreachBatch(PassageStream.filterBatch(spark, idx, out, "doc_id", "text") _)`. */
+    * `docs.writeStream.foreachBatch(PassageStream.filterBatch(spark, idx, out, "doc_id", "text") _)`.
+    *
+    * `autoCompactVersions = Some(k)` bounds the per-batch read fan-in: a
+    * batch that sees more than k visible deltas folds them into the base
+    * before probing ([[Versions.autoCompact]] — read-equivalent, inside
+    * this batch's own lineage guard). */
   def filterBatch(spark: SparkSession, indexRoot: String, outRoot: String,
-      idCol: String, textCol: String, windowTokens: Int = 8)(
+      idCol: String, textCol: String, windowTokens: Int = 8,
+      autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val versions = Versions.list(spark, indexRoot)
     require(versions.exists(_._1 == 0L),
@@ -53,7 +59,12 @@ object PassageStream {
           "existing index would fork its lineage; resume from the original " +
           "checkpoint or start a new index root")
     }
-    val deltas = versions.filter(_._1 <= batchId).map(_._2.toString)
+    val current = autoCompactVersions match {
+      case Some(k) =>
+        Versions.autoCompact(spark, indexRoot, batchId, k, _.distinct())
+      case None => versions
+    }
+    val deltas = current.filter(_._1 <= batchId).map(_._2.toString)
     val idx = spark.read.parquet(deltas: _*)
     Dedup.duplicatePassageStatsIncremental(batch, idCol, textCol, idx,
         windowTokens)

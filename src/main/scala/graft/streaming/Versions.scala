@@ -55,6 +55,29 @@ object Versions {
     * every batch `b >= upTo`, reading {transform(union v0..v<upTo>)} ∪
     * {later deltas} must produce the same operator results as the
     * uncompacted union. */
+  /** Version-count-threshold auto-compaction for `foreachBatch` bodies
+    * (VERDICT r7 #6: [[compact]] existed but nothing called it
+    * automatically, so a long-lived stream's per-batch read fan-in grew
+    * with stream lifetime): when more than `threshold` versions are
+    * visible to the executing batch (ids <= `batchId`), fold them into
+    * the base with `transform`, bounding every batch's read at
+    * `threshold + 1` version roots regardless of how long the stream has
+    * run. Call it AFTER the store's lineage guard, at batch start —
+    * `upTo = batchId` is then within [[compact]]'s safety bound (the
+    * executing batch is uncommitted, so every committed batch is
+    * < `batchId`). A redelivered batch that already compacted sees a
+    * single base below threshold and skips; reads are version-set
+    * invariant either way, so outputs stay byte-identical. Returns the
+    * refreshed version list. */
+  def autoCompact(spark: SparkSession, root: String, batchId: Long,
+      threshold: Int, transform: DataFrame => DataFrame = identity)
+      : Seq[(Long, Path)] = {
+    require(threshold >= 1, s"autoCompact threshold must be >= 1: $threshold")
+    val visible = list(spark, root).filter(_._1 <= batchId)
+    if (visible.size > threshold) compact(spark, root, batchId, transform)
+    list(spark, root)
+  }
+
   def compact(spark: SparkSession, root: String, upTo: Long,
       transform: DataFrame => DataFrame = identity): Unit = {
     val versions = list(spark, root)

@@ -272,6 +272,63 @@ class StreamingSpec extends SparkSpec {
     assert(versionNames() === Seq("v0", "v1", "v2", "v3"))
   }
 
+  test("auto-compaction bounds a long-lived stream's version fan-in at " +
+      "K+1 reads and stays byte-identical to the uncompacted run") {
+    import java.nio.file.Files
+    import graft.streaming.PassageStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("autocompact_").toString
+    val (idxA, outA) = (s"$root/idxA", s"$root/outA")
+    val (idxB, outB) = (s"$root/idxB", s"$root/outB")
+    val standing = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    Seq(idxA, idxB).foreach { idx =>
+      graft.operators.Dedup
+        .passageWindowIndex(standing, "doc_id", "text", windowTokens = 3)
+        .write.parquet(s"$idx/v0")
+    }
+    def txt(i: Int) = s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"
+    // batch i: one novel doc + one replay (of the standing corpus early,
+    // of batch i-3's novel text later — by batch 8 that text's delta has
+    // been folded into the base TWICE, so detection must read through the
+    // compacted base)
+    val batches = (0 until 9).map { i =>
+      val replay =
+        if (i >= 3) (200L + i, txt(i - 3))
+        else (300L + i, "alpha beta gamma delta")
+      Seq((100L + i, txt(i)), replay).toDF("doc_id", "text")
+    }
+    val K = 4
+    def names(idx: String) = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      PassageStream.filterBatch(spark, idxA, outA, "doc_id", "text",
+        windowTokens = 3, autoCompactVersions = Some(K))(b, i.toLong)
+      // a batch reads at most K+1 versions (it compacts above K BEFORE
+      // reading), and leaves at most base + K deltas + its own new delta
+      assert(names(idxA).size <= K + 2,
+        s"batch $i left versions ${names(idxA)}")
+      PassageStream.filterBatch(spark, idxB, outB, "doc_id", "text",
+        windowTokens = 3)(b, i.toLong)
+    }
+    assert(names(idxB).size === 10, "control run must keep every delta")
+    assert(names(idxA).size <= K + 2, "compaction never ran")
+    // every batch's stats byte-identical to the uncompacted control
+    (0 until 9).foreach { i =>
+      val a = spark.read.parquet(s"$outA/b$i").collect()
+        .map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$outB/b$i").collect()
+        .map(_.toString).sorted.toSeq
+      assert(a === b, s"batch $i diverged under auto-compaction")
+    }
+    // the late replay is fully flagged THROUGH the twice-compacted base
+    val r = spark.read.parquet(s"$outA/b8")
+      .select("doc_id", "n_dup_windows", "n_windows")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(208L)._1 === r(208L)._2,
+      "replay of a compacted-away delta must still be detected")
+    assert(r(108L)._1 === 0L)
+  }
+
   test("streaming near-dup filter: cross-batch pair surfaces in the later " +
       "batch; redelivery idempotent") {
     import java.nio.file.{Files, Paths}

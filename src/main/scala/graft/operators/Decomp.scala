@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed principal-component analysis over an embedding corpus —
+  * the whitening / dimensionality-reduction pass that precedes semantic
+  * dedup and ANN indexing in an LLM data pipeline (SemDeDup-style
+  * curation typically runs on PCA-reduced vectors).
+  *
+  * Architecture (the 100 TB shape):
+  *   1. ONE scan computes every covariance ingredient — per-dim sums and
+  *      all upper-triangle pairwise product sums — as a scan-shaped
+  *      explode of d + d(d+1)/2 terms per vector into a partial-aggregated
+  *      groupBy with d(d+3)/2 groups (for d=64: 2,144). Map-side combine
+  *      collapses each partition to one row per group, so the exchange
+  *      carries a model-sized relation regardless of corpus size.
+  *   2. The d×d covariance matrix (model-sized) folds to the DRIVER, which
+  *      runs `iters` rounds of power iteration with Hotelling deflation
+  *      for the top-k components — O(k·iters·d²) scalar flops, microseconds
+  *      at d=64; no cluster round-trips per iteration (contrast: an RSVD on
+  *      the cluster would pay a shuffle per multiply).
+  *   3. ONE more scan projects every vector onto the k components — a pure
+  *      codegen'd projection with the mean and components embedded as
+  *      array literals. No join, no shuffle.
+  *
+  * Determinism bridge (the p82/p93 discipline): sums are decimal-staged —
+  * `CAST(x AS DECIMAL(38,18))` termwise, summed exactly, so the result is
+  * bit-identical under any partitioning — and every double fold downstream
+  * (matvec, norm, projection) is a 0.0-seeded LEFT fold in a fixed order,
+  * so a DuckDB oracle replays the whole decomposition bit-for-bit:
+  * covariance from the VARCHAR-bridged decimal sums, power iteration as
+  * unrolled per-iteration CTEs with `list_reduce(list_prepend(0.0, …))`
+  * folds, projection with the identical term order. IEEE sqrt/divide are
+  * correctly rounded, so equal inputs give equal doubles in both engines.
+  *
+  * The fixed iteration count is part of the SPEC, not a convergence
+  * heuristic: both engines run exactly `iters` rounds from the exact
+  * uniform start vector 1/√d, so the result is a deterministic function
+  * of the data even where eigenvalues are nearly degenerate.
+  *
+  * The reference has no linear-algebra surface at all; this extends §2c's
+  * "similarity search" embedding family. Power iteration per Mises &
+  * Pollaczek-Geiringer (1929); deflation per Hotelling (1933).
+  */
+object Decomp {
+
+  /** Fitted model: per-dim means, top-k components (rows), eigenvalue
+    * estimates (the final iteration's pre-normalization norm). */
+  final case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Fit the top-`k` principal components of `vecCol` (array<float|double>)
+    * with `iters` power-iteration rounds per component. One scan + one
+    * model-sized exchange + one driver-side O(k·iters·d²) solve.
+    * Fails loud on ragged vector lengths (a silent mix of dims would
+    * corrupt every covariance entry). */
+  def pcaFit(corpus: DataFrame, k: Int = 2, iters: Int = 16,
+      vecCol: String = "embedding"): PcaModel = {
+    val ve = corpus.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) > 0)
+    // one pass: (i, -1) rows carry per-dim sums, (i, j>=i) rows carry the
+    // upper-triangle product sums; counts per group double as the ragged
+    // check (every group must have seen every vector)
+    val rows = ve.select(explode(expr(
+      """concat(
+        |  transform(sequence(0, size(v) - 1),
+        |    i -> struct(i AS i, -1 AS j, CAST(v[i] AS DECIMAL(38,18)) AS p)),
+        |  flatten(transform(sequence(0, size(v) - 1),
+        |    i -> transform(sequence(i, size(v) - 1),
+        |      j -> struct(i AS i, j AS j,
+        |             CAST(v[i] * v[j] AS DECIMAL(38,18)) AS p)))))"""
+        .stripMargin)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    require(rows.nonEmpty, "pcaFit: empty corpus")
+    val counts = rows.map(_.getLong(3)).distinct
+    require(counts.length == 1,
+      s"pcaFit: ragged vector lengths (group counts ${counts.sorted.toSeq})")
+    val n = counts.head.toDouble
+    val d = rows.map(_.getInt(0)).max + 1
+    require(k >= 1 && k <= d, s"pcaFit: k=$k out of range for dim $d")
+
+    // mirror the oracle's expression tree exactly: decimal → double cast,
+    // then s/n and s2/n − mu_i·mu_j in doubles
+    val mu = Array.ofDim[Double](d)
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      if (r.getInt(1) == -1)
+        mu(r.getInt(0)) = r.getDecimal(2).doubleValue / n
+    }
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      if (j >= 0) {
+        val c = r.getDecimal(2).doubleValue / n - mu(i) * mu(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+      }
+    }
+
+    var m = cov
+    val comps = Array.ofDim[Double](k, d)
+    val eigs = Array.ofDim[Double](k)
+    val v0 = 1.0 / math.sqrt(d.toDouble)
+    for (c <- 0 until k) {
+      var v = Array.fill(d)(v0)
+      var lam = 0.0
+      for (_ <- 0 until iters) {
+        // matvec: 0.0-seeded left fold over j ascending (= the oracle's
+        // list_reduce(list_prepend(0.0, …)))
+        val w = Array.tabulate(d) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc = acc + m(i)(j) * v(j); j += 1 }
+          acc
+        }
+        var sq = 0.0
+        var i = 0
+        while (i < d) { sq = sq + w(i) * w(i); i += 1 }
+        val nrm = math.sqrt(sq)
+        require(nrm > 0.0,
+          s"pcaFit: power iteration collapsed (component $c) — " +
+        "the deflated matrix annihilated the start vector")
+        lam = nrm
+        v = w.map(_ / nrm)
+      }
+      comps(c) = v
+      eigs(c) = lam
+      val prev = m
+      m = Array.tabulate(d, d)((i, j) => prev(i)(j) - lam * v(i) * v(j))
+    }
+    PcaModel(mu, comps, eigs)
+  }
+
+  /** Project every vector onto `model`'s components: pure codegen'd scan,
+    * mean/components embedded as literals. Output columns `pc1..pck`
+    * (0.0-seeded left-fold dot products — the oracle's term order). */
+  def pcaProject(corpus: DataFrame, model: PcaModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val muLit = array(model.mean.map(lit): _*)
+    val ve = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    def proj(pc: Array[Double]): Column = {
+      val pcLit = array(pc.map(lit): _*)
+      aggregate(
+        sequence(lit(0), size(col("__v")) - 1),
+        lit(0.0),
+        (acc, i) => acc +
+          (element_at(col("__v"), i + 1) - element_at(muLit, i + 1)) *
+            element_at(pcLit, i + 1))
+    }
+    ve.select(col(idCol) +:
+      model.components.zipWithIndex.map { case (pc, c) =>
+        proj(pc).as(s"pc${c + 1}")
+      }: _*)
+  }
+
+  /** Fit + project in one call (the registry shape). */
+  def pca(corpus: DataFrame, k: Int = 2, iters: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pcaProject(corpus, pcaFit(corpus, k, iters, vecCol), idCol, vecCol)
+}

@@ -118,9 +118,6 @@ object Dedup {
       shingleSize: Int = 3, threshold: Double = 0.6,
       maxBucketSize: Int = 200, seed: Long = 42L,
       charShingles: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
     // char mode: k-gram shingles over the raw string — for scripts without
     // token boundaries (CJK) or when punctuation/casing must count
     val shingles = array_distinct(
@@ -128,18 +125,8 @@ object Dedup {
       else TextFunctions.tokenShingles(
         TextFunctions.tokens(col(textCol)), shingleSize))
     val shingleTable = docs.select(col(idCol).as("id"), shingles.as("sh"))
-    val sig = shingleTable.select(col("id"),
-      HashFunctions.minhashSignature(col("sh"), numHashes, seed).as("sig"))
-
-    // one row per (doc, band): bucket = hash of the band's signature slice.
-    // Only (id, band, bucket) ever enters the exchange — the heavy shingle
-    // arrays stay behind and are re-joined for candidate verification only.
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-
-    val candidates = bucketPairs(banded, Seq("band", "bucket"), maxBucketSize)
+    val candidates = minhashBandCandidates(shingleTable, numHashes, bands,
+      maxBucketSize, seed)
 
     candidates
       .join(shingleTable.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -147,6 +134,67 @@ object Dedup {
       .withColumn("jaccard", jaccardExpr(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The LSH banding stage shared by [[minhashPairs]] and
+    * [[editDistancePairs]]: shingle sets → minhash signature → `bands`
+    * band-slice hashes → in-bucket candidate pairs under `maxBucketSize`.
+    * Only (id, band, bucket) ever enters the exchange — the heavy shingle
+    * arrays stay behind and are re-joined for verification only. */
+  private def minhashBandCandidates(shingleTable: DataFrame, numHashes: Int,
+      bands: Int, maxBucketSize: Int, seed: Long): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = shingleTable.select(col("id"),
+      HashFunctions.minhashSignature(col("sh"), numHashes, seed).as("sig"))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    bucketPairs(banded, Seq("band", "bucket"), maxBucketSize)
+  }
+
+  /** Edit-distance near-duplicate join: candidate pairs from the SAME
+    * MinHash-LSH banding as [[minhashPairs]] (shingle-set similarity is
+    * the only signal that blocks usefully — a q-gram prefix filter over a
+    * dense-vocabulary corpus degenerates, see [[jaccardJoinExact]]'s df
+    * discussion), then verified with EXACT character-level Levenshtein
+    * distance — `levenshtein(a, b, maxDist)`, the threshold variant, which
+    * abandons a pair's DP early once `maxDist` is exceeded (O(maxDist·n)
+    * instead of O(n·m) per candidate). Distances are INTEGER — unlike the
+    * Jaccard/cosine families there is no floating-point anywhere in the
+    * verify, so the oracle comparison is exact by construction.
+    *
+    * A cheap `abs(len_a − len_b) <= maxDist` pre-filter runs before the
+    * text join: length difference lower-bounds edit distance, so it only
+    * prunes pairs that cannot qualify.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist <= maxDist. Like
+    * every banded family member this is approximate-recall: a qualifying
+    * pair the banding never co-buckets is not returned ([[jaccardJoinExact]]
+    * is the exact-recall counterpart for set similarity).
+    */
+  def editDistancePairs(
+      docs: DataFrame, idCol: String, textCol: String, maxDist: Int,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucketSize: Int = 200, seed: Long = 42L): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val shingles = array_distinct(TextFunctions.tokenShingles(
+      TextFunctions.tokens(col(textCol)), shingleSize))
+    val shingleTable = docs.select(col(idCol).as("id"), shingles.as("sh"))
+    val candidates = minhashBandCandidates(shingleTable, numHashes, bands,
+      maxBucketSize, seed)
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).as("len"))
+    candidates
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a"),
+        col("len").as("len_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b"),
+        col("len").as("len_b")), "id_b")
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** EXACT all-pairs Jaccard set-similarity join via prefix + length

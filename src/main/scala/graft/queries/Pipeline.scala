@@ -4426,6 +4426,195 @@ object Pipeline {
        |ORDER BY step""".stripMargin
   }
 
+  // =========================================================================
+  // p98 — Gopher-family repetition statistics + keep verdict: the
+  // shuffle-free generalization of p20 (which pays an explode + two
+  // groupBy exchanges for ONE ratio; this computes four signals and a
+  // verdict as a pure scan-shaped projection — at 100 TB the repetition
+  // pass costs exactly one parquet read). Exact-integer counts, one
+  // double division per ratio, a BIGINT-packed run-length fold — every
+  // value replays bit-for-bit in the oracle (no ln/entropy ulp risk).
+  // =========================================================================
+  def p98RepetitionStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.repetitionStats(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val p98Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |b AS (SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(1, len(toks)),
+       |                i -> toks[i] || ' ' || toks[i + 1]) END AS bg
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS n_toks,
+       |  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+       |            / CAST(len(toks) AS DOUBLE) END AS distinct_ratio,
+       |  CASE WHEN len(toks) < 2 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE CAST(list_max(list_transform(list_distinct(bg),
+       |              g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+       |            / CAST(len(bg) AS DOUBLE) END AS top_bigram_frac,
+       |  CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(len(bg) - len(list_filter(list_distinct(bg),
+       |              g -> len(list_filter(bg, x -> x = g)) = 1)) AS DOUBLE)
+       |            / CAST(len(bg) AS DOUBLE) END AS dup_bigram_frac,
+       |  CASE WHEN len(toks) < 2 THEN CAST(least(len(toks), 1) AS INT)
+       |       ELSE CAST(list_reduce(
+       |              list_prepend(CAST(1000000001 AS BIGINT),
+       |                           range(1, len(toks))),
+       |              (acc, i) -> CASE WHEN toks[i + 1] = toks[i]
+       |                THEN ((acc // 1000000000) + 1) * 1000000000
+       |                     + greatest(acc % 1000000000,
+       |                                (acc // 1000000000) + 1)
+       |                ELSE 1000000000
+       |                     + greatest(acc % 1000000000,
+       |                                CAST(1 AS BIGINT)) END)
+       |            % 1000000000 AS INT) END AS max_run,
+       |  (CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |        ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+       |             / CAST(len(toks) AS DOUBLE) END >= 0.5
+       |   AND CASE WHEN len(toks) < 2 THEN CAST(1.0 AS DOUBLE)
+       |        ELSE CAST(list_max(list_transform(list_distinct(bg),
+       |               g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+       |             / CAST(len(bg) AS DOUBLE) END <= 0.10
+       |   AND CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE)
+       |        ELSE CAST(len(bg) - len(list_filter(list_distinct(bg),
+       |               g -> len(list_filter(bg, x -> x = g)) = 1)) AS DOUBLE)
+       |             / CAST(len(bg) AS DOUBLE) END <= 0.55
+       |   AND CASE WHEN len(toks) < 2 THEN CAST(least(len(toks), 1) AS INT)
+       |        ELSE CAST(list_reduce(
+       |               list_prepend(CAST(1000000001 AS BIGINT),
+       |                            range(1, len(toks))),
+       |               (acc, i) -> CASE WHEN toks[i + 1] = toks[i]
+       |                 THEN ((acc // 1000000000) + 1) * 1000000000
+       |                      + greatest(acc % 1000000000,
+       |                                 (acc // 1000000000) + 1)
+       |                 ELSE 1000000000
+       |                      + greatest(acc % 1000000000,
+       |                                 CAST(1 AS BIGINT)) END)
+       |             % 1000000000 AS INT) END <= 2) AS keep
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
+  // p99 — edit-distance near-duplicate join: the p08 LSH banding reused as
+  // the blocking stage, with an exact character-level Levenshtein verify
+  // (threshold DP, integer result — no floating-point anywhere past the
+  // banding). The fuzzy-dedup family member for "same page, small diff"
+  // crawl duplicates where token-set similarity alone over-merges. The
+  // oracle replays the identical banding chain (shared CTEs with p08) and
+  // verifies with DuckDB's levenshtein — both engines implement the
+  // standard unit-cost DP, so distances match exactly.
+  // =========================================================================
+  private val p99MaxDist = 60
+
+  def p99EditDistNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxDist = p99MaxDist)
+      .orderBy("id_a", "id_b")
+
+  val p99Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("", "t")},
+       |${sqlMinhashPairCtes("")}
+       |SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(da.text, db.text) AS INT) AS dist
+       |FROM cand c
+       |JOIN documents da ON c.id_a = da.doc_id
+       |JOIN documents db ON c.id_b = db.doc_id
+       |WHERE levenshtein(da.text, db.text) <= $p99MaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // =========================================================================
+  // p100 — distributed PCA projection (graft.operators.Decomp): covariance
+  // from ONE decimal-staged scan (model-sized exchange), top-2 components
+  // by driver-side power iteration with deflation (fixed 16 rounds — part
+  // of the spec, so the result is a deterministic data function), then ONE
+  // codegen'd projection scan. The oracle replays the whole decomposition
+  // bit-for-bit: VARCHAR-bridged decimal sums (the p82 cast-parity
+  // discipline), per-iteration unrolled CTEs whose matvec/norm folds are
+  // 0.0-seeded left folds (`list_reduce(list_prepend(0.0, …))` = the
+  // engine's while-loop order), IEEE-exact sqrt/divide. Nothing here is
+  // rounded for the comparison — the doubles must (and do) match exactly.
+  // =========================================================================
+  private val p100Iters = 16
+
+  /** Unrolled power-iteration CTEs `${tag}0..${tag}T` over a matrix CTE
+    * exposing a 64×64 list-of-lists column `m`; each `${tag}t` exposes the
+    * normalized vector `v` and the pre-normalization norm `lam`. */
+  private def pcaIterCtes(tag: String, matCte: String, iters: Int): String = {
+    val init = s"""${tag}0 AS (SELECT list_transform(range(0, 64),
+                  |    x -> CAST(0.125 AS DOUBLE)) AS v)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""w$tag$t AS (SELECT list_transform(range(0, 64), i ->
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, 64), j -> m[i + 1][j + 1] * v[j + 1])),
+         |      (a, b) -> a + b)) AS w
+         |  FROM $tag${t - 1}, $matCte),
+         |n$tag$t AS (SELECT w,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(w, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM w$tag$t),
+         |$tag$t AS (SELECT list_transform(w, x -> x / nrm) AS v, nrm AS lam
+         |  FROM n$tag$t)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  def p100PcaProject(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Decomp.pca(Tables.embeddings(spark, dir),
+        k = 2, iters = p100Iters)
+      .orderBy("vec_id")
+
+  val p100Sql: String = {
+    val T = p100Iters
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |ii AS (SELECT unnest(range(64)) AS i),
+       |ex AS (SELECT id, CAST(i AS INT) AS i, v[i + 1] AS x
+       |  FROM e CROSS JOIN ii),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+       |ms AS (SELECT i, CAST(CAST(SUM(CAST(CAST(x AS VARCHAR)
+       |    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s
+       |  FROM ex GROUP BY i),
+       |mu AS (SELECT i, s / n AS mu FROM ms CROSS JOIN n),
+       |pr AS (SELECT a.i AS i, b.i AS j,
+       |    CAST(CAST(SUM(CAST(CAST(a.x * b.x AS VARCHAR)
+       |      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s2
+       |  FROM ex a JOIN ex b ON a.id = b.id AND b.i >= a.i
+       |  GROUP BY a.i, b.i),
+       |cv0 AS (SELECT p.i AS i, p.j AS j, p.s2 / n - ma.mu * mb.mu AS c
+       |  FROM pr p CROSS JOIN n
+       |  JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j),
+       |cv AS (SELECT i, j, c FROM cv0
+       |       UNION ALL SELECT j AS i, i AS j, c FROM cv0 WHERE i <> j),
+       |cm AS (SELECT list(r ORDER BY i) AS m
+       |  FROM (SELECT i, list(c ORDER BY j) AS r FROM cv GROUP BY i) q),
+       |${pcaIterCtes("pa", "cm", T)},
+       |cm2 AS (SELECT list_transform(range(0, 64), i ->
+       |    list_transform(range(0, 64), j ->
+       |      m[i + 1][j + 1] - lam * v[i + 1] * v[j + 1])) AS m
+       |  FROM cm, pa$T),
+       |${pcaIterCtes("pb", "cm2", T)},
+       |muarr AS (SELECT list(mu ORDER BY i) AS mus FROM mu),
+       |c1 AS (SELECT v AS p FROM pa$T),
+       |c2 AS (SELECT v AS p FROM pb$T)
+       |SELECT e.id AS vec_id,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(0, 64),
+       |      i -> (e.v[i + 1] - mus[i + 1]) * c1.p[i + 1])),
+       |    (a, b) -> a + b) AS pc1,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(0, 64),
+       |      i -> (e.v[i + 1] - mus[i + 1]) * c2.p[i + 1])),
+       |    (a, b) -> a + b) AS pc2
+       |FROM e, muarr, c1, c2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4524,7 +4713,10 @@ object Pipeline {
     "p94_containment_join" -> (p94ContainmentJoin _),
     "p95_bpe_tokenize" -> (p95BpeTokenize _),
     "p96_containment_incremental" -> (p96ContainmentIncremental _),
-    "p97_bpe_batched" -> (p97BpeVocabBatched _))
+    "p97_bpe_batched" -> (p97BpeVocabBatched _),
+    "p98_repetition_stats" -> (p98RepetitionStats _),
+    "p99_editdist_neardup" -> (p99EditDistNearDup _),
+    "p100_pca_project" -> (p100PcaProject _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4621,5 +4813,8 @@ object Pipeline {
     "p94_containment_join" -> p94Sql,
     "p95_bpe_tokenize" -> p95Sql,
     "p96_containment_incremental" -> p96Sql,
-    "p97_bpe_batched" -> p97Sql)
+    "p97_bpe_batched" -> p97Sql,
+    "p98_repetition_stats" -> p98Sql,
+    "p99_editdist_neardup" -> p99Sql,
+    "p100_pca_project" -> p100Sql)
 }

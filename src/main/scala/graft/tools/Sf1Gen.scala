@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Dev tool: synthesize an sf1 (~10× sf0.1) `documents` + `embeddings`
+  * directory for the VERDICT r7 #4 scale probe. The driver only ships
+  * sf0.001/0.01/0.1; the heavy dedup/ANN family needs one data point above
+  * sf0.1 to show the plans survive a 10× scale-up, not just that their
+  * shape is right.
+  *
+  * Mirrors the shipped generator's statistical character (measured from
+  * /root/testdata/sf0.1): documents = 10–100 words uniform over the same
+  * 31-word vocabulary, lang mix ≈ en 41% / zh,es,fr,de ~15% each, 20
+  * uniform sources, ~3% of docs near-copies of an earlier doc (5% token
+  * mutation) so the near-dup family has real hits; embeddings = unit-norm
+  * 64-d vectors around the 10 per-label sf0.1 centroids (per-label,
+  * per-dim mean/σ FIT from the shipped data — a model-sized pull), labels
+  * uniform. Deterministic: every partition seeds java.util.Random from
+  * (SEED, partitionId); re-runs are byte-stable.
+  *
+  * Usage: runMain graft.tools.Sf1Gen [outDir] [multiplier]
+  * (defaults: target/sf1, 10×).
+  */
+object Sf1Gen {
+  private val SEED = 42L
+
+  private val vocab: Array[String] = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  private val langs: Array[(String, Double)] = Array(
+    "en" -> 0.41, "zh" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "de" -> 0.14)
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/sf1")
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .appName("sf1gen").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nDocs = 5000 * mult
+    val nVecs = 2000 * mult
+    val nParts = 32
+
+    // ---- documents -------------------------------------------------------
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+
+    val perPart = (nDocs + nParts - 1) / nParts
+    val docRdd = spark.sparkContext
+      .parallelize(0 until nParts, nParts)
+      .flatMap { pid =>
+        val rnd = new java.util.Random(SEED * 7919L + pid)
+        val lo = pid.toLong * perPart
+        val hi = math.min(lo + perPart, nDocs.toLong)
+        // base docs first; a near-copy mutates a base doc from THIS
+        // partition (keeps generation partition-local and deterministic)
+        val base = new scala.collection.mutable.ArrayBuffer[Array[String]]
+        (lo until hi).iterator.map { id =>
+          val toks: Array[String] =
+            if (base.nonEmpty && rnd.nextDouble() < 0.03) {
+              val src = base(rnd.nextInt(base.size))
+              src.map(t =>
+                if (rnd.nextDouble() < 0.05) vocab(rnd.nextInt(vocab.length))
+                else t)
+            } else {
+              val n = 10 + rnd.nextInt(91)
+              Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+            }
+          if (base.size < 64) base += toks
+          val text = toks.mkString(" ")
+          val u = rnd.nextDouble()
+          var acc = 0.0
+          val lang = langs.collectFirst {
+            case (l, p) if { acc += p; u < acc } => l
+          }.getOrElse("de")
+          Row(id, text, lang, s"src${rnd.nextInt(20)}", text.length.toLong)
+        }
+      }
+    spark.createDataFrame(docRdd, docSchema)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // ---- embeddings ------------------------------------------------------
+    // Fit per-label per-dim mean/σ from the shipped sf0.1 bank (10×64×2
+    // doubles — model-sized), then sample around those centroids and
+    // re-normalize to unit length like the shipped data.
+    val ref = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    import org.apache.spark.sql.functions._
+    val stats = ref.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col")).as("mu"), stddev_pop(col("col")).as("sigma"))
+      .collect()
+    val dim = stats.map(_.getInt(1)).max + 1
+    val labels = stats.map(_.getInt(0)).distinct.sorted
+    val mu = Array.ofDim[Double](labels.length, dim)
+    val sg = Array.ofDim[Double](labels.length, dim)
+    stats.foreach { r =>
+      mu(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      sg(r.getInt(0))(r.getInt(1)) = r.getDouble(3)
+    }
+    val muB = spark.sparkContext.broadcast(mu)
+    val sgB = spark.sparkContext.broadcast(sg)
+
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType, nullable = false)))
+    val perPartV = (nVecs + nParts - 1) / nParts
+    val vecRdd = spark.sparkContext
+      .parallelize(0 until nParts, nParts)
+      .flatMap { pid =>
+        val rnd = new java.util.Random(SEED * 104729L + pid)
+        val m = muB.value; val s = sgB.value
+        val lo = pid.toLong * perPartV
+        val hi = math.min(lo + perPartV, nVecs.toLong)
+        (lo until hi).iterator.map { id =>
+          val lab = rnd.nextInt(m.length)
+          val v = Array.tabulate(m(lab).length)(d =>
+            m(lab)(d) + rnd.nextGaussian() * s(lab)(d))
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          Row(id, v.map(x => (x / norm).toFloat).toSeq, lab)
+        }
+      }
+    spark.createDataFrame(vecRdd, vecSchema)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"sf1gen: wrote $nDocs docs + $nVecs vecs to $outDir")
+    spark.stop()
+  }
+}

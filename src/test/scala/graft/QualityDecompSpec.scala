@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Decomp, Dedup, Quality}
+
+/** Specs for the round-8 operators: Gopher-family repetition stats,
+  * edit-distance near-dup join, and distributed PCA. */
+class QualityDecompSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Quality.repetitionStats -------------------------------------------
+
+  private def statsOf(texts: (Long, String)*) =
+    Quality.repetitionStats(
+        texts.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+  test("repetitionStats: crafted docs hit every branch") {
+    val rows = statsOf(
+      0L -> "alpha beta gamma delta echo",  // all-distinct
+      1L -> "x x x x",                      // one token, one run
+      2L -> "",                             // empty
+      3L -> "solo",                         // single token
+      4L -> "a b a b a b")                  // repeated bigram cycle
+    val r0 = rows(0)
+    assert(r0.getAs[Int]("n_toks") == 5)
+    assert(r0.getAs[Double]("distinct_ratio") == 1.0)
+    assert(r0.getAs[Double]("top_bigram_frac") == 0.25) // 1 of 4, all unique
+    assert(r0.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r0.getAs[Int]("max_run") == 1)
+
+    val r1 = rows(1)
+    assert(r1.getAs[Double]("distinct_ratio") == 0.25)
+    assert(r1.getAs[Double]("top_bigram_frac") == 1.0) // "x x" ×3
+    assert(r1.getAs[Double]("dup_bigram_frac") == 1.0)
+    assert(r1.getAs[Int]("max_run") == 4)
+    assert(!r1.getAs[Boolean]("keep"))
+
+    val r2 = rows(2)
+    assert(r2.getAs[Int]("n_toks") == 0)
+    assert(r2.getAs[Double]("distinct_ratio") == 0.0)
+    assert(r2.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(r2.getAs[Int]("max_run") == 0)
+
+    val r3 = rows(3)
+    assert(r3.getAs[Int]("n_toks") == 1)
+    assert(r3.getAs[Int]("max_run") == 1)
+
+    val r4 = rows(4)
+    // bigrams: "a b","b a","a b","b a","a b" → top = 3/5
+    assert(r4.getAs[Double]("top_bigram_frac") == 0.6)
+    assert(r4.getAs[Double]("dup_bigram_frac") == 1.0)
+    assert(r4.getAs[Int]("max_run") == 1)
+  }
+
+  test("repetitionStats: matches an independent in-memory reference") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docs = (0L until 60L).map { i =>
+      val n = rnd.nextInt(12)
+      (i, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def ref(text: String): (Int, Double, Double, Double, Int) = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val n = toks.length
+      val dr = if (n == 0) 0.0 else toks.distinct.length.toDouble / n
+      val bg = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toVector
+      val top = if (n < 2) 1.0
+        else bg.groupBy(identity).values.map(_.size).max.toDouble / bg.size
+      val dup = if (n < 2) 0.0
+        else (bg.size - bg.groupBy(identity).values.count(_.size == 1)).toDouble / bg.size
+      val run = if (n == 0) 0 else {
+        var best = 1; var cur = 1
+        for (i <- 1 until n) {
+          cur = if (toks(i) == toks(i - 1)) cur + 1 else 1
+          best = math.max(best, cur)
+        }
+        best
+      }
+      (n, dr, top, dup, run)
+    }
+    val got = statsOf(docs: _*)
+    docs.zip(got).foreach { case ((_, text), row) =>
+      val (n, dr, top, dup, run) = ref(text)
+      assert(row.getAs[Int]("n_toks") == n, s"n_toks for '$text'")
+      assert(row.getAs[Double]("distinct_ratio") == dr, s"dr for '$text'")
+      assert(row.getAs[Double]("top_bigram_frac") == top, s"top for '$text'")
+      assert(row.getAs[Double]("dup_bigram_frac") == dup, s"dup for '$text'")
+      assert(row.getAs[Int]("max_run") == run, s"run for '$text'")
+    }
+  }
+
+  test("repetitionStats: scan-shaped — no exchange in the plan") {
+    val df = Quality.repetitionStats(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition stats must not shuffle:\n$plan")
+  }
+
+  // ---- Dedup.editDistancePairs -------------------------------------------
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+      if (i == 0) j else if (j == 0) i else 0))
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs: near-copies verified with exact distances") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sleepy cat watches from the old wooden fence nearby today"
+    val mutated = base.replace("lazy", "hazy").replace("wooden", "stone")
+    val far = "completely different content about databases and query engines " +
+      "with nothing shared at all in any shingle of this entire document text"
+    val docs = Seq((1L, base), (2L, mutated), (3L, far), (4L, base))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 20)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((1L, 2L, lev(base, mutated))),
+      s"mutated pair missing or wrong distance: ${got.toSeq}")
+    assert(got.contains((1L, 4L, 0)), "identical pair must verify at dist 0")
+    assert(got.contains((2L, 4L, lev(base, mutated))))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "far doc must not pair")
+    assert(got.forall(p => p._1 < p._2), "pairs must be ordered id_a < id_b")
+    assert(got.forall(_._3 <= 20))
+  }
+
+  test("editDistancePairs: threshold excludes pairs beyond maxDist") {
+    val base = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    val mutated = base.replace("three", "tree").replace("nine", "wine")
+    val d = lev(base, mutated)
+    val docs = Seq((1L, base), (2L, mutated)).toDF("doc_id", "text")
+    val tight = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = d - 1)
+    assert(tight.count() == 0, s"dist $d must not pass maxDist ${d - 1}")
+    val loose = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = d)
+    assert(loose.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq == Seq((1L, 2L, d)))
+  }
+
+  // ---- Decomp (PCA) -------------------------------------------------------
+
+  /** Deterministic synthetic corpus with a dominant axis: x ≈ t·dir +
+    * noise, unit-normalized like the real embeddings table. */
+  private def axisCorpus(n: Int, d: Int, seed: Long = 11L) = {
+    val rnd = new scala.util.Random(seed)
+    val dir = Array.tabulate(d)(i => if (i == 2) 0.9 else if (i == 5) 0.3 else 0.0)
+    val rows = (0L until n.toLong).map { id =>
+      val t = rnd.nextGaussian() * 2.0
+      val v = Array.tabulate(d)(i => (t * dir(i) + rnd.nextGaussian() * 0.05).toFloat)
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pcaFit: PC1 aligns with the dominant axis; components orthonormal") {
+    val d = 8
+    val m = Decomp.pcaFit(axisCorpus(400, d), k = 2, iters = 24)
+    val expect = {
+      val raw = Array.tabulate(d)(i => if (i == 2) 0.9 else if (i == 5) 0.3 else 0.0)
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm)
+    }
+    val cos = m.components(0).zip(expect).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.99, s"PC1 misaligned: |cos|=$cos")
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1.0) < 1e-12)
+    assert(math.abs(dot(m.components(1), m.components(1)) - 1.0) < 1e-12)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-6,
+      "components must be (numerically) orthogonal")
+    assert(m.eigenvalues(0) > m.eigenvalues(1),
+      "eigenvalues must come out in decreasing order")
+  }
+
+  test("pca: projection matches a driver-side replay with the same fold order") {
+    val corpus = axisCorpus(50, 6, seed = 23L)
+    val model = Decomp.pcaFit(corpus, k = 2, iters = 16)
+    val got = Decomp.pcaProject(corpus, model).orderBy("vec_id").collect()
+    val raw = corpus.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    raw.zip(got).foreach { case ((id, v), row) =>
+      assert(row.getLong(0) == id)
+      for (c <- 0 until 2) {
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) {
+          acc = acc + (v(i) - model.mean(i)) * model.components(c)(i)
+          i += 1
+        }
+        assert(row.getDouble(1 + c) == acc,
+          s"pc${c + 1} of vec $id: got ${row.getDouble(1 + c)}, want $acc")
+      }
+    }
+  }
+
+  test("pcaFit: bit-identical across partitionings (decimal staging)") {
+    val corpus = axisCorpus(120, 5, seed = 31L)
+    val a = Decomp.pcaFit(corpus.repartition(1), k = 2, iters = 16)
+    val b = Decomp.pcaFit(corpus.repartition(7), k = 2, iters = 16)
+    assert(a.mean.toSeq == b.mean.toSeq)
+    assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
+    assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq)
+  }
+
+  test("pcaFit: ragged vectors fail loud") {
+    val bad = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Decomp.pcaFit(bad, k = 1, iters = 4)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("pcaProject: pure scan — no exchange, no join in the plan") {
+    val corpus = axisCorpus(30, 4)
+    val model = Decomp.pcaFit(corpus, k = 2, iters = 8)
+    val df = Decomp.pcaProject(corpus, model)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"projection must not join:\n$plan")
+  }
+}

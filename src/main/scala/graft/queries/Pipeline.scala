@@ -2576,13 +2576,15 @@ object Pipeline {
         centroids = ivfBank(spark, dir))
       .orderBy("vec_id")
 
-  /** SemDeDup CTE chain (bank training → assignment `ca0` → within-cell
-    * `sims` → greedy `dups`) — shared by p68 and the p69 composition. */
-  private val sqlSemDedupCtes: String = {
+  /** SemDeDup body over an EXISTING `emb(id, v)` CTE (bank training →
+    * assignment `ca0` → within-cell `sims` → greedy `dups` under
+    * `threshold`) — the vector source is the caller's: raw embeddings for
+    * p68/p69, the PCA-reduced relation for p101. Dimension-agnostic: every
+    * fold ranges over `len(v)`. */
+  private def sqlSemDedupBody(threshold: Double): String = {
     import OracleHash._
     val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3)
-    s"""emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$bankCtes,
+    s"""$bankCtes,
        |${nearestCellCte("ca0", bank, keep = 1)},
        |pairs AS (
        |  SELECT a.cell, a.id, b.id AS id2,
@@ -2594,8 +2596,14 @@ object Pipeline {
        |    ${sqlCosine("dt", "na", "nb")} AS sim FROM pairs),
        |dups AS (
        |  SELECT cell, id, MIN(id2) AS dup_of, MIN_BY(sim, id2) AS sim
-       |  FROM sims WHERE sim >= 0.3 GROUP BY cell, id)""".stripMargin
+       |  FROM sims WHERE sim >= $threshold GROUP BY cell, id)""".stripMargin
   }
+
+  /** SemDeDup CTE chain (bank training → assignment `ca0` → within-cell
+    * `sims` → greedy `dups`) — shared by p68 and the p69 composition. */
+  private val sqlSemDedupCtes: String =
+    s"""emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${sqlSemDedupBody(0.3)}""".stripMargin
 
   val p68Sql: String =
     s"""WITH $sqlSemDedupCtes
@@ -4546,19 +4554,24 @@ object Pipeline {
     * exposing a 64×64 list-of-lists column `m`; each `${tag}t` exposes the
     * normalized vector `v` and the pre-normalization norm `lam`. */
   private def pcaIterCtes(tag: String, matCte: String, iters: Int): String = {
-    val init = s"""${tag}0 AS (SELECT list_transform(range(0, 64),
+    // every per-iteration CTE is MATERIALIZED (the p71 discipline): DuckDB
+    // inlines plain CTEs, and a 16-round chain over a matrix CTE that is
+    // itself derived from the corpus expands each reference into a full
+    // re-derivation — p101's 4-chain composition ran out of file handles
+    // re-opening the parquet before materialization was forced
+    val init = s"""${tag}0 AS MATERIALIZED (SELECT list_transform(range(0, 64),
                   |    x -> CAST(0.125 AS DOUBLE)) AS v)""".stripMargin
     val steps = (1 to iters).map { t =>
-      s"""w$tag$t AS (SELECT list_transform(range(0, 64), i ->
+      s"""w$tag$t AS MATERIALIZED (SELECT list_transform(range(0, 64), i ->
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(0, 64), j -> m[i + 1][j + 1] * v[j + 1])),
          |      (a, b) -> a + b)) AS w
          |  FROM $tag${t - 1}, $matCte),
-         |n$tag$t AS (SELECT w,
+         |n$tag$t AS MATERIALIZED (SELECT w,
          |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(w, x -> x * x)), (a, b) -> a + b)) AS nrm
          |  FROM w$tag$t),
-         |$tag$t AS (SELECT list_transform(w, x -> x / nrm) AS v, nrm AS lam
+         |$tag$t AS MATERIALIZED (SELECT list_transform(w, x -> x / nrm) AS v, nrm AS lam
          |  FROM n$tag$t)""".stripMargin
     }
     (init +: steps).mkString(",\n")
@@ -4569,51 +4582,164 @@ object Pipeline {
         k = 2, iters = p100Iters)
       .orderBy("vec_id")
 
-  val p100Sql: String = {
-    val T = p100Iters
+  /** Mean/covariance + `k` deflated power-iteration chains over an
+    * existing 64-d CTE `e(id, v)`. Emits CTEs ending in `muarr(mus)` and
+    * component rows `c1..ck(p)`; chain `c` runs `iters` rounds on matrix
+    * `cm` (c=1) or the deflated `cm$c`. Shared by p100 (k=2) and p101
+    * (k=4); the chain text for k=2 is exactly the original p100 oracle. */
+  private def pcaChainCtes(k: Int, iters: Int): String = {
+    def tag(c: Int) = s"p${('a' + c - 1).toChar}"
+    def mat(c: Int) = if (c == 1) "cm" else s"cm$c"
+    val base =
+      s"""ii AS (SELECT unnest(range(64)) AS i),
+         |ex AS MATERIALIZED (SELECT id, CAST(i AS INT) AS i, v[i + 1] AS x
+         |  FROM e CROSS JOIN ii),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+         |ms AS (SELECT i, CAST(CAST(SUM(CAST(CAST(x AS VARCHAR)
+         |    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s
+         |  FROM ex GROUP BY i),
+         |mu AS MATERIALIZED (SELECT i, s / n AS mu FROM ms CROSS JOIN n),
+         |pr AS (SELECT a.i AS i, b.i AS j,
+         |    CAST(CAST(SUM(CAST(CAST(a.x * b.x AS VARCHAR)
+         |      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s2
+         |  FROM ex a JOIN ex b ON a.id = b.id AND b.i >= a.i
+         |  GROUP BY a.i, b.i),
+         |cv0 AS (SELECT p.i AS i, p.j AS j, p.s2 / n - ma.mu * mb.mu AS c
+         |  FROM pr p CROSS JOIN n
+         |  JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j),
+         |cv AS (SELECT i, j, c FROM cv0
+         |       UNION ALL SELECT j AS i, i AS j, c FROM cv0 WHERE i <> j),
+         |cm AS MATERIALIZED (SELECT list(r ORDER BY i) AS m
+         |  FROM (SELECT i, list(c ORDER BY j) AS r FROM cv GROUP BY i) q)""".stripMargin
+    val chains = (1 to k).map { c =>
+      val chain = pcaIterCtes(tag(c), mat(c), iters)
+      val defl = if (c == k) "" else
+        s""",
+           |${mat(c + 1)} AS MATERIALIZED (SELECT list_transform(range(0, 64), i ->
+           |    list_transform(range(0, 64), j ->
+           |      m[i + 1][j + 1] - lam * v[i + 1] * v[j + 1])) AS m
+           |  FROM ${mat(c)}, ${tag(c)}$iters)""".stripMargin
+      chain + defl
+    }.mkString(",\n")
+    val comps = (1 to k)
+      .map(c => s"c$c AS (SELECT v AS p FROM ${tag(c)}$iters)").mkString(",\n")
+    s"""$base,
+       |$chains,
+       |muarr AS (SELECT list(mu ORDER BY i) AS mus FROM mu),
+       |$comps""".stripMargin
+  }
+
+  /** The engine's 0.0-seeded left-fold projection of `$vExpr` (64-d) onto
+    * component CTE `$comp(p)` under `muarr(mus)`. */
+  private def pcaProjExpr(vExpr: String, comp: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(0, 64),
+       |      i -> ($vExpr[i + 1] - mus[i + 1]) * $comp.p[i + 1])),
+       |    (a, b) -> a + b)""".stripMargin
+
+  val p100Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
-       |ii AS (SELECT unnest(range(64)) AS i),
-       |ex AS (SELECT id, CAST(i AS INT) AS i, v[i + 1] AS x
-       |  FROM e CROSS JOIN ii),
-       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
-       |ms AS (SELECT i, CAST(CAST(SUM(CAST(CAST(x AS VARCHAR)
-       |    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s
-       |  FROM ex GROUP BY i),
-       |mu AS (SELECT i, s / n AS mu FROM ms CROSS JOIN n),
-       |pr AS (SELECT a.i AS i, b.i AS j,
-       |    CAST(CAST(SUM(CAST(CAST(a.x * b.x AS VARCHAR)
-       |      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s2
-       |  FROM ex a JOIN ex b ON a.id = b.id AND b.i >= a.i
-       |  GROUP BY a.i, b.i),
-       |cv0 AS (SELECT p.i AS i, p.j AS j, p.s2 / n - ma.mu * mb.mu AS c
-       |  FROM pr p CROSS JOIN n
-       |  JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j),
-       |cv AS (SELECT i, j, c FROM cv0
-       |       UNION ALL SELECT j AS i, i AS j, c FROM cv0 WHERE i <> j),
-       |cm AS (SELECT list(r ORDER BY i) AS m
-       |  FROM (SELECT i, list(c ORDER BY j) AS r FROM cv GROUP BY i) q),
-       |${pcaIterCtes("pa", "cm", T)},
-       |cm2 AS (SELECT list_transform(range(0, 64), i ->
-       |    list_transform(range(0, 64), j ->
-       |      m[i + 1][j + 1] - lam * v[i + 1] * v[j + 1])) AS m
-       |  FROM cm, pa$T),
-       |${pcaIterCtes("pb", "cm2", T)},
-       |muarr AS (SELECT list(mu ORDER BY i) AS mus FROM mu),
-       |c1 AS (SELECT v AS p FROM pa$T),
-       |c2 AS (SELECT v AS p FROM pb$T)
+       |${pcaChainCtes(2, p100Iters)}
        |SELECT e.id AS vec_id,
-       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |    list_transform(range(0, 64),
-       |      i -> (e.v[i + 1] - mus[i + 1]) * c1.p[i + 1])),
-       |    (a, b) -> a + b) AS pc1,
-       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |    list_transform(range(0, 64),
-       |      i -> (e.v[i + 1] - mus[i + 1]) * c2.p[i + 1])),
-       |    (a, b) -> a + b) AS pc2
+       |  ${pcaProjExpr("e.v", "c1")} AS pc1,
+       |  ${pcaProjExpr("e.v", "c2")} AS pc2
        |FROM e, muarr, c1, c2
        |ORDER BY vec_id""".stripMargin
+
+  // =========================================================================
+  // p101 — SemDeDup over PCA-reduced vectors: the capstone composition the
+  // two families were built for — SemDeDup-style curation typically runs
+  // on dimensionality-reduced embeddings (Abbas et al. 2023 cluster in a
+  // reduced space for exactly the occupancy/cost reasons p76 measures).
+  // Decomp.pcaFit(k=4) → project (ONE scan) → Lloyd-trained cells ON THE
+  // REDUCED vectors → within-cell greedy cosine dedup. At 100 TB the
+  // reduction is the point: cells train and pair on 4-d vectors, so the
+  // within-cell verify costs dim/16 of the raw-space p68 while the corpus
+  // scan count is unchanged. The oracle replays the FULL composition —
+  // PCA chains (shared builder with p100), then the p68 bank/dedup body
+  // (shared fragment) whose `emb` is the projected relation; MATERIALIZED
+  // because the bank CTEs walk `emb` once per Lloyd round and DuckDB
+  // would otherwise re-derive the PCA chain at every reference.
+  // =========================================================================
+  private val p101K = 4
+  private val p101Threshold = 0.95
+
+  def p101PcaSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.Decomp.pcaFit(emb, k = p101K, iters = p100Iters)
+    val reduced = graft.operators.Decomp.pcaProject(emb, model)
+      .select(col("vec_id"),
+        array((1 to p101K).map(c => col(s"pc$c")): _*).as("rv"))
+    val bank = Similarity.ivfCentroidsTrained(reduced, nCells = 16, iters = 3,
+      vecCol = "rv")
+    Similarity.semDedup(reduced, threshold = p101Threshold, centroids = bank,
+        vecCol = "rv")
+      .orderBy("vec_id")
   }
+
+  val p101Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |${pcaChainCtes(p101K, p100Iters)},
+       |emb AS MATERIALIZED (
+       |  SELECT e.id AS id,
+       |    [${(1 to p101K).map(c => pcaProjExpr("e.v", s"c$c")).mkString(",\n     ")}] AS v
+       |  FROM e, muarr, ${(1 to p101K).map(c => s"c$c").mkString(", ")}),
+       |${sqlSemDedupBody(p101Threshold)}
+       |SELECT a.id AS vec_id, a.cell, d.id IS NULL AS kept, d.dup_of, d.sim
+       |FROM ca0 a LEFT JOIN dups d ON a.cell = d.cell AND a.id = d.id
+       |ORDER BY vec_id""".stripMargin
+
+  // =========================================================================
+  // p102 — tokenizer fertility by language: the tokenizer-quality metric a
+  // training pipeline tracks per language (BPE tokens per word; chars per
+  // BPE token) — a vocabulary that under-serves a language shows fertility
+  // inflation there. Composition of the p90 trained merge table applied on
+  // the DISTINCT-WORDS relation (vocabulary-bounded, like p95) joined back
+  // to the corpus and aggregated by lang: exact integer sums, one double
+  // division per ratio at the end. Oracle reuses the shared BPE replay
+  // chain's final positions relation.
+  // =========================================================================
+  def p102TokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+    val words = docs.select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val merges = Vocab.bpeTrain(words, "word", "cnt", merges = 8)
+      .orderBy("step").select("left_sym", "right_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val applied = Vocab.applyMergesDf(words.select(col("word")), "word", merges)
+    docs.select(col("lang"), explode(col("toks")).as("word"))
+      .join(applied, "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subtokens")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val p102Sql: String =
+    s"""WITH ${bpeChainCtes(8)},
+       |wc AS MATERIALIZED (SELECT word, COUNT(*) AS n FROM p8
+       |  GROUP BY word),
+       |docw AS (SELECT lang, unnest($sqlToks) AS word FROM documents),
+       |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(n) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(SUM(len(word)) AS BIGINT) AS n_chars
+       |  FROM docw JOIN wc USING (word)
+       |  GROUP BY lang)
+       |SELECT lang, n_words, n_bpe_tokens,
+       |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+       |  CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+       |    AS chars_per_token
+       |FROM g ORDER BY lang""".stripMargin
 
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4716,7 +4842,9 @@ object Pipeline {
     "p97_bpe_batched" -> (p97BpeVocabBatched _),
     "p98_repetition_stats" -> (p98RepetitionStats _),
     "p99_editdist_neardup" -> (p99EditDistNearDup _),
-    "p100_pca_project" -> (p100PcaProject _))
+    "p100_pca_project" -> (p100PcaProject _),
+    "p101_pca_semdedup" -> (p101PcaSemDedup _),
+    "p102_token_fertility" -> (p102TokenFertility _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4816,5 +4944,7 @@ object Pipeline {
     "p97_bpe_batched" -> p97Sql,
     "p98_repetition_stats" -> p98Sql,
     "p99_editdist_neardup" -> p99Sql,
-    "p100_pca_project" -> p100Sql)
+    "p100_pca_project" -> p100Sql,
+    "p101_pca_semdedup" -> p101Sql,
+    "p102_token_fertility" -> p102Sql)
 }

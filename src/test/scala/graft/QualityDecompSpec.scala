@@ -227,4 +227,73 @@ class QualityDecompSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
     assert(!plan.contains("Join"), s"projection must not join:\n$plan")
   }
+
+  // ---- p101 composition: SemDeDup over PCA-reduced vectors ----------------
+
+  test("PCA-reduced semDedup: exact twins drop against the smaller id") {
+    import graft.operators.Similarity
+    // corpus with two exact twin pairs: (7,33) and (12,41)
+    val base = axisCorpus(50, 8, seed = 43L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val twinned = base.map {
+      case (33L, _) => (33L, base.find(_._1 == 7L).get._2)
+      case (41L, _) => (41L, base.find(_._1 == 12L).get._2)
+      case other    => other
+    }
+    val corpus = twinned.toSeq.toDF("vec_id", "embedding")
+    val model = Decomp.pcaFit(corpus, k = 3, iters = 16)
+    val reduced = Decomp.pcaProject(corpus, model)
+      .select(col("vec_id"),
+        array(col("pc1"), col("pc2"), col("pc3")).as("rv"))
+    val bank = Similarity.ivfCentroidsTrained(reduced, nCells = 4, iters = 2,
+      vecCol = "rv", stride = 5)
+    val out = Similarity.semDedup(reduced, threshold = 0.999999,
+        centroids = bank, vecCol = "rv")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // identical vectors project identically → same cell, cosine exactly 1
+    assert(out(7L)._1, "smaller twin must be kept")
+    assert(!out(33L)._1 && out(33L)._2 == 7L, s"33 must drop to 7: ${out(33L)}")
+    assert(!out(41L)._1 && out(41L)._2 == 12L, s"41 must drop to 12: ${out(41L)}")
+    // in 3-d reduced space unconstructed near-parallel pairs may also
+    // qualify — require only that every drop points at a smaller id
+    assert(out.forall { case (id, (kept, dupOf)) => kept || dupOf < id },
+      s"drops must point at smaller ids: $out")
+  }
+
+  // ---- p102 composition: tokenizer fertility by language ------------------
+
+  test("token fertility: identical text across langs gives identical ratios") {
+    import graft.operators.Vocab
+    import graft.functions.{TextFunctions => TF}
+    val text = "alpha beta alpha gamma beta alpha delta"
+    val docs = Seq((1L, "en", text), (2L, "de", text), (3L, "de", text))
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+    val words = docs.select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = Vocab.bpeTrain(words, "word", "cnt", merges = 4)
+      .orderBy("step").select("left_sym", "right_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val applied = Vocab.applyMergesDf(words.select(col("word")), "word", merges)
+    val out = docs.select(col("lang"), explode(col("toks")).as("word"))
+      .join(applied, "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subtokens")).as("n_bpe"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"),
+        (col("n_bpe").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe").cast("double"))
+          .as("cpt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("en")._1 == 7 && out("de")._1 == 14, s"word counts: $out")
+    // same text ⇒ identical per-word tokenization ⇒ identical ratios
+    assert(out("en")._2 == out("de")._2, s"fertility must match: $out")
+    assert(out("en")._3 == out("de")._3, s"chars/token must match: $out")
+    assert(out("en")._2 >= 1.0, "every word is at least one subtoken")
+    assert(out("en")._3 > 0.0)
+  }
 }

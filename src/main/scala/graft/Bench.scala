@@ -38,6 +38,17 @@ import org.apache.spark.sql.SparkSession
   *     manual isolated re-run to refute false regressions).
   *   - Pass failures are summed across ALL attempts; a retry must never
   *     make an intermittently-crashing query look healthy.
+  *
+  * Round-9 hardening (VERDICT r8 #6 — p73/p62/p56 suite readings inflated
+  * behind retried alphabetical neighbors):
+  *   - Each pass sweeps the whole phase in its own SEEDED SHUFFLED order,
+  *     so a neighbor effect lands in at most one pass of a triple and the
+  *     median discards it; retry rounds re-sweep only the still-dirty
+  *     subset, likewise shuffled. Seeds are fixed constants.
+  *   - A cleanup barrier (System.gc + 100 ms drain) precedes every timed
+  *     run, so deferred cleanup from the previous query (context-cleaner
+  *     deletes, state-store maintenance, GC debt) is not billed to the
+  *     next one.
   */
 object Bench {
   /** max/median above this marks a triple contaminated: co-resident load
@@ -91,33 +102,67 @@ object Bench {
     def isDirty(ok: Seq[Double]): Boolean =
       ok.isEmpty || (spreadRatio(ok) > spreadLimit &&
         ok.last - ok(ok.size / 2) > spreadFloorSec)
-    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Reading = {
-      def triple(): (Seq[Double], Int) = {
-        val ps = (1 to passes).map(_ => runOnce(fn))
-        (ps.flatten.sorted, ps.count(_.isEmpty))
-      }
-      var (best, fails) = triple()
-      var attempts = 1
-      while (isDirty(best) && attempts <= retries) {
-        val (next, f) = triple()
-        fails += f
-        attempts += 1
-        // keep the cleanest triple; prefer one with more surviving passes
-        if (next.size > best.size ||
-            (next.size == best.size && spreadRatio(next) < spreadRatio(best)))
-          best = next
-      }
-      Reading(best, fails, attempts, isDirty(best))
-    }
+
+    // Round-9 hardening (VERDICT r8 #6): per-PASS seeded order shuffle +
+    // a cleanup barrier before each timed run. r8's residual inflation
+    // correlated with ALPHABETICAL neighbors (p73/p62/p56 each following
+    // a retried triple): with every pass visiting queries in its own
+    // deterministic shuffled order, a neighbor effect lands in at most
+    // one pass of a triple and the median discards it; the barrier keeps
+    // one query's deferred cleanup (context-cleaner deletes, state-store
+    // maintenance, accumulated GC debt) from billing the next query's
+    // timing. Seeds are fixed constants — readings stay reproducible.
+    type Fn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+    def barrier(): Unit = { System.gc(); Thread.sleep(100) }
+    def shuffledOrder(xs: Seq[(String, Fn)], seed: Long): Seq[(String, Fn)] =
+      new scala.util.Random(seed).shuffle(xs)
+
     // Phase separation: CPU-bound queries first, streaming last, each phase
     // warmed immediately before its own timed passes.
     val (streamQ, batchQ) =
       ordered.partition { case (name, _) => SparkEntry.streamingQueries(name) }
-    def runPhase(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) = {
+    def runPhase(qs: Seq[(String, Fn)], phaseSeed: Long): Seq[(String, Reading)] = {
+      if (qs.isEmpty) return Seq.empty
       qs.foreach { case (_, fn) => runOnce(fn) }            // warmup sweep
-      qs.map { case (name, fn) => (name, measure(fn)) }
+      // `passes` full sweeps, each in its own shuffled order → one timing
+      // per query per sweep; a query's triple spans all sweeps
+      def sweepSet(subset: Seq[(String, Fn)], seed: Long)
+          : Map[String, (Seq[Double], Int)] = {
+        val acc = scala.collection.mutable.Map.empty[String, Vector[Option[Double]]]
+        for (p <- 1 to passes)
+          shuffledOrder(subset, seed * 31 + p).foreach { case (name, fn) =>
+            barrier()
+            acc(name) = acc.getOrElse(name, Vector.empty) :+ runOnce(fn)
+          }
+        acc.view.mapValues(ps => (ps.flatten.sorted, ps.count(_.isEmpty)))
+          .toMap
+      }
+      var bestOk: Map[String, Seq[Double]] = Map.empty
+      var failsTot: Map[String, Int] = qs.map(_._1 -> 0).toMap
+      var attempts: Map[String, Int] = qs.map(_._1 -> 0).toMap
+      var subset = qs
+      var round = 0
+      while (subset.nonEmpty && round <= retries) {
+        val sw = sweepSet(subset, phaseSeed * 7919 + round)
+        sw.foreach { case (name, (ok, f)) =>
+          failsTot += name -> (failsTot(name) + f)
+          attempts += name -> (attempts(name) + 1)
+          // keep the cleanest triple; prefer one with more surviving passes
+          val prev = bestOk.get(name)
+          if (prev.forall(b => ok.size > b.size ||
+              (ok.size == b.size && spreadRatio(ok) < spreadRatio(b))))
+            bestOk += name -> ok
+        }
+        subset = subset.filter { case (name, _) =>
+          isDirty(bestOk.getOrElse(name, Seq.empty)) }
+        round += 1
+      }
+      qs.map { case (name, _) =>
+        val ok = bestOk.getOrElse(name, Seq.empty)
+        (name, Reading(ok, failsTot(name), attempts(name), isDirty(ok)))
+      }
     }
-    val results = runPhase(batchQ) ++ runPhase(streamQ)
+    val results = runPhase(batchQ, 0x9e3779b9L) ++ runPhase(streamQ, 0x85ebca6bL)
 
     def fmt(v: Double, scale: Int) = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
     def qmap(scale: Int) = results.map { case (name, r) =>

@@ -62,8 +62,11 @@ object Decomp {
       .select(col(vecCol).cast("array<double>").as("v"))
       .filter(size(col("v")) > 0)
     // one pass: (i, -1) rows carry per-dim sums, (i, j>=i) rows carry the
-    // upper-triangle product sums; counts per group double as the ragged
-    // check (every group must have seen every vector)
+    // upper-triangle product sums; counts per group double as the
+    // corruption check. count(p) — NON-NULL terms only — so both a ragged
+    // length mix AND a NULL element inside an array (which sum() would
+    // silently skip while a row count still included it) surface as
+    // unequal group counts and fail loud instead of corrupting the model
     val rows = ve.select(explode(expr(
       """concat(
         |  transform(sequence(0, size(v) - 1),
@@ -75,12 +78,13 @@ object Decomp {
         .stripMargin)).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
       .groupBy("i", "j")
-      .agg(sum(col("p")).as("s"), count(lit(1)).as("cnt"))
+      .agg(sum(col("p")).as("s"), count(col("p")).as("cnt"))
       .collect()
     require(rows.nonEmpty, "pcaFit: empty corpus")
     val counts = rows.map(_.getLong(3)).distinct
     require(counts.length == 1,
-      s"pcaFit: ragged vector lengths (group counts ${counts.sorted.toSeq})")
+      s"pcaFit: ragged vector lengths or NULL elements " +
+        s"(group counts ${counts.sorted.toSeq})")
     val n = counts.head.toDouble
     val d = rows.map(_.getInt(0)).max + 1
     require(k >= 1 && k <= d, s"pcaFit: k=$k out of range for dim $d")
@@ -138,12 +142,17 @@ object Decomp {
 
   /** Project every vector onto `model`'s components: pure codegen'd scan,
     * mean/components embedded as literals. Output columns `pc1..pck`
-    * (0.0-seeded left-fold dot products — the oracle's term order). */
+    * (0.0-seeded left-fold dot products — the oracle's term order).
+    * Only vectors of EXACTLY the model's dimension project: an empty
+    * vector would make `sequence(0, -1)` descend (ANSI error) and a
+    * short one would silently truncate the dot product — both excluded
+    * here, consistent with [[pcaFit]]'s fail-loud ragged check. */
   def pcaProject(corpus: DataFrame, model: PcaModel,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val muLit = array(model.mean.map(lit): _*)
     val ve = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === model.mean.length)
     def proj(pc: Array[Double]): Column = {
       val pcLit = array(pc.map(lit): _*)
       aggregate(

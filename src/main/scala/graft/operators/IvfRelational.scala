@@ -6,19 +6,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** IVF with the centroid bank as a RELATION — the unbounded-cell-count
-  * scale path that [[Similarity.ivfCentroidsTrained]]'s literal-embedded
-  * bank cannot reach.
+  * scale path that [[Similarity.ivfCentroidsTrained]]'s driver-held bank
+  * cannot reach.
   *
-  * The literal form compiles the whole bank into a Catalyst expression:
-  * fastest per row (a tight generated loop), but Janino pays a fixed
-  * compile cost that grows with the bank (~18 s at 128×64 on this machine,
-  * measured in `tools/P76Profile`) and the 64 KB generated-method ceiling
-  * caps cells at a few hundred. The r8 scale probe showed exactly why
-  * that cap bites: cells pinned at 128 while the corpus grows 10× means
-  * 10× occupancy, and the pinned nProbe=48's recall rots 0.98 → 0.84
-  * (`tools/IvfSweep`: 96 probes restore 1.00). The scale-correct policy —
-  * cells ∝ corpus, constant occupancy, constant probe FRACTION — needs
-  * thousands of cells at real scale, so the bank must be data, not code.
+  * The driver-bank form is fastest per row (the bank rides into codegen
+  * as one reference object feeding a tight kernel loop — NOT literal
+  * code, so there is no generated-code-size ceiling), but it is
+  * DRIVER-BOUNDED: every Lloyd round `collect()`s cells×dim aggregate
+  * rows to the driver and re-ships the whole bank inside the next
+  * round's task closures. Model-sized banks (128×64) don't notice; the
+  * scale-correct policy does. The r8 sf1 probe measured why cells must
+  * grow: pinned at 128 while the corpus grows 10× means 10× occupancy,
+  * and the pinned nProbe=48's recall rots 0.98 → 0.84 (`tools/IvfSweep`:
+  * 96 probes restore 1.00). Cells ∝ corpus keeps occupancy constant —
+  * but at 100 TB that is 10⁵–10⁶ cells, where per-round driver pulls and
+  * per-task closure shipping of a multi-GB bank are the bottleneck, so
+  * the bank must be data end to end, not a driver array.
   *
   * Everything here is plain DataFrame algebra: assignment is a broadcast
   * cross join with the bank plus a map-side `min(struct(dist, cell))`

@@ -35,13 +35,21 @@ object Quality {
     *   - `max_run`          longest run of consecutive equal tokens
     *   - `keep`             conjunction of the caller's thresholds
     *
-    * The per-doc bigram mode is computed with array HOFs (O(d²) lambda
-    * compares per doc, d = token count) rather than explode + groupBy: a
-    * shuffle keyed by (doc, bigram) would move n_docs × d rows per scan
-    * where the projection moves zero. The run-length fold packs its
-    * (current_run, best_run) state into one BIGINT (`run·10⁹ + best`) so
-    * the identical fold replays in DuckDB's single-typed `list_reduce`;
-    * this caps supported doc length at 10⁹ tokens.
+    * The per-doc bigram mode is computed over a SORTED copy of the bigram
+    * array rather than explode + groupBy (a shuffle keyed by (doc, bigram)
+    * would move n_docs × d rows per scan where the projection moves zero)
+    * and rather than the distinct×filter HOF nest (O(d²) compares per doc —
+    * one pathological 100k-token web page would cost 10¹⁰ string compares
+    * in a single task). Sorting groups equal bigrams adjacently, so the
+    * top-bigram count is the longest equal-neighbor run (the same packed
+    * BIGINT fold as `max_run`, applied to the sorted array) and the
+    * duplicated-occurrence count is `total − singletons` where a singleton
+    * is an element differing from both neighbors — O(d log d) sort + two
+    * linear passes, so cost is the scan for any real doc length. The
+    * run-length folds pack (current_run, best_run) into one BIGINT
+    * (`run·10⁹ + best`) so the identical fold replays in DuckDB's
+    * single-typed `list_reduce`; this caps supported doc length at 10⁹
+    * tokens.
     *
     * Thresholds: a doc is kept when `distinct_ratio >= minDistinctRatio`,
     * `top_bigram_frac <= maxTopBigramFrac`, `dup_bigram_frac <=
@@ -57,6 +65,7 @@ object Quality {
         """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>)
           |ELSE transform(sequence(0, size(toks) - 2),
           |  i -> concat(toks[i], ' ', toks[i + 1])) END""".stripMargin))
+      .withColumn("sb", expr("array_sort(bg)"))
       .select(
         col(idCol),
         size(col("toks")).as("n_toks"),
@@ -64,14 +73,31 @@ object Quality {
                |ELSE CAST(size(array_distinct(toks)) AS DOUBLE)
                |     / CAST(size(toks) AS DOUBLE) END""".stripMargin)
           .as("distinct_ratio"),
+        // top bigram count = longest equal-neighbor run in the SORTED
+        // bigram array (the max_run fold, applied to sb); the inner CASE
+        // guards sequence(1, 0) descending for single-bigram docs
         expr("""CASE WHEN size(toks) < 2 THEN CAST(1.0 AS DOUBLE)
-               |ELSE CAST(array_max(transform(array_distinct(bg),
-               |       g -> size(filter(bg, x -> x = g)))) AS DOUBLE)
+               |ELSE CAST(CASE WHEN size(sb) < 2 THEN size(sb)
+               |  ELSE CAST(aggregate(sequence(1, size(sb) - 1),
+               |    CAST(1000000001 AS BIGINT),
+               |    (acc, i) -> CASE WHEN sb[i] = sb[i - 1]
+               |      THEN ((acc div 1000000000) + 1) * 1000000000
+               |           + greatest(acc % 1000000000,
+               |                      (acc div 1000000000) + 1)
+               |      ELSE 1000000000
+               |           + greatest(acc % 1000000000, CAST(1 AS BIGINT))
+               |      END) % 1000000000 AS INT) END AS DOUBLE)
                |     / CAST(size(bg) AS DOUBLE) END""".stripMargin)
           .as("top_bigram_frac"),
+        // duplicated occurrences = total − singletons; a singleton differs
+        // from BOTH sorted neighbors (CASE, not OR: ANSI mode errors on
+        // out-of-range element access, and Spark's Or need not short-circuit)
         expr("""CASE WHEN size(toks) < 2 THEN CAST(0.0 AS DOUBLE)
-               |ELSE CAST(size(bg) - size(filter(array_distinct(bg),
-               |       g -> size(filter(bg, x -> x = g)) = 1)) AS DOUBLE)
+               |ELSE CAST(size(bg) - size(filter(sequence(0, size(sb) - 1),
+               |  i -> (CASE WHEN i = 0 THEN true
+               |        ELSE sb[i] != sb[i - 1] END)
+               |   AND (CASE WHEN i = size(sb) - 1 THEN true
+               |        ELSE sb[i] != sb[i + 1] END))) AS DOUBLE)
                |     / CAST(size(bg) AS DOUBLE) END""".stripMargin)
           .as("dup_bigram_frac"),
         expr("""CASE WHEN size(toks) < 2 THEN least(size(toks), 1)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{HashFunctions, TextFunctions => TF}
-import graft.operators.{Dedup, Similarity, Vocab}
+import graft.operators.{Dedup, IvfRelational, Similarity, Vocab}
 import graft.sources.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2c north-star extensions): dedup,
@@ -3074,7 +3074,13 @@ object Pipeline {
         (col("max_cell") * col("n_cells") <= col("n_vecs") * 4).as("balanced"))
   }
 
-  val p76Sql: String = {
+  /** The scale-adaptive IVF gate's oracle, shared by p76 (literal-bank
+    * engine) and p103 (relation-bank engine): trainings are bit-identical
+    * by construction (IvfRelationalSpec pins it), so ONE DuckDB replay
+    * gates both paths — p103 passing against the same replay is the
+    * cross-engine proof made hash-checkable. `extraCols` appends
+    * engine-asserted columns (p103's `bank_matches`) to the final row. */
+  private def ivfScaledGateSql(method: String, extraCols: String): String = {
     import OracleHash._
     val (bankCtes, bank) = ivfBankCtes(nCells = 128, iters = 3, stride = 15)
     s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3115,13 +3121,15 @@ object Pipeline {
        |h AS (SELECT
        |  (SELECT COUNT(*) FROM annr JOIN exact USING (query_id, neighbor_id)) AS hits,
        |  (SELECT COUNT(*) FROM exact) AS total)
-       |SELECT 'ivf_scaled' AS method, CAST(hits AS BIGINT) AS hits,
+       |SELECT '$method' AS method, CAST(hits AS BIGINT) AS hits,
        |  CAST(total AS BIGINT) AS total,
        |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall,
        |  CAST(n_cells AS BIGINT) AS n_cells, CAST(max_cell AS BIGINT) AS max_cell,
-       |  max_cell * n_cells <= 4 * n_vecs AS balanced
+       |  max_cell * n_cells <= 4 * n_vecs AS balanced$extraCols
        |FROM h CROSS JOIN bal""".stripMargin
   }
+
+  val p76Sql: String = ivfScaledGateSql("ivf_scaled", "")
 
   // =========================================================================
   // p77 — incremental MinHash near-dup: the daily-increment shape for
@@ -4454,19 +4462,33 @@ object Pipeline {
        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
        |         ELSE list_transform(range(1, len(toks)),
        |                i -> toks[i] || ' ' || toks[i + 1]) END AS bg
-       |  FROM t)
-       |SELECT doc_id,
+       |  FROM t),
+       |sbt AS (SELECT doc_id, toks, bg, list_sort(bg) AS sb FROM b),
+       |s AS (SELECT doc_id,
        |  CAST(len(toks) AS INT) AS n_toks,
        |  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
        |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
        |            / CAST(len(toks) AS DOUBLE) END AS distinct_ratio,
        |  CASE WHEN len(toks) < 2 THEN CAST(1.0 AS DOUBLE)
-       |       ELSE CAST(list_max(list_transform(list_distinct(bg),
-       |              g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+       |       ELSE CAST(CASE WHEN len(sb) < 2 THEN len(sb)
+       |         ELSE CAST(list_reduce(
+       |           list_prepend(CAST(1000000001 AS BIGINT),
+       |                        range(1, len(sb))),
+       |           (acc, i) -> CASE WHEN sb[i + 1] = sb[i]
+       |             THEN ((acc // 1000000000) + 1) * 1000000000
+       |                  + greatest(acc % 1000000000,
+       |                             (acc // 1000000000) + 1)
+       |             ELSE 1000000000
+       |                  + greatest(acc % 1000000000,
+       |                             CAST(1 AS BIGINT)) END)
+       |         % 1000000000 AS INT) END AS DOUBLE)
        |            / CAST(len(bg) AS DOUBLE) END AS top_bigram_frac,
        |  CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE)
-       |       ELSE CAST(len(bg) - len(list_filter(list_distinct(bg),
-       |              g -> len(list_filter(bg, x -> x = g)) = 1)) AS DOUBLE)
+       |       ELSE CAST(len(bg) - len(list_filter(range(1, len(sb) + 1),
+       |         j -> (CASE WHEN j = 1 THEN true
+       |               ELSE sb[j] != sb[j - 1] END)
+       |          AND (CASE WHEN j = len(sb) THEN true
+       |               ELSE sb[j] != sb[j + 1] END))) AS DOUBLE)
        |            / CAST(len(bg) AS DOUBLE) END AS dup_bigram_frac,
        |  CASE WHEN len(toks) < 2 THEN CAST(least(len(toks), 1) AS INT)
        |       ELSE CAST(list_reduce(
@@ -4479,31 +4501,13 @@ object Pipeline {
        |                ELSE 1000000000
        |                     + greatest(acc % 1000000000,
        |                                CAST(1 AS BIGINT)) END)
-       |            % 1000000000 AS INT) END AS max_run,
-       |  (CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
-       |        ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
-       |             / CAST(len(toks) AS DOUBLE) END >= 0.5
-       |   AND CASE WHEN len(toks) < 2 THEN CAST(1.0 AS DOUBLE)
-       |        ELSE CAST(list_max(list_transform(list_distinct(bg),
-       |               g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
-       |             / CAST(len(bg) AS DOUBLE) END <= 0.10
-       |   AND CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE)
-       |        ELSE CAST(len(bg) - len(list_filter(list_distinct(bg),
-       |               g -> len(list_filter(bg, x -> x = g)) = 1)) AS DOUBLE)
-       |             / CAST(len(bg) AS DOUBLE) END <= 0.55
-       |   AND CASE WHEN len(toks) < 2 THEN CAST(least(len(toks), 1) AS INT)
-       |        ELSE CAST(list_reduce(
-       |               list_prepend(CAST(1000000001 AS BIGINT),
-       |                            range(1, len(toks))),
-       |               (acc, i) -> CASE WHEN toks[i + 1] = toks[i]
-       |                 THEN ((acc // 1000000000) + 1) * 1000000000
-       |                      + greatest(acc % 1000000000,
-       |                                 (acc // 1000000000) + 1)
-       |                 ELSE 1000000000
-       |                      + greatest(acc % 1000000000,
-       |                                 CAST(1 AS BIGINT)) END)
-       |             % 1000000000 AS INT) END <= 2) AS keep
-       |FROM b
+       |            % 1000000000 AS INT) END AS max_run
+       |  FROM sbt)
+       |SELECT doc_id, n_toks, distinct_ratio, top_bigram_frac,
+       |  dup_bigram_frac, max_run,
+       |  (distinct_ratio >= 0.5 AND top_bigram_frac <= 0.10
+       |   AND dup_bigram_frac <= 0.55 AND max_run <= 2) AS keep
+       |FROM s
        |ORDER BY doc_id""".stripMargin
 
   // =========================================================================
@@ -4741,6 +4745,63 @@ object Pipeline {
        |    AS chars_per_token
        |FROM g ORDER BY lang""".stripMargin
 
+  // =========================================================================
+  // p103 — relation-bank IVF: p76's gate recomputed through
+  // graft.operators.IvfRelational, where the centroid bank is a RELATION
+  // (broadcast-assign + map-side min(struct(dist, cell)) partial agg)
+  // instead of a driver-held array. This is the unbounded-cell-count
+  // scale path the r8 sf1 probe demanded: cells pinned at 128 while the
+  // corpus grows 10× means 10× occupancy and recall rot 0.98 → 0.84
+  // (IvfSweep); the fix is cells ∝ corpus, which at 100 TB means 10⁵–10⁶
+  // cells — past what per-Lloyd-round driver collect()s and per-task
+  // closure shipping of the bank can carry, so the bank must stay
+  // distributed. Training is the same decimal-staged Lloyd update, so the
+  // bank is bit-identical to the literal path's (IvfRelationalSpec pins
+  // it) and the SAME ivfBankCtes DuckDB replay gates both engines. The row
+  // additionally carries `bank_matches` — an ENGINE-computed full-outer
+  // comparison of the relation bank against the literal-path bank (exact
+  // array equality, i.e. bit-identity); the oracle asserts TRUE, so any
+  // divergence between the two engines hash-fails the round.
+  // =========================================================================
+  def p103IvfRelational(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+    val relBank = IvfRelational.trainBank(emb, nCells = 128, iters = 3,
+      stride = 15)
+    // literal-path bank under the same params (shared cache with p76):
+    // model-sized (≤ 128×64 doubles) — a fixture, not a data path
+    val litDf = scaledIvfBank(spark, dir).toSeq.zipWithIndex
+      .map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "lcv")
+    val bankCmp = relBank.join(litDf, Seq("cell"), "full_outer")
+      .agg(coalesce(sum(when(col("cv").isNull || col("lcv").isNull ||
+        col("cv") =!= col("lcv"), 1L).otherwise(0L)), lit(0L))
+        .as("n_mismatch"))
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    val ann = IvfRelational.topK(qs, emb, relBank, k = 5, nProbe = 48)
+    val balance = IvfRelational.assign(emb, relBank)
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"),
+        sum(col("sz")).as("n_vecs"))
+    ann.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("total")))
+      .crossJoin(broadcast(balance))
+      .crossJoin(broadcast(bankCmp))
+      .select(lit("ivf_relational").as("method"), col("hits"), col("total"),
+        (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("recall"),
+        col("n_cells"), col("max_cell"),
+        (col("max_cell") * col("n_cells") <= col("n_vecs") * 4).as("balanced"),
+        (col("n_mismatch") === 0).as("bank_matches"))
+  }
+
+  val p103Sql: String =
+    ivfScaledGateSql("ivf_relational", ",\n  TRUE AS bank_matches")
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4844,7 +4905,8 @@ object Pipeline {
     "p99_editdist_neardup" -> (p99EditDistNearDup _),
     "p100_pca_project" -> (p100PcaProject _),
     "p101_pca_semdedup" -> (p101PcaSemDedup _),
-    "p102_token_fertility" -> (p102TokenFertility _))
+    "p102_token_fertility" -> (p102TokenFertility _),
+    "p103_ivf_relational" -> (p103IvfRelational _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -4946,5 +5008,6 @@ object Pipeline {
     "p99_editdist_neardup" -> p99Sql,
     "p100_pca_project" -> p100Sql,
     "p101_pca_semdedup" -> p101Sql,
-    "p102_token_fertility" -> p102Sql)
+    "p102_token_fertility" -> p102Sql,
+    "p103_ivf_relational" -> p103Sql)
 }

@@ -33,6 +33,7 @@ object Sf1Gen {
 
   private val langs: Array[(String, Double)] = Array(
     "en" -> 0.41, "zh" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "de" -> 0.14)
+  private val langCum: Array[Double] = langs.scanLeft(0.0)(_ + _._2).tail
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
@@ -79,11 +80,11 @@ object Sf1Gen {
             }
           if (base.size < 64) base += toks
           val text = toks.mkString(" ")
+          // cumulative-array pick: evaluation-order-independent, unlike a
+          // side-effecting guard inside a PartialFunction
           val u = rnd.nextDouble()
-          var acc = 0.0
-          val lang = langs.collectFirst {
-            case (l, p) if { acc += p; u < acc } => l
-          }.getOrElse("de")
+          val hit = langCum.indexWhere(u < _)
+          val lang = if (hit >= 0) langs(hit)._1 else "de"
           Row(id, text, lang, s"src${rnd.nextInt(20)}", text.length.toLong)
         }
       }

@@ -435,4 +435,21 @@ class PlanSpec extends SparkSpec {
         s"the pos exchange must sit above a partial aggregate:\n$below")
     }
   }
+
+  test("p103 relation-bank IVF assign: bank broadcasts; argmin partial-" +
+      "aggregates before the exchange (one row per vector on the wire)") {
+    import graft.operators.IvfRelational
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val bank = IvfRelational.seedBank(emb, nCells = 8, stride = 5)
+    val plan = planString(IvfRelational.assign(emb, bank))
+    // the n·cells distance rows must NEVER cross an exchange: the bank is
+    // a broadcast nested-loop (cross of a model-sized relation) and the
+    // per-id argmin collapses map-side
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the bank must broadcast — the corpus may not shuffle for assignment:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge anywhere:\n$plan")
+    assert("partial_min\\(struct\\(".r.findFirstIn(plan).isDefined,
+      s"the (dist, cell) argmin must partial-aggregate before the exchange:\n$plan")
+  }
 }

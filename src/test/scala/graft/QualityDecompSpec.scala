@@ -218,6 +218,34 @@ class QualityDecompSpec extends SparkSpec {
     assert(e.getMessage.contains("ragged"))
   }
 
+  test("pcaFit: a NULL element inside a vector fails loud (r8 advice)") {
+    // sum() silently skips NULL terms while a row count would still include
+    // them — without the non-null term count this corrupts the covariance
+    val bad = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Seq[java.lang.Float](1.0f, null, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Decomp.pcaFit(bad, k = 1, iters = 4)
+    }
+    assert(e.getMessage.contains("NULL elements"), e.getMessage)
+  }
+
+  test("pcaProject: empty and wrong-dimension vectors are excluded, not " +
+      "truncated or errored (r8 advice)") {
+    val corpus = axisCorpus(30, 4)
+    val model = Decomp.pcaFit(corpus, k = 1, iters = 8)
+    // an empty vector would descend sequence(0,-1) under ANSI; a short one
+    // would silently truncate the dot product — both must just drop
+    val mixed = corpus.unionAll(Seq(
+      (9001L, Seq.empty[Float]),
+      (9002L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val ids = Decomp.pcaProject(mixed, model)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9001L) && !ids.contains(9002L),
+      "mis-dimensioned vectors must be excluded from projection")
+    assert(ids.size === 30, s"all conforming vectors must project: ${ids.size}")
+  }
+
   test("pcaProject: pure scan — no exchange, no join in the plan") {
     val corpus = axisCorpus(30, 4)
     val model = Decomp.pcaFit(corpus, k = 2, iters = 8)

@@ -83,7 +83,15 @@ object IvfRelational {
     * aggregation (≤ cells·dim rows cross the exchange); an emptied cell
     * keeps its previous centroid. Returns the bank relation (cell, cv),
     * bit-identical to [[Similarity.ivfCentroidsTrained]] under the same
-    * (nCells, iters, stride). */
+    * (nCells, iters, stride).
+    *
+    * Training cost is n·cells distance folds per round — with cells ∝
+    * corpus that is quadratic in n. The standard remedy composes here for
+    * free: train on a SAMPLE (`trainBank(corpus.filter(...), ...)` — bank
+    * quality needs a representative sample, not every vector; a fixed
+    * per-cell sample budget makes training cost ∝ cells alone), then
+    * [[assign]]/[[topK]] the full corpus under the trained bank — those
+    * stay one scan each regardless. */
   def trainBank(corpus: DataFrame, nCells: Int, iters: Int = 3,
       stride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
@@ -109,6 +117,22 @@ object IvfRelational {
     bank
   }
 
+  /** The query→probed-cells relation under the bank: each query's
+    * `nProbe` nearest cells by the same (dist, cell) order the assign
+    * argmin uses. Returns (query_id, qv, cell) — one row per probe. */
+  private def probeCells(queries: DataFrame, bank: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame =
+    queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(bank))
+      .withColumn("__d", sqDist(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__d").asc, col("cell").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
   /** IVF top-k with the relation-form bank: each query probes its
     * `nProbe` nearest cells (same (dist, cell) order), candidates are the
     * probed cells' members, exact cosine rerank keeps k. Queries+probes
@@ -119,16 +143,7 @@ object IvfRelational {
       k: Int, nProbe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.cosine
-    val probes = queries
-      .select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .crossJoin(broadcast(bank))
-      .withColumn("__d", sqDist(col("qv"), col("cv")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("__d").asc, col("cell").asc)))
-      .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = probeCells(queries, bank, nProbe, idCol, vecCol)
     val assigned = assign(corpus, bank, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("v").as("nv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
@@ -136,6 +151,56 @@ object IvfRelational {
     assigned.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** The IVF-PQ index relation under a RELATION coarse bank: one corpus
+    * scan — cell from the broadcast-assign argmin, codes from the
+    * `pqCodes` kernel. The codebooks stay a driver-side model artifact by
+    * design: nCodes is a fixed quantization RESOLUTION (≤ 256 for 8-bit
+    * codes), so they are model-sized at ANY corpus scale — only the
+    * coarse bank grows with data, and it is a relation here (the
+    * SCALING.md "what grows and what doesn't" split). Persist with
+    * `.write.bucketBy(n, "cell")` for probe reuse. */
+  def ivfPqIndex(corpus: DataFrame, bank: DataFrame,
+      banks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.pqCodes
+    assign(corpus, bank, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("cell"),
+        pqCodes(col("v"), banks).as("codes"))
+  }
+
+  /** IVF-PQ top-k with the relation coarse bank — the billion-scale
+    * layout with its scale-sensitive half (the coarse bank) as data:
+    * probed cells' rows are scored from their RECONSTRUCTED codes, true
+    * vectors are fetched only for the k·refine survivors. Row-identical
+    * to [[Similarity.ivfPqTopK]] under a bit-identical bank (same
+    * argmin, same codes, same rerank tie-breaks). */
+  def topKPq(queries: DataFrame, corpus: DataFrame, bank: DataFrame,
+      banks: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+      refine: Int = 24, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.{cosine, pqDecode}
+    val idx = ivfPqIndex(corpus, bank, banks, idCol, vecCol)
+    val probes = probeCells(queries, bank, nProbe, idCol, vecCol)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val survivors = idx.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("asim", cosine(col("qv"), pqDecode(col("codes"), banks)))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    survivors.join(q, "query_id").join(cv, "neighbor_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))

@@ -3770,7 +3770,12 @@ object Pipeline {
         (col("max_cell") * col("n_cells") <= col("n_vecs") * 4).as("balanced"))
   }
 
-  val p87Sql: String = {
+  /** The scale-adaptive IVF-PQ gate's oracle, shared by p87 (driver-bank
+    * coarse stage) and p104 (relation-bank coarse stage) — the p76/p103
+    * sharing argument composed with the PQ replay: coarse trainings are
+    * bit-identical (IvfRelationalSpec), so one replay gates both, and
+    * p104's `extraCols` appends its engine-computed `bank_matches`. */
+  private def ivfPqScaledGateSql(method: String, extraCols: String): String = {
     import OracleHash._
     val (ivfCtes, ivfBankName) = ivfBankCtes(nCells = 128, iters = 3,
       stride = 15)
@@ -3818,13 +3823,15 @@ object Pipeline {
        |h AS (SELECT
        |  (SELECT COUNT(*) FROM annr JOIN exact USING (query_id, neighbor_id)) AS hits,
        |  (SELECT COUNT(*) FROM exact) AS total)
-       |SELECT 'ivfpq_scaled' AS method, CAST(hits AS BIGINT) AS hits,
+       |SELECT '$method' AS method, CAST(hits AS BIGINT) AS hits,
        |  CAST(total AS BIGINT) AS total,
        |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall,
        |  CAST(n_cells AS BIGINT) AS n_cells, CAST(max_cell AS BIGINT) AS max_cell,
-       |  max_cell * n_cells <= 4 * n_vecs AS balanced
+       |  max_cell * n_cells <= 4 * n_vecs AS balanced$extraCols
        |FROM h CROSS JOIN bal""".stripMargin
   }
+
+  val p87Sql: String = ivfPqScaledGateSql("ivfpq_scaled", "")
 
   // =========================================================================
   // p88 — STREAMING per-key EWMA: p81's stateful sibling and the chained-
@@ -4763,25 +4770,38 @@ object Pipeline {
   // array equality, i.e. bit-identity); the oracle asserts TRUE, so any
   // divergence between the two engines hash-fails the round.
   // =========================================================================
-  def p103IvfRelational(spark: SparkSession, dir: String): DataFrame = {
+  // the trained relation bank per dir (checkpointed, model-sized blocks)
+  // — shared by p103/p104 so verify/bench train it once per session
+  private val relIvfBankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def relIvfBank(spark: SparkSession, dir: String): DataFrame =
+    relIvfBankCache.computeIfAbsent(dir, _ =>
+      IvfRelational.trainBank(Tables.embeddings(spark, dir), nCells = 128,
+        iters = 3, stride = 15))
+
+  /** One-row (n_mismatch) comparison of the relation bank against the
+    * literal-path bank under the same params (shared cache with p76):
+    * model-sized (≤ 128×64 doubles) — a fixture, not a data path. */
+  private def relBankCmp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val qs = emb.filter(col("vec_id") < 10)
-    val relBank = IvfRelational.trainBank(emb, nCells = 128, iters = 3,
-      stride = 15)
-    // literal-path bank under the same params (shared cache with p76):
-    // model-sized (≤ 128×64 doubles) — a fixture, not a data path
     val litDf = scaledIvfBank(spark, dir).toSeq.zipWithIndex
       .map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "lcv")
-    val bankCmp = relBank.join(litDf, Seq("cell"), "full_outer")
+    relIvfBank(spark, dir).join(litDf, Seq("cell"), "full_outer")
       .agg(coalesce(sum(when(col("cv").isNull || col("lcv").isNull ||
         col("cv") =!= col("lcv"), 1L).otherwise(0L)), lit(0L))
         .as("n_mismatch"))
+  }
+
+  /** The shared p103/p104 gate tail: recall vs exact + cell balance +
+    * the engine-computed bank_matches row. */
+  private def relIvfGateRow(spark: SparkSession, dir: String,
+      ann: DataFrame, method: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
       .select("query_id", "neighbor_id")
       .localCheckpoint(true)
-    val ann = IvfRelational.topK(qs, emb, relBank, k = 5, nProbe = 48)
-    val balance = IvfRelational.assign(emb, relBank)
+    val balance = IvfRelational.assign(emb, relIvfBank(spark, dir))
       .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"),
         sum(col("sz")).as("n_vecs"))
@@ -4790,8 +4810,8 @@ object Pipeline {
       .agg(count(lit(1)).as("hits"))
       .crossJoin(exact.agg(count(lit(1)).as("total")))
       .crossJoin(broadcast(balance))
-      .crossJoin(broadcast(bankCmp))
-      .select(lit("ivf_relational").as("method"), col("hits"), col("total"),
+      .crossJoin(broadcast(relBankCmp(spark, dir)))
+      .select(lit(method).as("method"), col("hits"), col("total"),
         (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
           .as("recall"),
         col("n_cells"), col("max_cell"),
@@ -4799,8 +4819,38 @@ object Pipeline {
         (col("n_mismatch") === 0).as("bank_matches"))
   }
 
+  def p103IvfRelational(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+    val ann = IvfRelational.topK(qs, emb, relIvfBank(spark, dir), k = 5,
+      nProbe = 48)
+    relIvfGateRow(spark, dir, ann, "ivf_relational")
+  }
+
   val p103Sql: String =
     ivfScaledGateSql("ivf_relational", ",\n  TRUE AS bank_matches")
+
+  // =========================================================================
+  // p104 — relation-bank IVF-PQ: p87's gate with the coarse stage as a
+  // relation (IvfRelational.topKPq) — the full billion-scale layout with
+  // its scale-sensitive half as data. The split is deliberate: the PQ
+  // codebooks stay a driver model artifact because nCodes is a fixed
+  // quantization resolution (≤ 256) — model-sized at any corpus — while
+  // the coarse bank must grow cells ∝ corpus and therefore must be a
+  // relation (see SCALING.md "ANN at 100 TB"). Oracle = p87's replay
+  // (both engines' coarse banks bit-identical, spec-pinned) + the
+  // engine-computed bank_matches assertion.
+  // =========================================================================
+  def p104IvfPqRelational(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+    val ann = IvfRelational.topKPq(qs, emb, relIvfBank(spark, dir),
+      pqBank(spark, dir), k = 5, nProbe = 48)
+    relIvfGateRow(spark, dir, ann, "ivfpq_relational")
+  }
+
+  val p104Sql: String =
+    ivfPqScaledGateSql("ivfpq_relational", ",\n  TRUE AS bank_matches")
 
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4906,7 +4956,8 @@ object Pipeline {
     "p100_pca_project" -> (p100PcaProject _),
     "p101_pca_semdedup" -> (p101PcaSemDedup _),
     "p102_token_fertility" -> (p102TokenFertility _),
-    "p103_ivf_relational" -> (p103IvfRelational _))
+    "p103_ivf_relational" -> (p103IvfRelational _),
+    "p104_ivfpq_relational" -> (p104IvfPqRelational _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5009,5 +5060,6 @@ object Pipeline {
     "p100_pca_project" -> p100Sql,
     "p101_pca_semdedup" -> p101Sql,
     "p102_token_fertility" -> p102Sql,
-    "p103_ivf_relational" -> p103Sql)
+    "p103_ivf_relational" -> p103Sql,
+    "p104_ivfpq_relational" -> p104Sql)
 }

@@ -59,6 +59,28 @@ class IvfRelationalSpec extends SparkSpec {
     }
   }
 
+  test("topKPq through the relation coarse bank row-matches ivfPqTopK " +
+      "under the same bank and codebooks") {
+    val lit = Similarity.ivfCentroidsTrained(emb, nCells = 8, iters = 2,
+      stride = 5)
+    val relBank = IvfRelational.trainBank(emb, nCells = 8, iters = 2,
+      stride = 5)
+    val banks = Similarity.pqTrain(emb, m = 8, nCodes = 16, iters = 2)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val want = Similarity.ivfPqTopK(qs, emb, k = 5, centroids = lit,
+        banks = banks, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val got = IvfRelational.topKPq(qs, emb, relBank, banks, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(got.length == want.length,
+      s"row count ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"ivf-pq top-k row differs: $g vs $w")
+    }
+  }
+
   test("assign ties go to the lower cell (nearestCentroids contract)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -119,19 +119,31 @@ object CovProfile {
       out.toArray
     }
 
-    // warmup + equality check once
-    val a = time("shipped (warmup)")(shipped())
-    val b = time("local (warmup)")(local())
-    val am = a.map { case (i, j, s, c) => ((i, j), (s, c)) }.toMap
-    val bm = b.map { case (i, j, s, c) => ((i, j), (s, c)) }.toMap
-    require(am.keySet == bm.keySet, "group sets differ")
-    val diffs = am.count { case (k, (s, c)) =>
-      bm(k)._1.compareTo(s) != 0 || bm(k)._2 != c }
+    // ---- shipped since r9: the CovMomentsAgg native aggregate -----------
+    def agg(): Array[(Int, Int, java.math.BigDecimal, Long)] =
+      ve.agg(graft.functions.CovMomentsAgg.covMoments(col("v")).as("m"))
+        .select(explode(col("m")).as("e"))
+        .select(col("e.i"), col("e.j"), col("e.s"), col("e.cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
+
+    // warmup + three-way exact-equality check once
+    val a = time("explode (warmup)")(shipped())
+    val b = time("rdd-proto (warmup)")(local())
+    val c = time("cov-agg (warmup)")(agg())
+    def toMapOf(xs: Array[(Int, Int, java.math.BigDecimal, Long)]) =
+      xs.map { case (i, j, s, n) => ((i, j), (s, n)) }.toMap
+    val am = toMapOf(a); val bm = toMapOf(b); val cm = toMapOf(c)
+    require(am.keySet == bm.keySet && am.keySet == cm.keySet,
+      "group sets differ")
+    val diffs = am.count { case (k, (s, n)) =>
+      bm(k)._1.compareTo(s) != 0 || bm(k)._2 != n ||
+        cm(k)._1.compareTo(s) != 0 || cm(k)._2 != n }
     println(s"[cov] exact-value mismatches: $diffs of ${am.size} groups")
 
     (1 to reps).foreach { r =>
-      time(s"shipped #$r")(shipped())
-      time(s"local   #$r")(local())
+      time(s"explode #$r")(shipped())
+      time(s"cov-agg #$r")(agg())
     }
     spark.stop()
   }

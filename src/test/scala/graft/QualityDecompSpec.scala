@@ -246,6 +246,19 @@ class QualityDecompSpec extends SparkSpec {
     assert(ids.size === 30, s"all conforming vectors must project: ${ids.size}")
   }
 
+  test("pcaFit covariance pass: one partial+final ObjectHashAggregate " +
+      "(model-sized buffers merge, rows never shuffle)") {
+    val df = axisCorpus(60, 5)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .agg(graft.functions.CovMomentsAgg.covMoments(col("v")).as("m"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val objAggs = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(objAggs >= 2,
+      s"cov_moments must partial-aggregate per partition:\n$plan")
+    assert(plan.contains("cov_moments"), plan)
+  }
+
   test("pcaProject: pure scan — no exchange, no join in the plan") {
     val corpus = axisCorpus(30, 4)
     val model = Decomp.pcaFit(corpus, k = 2, iters = 8)

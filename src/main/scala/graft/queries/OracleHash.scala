@@ -149,19 +149,20 @@ private[queries] object OracleHash {
        |        FROM (SELECT id, v FROM emb ORDER BY id LIMIT ${n * stride}))
        |  WHERE (rn - 1) % $stride = 0 AND (rn - 1) // $stride < $n)""".stripMargin
 
-  /** Nearest-cell assignment of `emb` rows under centroid CTE `bank(cell,
-    * cv)` — argmin of the sequential squared-L2 fold, ties to the lower
-    * cell (the `nearestCentroids` kernel's contract). Emits CTE
-    * `$name(id, v, cell)` for rank 1, or (id, cell) ranks ≤ `keep`. */
+  /** Nearest-cell assignment of `source` rows (default the `emb` CTE)
+    * under centroid CTE `bank(cell, cv)` — argmin of the sequential
+    * squared-L2 fold, ties to the lower cell (the `nearestCentroids`
+    * kernel's contract). Emits CTE `$name(id, v, cell)` for rank 1, or
+    * (id, cell) ranks ≤ `keep`. */
   def nearestCellCte(name: String, bank: String, keep: Int,
-      filter: String = ""): String = {
+      filter: String = "", source: String = "emb"): String = {
     val sel = if (keep == 1) "id, v, cell" else "id, cell"
     s"""$name AS (
        |  SELECT $sel FROM (
        |    SELECT e.id, e.v, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.id
        |        ORDER BY ${seqSqDist("e.v", "c.cv")} ASC, c.cell ASC) AS rn
-       |    FROM emb e CROSS JOIN $bank c$filter)
+       |    FROM $source e CROSS JOIN $bank c$filter)
        |  WHERE rn <= $keep)""".stripMargin
   }
 

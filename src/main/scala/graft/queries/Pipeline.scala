@@ -4852,6 +4852,74 @@ object Pipeline {
   val p104Sql: String =
     ivfPqScaledGateSql("ivfpq_relational", ",\n  TRUE AS bank_matches")
 
+  // =========================================================================
+  // p105 — STREAMING IVF index maintenance: the ANN member of the
+  // incremental-corpus family (p35 exact / p77 near-dup / p73 passage).
+  // A standing corpus trains the relation bank and assigns once
+  // (indexRoot/v0); each embedding micro-batch then assigns ONLY its own
+  // vectors under the FROZEN bank (one batch-sized broadcast-assign scan
+  // — the standing index never re-assigns) and appends a batch-id-named
+  // delta. The result is the assembled index with per-row provenance
+  // (which delta each row lives in) — so the oracle checks BOTH the
+  // assignment (bank replay over the standing subset via ivfBankCtes,
+  // then nearestCellCte over the full corpus) AND that every row arrived
+  // through the right micro-batch (src replayed from the deterministic
+  // batch split). Bank immutability is enforced (an index is bound to
+  // the bank it was built under — the ivfTopK corpusIndex contract,
+  // fail-loud in the stream).
+  // =========================================================================
+  def p105StreamIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, dir)
+    val standing = emb.filter(col("vec_id") < 250)
+    val incoming = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("batch", pmod(col("vec_id"), lit(2)))
+    val root = Files.createTempDirectory("p105_").toString
+    val in = s"$root/in"; val bankRoot = s"$root/bank"
+    val indexRoot = s"$root/index"; val outRoot = s"$root/out"
+    val bank = IvfRelational.trainBank(standing, nCells = 16, iters = 3,
+      stride = 15)
+    graft.streaming.IvfStream.writeStanding(spark, bankRoot, indexRoot,
+      standing, bank)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(graft.streaming.IvfStream.appendBatch(spark, bankRoot,
+        indexRoot, outRoot, "vec_id", "embedding") _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.Versions.list(spark, indexRoot)
+      .map { case (vid, p) =>
+        spark.read.parquet(p.toString)
+          .select(col("neighbor_id").as("vec_id"), col("cell"),
+            lit(vid).cast("int").as("src"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("vec_id")
+  }
+
+  val p105Sql: String = {
+    import OracleHash._
+    val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3, stride = 15)
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 250),
+       |$bankCtes,
+       |allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |${nearestCellCte("asg", bank, keep = 1, source = "allv")}
+       |SELECT id AS vec_id, CAST(cell AS INT) AS cell,
+       |  CAST(CASE WHEN id < 250 THEN 0
+       |            WHEN id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS src
+       |FROM asg
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -4957,7 +5025,8 @@ object Pipeline {
     "p101_pca_semdedup" -> (p101PcaSemDedup _),
     "p102_token_fertility" -> (p102TokenFertility _),
     "p103_ivf_relational" -> (p103IvfRelational _),
-    "p104_ivfpq_relational" -> (p104IvfPqRelational _))
+    "p104_ivfpq_relational" -> (p104IvfPqRelational _),
+    "p105_stream_ivf_index" -> (p105StreamIvfIndex _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5061,5 +5130,6 @@ object Pipeline {
     "p101_pca_semdedup" -> p101Sql,
     "p102_token_fertility" -> p102Sql,
     "p103_ivf_relational" -> p103Sql,
-    "p104_ivfpq_relational" -> p104Sql)
+    "p104_ivfpq_relational" -> p104Sql,
+    "p105_stream_ivf_index" -> p105Sql)
 }

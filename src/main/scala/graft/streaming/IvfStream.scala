@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.IvfRelational
+
+/** Streaming IVF index maintenance — the ANN sibling of
+  * [[NearDupStream]]/[[PassageStream]]: embedding micro-batches join a
+  * standing corpus's inverted-file index incrementally. Each batch
+  * assigns ONLY its own vectors under the frozen relation bank (one
+  * broadcast-assign scan of the batch — the standing corpus is never
+  * re-assigned, never re-shuffled) and appends its (neighbor_id, cell,
+  * v) delta; probes then read the assembled index like any persisted
+  * [[graft.operators.Similarity.writeIvfIndex]] table.
+  *
+  * Two roots, the established versioned-delta convention:
+  *   - `bankRoot/v0` — the trained relation bank (cell, cv), written
+  *     before the stream starts ([[IvfRelational.trainBank]] over the
+  *     standing corpus). The bank is IMMUTABLE for the life of the
+  *     index: assignments under one bank and probes under another
+  *     silently collapse recall (the `ivfTopK` corpusIndex contract), so
+  *     [[appendBatch]] fails loud if the root holds anything but exactly
+  *     `v0`. Retraining cells ∝ corpus means building a NEW index under
+  *     a new root, then swapping readers — never mutating in place.
+  *   - `indexRoot/v*` — assignment deltas (`v0` = the standing corpus's
+  *     assignment; `v{b+1}` = batch b's). Append-only, batch-id-named:
+  *     a redelivered batch rebases on versions `<= batchId` and
+  *     overwrites its own delta deterministically (exactly-once corpus
+  *     from at-least-once delivery). Index rows are unique across
+  *     deltas, so auto-compaction folds with `distinct` —
+  *     read-equivalent while collapsing any rows a crashed re-run left.
+  *
+  * At 100 TB the point is the per-batch cost: one batch-sized
+  * broadcast-assign scan + one delta write, regardless of how large the
+  * standing index has grown. */
+object IvfStream {
+
+  /** Write the standing stores: the trained bank as `bankRoot/v0` and
+    * the standing corpus's assignment as `indexRoot/v0`. */
+  def writeStanding(spark: SparkSession, bankRoot: String, indexRoot: String,
+      standing: DataFrame, bank: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    bank.write.mode("overwrite").parquet(s"$bankRoot/v0")
+    val frozen = spark.read.parquet(s"$bankRoot/v0")
+    IvfRelational.assign(standing, frozen, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("cell"), col("v"))
+      .write.mode("overwrite").parquet(s"$indexRoot/v0")
+  }
+
+  /** The `foreachBatch` callback: assign batch `batchId`'s vectors under
+    * the frozen bank, append the delta as `indexRoot/v{batchId+1}`, and
+    * emit the batch's per-cell growth profile to `outRoot/b<batchId>`
+    * (cell, n_new — the occupancy-drift signal that tells an operator
+    * when cells ∝ corpus demands a rebuild). */
+  def appendBatch(spark: SparkSession, bankRoot: String, indexRoot: String,
+      outRoot: String, idCol: String, vecCol: String,
+      autoCompactVersions: Option[Int] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val bankVersions = Versions.list(spark, bankRoot)
+    require(bankVersions.map(_._1) == Seq(0L),
+      s"bank at $bankRoot must be exactly v0 (found " +
+        s"${bankVersions.map("v" + _._1).mkString(", ")}) — an index is " +
+        "bound to the bank it was built under; retrain into a NEW root " +
+        "and rebuild, never mutate a live bank")
+    val idxVersions = Versions.list(spark, indexRoot)
+    require(idxVersions.exists(_._1 == 0L),
+      s"standing index $indexRoot/v0 missing — writeStanding before " +
+        "starting the stream")
+    idxVersions.lastOption.foreach { case (newest, _) =>
+      require(newest <= batchId + 1,
+        s"index at $indexRoot is at v$newest but the stream is replaying " +
+          s"batch $batchId — restarting with a fresh checkpoint over " +
+          "existing deltas would fork their lineage; resume from the " +
+          "original checkpoint or start new roots")
+    }
+    autoCompactVersions.foreach(k =>
+      Versions.autoCompact(spark, indexRoot, batchId, k, _.distinct()))
+    val bank = spark.read.parquet(s"$bankRoot/v0")
+    val delta = IvfRelational.assign(batch, bank, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("cell"), col("v"))
+      .localCheckpoint(true)
+    delta.groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+    delta.write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
+  }
+
+  /** The assembled index visible to probes: every delta `<= upTo` (or all,
+    * by default), distinct — the relation [[graft.operators
+    * .Similarity.ivfTopK]]-style probes join on `cell`. */
+  def readIndex(spark: SparkSession, indexRoot: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val versions = Versions.list(spark, indexRoot).filter(_._1 <= upTo)
+    require(versions.nonEmpty, s"no index versions at $indexRoot")
+    spark.read.parquet(versions.map(_._2.toString): _*).distinct()
+  }
+
+  /** Fold index deltas `v0..v<upTo>` into a new base (see
+    * [[Versions.compact]] safety contract); rows unique ⇒ `distinct` is
+    * read-equivalent. */
+  def compactStore(spark: SparkSession, indexRoot: String, upTo: Long): Unit =
+    Versions.compact(spark, indexRoot, upTo, _.distinct())
+}

@@ -728,6 +728,82 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, s"streamed dedup $got vs batch distinct $want")
   }
 
+  test("streaming IVF index: deltas assemble to the one-shot assignment; " +
+      "redelivery idempotent; fork and bank-immutability guards fail loud") {
+    import java.nio.file.Files
+    import graft.operators.IvfRelational
+    import graft.streaming.IvfStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivfstream_").toString
+    val (bankRoot, idxRoot, outRoot) =
+      (s"$root/bank", s"$root/idx", s"$root/out")
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") < 100)
+    val bank = IvfRelational.trainBank(standing, nCells = 4, iters = 2,
+      stride = 10)
+    IvfStream.writeStanding(spark, bankRoot, idxRoot, standing, bank)
+    val b0 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    val b1 = emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+    val append = IvfStream.appendBatch(spark, bankRoot, idxRoot, outRoot,
+      "vec_id", "embedding") _
+    append(b0, 0L)
+    append(b1, 1L)
+    def assembled() = IvfStream.readIndex(spark, idxRoot)
+      .select("neighbor_id", "cell").as[(Long, Int)].collect().sorted.toSeq
+    val want = IvfRelational.assign(emb.filter(col("vec_id") < 200), bank)
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().sorted.toSeq
+    assert(assembled() === want,
+      "assembled deltas must equal the one-shot assignment under the bank")
+    // per-batch growth profile sums to the batch size
+    val growth = spark.read.parquet(s"$outRoot/b0")
+      .agg(sum(col("n_new"))).collect().head.getLong(0)
+    assert(growth === b0.count())
+    // redelivered batch overwrites its own delta — index unchanged
+    append(b1, 1L)
+    assert(assembled() === want, "redelivery must be idempotent")
+    // fresh-checkpoint fork guard: replaying an OLD batch over newer
+    // deltas would fork their lineage
+    val eFork = intercept[IllegalArgumentException] { append(b0, 0L) }
+    assert(eFork.getMessage.contains("fork"), eFork.getMessage)
+    // bank immutability: an index is bound to the bank it was built
+    // under; a second bank version must refuse before any write
+    bank.write.mode("overwrite").parquet(s"$bankRoot/v1")
+    val eBank = intercept[IllegalArgumentException] { append(b1, 2L) }
+    assert(eBank.getMessage.contains("exactly v0"), eBank.getMessage)
+    assert(!new java.io.File(s"$idxRoot/v3").exists(),
+      "the refused batch must not have written a delta")
+  }
+
+  test("streaming IVF index auto-compaction bounds versions and stays " +
+      "read-identical") {
+    import java.nio.file.Files
+    import graft.operators.IvfRelational
+    import graft.streaming.IvfStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivfcompact_").toString
+    val (bankRoot, idxRoot, outRoot) =
+      (s"$root/bank", s"$root/idx", s"$root/out")
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") < 100)
+    val bank = IvfRelational.trainBank(standing, nCells = 4, iters = 2,
+      stride = 10)
+    IvfStream.writeStanding(spark, bankRoot, idxRoot, standing, bank)
+    val append = IvfStream.appendBatch(spark, bankRoot, idxRoot, outRoot,
+      "vec_id", "embedding", autoCompactVersions = Some(1)) _
+    (0 until 4).foreach { b =>
+      append(emb.filter(col("vec_id") >= 100 + b * 25 &&
+        col("vec_id") < 125 + b * 25), b.toLong)
+    }
+    val versions = new java.io.File(idxRoot).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(versions.size <= 3, s"auto-compaction never ran: $versions")
+    val got = IvfStream.readIndex(spark, idxRoot)
+      .select("neighbor_id", "cell").as[(Long, Int)].collect().sorted.toSeq
+    val want = IvfRelational.assign(emb.filter(col("vec_id") < 200), bank)
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().sorted.toSeq
+    assert(got === want, "compacted index must read identically")
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

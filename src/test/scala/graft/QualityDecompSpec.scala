@@ -246,6 +246,51 @@ class QualityDecompSpec extends SparkSpec {
     assert(ids.size === 30, s"all conforming vectors must project: ${ids.size}")
   }
 
+  test("CovBuffer: merging buffers of different dims repacks exactly " +
+      "(the ragged-across-partitions path)") {
+    import java.math.{BigDecimal => JBD}
+    val agg = graft.functions.CovMomentsAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    def bufOf(vs: Seq[Array[Double]]): graft.functions.CovBuffer = {
+      val b = agg.createAggregationBuffer()
+      // replicate update()'s arithmetic directly on the buffer
+      vs.foreach { v =>
+        b.growTo(v.length)
+        for (i <- v.indices) {
+          b.sums(i) = b.sums(i).add(new JBD(java.lang.Double.toString(v(i)))
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          b.counts(i) += 1
+          for (j <- i until v.length) {
+            val k = b.pairIdx(i, j)
+            b.sums(k) = b.sums(k).add(
+              new JBD(java.lang.Double.toString(v(i) * v(j)))
+                .setScale(18, java.math.RoundingMode.HALF_UP))
+            b.counts(k) += 1
+          }
+        }
+      }
+      b
+    }
+    val small = bufOf(Seq(Array(1.5, -2.0)))          // d=2 partition
+    val big = bufOf(Seq(Array(0.5, 3.0, -1.0)))       // d=3 partition
+    // merge small INTO big and (serialize-roundtripped) big INTO small:
+    // both must equal the single-partition accumulation of all rows
+    val want = bufOf(Seq(Array(1.5, -2.0), Array(0.5, 3.0, -1.0)))
+    val m1 = agg.merge(bufOf(Seq(Array(0.5, 3.0, -1.0))), small)
+    val m2 = agg.merge(bufOf(Seq(Array(1.5, -2.0))),
+      agg.deserialize(agg.serialize(big)))
+    Seq(("small→big", m1), ("big→small(grown)", m2)).foreach { case (tag, m) =>
+      assert(m.d === want.d, tag)
+      for (k <- 0 until want.size(want.d)) {
+        assert(m.sums(k).compareTo(want.sums(k)) == 0, s"$tag sums($k)")
+        assert(m.counts(k) === want.counts(k), s"$tag counts($k)")
+      }
+    }
+    // the d=2 rows never saw dim 2: its groups must show the count gap
+    // pcaFit's fail-loud check keys on
+    assert(want.counts(2) === 1L && want.counts(0) === 2L)
+  }
+
   test("pcaFit covariance pass: one partial+final ObjectHashAggregate " +
       "(model-sized buffers merge, rows never shuffle)") {
     val df = axisCorpus(60, 5)

@@ -25,6 +25,27 @@ object GraftKernels {
     if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
   }
 
+  /** See [[SeqSqDistExpr]]: squared-L2 as the exact `seqSqDist` rounding
+    * sequence — 0.0-seeded left fold, dimensions ascending, each term
+    * `(a_i - b_i)·(a_i - b_i)` (subtract, multiply, add: the identical
+    * IEEE op chain the Column HOF form and the DuckDB oracle's
+    * `list_reduce(list_prepend(0.0, …))` evaluate, so results are
+    * bit-identical on well-formed input). Mismatched lengths (malformed
+    * data) fold the common prefix, like [[cosine]]. */
+  def seqSqDist(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** See [[Fingerprint64]]. */
   def fingerprint64(s: UTF8String): Long = Hash64.mix(Hash64.fnv1a(s))
 

@@ -145,13 +145,22 @@ object Decomp {
     * Only vectors of EXACTLY the model's dimension project: an empty
     * vector would make `sequence(0, -1)` descend (ANSI error) and a
     * short one would silently truncate the dot product — both excluded
-    * here, consistent with [[pcaFit]]'s fail-loud ragged check. */
+    * here, consistent with [[pcaFit]]'s fail-loud ragged check (the r8
+    * per-row contract). The DEGENERATE drop — a non-empty corpus where
+    * NO vector matches, i.e. the model itself is wrong-dimensioned —
+    * fails loud instead of returning an empty frame with no signal (r9
+    * advice); the guard is `isEmpty` on the conforming set, which reads
+    * one row when healthy and pays a scan only on the way to the error. */
   def pcaProject(corpus: DataFrame, model: PcaModel,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val muLit = array(model.mean.map(lit): _*)
     val ve = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .filter(size(col("__v")) === model.mean.length)
+    require(!ve.isEmpty || corpus.filter(col(vecCol).isNotNull).isEmpty,
+      s"pcaProject: non-empty corpus but no vector has the model's " +
+        s"dimension ${model.mean.length} — projecting with a model fitted " +
+        "on different-dimensional data?")
     def proj(pc: Array[Double]): Column = {
       val pcLit = array(pc.map(lit): _*)
       aggregate(

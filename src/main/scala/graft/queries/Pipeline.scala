@@ -4770,14 +4770,24 @@ object Pipeline {
   // array equality, i.e. bit-identity); the oracle asserts TRUE, so any
   // divergence between the two engines hash-fails the round.
   // =========================================================================
-  // the trained relation bank per dir (checkpointed, model-sized blocks)
-  // — shared by p103/p104 so verify/bench train it once per session
+  // the trained relation bank per dir — shared by p103/p104 so
+  // verify/bench train it once per PROCESS. The cache holds plain driver
+  // rows (model-sized: ≤ 128×64 doubles), NOT a DataFrame: a cached
+  // DataFrame's localCheckpoint blocks are bound to the SparkContext that
+  // made them, so a second session in the same JVM (test suites, a
+  // Verify→Bench restart) would read a stopped context. Rebuilding the
+  // relation from rows per call is free at model size — exactly the
+  // [[pqBankCache]] discipline.
   private val relIvfBankCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def relIvfBank(spark: SparkSession, dir: String): DataFrame =
-    relIvfBankCache.computeIfAbsent(dir, _ =>
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Double])]]()
+  private def relIvfBank(spark: SparkSession, dir: String): DataFrame = {
+    val rows = relIvfBankCache.computeIfAbsent(dir, _ =>
       IvfRelational.trainBank(Tables.embeddings(spark, dir), nCells = 128,
-        iters = 3, stride = 15))
+          iters = 3, stride = 15)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))))
+    import spark.implicits._
+    rows.toSeq.toDF("cell", "cv")
+  }
 
   /** One-row (n_mismatch) comparison of the relation bank against the
     * literal-path bank under the same params (shared cache with p76):

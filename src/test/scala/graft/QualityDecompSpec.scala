@@ -246,6 +246,19 @@ class QualityDecompSpec extends SparkSpec {
     assert(ids.size === 30, s"all conforming vectors must project: ${ids.size}")
   }
 
+  test("pcaProject: a wrong-dimension MODEL over a valid corpus fails " +
+      "loud instead of returning empty (r9 advice)") {
+    val model = Decomp.pcaFit(axisCorpus(30, 4), k = 1, iters = 8)
+    val sixDim = axisCorpus(10, 6)
+    val e = intercept[IllegalArgumentException] {
+      Decomp.pcaProject(sixDim, model)
+    }
+    assert(e.getMessage.contains("no vector has the model's dimension"),
+      e.getMessage)
+    // and the healthy path still projects everything
+    assert(Decomp.pcaProject(axisCorpus(30, 4), model).count() === 30)
+  }
+
   test("CovBuffer: merging buffers of different dims repacks exactly " +
       "(the ragged-across-partitions path)") {
     import java.math.{BigDecimal => JBD}

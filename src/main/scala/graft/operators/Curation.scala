@@ -43,11 +43,7 @@ object Curation {
       defaultFraction: Double = 0.0): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction))
       .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
-    // mod-first keeps the product < 2^63 (see hashSplit); 10000 buckets =
-    // 0.01% sampling granularity
-    val bucket =
-      pmod(pmod(col(idCol), lit(1000000007L)) * lit(2246822519L),
-        lit(1000000007L)) % 10000
+    val bucket = sampleBucket(idCol)
     val thresh = fractions.foldLeft(
         lit(math.round(defaultFraction * 10000)): Column) {
       case (acc, (stratum, f)) =>
@@ -55,6 +51,31 @@ object Curation {
           .otherwise(acc)
     }
     df.filter(bucket < thresh)
+  }
+
+  /** The [[sampleStratified]] membership bucket: mod-first keeps the
+    * product < 2^63 (see hashSplit); 10000 buckets = 0.01% sampling
+    * granularity. Engine-portable plain-`%` arithmetic — a DuckDB oracle
+    * replays it verbatim ([[sampleBucketSql]]). */
+  private def sampleBucket(idCol: String): Column =
+    pmod(pmod(col(idCol), lit(1000000007L)) * lit(2246822519L),
+      lit(1000000007L)) % 10000
+
+  /** The exact SQL text of [[sampleBucket]] over non-negative ids — the
+    * oracle-side membership predicate is `sampleBucketSql(id) < f·10000`. */
+  def sampleBucketSql(idExpr: String): String =
+    s"((($idExpr % 1000000007) * 2246822519) % 1000000007) % 10000"
+
+  /** Strata-free deterministic sampling — [[sampleStratified]]'s membership
+    * with one global fraction. Same multiplier, so uniform samples NEST
+    * with stratified ones (and with themselves: the 10% sample is a strict
+    * subset of the 25% sample — what sampled-training sweeps want). One
+    * scan, zero shuffles, no RNG; reproducible across runs, engines, and
+    * partitionings. Ids must be non-negative. */
+  def sampleUniform(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1]: $fraction")
+    df.filter(sampleBucket(idCol) < lit(math.round(fraction * 10000)))
   }
 
   /** Domain-mix resampling: downsample each domain so the output matches

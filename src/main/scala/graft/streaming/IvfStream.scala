@@ -112,6 +112,43 @@ object IvfStream {
     spark.read.parquet(versions.map(_._2.toString): _*)
   }
 
+  /** The rebuild half of the reader-SWAP lifecycle the bank-immutability
+    * guard prescribes (and that the per-batch growth profiles signal):
+    * when occupancy drift says cells ∝ corpus demands more cells, retrain
+    * a bank over the CURRENT assembled corpus into `newBankRoot/v0`,
+    * re-assign the corpus ONCE under it, and write the result as
+    * `newIndexRoot/v0` — a complete standing store a new stream (fresh
+    * checkpoint) appends to and probes read. The old roots are never
+    * touched: readers swap to the new roots at their own pace, in-flight
+    * probes against the old index stay consistent, and rollback is "don't
+    * swap". Both new roots must be empty — rebuilding INTO a live root
+    * would be exactly the in-place mutation the guard exists to prevent.
+    *
+    * Cost: one readIndex union scan feeds training (n·newCells folds per
+    * Lloyd round — pass `trainFraction < 1` to train on the deterministic
+    * [[graft.operators.Curation.sampleUniform]] membership, the measured
+    * ~3.4× cheaper recall-equivalent configuration when newCells grows
+    * with the corpus; see p106) + one full re-assign scan. Per-batch
+    * append cost is untouched. */
+  def rebuildIndex(spark: SparkSession, indexRoot: String,
+      newBankRoot: String, newIndexRoot: String, nCells: Int,
+      iters: Int = 3, stride: Int = 50, trainFraction: Double = 1.0): Unit = {
+    require(Versions.list(spark, newBankRoot).isEmpty,
+      s"rebuild target $newBankRoot already holds versions — rebuild " +
+        "writes a NEW root and readers swap; never rebuild into a live root")
+    require(Versions.list(spark, newIndexRoot).isEmpty,
+      s"rebuild target $newIndexRoot already holds versions — rebuild " +
+        "writes a NEW root and readers swap; never rebuild into a live root")
+    val corpus = readIndex(spark, indexRoot)
+      .select(col("neighbor_id").as("vec_id"), col("v").as("embedding"))
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else graft.operators.Curation.sampleUniform(corpus, "vec_id",
+        trainFraction)
+    val bank = IvfRelational.trainBank(train, nCells, iters, stride)
+    writeStanding(spark, newBankRoot, newIndexRoot, corpus, bank)
+  }
+
   /** Fold index deltas `v0..v<upTo>` into a new base (see
     * [[Versions.compact]] safety contract); rows unique across deltas ⇒
     * the identity fold is read-equivalent. */

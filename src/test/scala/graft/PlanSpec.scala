@@ -452,4 +452,43 @@ class PlanSpec extends SparkSpec {
     assert("partial_min\\(struct\\(".r.findFirstIn(plan).isDefined,
       s"the (dist, cell) argmin must partial-aggregate before the exchange:\n$plan")
   }
+
+  test("p105 streaming IVF index: the probe read is a plain scan union — " +
+      "no exchange anywhere on the standing index's path (r9 wrong #1)") {
+    import graft.operators.IvfRelational
+    import graft.streaming.IvfStream
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{array, broadcast, col, explode, lit}
+    val root = java.nio.file.Files.createTempDirectory("ivfplan_").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") < 100)
+    val bank = IvfRelational.trainBank(standing, nCells = 4, iters = 1,
+      stride = 10)
+    IvfStream.writeStanding(spark, s"$root/bank", s"$root/idx", standing, bank)
+    IvfStream.appendBatch(spark, s"$root/bank", s"$root/idx", s"$root/out",
+      "vec_id", "embedding")(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150), 0L)
+    // the assembled read: a union of version scans, nothing else — the r9
+    // distinct() here shuffled the ENTIRE index (vectors as grouping
+    // keys) through one hash aggregate per probe session
+    val readPlan = planString(IvfStream.readIndex(spark, s"$root/idx"))
+    assert(!readPlan.contains("Exchange"),
+      s"the index read must not shuffle:\n$readPlan")
+    assert(!readPlan.contains("HashAggregate"),
+      s"the index read must not aggregate:\n$readPlan")
+    // and a probe against it joins broadcast probes on cell: the standing
+    // index never crosses a SHUFFLE exchange pre-rerank (the probes' own
+    // BroadcastExchange is model-sized and expected — the writeIvfIndex /
+    // writePassageIndex / bm25TopKIndexed probe discipline)
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        explode(array(lit(0), lit(1))).as("cell"))
+    val probePlan = planString(IvfStream.readIndex(spark, s"$root/idx")
+      .join(broadcast(probes), "cell"))
+    assert(!probePlan.contains("Exchange hashpartitioning"),
+      s"the probe join must keep the index exchange-free:\n$probePlan")
+    assert(probePlan.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n$probePlan")
+  }
 }

@@ -804,6 +804,85 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "compacted index must read identically")
   }
 
+  test("streaming IVF rebuild/swap: growth signal -> retrain into NEW " +
+      "roots; parity with a from-scratch index; old roots untouched") {
+    import java.nio.file.Files
+    import graft.operators.IvfRelational
+    import graft.streaming.IvfStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivfrebuild_").toString
+    val (bankRoot, idxRoot, outRoot) =
+      (s"$root/bank", s"$root/idx", s"$root/out")
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") < 100)
+    val bank = IvfRelational.trainBank(standing, nCells = 4, iters = 2,
+      stride = 10)
+    IvfStream.writeStanding(spark, bankRoot, idxRoot, standing, bank)
+    val append = IvfStream.appendBatch(spark, bankRoot, idxRoot, outRoot,
+      "vec_id", "embedding") _
+    (0 until 3).foreach { b =>
+      append(emb.filter(col("vec_id") >= 100 + b * 50 &&
+        col("vec_id") < 150 + b * 50), b.toLong)
+    }
+    // the growth profiles ARE the rebuild signal: total appended rows
+    // have outgrown the standing corpus by >1.5x
+    val grown = (0 until 3).map(b =>
+      spark.read.parquet(s"$outRoot/b$b")
+        .agg(sum(col("n_new"))).collect().head.getLong(0)).sum
+    assert(grown.toDouble / standing.count() >= 1.5,
+      s"test premise: drift must cross the threshold ($grown appended)")
+    def snapshot(dir: String): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f => (f.getPath, f.length()))
+        .sortBy(_._1)
+    }
+    val (oldBankSnap, oldIdxSnap) = (snapshot(bankRoot), snapshot(idxRoot))
+    // rebuild into NEW roots with cells grown with the corpus
+    IvfStream.rebuildIndex(spark, idxRoot, s"$root/bank2", s"$root/idx2",
+      nCells = 8, iters = 2, stride = 10)
+    // the rebuilt bank is bit-identical to one trained from scratch on
+    // the same corpus (seedBank orders by id, so assembly order of the
+    // delta union cannot leak in)
+    val corpus = emb.filter(col("vec_id") < 250)
+    val scratch = IvfRelational.trainBank(corpus, nCells = 8, iters = 2,
+        stride = 10)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val rebuilt = spark.read.parquet(s"$root/bank2/v0")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(rebuilt === scratch,
+      "rebuilt bank must equal the from-scratch bank bit-for-bit")
+    // ... and the new standing index is exactly the one-shot assignment
+    // under it (probes are a deterministic function of bank + index, so
+    // this IS probe parity with a from-scratch build)
+    val gotIdx = IvfStream.readIndex(spark, s"$root/idx2")
+      .select("neighbor_id", "cell").as[(Long, Int)].collect().sorted.toSeq
+    val wantIdx = IvfRelational.assign(corpus,
+        spark.read.parquet(s"$root/bank2/v0"))
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().sorted.toSeq
+    assert(gotIdx === wantIdx)
+    // a NEW stream appends to the new roots (fresh lineage)
+    IvfStream.appendBatch(spark, s"$root/bank2", s"$root/idx2",
+      s"$root/out2", "vec_id", "embedding")(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 300), 0L)
+    assert(IvfStream.readIndex(spark, s"$root/idx2").count() ===
+      emb.filter(col("vec_id") < 300).count())
+    // reader-swap, never mutation: the OLD roots are byte-identical to
+    // their pre-rebuild snapshot and still serve their own corpus
+    assert(IvfStream.readIndex(spark, idxRoot).count() === 250L,
+      "old index must still read exactly its pre-rebuild corpus")
+    assert(snapshot(bankRoot) === oldBankSnap &&
+      snapshot(idxRoot) === oldIdxSnap)
+    // rebuilding INTO a live root must refuse before any write
+    val e = intercept[IllegalArgumentException] {
+      IvfStream.rebuildIndex(spark, idxRoot, s"$root/bank2", s"$root/idx3",
+        nCells = 8)
+    }
+    assert(e.getMessage.contains("never rebuild into a live root"),
+      e.getMessage)
+    assert(!new java.io.File(s"$root/idx3").exists())
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

@@ -197,7 +197,46 @@ object Bench {
     //      map is ~2.8k chars, so the contract line carries the SLOWEST
     //      queries first and rolls the remainder into one "_others" entry
     //      (the map still sums to "value"), budgeted to 1800 chars.
-    println(s"""{"metric":"total_detail","value":${fmt(total, 4)},"unit":"sec","queries":${qmap(4)},"spread":$spread,"failures":$failures,"attempts":$attempts,"contaminated":$contaminatedArr,"sf":"$sfDir"}""")
+    // Round-10 (VERDICT r9 #7): end-of-suite ISOLATED re-measure of the
+    // queries most inflated vs the previous round's artifact, appended to
+    // the detail line as "isolated":{name:[suite_med, isolated_med]} —
+    // uniform shared-JVM drift (r9's 1.16× median) then self-documents in
+    // the artifact instead of needing a judge-side re-run. Prior medians
+    // come from the newest BENCH_r*.json in the cwd (or
+    // SPARK_GRAFT_BENCH_PRIOR); absent/unparseable → "isolated":{}.
+    val priorPath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+      .orElse {
+        val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        if (fs.isEmpty) None
+        else Some(fs.maxBy(_.getName.stripPrefix("BENCH_r")
+          .stripSuffix(".json").toInt).getPath)
+      }
+    val prior: Map[String, Double] = priorPath.flatMap { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)))
+        // match "name":1.23 in both raw and \"-escaped (tail) JSON; later
+        // occurrences (the contract line) win
+        val re = """\\?"([pq]\d[a-z0-9_]*)\\?":(-?[0-9]+\.[0-9]+)""".r
+        Some(re.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+    val isolated = results
+      .collect { case (name, r) if r.ok.nonEmpty =>
+        (name, r.ok(r.ok.size / 2)) }
+      .flatMap { case (name, med) => prior.get(name).filter(_ > 0.0)
+        .map(pm => (name, med, med / pm)) }
+      .filter { case (_, med, ratio) => med > 0.5 && ratio > 1.25 }
+      .sortBy(-_._3).take(5)
+      .map { case (name, med, _) =>
+        val passes3 = (1 to 3).flatMap { _ =>
+          barrier(); runOnce(SparkEntry.queries(name)) }.sorted
+        val iso = if (passes3.isEmpty) -1.0 else passes3(passes3.size / 2)
+        s"\"$name\":[${fmt(med, 4)},${fmt(iso, 4)}]"
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_detail","value":${fmt(total, 4)},"unit":"sec","queries":${qmap(4)},"spread":$spread,"failures":$failures,"attempts":$attempts,"isolated":$isolated,"contaminated":$contaminatedArr,"sf":"$sfDir"}""")
     val budget = 1800
     val overhead = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"contaminated":$contaminatedArr,"sf":"$sfDir"}""".length + 40
     val byCost = results.collect { case (name, r) if r.ok.nonEmpty =>

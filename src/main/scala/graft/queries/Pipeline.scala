@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{HashFunctions, TextFunctions => TF}
-import graft.operators.{Dedup, IvfRelational, Similarity, Vocab}
+import graft.operators.{Curation, Dedup, IvfRelational, Similarity, Vocab}
 import graft.sources.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2c north-star extensions): dedup,
@@ -3075,26 +3075,39 @@ object Pipeline {
   }
 
   /** The scale-adaptive IVF gate's oracle, shared by p76 (literal-bank
-    * engine) and p103 (relation-bank engine): trainings are bit-identical
-    * by construction (IvfRelationalSpec pins it), so ONE DuckDB replay
-    * gates both paths — p103 passing against the same replay is the
-    * cross-engine proof made hash-checkable. `extraCols` appends
-    * engine-asserted columns (p103's `bank_matches`) to the final row. */
-  private def ivfScaledGateSql(method: String, extraCols: String): String = {
+    * engine), p103 (relation-bank engine) and p106 (sample-trained
+    * relation bank): trainings are bit-identical by construction
+    * (IvfRelationalSpec pins it), so ONE DuckDB replay gates every path —
+    * passing against the same replay is the cross-engine proof made
+    * hash-checkable. `extraCols` appends engine-asserted columns (p103's
+    * `bank_matches`, p106's `sample_n`) to the final row. When
+    * `trainWhere` is set, the `emb` CTE the Lloyd chain trains on is the
+    * FILTERED sample while assignment/probes/exact run over the full
+    * `fullv` relation — the sampled-training replay. */
+  private def ivfScaledGateSql(method: String, extraCols: String,
+      trainWhere: Option[String] = None, stride: Int = 15,
+      nProbe: Int = 48): String = {
     import OracleHash._
-    val (bankCtes, bank) = ivfBankCtes(nCells = 128, iters = 3, stride = 15)
-    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    val (bankCtes, bank) = ivfBankCtes(nCells = 128, iters = 3, stride = stride)
+    val full = if (trainWhere.isDefined) "fullv" else "emb"
+    val embCte = "emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v " +
+      s"FROM embeddings${trainWhere.map(w => s"\n  WHERE $w").getOrElse("")})"
+    val fullCte = if (trainWhere.isDefined)
+      ",\nfullv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)"
+    else ""
+    s"""WITH $embCte$fullCte,
        |$bankCtes,
-       |${nearestCellCte("qa0", bank, keep = 48, filter = " WHERE e.id < 10")},
+       |${nearestCellCte("qa0", bank, keep = nProbe,
+            filter = " WHERE e.id < 10", source = full)},
        |qa AS (SELECT id AS query_id, cell FROM qa0),
-       |${nearestCellCte("ca0", bank, keep = 1)},
+       |${nearestCellCte("ca0", bank, keep = 1, source = full)},
        |ca AS (SELECT id AS neighbor_id, cell FROM ca0),
        |cand AS (
        |  SELECT DISTINCT query_id, neighbor_id
        |  FROM qa JOIN ca USING (cell)
        |  WHERE query_id != neighbor_id),
-       |qv AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
-       |cvx AS (SELECT id AS neighbor_id, v AS cv FROM emb),
+       |qv AS (SELECT id AS query_id, v AS qv FROM $full WHERE id < 10),
+       |cvx AS (SELECT id AS neighbor_id, v AS cv FROM $full),
        |sx AS (SELECT query_id, neighbor_id,
        |    ${seqDot("qv", "cv")} AS dt,
        |    sqrt(${seqDot("qv", "qv")}) AS nq,
@@ -4789,29 +4802,33 @@ object Pipeline {
     rows.toSeq.toDF("cell", "cv")
   }
 
-  /** One-row (n_mismatch) comparison of the relation bank against the
-    * literal-path bank under the same params (shared cache with p76):
-    * model-sized (≤ 128×64 doubles) — a fixture, not a data path. */
-  private def relBankCmp(spark: SparkSession, dir: String): DataFrame = {
+  /** One-row (n_mismatch) full-outer comparison of a relation bank
+    * against a literal-path bank (exact array equality, i.e.
+    * bit-identity): model-sized (≤ 128×64 doubles) — a fixture, not a
+    * data path. */
+  private def relBankCmpTo(spark: SparkSession, relBank: DataFrame,
+      litBank: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
-    val litDf = scaledIvfBank(spark, dir).toSeq.zipWithIndex
+    val litDf = litBank.toSeq.zipWithIndex
       .map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "lcv")
-    relIvfBank(spark, dir).join(litDf, Seq("cell"), "full_outer")
+    relBank.join(litDf, Seq("cell"), "full_outer")
       .agg(coalesce(sum(when(col("cv").isNull || col("lcv").isNull ||
         col("cv") =!= col("lcv"), 1L).otherwise(0L)), lit(0L))
         .as("n_mismatch"))
   }
 
-  /** The shared p103/p104 gate tail: recall vs exact + cell balance +
-    * the engine-computed bank_matches row. */
+  /** The shared p103/p104/p106 gate tail: recall vs exact + full-corpus
+    * cell balance under `bank` + the engine-computed bank_matches row
+    * (+ any `extraCols` the variant pins, e.g. p106's sample_n). */
   private def relIvfGateRow(spark: SparkSession, dir: String,
-      ann: DataFrame, method: String): DataFrame = {
+      ann: DataFrame, method: String, bank: DataFrame, bankCmp: DataFrame,
+      extraCols: Seq[Column] = Seq.empty): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
       .select("query_id", "neighbor_id")
       .localCheckpoint(true)
-    val balance = IvfRelational.assign(emb, relIvfBank(spark, dir))
+    val balance = IvfRelational.assign(emb, bank)
       .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"),
         sum(col("sz")).as("n_vecs"))
@@ -4820,13 +4837,13 @@ object Pipeline {
       .agg(count(lit(1)).as("hits"))
       .crossJoin(exact.agg(count(lit(1)).as("total")))
       .crossJoin(broadcast(balance))
-      .crossJoin(broadcast(relBankCmp(spark, dir)))
-      .select(lit(method).as("method"), col("hits"), col("total"),
+      .crossJoin(broadcast(bankCmp))
+      .select(Seq(lit(method).as("method"), col("hits"), col("total"),
         (col("hits").cast(DoubleType) / col("total").cast(DoubleType))
           .as("recall"),
         col("n_cells"), col("max_cell"),
         (col("max_cell") * col("n_cells") <= col("n_vecs") * 4).as("balanced"),
-        (col("n_mismatch") === 0).as("bank_matches"))
+        (col("n_mismatch") === 0).as("bank_matches")) ++ extraCols: _*)
   }
 
   def p103IvfRelational(spark: SparkSession, dir: String): DataFrame = {
@@ -4834,7 +4851,8 @@ object Pipeline {
     val qs = emb.filter(col("vec_id") < 10)
     val ann = IvfRelational.topK(qs, emb, relIvfBank(spark, dir), k = 5,
       nProbe = 48)
-    relIvfGateRow(spark, dir, ann, "ivf_relational")
+    relIvfGateRow(spark, dir, ann, "ivf_relational", relIvfBank(spark, dir),
+      relBankCmpTo(spark, relIvfBank(spark, dir), scaledIvfBank(spark, dir)))
   }
 
   val p103Sql: String =
@@ -4856,7 +4874,8 @@ object Pipeline {
     val qs = emb.filter(col("vec_id") < 10)
     val ann = IvfRelational.topKPq(qs, emb, relIvfBank(spark, dir),
       pqBank(spark, dir), k = 5, nProbe = 48)
-    relIvfGateRow(spark, dir, ann, "ivfpq_relational")
+    relIvfGateRow(spark, dir, ann, "ivfpq_relational", relIvfBank(spark, dir),
+      relBankCmpTo(spark, relIvfBank(spark, dir), scaledIvfBank(spark, dir)))
   }
 
   val p104Sql: String =
@@ -4929,6 +4948,91 @@ object Pipeline {
        |FROM asg
        |ORDER BY vec_id""".stripMargin
   }
+
+  // =========================================================================
+  // p106 — SAMPLE-trained relation-bank IVF: the prescribed 100 TB
+  // training configuration under the oracle gate. Full-corpus training is
+  // n·cells distance folds per Lloyd round — quadratic in n once cells ∝
+  // corpus — so at scale the bank trains on a SAMPLE (IvfCellSweep
+  // measured it recall-equivalent at ~3.4× less cost, SURVEY §6; r9
+  // VERDICT missing #1: "sample-training IS the trainable configuration
+  // at scale, and it currently has no CORRECTNESS row"). Membership is
+  // the deterministic Curation.sampleUniform bucket (no RNG, partition-
+  // invariant), so DuckDB replays the EXACT sample, then the EXACT
+  // sampled Lloyd chain (the same ivfBankCtes over the filtered emb CTE),
+  // then full-corpus assignment/probes under that bank. The row carries
+  // recall + full-corpus balance + the engine-computed bank_matches
+  // (relation bank vs the literal-path engine trained on the SAME sample
+  // — the cross-engine proof under sampling) + sample_n (the membership
+  // cardinality pinned directly). Training scans only the sample —
+  // plan-gated in PlanSpec.
+  //
+  // The sample SIZE is the scaladoc's actual prescription: a fixed
+  // PER-CELL budget (8 vectors/cell -> min(n, 1024) vectors for 128
+  // cells), so training cost is ~cells·budget·cells — a function of the
+  // MODEL, independent of corpus size. A corpus-proportional fraction
+  // would merely shrink the quadratic's constant; the budget removes the
+  // n entirely, and IvfCellSweep's sf1 sweep showed recall stays in the
+  // full-trained band down to ~10 vectors/cell (a flat 25% of sf0.1's
+  // 2k corpus = 3.9/cell measured 0.86 vs 0.98 — starvation, not a
+  // machinery defect; the budget keeps the gate out of that regime).
+  // The membership threshold derives from the corpus count by floor'd
+  // double arithmetic BOTH engines evaluate term-for-term, and sample_n
+  // pins the resulting membership cardinality directly. Seed stride is 3
+  // (vs p103's 15) so the budget-sized sample still seeds all 128 cells
+  // — p103/p106 probe the same nCells/nProbe configuration and differ
+  // ONLY in the training set. nProbe is 64 (vs p103's 48): the probe
+  // separated seeding from sampling — at IDENTICAL (stride 3, nProbe)
+  // config, full-trained and budget-sampled recall are EQUAL (0.84 vs
+  // 0.84 at np=48, 0.94 vs 0.94 at np=64, sf0.1; tools/P106Probe), i.e.
+  // sampling is recall-FREE and the stride-3 seed just wants a few more
+  // probes. 64 probes put the row at 0.94, one ground-truth quantum off
+  // p103's 0.98.
+  // =========================================================================
+  /** 8 vectors/cell × 128 cells; floor'd threshold in tenths of a
+    * basis point — `FLOOR(10000.0 * LEAST(1.0, 1024.0 / n))` in DuckDB,
+    * the identical IEEE expression here. */
+  private def p106Frac(n: Long): Double =
+    math.floor(10000.0 * math.min(1.0, 1024.0 / n)) / 10000.0
+  private def p106Sample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Curation.sampleUniform(emb, "vec_id", p106Frac(emb.count()))
+  }
+  private val sampledRelBankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Double])]]()
+  private def sampledRelBank(spark: SparkSession, dir: String): DataFrame = {
+    val rows = sampledRelBankCache.computeIfAbsent(dir, _ =>
+      IvfRelational.trainBank(p106Sample(spark, dir),
+          nCells = 128, iters = 3, stride = 3)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))))
+    import spark.implicits._
+    rows.toSeq.toDF("cell", "cv")
+  }
+  private val sampledLitBankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def sampledLitBank(spark: SparkSession, dir: String): Array[Array[Double]] =
+    sampledLitBankCache.computeIfAbsent(dir, _ =>
+      Similarity.ivfCentroidsTrained(p106Sample(spark, dir),
+        nCells = 128, stride = 3))
+
+  def p106IvfSampled(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+    val bank = sampledRelBank(spark, dir)
+    val ann = IvfRelational.topK(qs, emb, bank, k = 5, nProbe = 64)
+    val sampleN = p106Sample(spark, dir).agg(count(lit(1)).as("__sn"))
+    relIvfGateRow(spark, dir, ann, "ivf_sampled", bank,
+      relBankCmpTo(spark, bank, sampledLitBank(spark, dir))
+        .crossJoin(broadcast(sampleN)),
+      extraCols = Seq(col("__sn").as("sample_n")))
+  }
+
+  val p106Sql: String = ivfScaledGateSql("ivf_sampled",
+    ",\n  TRUE AS bank_matches,\n  (SELECT COUNT(*) FROM emb) AS sample_n",
+    trainWhere = Some(Curation.sampleBucketSql("vec_id") +
+      " < CAST(FLOOR(10000.0 * LEAST(1.0, 1024.0 / " +
+      "(SELECT COUNT(*) FROM embeddings))) AS BIGINT)"), stride = 3,
+    nProbe = 64)
 
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5036,7 +5140,8 @@ object Pipeline {
     "p102_token_fertility" -> (p102TokenFertility _),
     "p103_ivf_relational" -> (p103IvfRelational _),
     "p104_ivfpq_relational" -> (p104IvfPqRelational _),
-    "p105_stream_ivf_index" -> (p105StreamIvfIndex _))
+    "p105_stream_ivf_index" -> (p105StreamIvfIndex _),
+    "p106_ivf_sampled" -> (p106IvfSampled _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5141,5 +5246,6 @@ object Pipeline {
     "p102_token_fertility" -> p102Sql,
     "p103_ivf_relational" -> p103Sql,
     "p104_ivfpq_relational" -> p104Sql,
-    "p105_stream_ivf_index" -> p105Sql)
+    "p105_stream_ivf_index" -> p105Sql,
+    "p106_ivf_sampled" -> p106Sql)
 }

@@ -19,8 +19,17 @@ import org.apache.spark.sql.types._
   * uniform. Deterministic: every partition seeds java.util.Random from
   * (SEED, partitionId); re-runs are byte-stable.
   *
-  * Usage: runMain graft.tools.Sf1Gen [outDir] [multiplier]
-  * (defaults: target/sf1, 10×).
+  * Usage: runMain graft.tools.Sf1Gen [outDir] [multiplier] [vocabMode]
+  * (defaults: target/sf1, 10×, dense).
+  *
+  * `vocabMode = zipf` swaps the shipped 31-word DENSE vocabulary for a
+  * 20,000-word Zipf(s=1.07) one (word frequencies ∝ rank^-s — the
+  * standard web-text shape) with everything else identical — the
+  * VERDICT r9 #5 probe isolating whether the p85/p94 exact-join
+  * candidate blowup is the degenerate test vocabulary (every doc shares
+  * shingles with every other) or the algorithms: on a realistic
+  * vocabulary, prefix selectivity is the PPJoin guarantee and candidate
+  * growth should track OUTPUT growth.
   */
 object Sf1Gen {
   private val SEED = 42L
@@ -31,6 +40,27 @@ object Sf1Gen {
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "the", "value", "vector", "window")
 
+  /** Zipf(s) sampler over ranks 1..V as a cumulative array — one binary
+    * search per token, deterministic under the caller's Random. */
+  private final class ZipfVocab(v: Int, s: Double) extends Serializable {
+    private val cum: Array[Double] = {
+      val w = Array.tabulate(v)(i => math.pow(i + 1.0, -s))
+      val c = w.scanLeft(0.0)(_ + _).tail
+      val t = c(v - 1)
+      c.map(_ / t)
+    }
+    private val words: Array[String] = Array.tabulate(v)(i => f"w$i%05d")
+    def pick(rnd: java.util.Random): String = {
+      val u = rnd.nextDouble()
+      var lo = 0; var hi = cum.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (u < cum(mid)) hi = mid else lo = mid + 1
+      }
+      words(lo)
+    }
+  }
+
   private val langs: Array[(String, Double)] = Array(
     "en" -> 0.41, "zh" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "de" -> 0.14)
   private val langCum: Array[Double] = langs.scanLeft(0.0)(_ + _._2).tail
@@ -38,6 +68,9 @@ object Sf1Gen {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
     val mult = if (args.length > 1) args(1).toInt else 10
+    val zipf: Option[ZipfVocab] =
+      if (args.length > 2 && args(2) == "zipf") Some(new ZipfVocab(20000, 1.07))
+      else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -62,6 +95,10 @@ object Sf1Gen {
       .parallelize(0 until nParts, nParts)
       .flatMap { pid =>
         val rnd = new java.util.Random(SEED * 7919L + pid)
+        def word(): String = zipf match {
+          case Some(z) => z.pick(rnd)
+          case None => vocab(rnd.nextInt(vocab.length))
+        }
         val lo = pid.toLong * perPart
         val hi = math.min(lo + perPart, nDocs.toLong)
         // base docs first; a near-copy mutates a base doc from THIS
@@ -71,12 +108,10 @@ object Sf1Gen {
           val toks: Array[String] =
             if (base.nonEmpty && rnd.nextDouble() < 0.03) {
               val src = base(rnd.nextInt(base.size))
-              src.map(t =>
-                if (rnd.nextDouble() < 0.05) vocab(rnd.nextInt(vocab.length))
-                else t)
+              src.map(t => if (rnd.nextDouble() < 0.05) word() else t)
             } else {
               val n = 10 + rnd.nextInt(91)
-              Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+              Array.fill(n)(word())
             }
           if (base.size < 64) base += toks
           val text = toks.mkString(" ")

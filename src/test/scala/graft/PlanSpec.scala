@@ -491,4 +491,28 @@ class PlanSpec extends SparkSpec {
     assert(probePlan.contains("BroadcastHashJoin"),
       s"probes must broadcast:\n$probePlan")
   }
+
+  test("p106 sampled training: the Lloyd scan reads ONLY the sample — " +
+      "membership filter sits on the corpus scan, below the bank join") {
+    import graft.operators.{Curation, IvfRelational}
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val sample = Curation.sampleUniform(emb, "vec_id", 0.25)
+    val bank = IvfRelational.seedBank(sample, nCells = 8, stride = 3)
+    // one Lloyd round's scan shape: assign over the SAMPLE under the bank
+    val plan = planString(IvfRelational.assign(sample, bank))
+    val lines = plan.linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinIdx >= 0, s"assignment must broadcast the bank:\n$plan")
+    // the deterministic membership predicate (its multiplier is the
+    // fingerprint) must filter the corpus BELOW the bank join — n·cells
+    // distance folds are paid only for sample members
+    val filtIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("2246822519"))
+    assert(filtIdx > joinIdx,
+      s"the sample-membership filter must apply before the bank join " +
+        s"(training may only scan the sample):\n$plan")
+    assert(lines.drop(filtIdx).exists(_.contains("FileScan")),
+      s"the membership filter must sit directly over the scan:\n$plan")
+  }
 }

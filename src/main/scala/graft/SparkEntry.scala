@@ -36,5 +36,6 @@ object SparkEntry {
     "p28_stream_dedup", "p30_stream_join", "p51_stream_enrich",
     "p75_stream_passage_filter", "p79_stream_neardup_filter",
     "p86_stream_funnel", "p88_stream_ewma", "p89_stream_compacted",
-    "p93_stream_kmeans", "p105_stream_ivf_index", "q47_paged_source")
+    "p93_stream_kmeans", "p105_stream_ivf_index", "p107_stream_pca",
+    "q47_paged_source")
 }

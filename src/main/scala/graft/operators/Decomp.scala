@@ -56,50 +56,67 @@ object Decomp {
     * model-sized exchange + one driver-side O(k·iters·d²) solve.
     * Fails loud on ragged vector lengths (a silent mix of dims would
     * corrupt every covariance entry). */
-  def pcaFit(corpus: DataFrame, k: Int = 2, iters: Int = 16,
-      vecCol: String = "embedding"): PcaModel = {
-    val ve = corpus.filter(col(vecCol).isNotNull)
+  /** The covariance-moment relation of `vecCol` — (i, -1) rows carry
+    * per-dim decimal sums, (i, j>=i) rows the upper-triangle product
+    * sums, each with its non-null term count. ONE native imperative
+    * aggregate ([[graft.functions.CovMomentsAgg]]): each partition fuses
+    * its vectors into a local exact-decimal matrix and only model-sized
+    * buffers merge. Exact decimal addition makes the relation
+    * ASSOCIATIVE in the corpus: moments of a union = the (i, j)-wise sum
+    * of per-part moments, bit-for-bit — the property
+    * [[graft.streaming.PcaStream]]'s model-sized deltas rest on. */
+  def moments(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
       .select(col(vecCol).cast("array<double>").as("v"))
       .filter(size(col("v")) > 0)
-    // one pass: (i, -1) rows carry per-dim sums, (i, j>=i) rows carry the
-    // upper-triangle product sums; non-null term counts per group double
-    // as the corruption check — both a ragged length mix AND a NULL
-    // element inside an array (which a sum silently skips while a row
-    // count still includes it) surface as unequal group counts and fail
-    // loud instead of corrupting the model. The pass is ONE native
-    // imperative aggregate ([[graft.functions.CovMomentsAgg]]): each
-    // partition fuses its vectors into a local exact-decimal matrix and
-    // only model-sized buffers merge — bit-identical to the equivalent
-    // explode → groupBy formulation (same Double.toString decimal
-    // staging, exact addition) and ~2.7× faster (tools/CovProfile, which
-    // also re-verifies the 0/2,144-group exact equality)
-    val rows = ve
       .agg(graft.functions.CovMomentsAgg.covMoments(col("v")).as("m"))
       .select(explode(col("m")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.s").as("s"),
         col("e.cnt").as("cnt"))
-      .collect()
+
+  def pcaFit(corpus: DataFrame, k: Int = 2, iters: Int = 16,
+      vecCol: String = "embedding"): PcaModel = {
+    // one pass: see [[moments]]; non-null term counts per group double
+    // as the corruption check — both a ragged length mix AND a NULL
+    // element inside an array (which a sum silently skips while a row
+    // count still includes it) surface as unequal group counts and fail
+    // loud instead of corrupting the model. Bit-identical to the
+    // equivalent explode → groupBy formulation (same Double.toString
+    // decimal staging, exact addition) and ~2.7× faster
+    // (tools/CovProfile, which also re-verifies the 0/2,144-group exact
+    // equality)
+    fitFromMoments(moments(corpus, vecCol).collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getDecimal(2), r.getLong(3))), k, iters)
+  }
+
+  /** The driver-side solve from a collected [[moments]] relation —
+    * mean/covariance exactly as the oracle's expression tree, then `iters`
+    * power-iteration rounds with Hotelling deflation per component.
+    * Factored out of [[pcaFit]] so [[graft.streaming.PcaStream]] can fit
+    * from FOLDED moment deltas (exact decimal sums ⇒ the chained fit is
+    * bit-identical to a one-shot fit over the union). */
+  def fitFromMoments(momentRows: Seq[(Int, Int, java.math.BigDecimal, Long)],
+      k: Int, iters: Int): PcaModel = {
+    val rows = momentRows
     require(rows.nonEmpty, "pcaFit: empty corpus")
-    val counts = rows.map(_.getLong(3)).distinct
+    val counts = rows.map(_._4).distinct
     require(counts.length == 1,
       s"pcaFit: ragged vector lengths or NULL elements " +
         s"(group counts ${counts.sorted.toSeq})")
     val n = counts.head.toDouble
-    val d = rows.map(_.getInt(0)).max + 1
+    val d = rows.map(_._1).max + 1
     require(k >= 1 && k <= d, s"pcaFit: k=$k out of range for dim $d")
 
     // mirror the oracle's expression tree exactly: decimal → double cast,
     // then s/n and s2/n − mu_i·mu_j in doubles
     val mu = Array.ofDim[Double](d)
     val cov = Array.ofDim[Double](d, d)
-    rows.foreach { r =>
-      if (r.getInt(1) == -1)
-        mu(r.getInt(0)) = r.getDecimal(2).doubleValue / n
+    rows.foreach { case (i, j, s, _) =>
+      if (j == -1) mu(i) = s.doubleValue / n
     }
-    rows.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
+    rows.foreach { case (i, j, s, _) =>
       if (j >= 0) {
-        val c = r.getDecimal(2).doubleValue / n - mu(i) * mu(j)
+        val c = s.doubleValue / n - mu(i) * mu(j)
         cov(i)(j) = c
         cov(j)(i) = c
       }

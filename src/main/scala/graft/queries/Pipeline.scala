@@ -5034,6 +5034,74 @@ object Pipeline {
       "(SELECT COUNT(*) FROM embeddings))) AS BIGINT)"), stride = 3,
     nProbe = 64)
 
+  // =========================================================================
+  // p107 — STREAMING PCA (model-sized deltas): the statistics member of
+  // the incremental family, beyond the r9 list. Where p105's IVF deltas
+  // are data-sized (one row per vector), a PCA model's sufficient
+  // statistics are the covariance-moment relation — d(d+3)/2 exact-
+  // decimal sums — so each micro-batch appends a MODEL-SIZED delta
+  // (2,144 rows at d=64 regardless of batch size) and the current model
+  // is a driver-side solve over the folded deltas; the standing corpus
+  // is NEVER re-scanned. Exactness is structural: decimal sums are
+  // associative in the corpus, so the chained fit is BIT-IDENTICAL to a
+  // one-shot pcaFit over the union (StreamingSpec pins it) — and the
+  // oracle asserts it end-to-end by replaying the ONE-SHOT decomposition
+  // (p100's VARCHAR-bridged covariance + unrolled power-iteration
+  // chains) over the full corpus and comparing the streamed engine's
+  // model rows double-for-double.
+  // =========================================================================
+  def p107StreamPca(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.PcaStream
+    val emb = Tables.embeddings(spark, dir)
+    val standing = emb.filter(col("vec_id") < 250)
+    val incoming = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("batch", pmod(col("vec_id"), lit(2)))
+    val root = Files.createTempDirectory("p107_").toString
+    val in = s"$root/in"; val momRoot = s"$root/moments"
+    PcaStream.writeStanding(spark, momRoot, standing)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(PcaStream.advanceBatch(spark, momRoot) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val model = PcaStream.modelAt(spark, momRoot, k = 2, iters = p100Iters)
+    import spark.implicits._
+    val rows =
+      model.mean.zipWithIndex.map { case (m, i) => (0, i, m, 0.0) } ++
+        model.components.zipWithIndex.flatMap { case (pc, c) =>
+          pc.zipWithIndex.map { case (v, i) =>
+            (c + 1, i, v, model.eigenvalues(c)) }
+        }
+    rows.toSeq.toDF("component", "pos", "loading", "eigenvalue")
+      .orderBy("component", "pos")
+  }
+
+  val p107Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |${pcaChainCtes(2, p100Iters)}
+       |SELECT CAST(component AS INT) AS component, CAST(pos AS INT) AS pos,
+       |  loading, eigenvalue
+       |FROM (
+       |  SELECT 0 AS component, i AS pos, mus[i + 1] AS loading,
+       |    CAST(0.0 AS DOUBLE) AS eigenvalue
+       |  FROM muarr CROSS JOIN ii
+       |  UNION ALL
+       |  SELECT 1, i, c1.p[i + 1], (SELECT lam FROM pa${p100Iters})
+       |  FROM c1 CROSS JOIN ii
+       |  UNION ALL
+       |  SELECT 2, i, c2.p[i + 1], (SELECT lam FROM pb${p100Iters})
+       |  FROM c2 CROSS JOIN ii)
+       |ORDER BY component, pos""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -5141,7 +5209,8 @@ object Pipeline {
     "p103_ivf_relational" -> (p103IvfRelational _),
     "p104_ivfpq_relational" -> (p104IvfPqRelational _),
     "p105_stream_ivf_index" -> (p105StreamIvfIndex _),
-    "p106_ivf_sampled" -> (p106IvfSampled _))
+    "p106_ivf_sampled" -> (p106IvfSampled _),
+    "p107_stream_pca" -> (p107StreamPca _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5247,5 +5316,6 @@ object Pipeline {
     "p103_ivf_relational" -> p103Sql,
     "p104_ivfpq_relational" -> p104Sql,
     "p105_stream_ivf_index" -> p105Sql,
-    "p106_ivf_sampled" -> p106Sql)
+    "p106_ivf_sampled" -> p106Sql,
+    "p107_stream_pca" -> p107Sql)
 }

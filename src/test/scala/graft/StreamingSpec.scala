@@ -883,6 +883,46 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/idx3").exists())
   }
 
+  test("streaming PCA moments: chained batches refit bit-identical to a " +
+      "one-shot fit; redelivery idempotent; compaction read-identical") {
+    import java.nio.file.Files
+    import graft.operators.Decomp
+    import graft.streaming.PcaStream
+    val root = Files.createTempDirectory("pcastream_").toString + "/m"
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") < 200)
+    PcaStream.writeStanding(spark, root, standing)
+    val advance = PcaStream.advanceBatch(spark, root) _
+    advance(emb.filter(col("vec_id") >= 200 && col("vec_id") < 300), 0L)
+    advance(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), 1L)
+    def model() = PcaStream.modelAt(spark, root, k = 2, iters = 8)
+    val oneShot = Decomp.pcaFit(emb.filter(col("vec_id") < 400), k = 2,
+      iters = 8)
+    def assertSame(a: Decomp.PcaModel, b: Decomp.PcaModel): Unit = {
+      assert(a.mean.toSeq === b.mean.toSeq)
+      assert(a.components.map(_.toSeq).toSeq === b.components.map(_.toSeq).toSeq)
+      assert(a.eigenvalues.toSeq === b.eigenvalues.toSeq)
+    }
+    // exact-decimal associativity: the chained fit IS the one-shot fit
+    assertSame(model(), oneShot)
+    // every delta is MODEL-sized: d(d+3)/2 rows at d=64, any batch size
+    graft.streaming.Versions.list(spark, root).foreach { case (_, p) =>
+      assert(spark.read.parquet(p.toString).count() === 64L * 67 / 2)
+    }
+    // redelivered batch overwrites its own delta — model unchanged
+    advance(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), 1L)
+    assertSame(model(), oneShot)
+    // lineage-fork guard (while newer deltas are still visible)
+    val e = intercept[IllegalArgumentException] {
+      advance(emb.filter(col("vec_id") < 100), 0L)
+    }
+    assert(e.getMessage.contains("fork"), e.getMessage)
+    // compaction folds decimally — read-identical
+    PcaStream.compactStore(spark, root, upTo = 2L)
+    assert(graft.streaming.Versions.list(spark, root).size === 1)
+    assertSame(model(), oneShot)
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

@@ -146,16 +146,51 @@ object Retrieval {
     * bucket layout IS the grouping key). A 1-row `<table>__stats` side
     * table pins (n_docs, total_dl) at build time, so probe scores are
     * identical whether or not the live corpus moved on. */
-  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
-      table: String, buckets: Int = 32): Unit = {
+  /** The full posting relation (term, doc_id, tf, dl) — the shared build
+    * shape of [[writeInvertedIndex]] and the streaming index
+    * ([[graft.streaming.RetrievalStream]]). Postings are DISJOINT across
+    * disjoint doc sets (each (doc, term) row belongs to exactly one doc),
+    * so per-batch posting relations union to the one-shot relation
+    * exactly — the property the streaming index's deltas rest on. */
+  def postingsRelation(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
     postings(docs, idCol, textCol, Nil)
       .select(col("__term").as("term"), col("__id").as("doc_id"),
         col("__tf").as("tf"), col("__dl").as("dl"))
+
+  /** The 1-row stats relation (n_docs, total_dl) — exact integer sums,
+    * associative across disjoint doc sets. */
+  def statsRelation(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    corpusStats(docs, idCol, textCol)
+      .select(col("__n_docs").as("n_docs"), col("__total_dl").as("total_dl"))
+
+  /** BM25 top-k over an EXISTING posting relation + stats row (the
+    * [[postingsRelation]]/[[statsRelation]] schema) — scores bit-identical
+    * to [[bm25TopK]] over the corpus the relations were built from (same
+    * filtered tf rows, same df counts, same decimal-staged sum). */
+  def bm25TopKOver(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = postings
+      .filter(col("term").isInCollection(queryTerms))
+      .select(col("doc_id").as("__id"), col("dl").as("__dl"),
+        col("term").as("__term"), col("tf").as("__tf"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    scoreTopK(tf, dfreq,
+      stats.select(col("n_docs").as("__n_docs"),
+        col("total_dl").as("__total_dl")),
+      idCol, k, k1, b)
+  }
+
+  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 32): Unit = {
+    postingsRelation(docs, idCol, textCol)
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
-    corpusStats(docs, idCol, textCol)
-      .select(col("__n_docs").as("n_docs"), col("__total_dl").as("total_dl"))
+    statsRelation(docs, idCol, textCol)
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}__stats")
   }
 

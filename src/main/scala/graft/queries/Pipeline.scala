@@ -5102,6 +5102,56 @@ object Pipeline {
        |  FROM c2 CROSS JOIN ii)
        |ORDER BY component, pos""".stripMargin
 
+  // =========================================================================
+  // p108 — STREAMING inverted-index maintenance: the sparse-retrieval
+  // member of the incremental family, closing the index-family matrix
+  // (exact fp p73/p75, MinHash band p77/p79, IVF p105, PCA moments p107).
+  // Each document micro-batch tokenizes ONLY its own docs and appends a
+  // posting delta (term, doc_id, tf, dl — disjoint across batches, so
+  // the assembled table is a PLAIN zero-exchange union) plus a 1-row
+  // stats delta (n_docs, total_dl — exact integer sums, associative).
+  // A probe then scores BIT-IDENTICALLY to Retrieval.bm25TopK over the
+  // assembled corpus — same filtered tf rows, same df counts, same
+  // broadcast stats fold, same decimal-staged sum — which is exactly
+  // what the oracle replays (the shared sqlBm25Ctes chain over the full
+  // documents table). Unlike writeInvertedIndex's pinned build-time
+  // stats side table, the streamed stats fold tracks the assembled
+  // corpus, so probes always score against the corpus they search.
+  // =========================================================================
+  private val p108Terms = Seq("data", "merge", "hash", "scan")
+
+  def p108StreamBm25(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.RetrievalStream
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p108_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    RetrievalStream.writeStanding(spark, idxRoot, standing)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(RetrievalStream.appendBatch(spark, idxRoot) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    RetrievalStream.bm25TopK(spark, idxRoot, p108Terms, k = 40)
+  }
+
+  val p108Sql: String =
+    s"""WITH ${sqlBm25Ctes("108", p108Terms)}
+       |SELECT doc_id, CAST(ROUND(SUM(sct), 6) AS DOUBLE) AS score
+       |FROM x108 GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 40""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -5210,7 +5260,8 @@ object Pipeline {
     "p104_ivfpq_relational" -> (p104IvfPqRelational _),
     "p105_stream_ivf_index" -> (p105StreamIvfIndex _),
     "p106_ivf_sampled" -> (p106IvfSampled _),
-    "p107_stream_pca" -> (p107StreamPca _))
+    "p107_stream_pca" -> (p107StreamPca _),
+    "p108_stream_bm25" -> (p108StreamBm25 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5317,5 +5368,6 @@ object Pipeline {
     "p104_ivfpq_relational" -> p104Sql,
     "p105_stream_ivf_index" -> p105Sql,
     "p106_ivf_sampled" -> p106Sql,
-    "p107_stream_pca" -> p107Sql)
+    "p107_stream_pca" -> p107Sql,
+    "p108_stream_bm25" -> p108Sql)
 }

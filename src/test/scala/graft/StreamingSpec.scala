@@ -923,6 +923,48 @@ class StreamingSpec extends SparkSpec {
     assertSame(model(), oneShot)
   }
 
+  test("streaming inverted index: probe bit-identical to direct BM25 " +
+      "over the union; redelivery idempotent; compaction read-identical") {
+    import java.nio.file.Files
+    import graft.operators.Retrieval
+    import graft.streaming.RetrievalStream
+    val root = Files.createTempDirectory("retrstream_").toString + "/idx"
+    val docs = Tables.documents(spark, sfDir)
+    val terms = Seq("spark", "data", "window")
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 200))
+    val append = RetrievalStream.appendBatch(spark, root) _
+    append(docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), 0L)
+    append(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 1L)
+    def streamed(): Seq[(Long, Double)] =
+      RetrievalStream.bm25TopK(spark, root, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Retrieval.bm25TopK(docs.filter(col("doc_id") < 400),
+        "doc_id", "text", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // postings disjoint + stats associative => scores are bit-identical
+    assert(streamed() === direct)
+    // the assembled posting read is a plain scan union — zero exchanges
+    val readPlan = RetrievalStream.readPostings(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!readPlan.contains("Exchange") &&
+      !readPlan.contains("HashAggregate"),
+      s"posting read must not shuffle or aggregate:\n$readPlan")
+    // redelivered batch overwrites both deltas — scores unchanged
+    append(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 1L)
+    assert(streamed() === direct)
+    // lineage-fork guard
+    val e = intercept[IllegalArgumentException] {
+      append(docs.filter(col("doc_id") < 100), 0L)
+    }
+    assert(e.getMessage.contains("fork"), e.getMessage)
+    // compaction (postings identity, stats integer fold) — read-identical
+    RetrievalStream.compactStore(spark, root, upTo = 2L)
+    assert(graft.streaming.Versions.list(spark, s"$root/post").size === 1)
+    assert(graft.streaming.Versions.list(spark, s"$root/stats").size === 1)
+    assert(streamed() === direct)
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

@@ -235,8 +235,38 @@ object Profiling {
     *
     * Output: groupCols + (n_hll BIGINT). */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Int = 8): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** The register relation of the [[hllDistinct]] sketch: groupCols +
+    * (__idx, __M) — at most `groups · 2^p` rows (model-sized). Registers
+    * MERGE by `max(__M)` per (group, idx): the fold is associative AND
+    * idempotent, so per-part register relations combine to the one-shot
+    * relation exactly — the property [[graft.streaming.SketchStream]]'s
+    * deltas rest on (and the reason a duplicated register delta cannot
+    * even in principle corrupt the estimate, unlike count sketches). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
       p: Int = 8): DataFrame = {
     import graft.functions.HashFunctions
+    require(p >= 4 && p <= 13, "p must be in [4, 13]")
+    val m = 1 << p
+    val gcols = groupCols.map(col)
+    // nulls are ignored like countDistinct ignores them; a group whose
+    // values are ALL null is therefore absent from the output entirely
+    df.filter(col(valueCol).isNotNull)
+      .select(gcols :+ HashFunctions.fingerprint64(
+        col(valueCol).cast("string")).as("__h"): _*)
+      .select(gcols ++ Seq(
+        col("__h").bitwiseAND(lit(m - 1)).as("__idx"),
+        HashFunctions.hllRho(col("__h"), p).as("__rho")): _*)
+      .groupBy(gcols :+ col("__idx"): _*)
+      .agg(max(col("__rho")).as("__M"))
+  }
+
+  /** The [[hllDistinct]] estimator over an existing [[hllRegisters]]
+    * relation (exact-integer Flajolet arithmetic; see [[hllDistinct]]). */
+  def hllFromRegisters(registers: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     // p ≤ 13: the estimator numerator 7213000·m³·2^63 must fit
     // DECIMAL(38,0) — at p = 14 it needs 39 digits and the literal throws
@@ -245,18 +275,6 @@ object Profiling {
     val gcols = groupCols.map(col)
     val dec38 = DecimalType(38, 0)
     def decLit(b: BigInt) = lit(new java.math.BigDecimal(b.bigInteger)).cast(dec38)
-
-    // nulls are ignored like countDistinct ignores them; a group whose
-    // values are ALL null is therefore absent from the output entirely
-    val registers = df
-      .filter(col(valueCol).isNotNull)
-      .select(gcols :+ HashFunctions.fingerprint64(
-        col(valueCol).cast("string")).as("__h"): _*)
-      .select(gcols ++ Seq(
-        col("__h").bitwiseAND(lit(m - 1)).as("__idx"),
-        HashFunctions.hllRho(col("__h"), p).as("__rho")): _*)
-      .groupBy(gcols :+ col("__idx"): _*)
-      .agg(max(col("__rho")).as("__M"))
 
     // harmonic sum scaled by 2^63: present registers contribute 2^(63−M)
     // (M ≤ 64−p+1 ≤ 61 for p ≥ 4, so the shift stays in positive Long

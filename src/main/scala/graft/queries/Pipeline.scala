@@ -2674,14 +2674,17 @@ object Pipeline {
       .orderBy("l_returnflag")
   }
 
-  val p70Sql: String = {
+  /** The full p=8 (m=256) HLL replay chain `h0..fin(flag, n_hll)` over an
+    * existing CTE `src(flag, sval)` — register-by-register: FNV-1a +
+    * SplitMix64 over sval, low-8-bit register index, rho from the high
+    * bits, exact-HUGEINT Flajolet estimator. Shared by p70 and p109 (the
+    * streaming-sketch gate replays the SAME chain over the union). */
+  private val sqlHllChain: String = {
     import OracleHash._
     val m = 256
     val num = BigInt(7213) * m * 1000 * m * m * (BigInt(1) << 63)
     val denFactor = BigInt(10000) * (1000L * m + 1079)
-    s"""WITH src AS (SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS sval
-       |            FROM lineitem),
-       |h0 AS (SELECT flag, ${fnv1a("sval")} AS h FROM src),
+    s"""h0 AS (SELECT flag, ${fnv1a("sval")} AS h FROM src),
        |hh AS (SELECT flag, ${mix("h")} AS hu FROM h0),
        |reg AS (SELECT flag, CAST(hu % 256 AS INT) AS idx,
        |    MAX(CASE WHEN hu // 256 = 0 THEN 57
@@ -2698,7 +2701,13 @@ object Pipeline {
        |    CASE WHEN raw <= ${(2.5 * m).toLong} AND V > 0
        |         THEN CAST(floor($m.0 * ln($m.0 / V)) AS BIGINT)
        |         ELSE CAST(raw AS BIGINT) END AS n_hll
-       |  FROM est),
+       |  FROM est)"""
+  }
+
+  val p70Sql: String =
+    s"""WITH src AS (SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS sval
+       |            FROM lineitem),
+       |$sqlHllChain,
        |ex AS (SELECT l_returnflag AS flag,
        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
        |  FROM lineitem GROUP BY flag)
@@ -2706,7 +2715,6 @@ object Pipeline {
        |  CAST(floor(abs(n_hll - n_exact) * 10000 / n_exact) AS BIGINT) AS err_bp
        |FROM ex JOIN fin USING (flag)
        |ORDER BY l_returnflag""".stripMargin
-  }
 
   // =========================================================================
   // p71 — k-core pruning of the part co-purchase graph (parts co-ordered
@@ -5152,6 +5160,64 @@ object Pipeline {
        |ORDER BY score DESC, doc_id
        |LIMIT 40""".stripMargin
 
+  // =========================================================================
+  // p109 — STREAMING sketch maintenance: the profiling member of the
+  // incremental family. Each document micro-batch appends its HLL
+  // register relation (≤ langs·256 rows — model-sized) as a versioned
+  // delta; the live distinct-documents-per-language estimate (the
+  // dedup-rate dashboard metric) is the estimator over the register
+  // max-fold — associative AND idempotent, strictly stronger than
+  // p107/p108's sum folds (even a duplicated delta cannot corrupt it).
+  // Folded == one-shot is structural (the register relation of a union
+  // IS the (group, idx)-wise max of per-part relations), and the oracle
+  // proves it register-by-register: the SAME sqlHllChain replay p70 uses,
+  // over the full corpus, must match the streamed estimate exactly —
+  // plus the exact countDistinct and the error in basis points.
+  // =========================================================================
+  def p109StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.SketchStream
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p109_").toString
+    val in = s"$root/in"; val regRoot = s"$root/reg"
+    SketchStream.writeStanding(spark, regRoot, standing, Seq("lang"), "text")
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(SketchStream.advanceBatch(spark, regRoot,
+        Seq("lang"), "text") _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hll = SketchStream.distinctAt(spark, regRoot, Seq("lang"))
+    val exact = docs.groupBy(col("lang"))
+      .agg(countDistinct(col("text")).as("n_exact"))
+    exact.join(hll, "lang")
+      .select(col("lang"), col("n_exact"), col("n_hll"),
+        floor(abs(col("n_hll") - col("n_exact")) * lit(10000) /
+          col("n_exact")).cast("bigint").as("err_bp"))
+      .orderBy("lang")
+  }
+
+  val p109Sql: String =
+    s"""WITH src AS (SELECT lang AS flag, text AS sval FROM documents),
+       |$sqlHllChain,
+       |ex AS (SELECT lang AS flag,
+       |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+       |  FROM documents GROUP BY lang)
+       |SELECT ex.flag AS lang, n_exact, n_hll,
+       |  CAST(floor(abs(n_hll - n_exact) * 10000 / n_exact) AS BIGINT) AS err_bp
+       |FROM ex JOIN fin USING (flag)
+       |ORDER BY lang""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -5261,7 +5327,8 @@ object Pipeline {
     "p105_stream_ivf_index" -> (p105StreamIvfIndex _),
     "p106_ivf_sampled" -> (p106IvfSampled _),
     "p107_stream_pca" -> (p107StreamPca _),
-    "p108_stream_bm25" -> (p108StreamBm25 _))
+    "p108_stream_bm25" -> (p108StreamBm25 _),
+    "p109_stream_hll" -> (p109StreamHll _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5369,5 +5436,6 @@ object Pipeline {
     "p105_stream_ivf_index" -> p105Sql,
     "p106_ivf_sampled" -> p106Sql,
     "p107_stream_pca" -> p107Sql,
-    "p108_stream_bm25" -> p108Sql)
+    "p108_stream_bm25" -> p108Sql,
+    "p109_stream_hll" -> p109Sql)
 }

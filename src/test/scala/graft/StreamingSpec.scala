@@ -965,6 +965,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed() === direct)
   }
 
+  test("streaming HLL sketch: folded registers estimate bit-identical " +
+      "to one-shot; duplicated delta harmless (idempotent max-merge)") {
+    import java.nio.file.Files
+    import graft.operators.Profiling
+    import graft.streaming.SketchStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("sketchstream_").toString + "/reg"
+    val docs = Tables.documents(spark, sfDir)
+    val g = Seq("lang")
+    SketchStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 200), g, "text")
+    val advance = SketchStream.advanceBatch(spark, root, g, "text") _
+    advance(docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), 0L)
+    advance(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 1L)
+    def streamed(): Seq[(String, Long)] =
+      SketchStream.distinctAt(spark, root, g)
+        .as[(String, Long)].collect().sorted.toSeq
+    val oneShot = Profiling.hllDistinct(docs.filter(col("doc_id") < 400),
+        g, "text")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(streamed() === oneShot)
+    // idempotent max-merge: even writing the SAME batch's registers under
+    // a second version id cannot move the estimate — the structural
+    // tolerance count-based sketches lack (then restore the layout so the
+    // lineage bookkeeping below stays the family's exactly-once shape)
+    Profiling.hllRegisters(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), g, "text")
+      .write.mode("overwrite").parquet(s"$root/v3")
+    assert(streamed() === oneShot, "duplicated register delta must be a no-op")
+    // redelivery overwrites deterministically — unchanged
+    advance(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 2L)
+    assert(streamed() === oneShot)
+    // compaction folds by max — read-identical
+    SketchStream.compactStore(spark, root, g, upTo = 3L)
+    assert(graft.streaming.Versions.list(spark, root).size === 1)
+    assert(streamed() === oneShot)
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

@@ -46,6 +46,26 @@ object GraftKernels {
     acc
   }
 
+  /** See [[CenteredDotExpr]]: the PCA projection fold — 0.0-seeded left
+    * fold, dimensions ascending, each term `(v_i - mu_i)·pc_i` (subtract,
+    * multiply, add: the identical IEEE op chain the Column HOF form and
+    * the DuckDB oracle's `list_reduce(list_prepend(0.0, …))` evaluate).
+    * Callers guarantee `v.length == mu.length == pc.length` (pcaProject
+    * admits only model-dimension vectors); shorter model arrays bound the
+    * fold defensively. */
+  def centeredDot(v: ArrayData, mu: Array[Double], pc: Array[Double],
+      isFloat: Boolean): Double = {
+    val n = math.min(v.numElements(), math.min(mu.length, pc.length))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      acc += (x - mu(i)) * pc(i)
+      i += 1
+    }
+    acc
+  }
+
   /** See [[Fingerprint64]]. */
   def fingerprint64(s: UTF8String): Long = Hash64.mix(Hash64.fnv1a(s))
 

@@ -105,6 +105,38 @@ case class SeqSqDistExpr(left: Expression, right: Expression)
       r: Expression): SeqSqDistExpr = copy(left = l, right = r)
 }
 
+/** The PCA projection fold `Σ (v_i − mu_i)·pc_i` (0.0-seeded, dims
+  * ascending — see [[GraftKernels.centeredDot]]) in one native pass, with
+  * the model mean and component as reference objects. Replaces
+  * `Decomp.pcaProject`'s per-row-per-component `aggregate(sequence(0,
+  * size−1), …)` HOF (interpreted lambda chain + a dim-length sequence
+  * allocation, k times per row); the kernel replays the identical IEEE
+  * chain, so projections stay bit-identical (QualityDecompSpec's
+  * driver-replay test and the p100/p101 oracles pin it). */
+case class CenteredDotExpr(child: Expression, mu: Array[Double],
+    pc: Array[Double]) extends UnaryExpression {
+  require(mu.length == pc.length, "mean/component dimension mismatch")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "centered_dot"
+
+  @transient private lazy val elementIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.centeredDot(input.asInstanceOf[ArrayData], mu, pc,
+      elementIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("pcaMu", mu, "double[]")
+    val pcRef = ctx.addReferenceObj("pcaPc", pc, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.centeredDot($c, $muRef, $pcRef, $elementIsFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CenteredDotExpr =
+    copy(child = c)
+}
+
 /** The `nProbe` nearest centroid indexes of a vector (squared-L2, ties →
   * lower index), in one native pass over the centroid bank — the
   * assign/probe kernel of the IVF approximate-nearest-neighbor path. */
@@ -202,6 +234,10 @@ object VectorExpressions {
   def seqSqDist(a: Column, b: Column): Column =
     ColumnBridge.column(SeqSqDistExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native PCA projection fold (see [[CenteredDotExpr]]). */
+  def centeredDot(v: Column, mu: Array[Double], pc: Array[Double]): Column =
+    ColumnBridge.column(CenteredDotExpr(ColumnBridge.expression(v), mu, pc))
 
   /** Buckets of `vec` in `tables` LSH tables of `bits` hyperplanes each,
     * derived deterministically from `seed` (table t uses seed + t·7919). */

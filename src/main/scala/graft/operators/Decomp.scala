@@ -51,11 +51,6 @@ object Decomp {
   final case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
       eigenvalues: Array[Double])
 
-  /** Fit the top-`k` principal components of `vecCol` (array<float|double>)
-    * with `iters` power-iteration rounds per component. One scan + one
-    * model-sized exchange + one driver-side O(k·iters·d²) solve.
-    * Fails loud on ragged vector lengths (a silent mix of dims would
-    * corrupt every covariance entry). */
   /** The covariance-moment relation of `vecCol` — (i, -1) rows carry
     * per-dim decimal sums, (i, j>=i) rows the upper-triangle product
     * sums, each with its non-null term count. ONE native imperative
@@ -74,6 +69,11 @@ object Decomp {
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.s").as("s"),
         col("e.cnt").as("cnt"))
 
+  /** Fit the top-`k` principal components of `vecCol` (array<float|double>)
+    * with `iters` power-iteration rounds per component. One scan + one
+    * model-sized exchange + one driver-side O(k·iters·d²) solve.
+    * Fails loud on ragged vector lengths (a silent mix of dims would
+    * corrupt every covariance entry). */
   def pcaFit(corpus: DataFrame, k: Int = 2, iters: Int = 16,
       vecCol: String = "embedding"): PcaModel = {
     // one pass: see [[moments]]; non-null term counts per group double
@@ -170,7 +170,6 @@ object Decomp {
     * one row when healthy and pays a scan only on the way to the error. */
   def pcaProject(corpus: DataFrame, model: PcaModel,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val muLit = array(model.mean.map(lit): _*)
     val ve = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .filter(size(col("__v")) === model.mean.length)
@@ -178,18 +177,15 @@ object Decomp {
       s"pcaProject: non-empty corpus but no vector has the model's " +
         s"dimension ${model.mean.length} — projecting with a model fitted " +
         "on different-dimensional data?")
-    def proj(pc: Array[Double]): Column = {
-      val pcLit = array(pc.map(lit): _*)
-      aggregate(
-        sequence(lit(0), size(col("__v")) - 1),
-        lit(0.0),
-        (acc, i) => acc +
-          (element_at(col("__v"), i + 1) - element_at(muLit, i + 1)) *
-            element_at(pcLit, i + 1))
-    }
+    // one native codegen'd fold per component — the identical 0.0-seeded
+    // ascending (v_i − mu_i)·pc_i IEEE chain the prior Column-HOF form
+    // (and the DuckDB oracle) evaluates, with mean/component as reference
+    // objects instead of a dim-length literal array + interpreted lambda
+    // chain per row (see graft.functions.CenteredDotExpr)
     ve.select(col(idCol) +:
       model.components.zipWithIndex.map { case (pc, c) =>
-        proj(pc).as(s"pc${c + 1}")
+        graft.functions.VectorExpressions.centeredDot(col("__v"),
+          model.mean, pc).as(s"pc${c + 1}")
       }: _*)
   }
 

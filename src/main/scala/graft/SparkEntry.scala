@@ -37,5 +37,6 @@ object SparkEntry {
     "p75_stream_passage_filter", "p79_stream_neardup_filter",
     "p86_stream_funnel", "p88_stream_ewma", "p89_stream_compacted",
     "p93_stream_kmeans", "p105_stream_ivf_index", "p107_stream_pca",
-    "p108_stream_bm25", "p109_stream_hll", "q47_paged_source")
+    "p108_stream_bm25", "p109_stream_hll", "p110_stream_countmin",
+    "q47_paged_source")
 }

@@ -5218,6 +5218,92 @@ object Pipeline {
        |FROM ex JOIN fin USING (flag)
        |ORDER BY lang""".stripMargin
 
+  // =========================================================================
+  // p110 — STREAMING count-min maintenance: p109's counting sibling —
+  // the token-frequency monitor (vocabulary drift, stopword shares) a
+  // training pipeline keeps over an ingest stream. Each document
+  // micro-batch tokenizes ONLY its own docs and appends a d×w counter
+  // delta (≤ 4,096 rows — model-sized); live point estimates run
+  // countMinLookup over the (j, bucket)-wise SUM fold. Counter sums are
+  // associative but NOT idempotent (a duplicated delta WOULD overcount —
+  // StreamingSpec pins that too), which is exactly why the family's
+  // exactly-once delta conventions are load-bearing here where p109's
+  // max-fold shrugged. Folded == one-shot is structural, and the oracle
+  // replays the one-shot sketch (p78's exact-HUGEINT hash chain) over
+  // the full corpus's tokens: streamed estimates must match
+  // counter-for-counter, plus exact counts and the structural
+  // overcount ≥ 0.
+  // =========================================================================
+  private val p110Keys = Seq("data", "hash", "merge", "scan", "spark",
+    "the", "value", "window")
+
+  def p110StreamCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.SketchStream
+    val docs = Tables.documents(spark, dir)
+    def toTokens(df: DataFrame): DataFrame =
+      df.select(explode(TF.tokens(col("text"))).as("token"))
+    val standing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p110_").toString
+    val in = s"$root/in"; val cmRoot = s"$root/cm"
+    SketchStream.writeStandingCm(spark, cmRoot, toTokens(standing), "token")
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        SketchStream.advanceBatchCm(spark, cmRoot, "token")(toTokens(b), id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    val probes = p110Keys.toDF("token")
+    val exact = toTokens(docs).filter(col("token").isInCollection(p110Keys))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    SketchStream.lookupAt(spark, cmRoot, probes, "token")
+      .join(exact, Seq("token"), "left")
+      .select(col("token"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("n_cms"),
+        (col("n_cms") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
+      .orderBy("token")
+  }
+
+  val p110Sql: String = {
+    import OracleHash._
+    val keys = p110Keys.map(k => s"'$k'").mkString(", ")
+    s"""WITH toks AS (SELECT unnest($sqlToks) AS k FROM documents),
+       |src AS (SELECT CAST(k AS VARCHAR) AS k FROM toks),
+       |sj AS (SELECT k || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM src CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+       |h0 AS (SELECT j, ${fnv1a("sv")} AS h FROM sj),
+       |hf AS (SELECT j, ${mix("h")} AS u FROM h0),
+       |counters AS (SELECT j, CAST(u % 1024 AS INT) AS bucket,
+       |    COUNT(*) AS cnt FROM hf GROUP BY j, bucket),
+       |pk AS (SELECT unnest([$keys]) AS key),
+       |pj AS (SELECT key, key || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM pk CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+       |q0 AS (SELECT key, j, ${fnv1a("sv")} AS h FROM pj),
+       |qf AS (SELECT key, j, ${mix("h")} AS u FROM q0),
+       |qb AS (SELECT key, j, CAST(u % 1024 AS INT) AS bucket FROM qf),
+       |est AS (SELECT key, MIN(COALESCE(cnt, 0)) AS n_cms
+       |        FROM qb LEFT JOIN counters USING (j, bucket) GROUP BY key),
+       |ex AS (SELECT k AS key, COUNT(*) AS n FROM toks
+       |       WHERE k IN ($keys) GROUP BY 1)
+       |SELECT est.key AS token, CAST(COALESCE(n, 0) AS BIGINT) AS n_exact,
+       |  CAST(n_cms AS BIGINT) AS n_cms,
+       |  CAST(n_cms - COALESCE(n, 0) AS BIGINT) AS overcount
+       |FROM est LEFT JOIN ex ON est.key = ex.key
+       |ORDER BY token""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -5328,7 +5414,8 @@ object Pipeline {
     "p106_ivf_sampled" -> (p106IvfSampled _),
     "p107_stream_pca" -> (p107StreamPca _),
     "p108_stream_bm25" -> (p108StreamBm25 _),
-    "p109_stream_hll" -> (p109StreamHll _))
+    "p109_stream_hll" -> (p109StreamHll _),
+    "p110_stream_countmin" -> (p110StreamCountMin _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5437,5 +5524,6 @@ object Pipeline {
     "p106_ivf_sampled" -> p106Sql,
     "p107_stream_pca" -> p107Sql,
     "p108_stream_bm25" -> p108Sql,
-    "p109_stream_hll" -> p109Sql)
+    "p109_stream_hll" -> p109Sql,
+    "p110_stream_countmin" -> p110Sql)
 }

@@ -46,17 +46,7 @@ object SketchStream {
       groupCols: Seq[String], valueCol: String, p: Int = 8,
       autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val versions = Versions.list(spark, root)
-    require(versions.exists(_._1 == 0L),
-      s"standing registers $root/v0 missing — writeStanding before " +
-        "starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"sketch store at $root is at v$newest but the stream is " +
-          s"replaying batch $batchId — restarting with a fresh checkpoint " +
-          "over existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
+    guardStore(spark, root, batchId)
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, root, batchId, k, foldRegisters(groupCols)))
     Profiling.hllRegisters(batch, groupCols, valueCol, p)
@@ -86,4 +76,72 @@ object SketchStream {
   def compactStore(spark: SparkSession, root: String,
       groupCols: Seq[String], upTo: Long): Unit =
     Versions.compact(spark, root, upTo, foldRegisters(groupCols))
+
+  // ---- count-min (frequency) ---------------------------------------------
+  // The COUNTING sibling: per-batch counter deltas (d×w rows, model-sized)
+  // folding by (j, bucket)-wise SUM. Counter sums are associative but NOT
+  // idempotent — unlike the HLL registers above, a duplicated delta WOULD
+  // overcount, which is exactly why the family's exactly-once conventions
+  // (batch-id-named deltas, deterministic overwrite, lineage guard) are
+  // load-bearing here. Folded == one-shot is structural all the same: the
+  // counter table of a union is the sum of per-part counter tables.
+
+  private def foldCounters(df: DataFrame): DataFrame =
+    df.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  private def guardStore(spark: SparkSession, root: String,
+      batchId: Long): Unit = {
+    val versions = Versions.list(spark, root)
+    require(versions.exists(_._1 == 0L),
+      s"standing store $root/v0 missing — writeStanding before " +
+        "starting the stream")
+    versions.lastOption.foreach { case (newest, _) =>
+      require(newest <= batchId + 1,
+        s"store at $root is at v$newest but the stream is replaying " +
+          s"batch $batchId — restarting with a fresh checkpoint over " +
+          "existing deltas would fork their lineage; resume from the " +
+          "original checkpoint or start new roots")
+    }
+  }
+
+  /** Write the standing corpus's count-min counters as `root/v0`. */
+  def writeStandingCm(spark: SparkSession, root: String, standing: DataFrame,
+      keyCol: String, d: Int = 4, w: Int = 1024): Unit =
+    Profiling.countMinSketch(standing, keyCol, d, w)
+      .write.mode("overwrite").parquet(s"$root/v0")
+
+  /** The `foreachBatch` callback for the counter store. */
+  def advanceBatchCm(spark: SparkSession, root: String, keyCol: String,
+      d: Int = 4, w: Int = 1024, autoCompactVersions: Option[Int] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    guardStore(spark, root, batchId)
+    autoCompactVersions.foreach(k =>
+      Versions.autoCompact(spark, root, batchId, k, foldCounters))
+    Profiling.countMinSketch(batch, keyCol, d, w)
+      .write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+  }
+
+  /** The folded counter table over every delta `<= upTo` — model-sized
+    * (≤ d·w rows), exact by integer-sum associativity. */
+  def readCounters(spark: SparkSession, root: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val versions = Versions.list(spark, root).filter(_._1 <= upTo)
+    require(versions.nonEmpty, s"no counter versions at $root")
+    foldCounters(spark.read.parquet(versions.map(_._2.toString): _*))
+  }
+
+  /** Live point estimates — bit-identical to [[Profiling.countMinLookup]]
+    * against a one-shot sketch of the corpus union (structural
+    * overestimate n_cms ≥ true count included). */
+  def lookupAt(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String, d: Int = 4, w: Int = 1024,
+      upTo: Long = Long.MaxValue): DataFrame =
+    Profiling.countMinLookup(keys, keyCol,
+      readCounters(spark, root, upTo), d, w)
+
+  /** Fold counter deltas `v0..v<upTo>` into a new base (sum-merge —
+    * read-equivalent by associativity). */
+  def compactStoreCm(spark: SparkSession, root: String, upTo: Long): Unit =
+    Versions.compact(spark, root, upTo, foldCounters)
 }

@@ -302,6 +302,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SeqSqDistExpr kernel == Column-HOF fold bit-for-bit on random " +
+      "float and double vectors (the relation-bank IVF distance)") {
+    import org.apache.spark.sql.functions.{aggregate, col, element_at, lit,
+      sequence, size}
+    val rng = new Random(77)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(1), size(a)), lit(0.0),
+        (acc, i) => acc + (element_at(a, i) - element_at(b, i)) *
+          (element_at(a, i) - element_at(b, i)))
+    (1 to 5).foreach { _ =>
+      val d = 1 + rng.nextInt(96)
+      val rows = List.fill(60)((
+        Seq.fill(d)(rng.nextGaussian()),
+        Seq.fill(d)(rng.nextGaussian() * 1e3)))
+      val df = rows.toDF("a", "b")
+      val got = df.select(graft.functions.VectorExpressions
+          .seqSqDist(col("a"), col("b")).as("x"))
+        .as[Double].collect().toSeq
+      val want = df.select(hof(col("a"), col("b")).as("x"))
+        .as[Double].collect().toSeq
+      assert(got === want, s"d=$d")
+      // float input path (the raw embeddings schema)
+      val dfF = rows.map { case (a, b) =>
+        (a.map(_.toFloat), b.map(_.toDouble)) }.toDF("a", "b")
+      val gotF = dfF.select(graft.functions.VectorExpressions
+          .seqSqDist(col("a"), col("b")).as("x"))
+        .as[Double].collect().toSeq
+      val wantF = dfF.select(hof(col("a").cast("array<double>"), col("b"))
+          .as("x")).as[Double].collect().toSeq
+      assert(gotF === wantF, s"d=$d (float)")
+    }
+  }
+
+  test("CenteredDotExpr kernel == Column-HOF projection fold bit-for-bit " +
+      "on random vectors and models (the PCA projection)") {
+    import org.apache.spark.sql.functions.{aggregate, array, col,
+      element_at, lit, sequence, size}
+    val rng = new Random(78)
+    (1 to 5).foreach { _ =>
+      val d = 1 + rng.nextInt(96)
+      val mu = Array.fill(d)(rng.nextGaussian())
+      val pc = Array.fill(d)(rng.nextGaussian())
+      val muLit = array(mu.map(lit): _*)
+      val pcLit = array(pc.map(lit): _*)
+      val rows = List.fill(60)(Seq.fill(d)(rng.nextGaussian() * 10))
+      val df = rows.toDF("v")
+      val got = df.select(graft.functions.VectorExpressions
+          .centeredDot(col("v"), mu, pc).as("x"))
+        .as[Double].collect().toSeq
+      val want = df.select(
+          aggregate(sequence(lit(0), size(col("v")) - 1), lit(0.0),
+            (acc, i) => acc +
+              (element_at(col("v"), i + 1) - element_at(muLit, i + 1)) *
+                element_at(pcLit, i + 1)).as("x"))
+        .as[Double].collect().toSeq
+      assert(got === want, s"d=$d")
+    }
+  }
+
   test("hllDistinct matches an in-memory replay of the sketch exactly") {
     val rng = new Random(7)
     (1 to 4).foreach { trial =>

@@ -1003,6 +1003,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed() === oneShot)
   }
 
+  test("streaming count-min: folded counters estimate bit-identical to " +
+      "one-shot; a duplicated delta DOES overcount (sum fold is not " +
+      "idempotent — exactly-once is load-bearing)") {
+    import java.nio.file.Files
+    import graft.operators.Profiling
+    import graft.streaming.SketchStream
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    val root = Files.createTempDirectory("cmstream_").toString + "/cm"
+    val docs = Tables.documents(spark, sfDir)
+    def toks(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(TF.tokens(col("text"))).as("token"))
+    val keys = Seq("spark", "data", "window", "the").toDF("token")
+    SketchStream.writeStandingCm(spark, root,
+      toks(docs.filter(col("doc_id") < 200)), "token")
+    val advance = { (lo: Long, hi: Long, id: Long) =>
+      SketchStream.advanceBatchCm(spark, root, "token")(
+        toks(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)), id)
+    }
+    advance(200L, 300L, 0L)
+    advance(300L, 400L, 1L)
+    def streamed(): Seq[(String, Long)] =
+      SketchStream.lookupAt(spark, root, keys, "token")
+        .as[(String, Long)].collect().sorted.toSeq
+    val oneShot = Profiling.countMinLookup(keys, "token",
+        Profiling.countMinSketch(toks(docs.filter(col("doc_id") < 400)),
+          "token"))
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(streamed() === oneShot)
+    // the structural overestimate: n_cms >= the true count, per key
+    val exact = toks(docs.filter(col("doc_id") < 400))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    streamed().foreach { case (k, est) =>
+      assert(est >= exact.getOrElse(k, 0L), s"undercount for $k") }
+    // redelivery overwrites its OWN batch-id-named delta — unchanged
+    // (this is the exactly-once mechanism; contrast below)
+    advance(300L, 400L, 1L)
+    assert(streamed() === oneShot)
+    // NOT idempotent: the same rows landing under a NEW version id (what
+    // redelivery WOULD do without batch-id-named overwrites) overcounts —
+    // the honest contrast with p109's max-fold registers, and why the
+    // family's exactly-once conventions are load-bearing for counting
+    // sketches
+    Profiling.countMinSketch(
+        toks(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)),
+        "token")
+      .write.mode("overwrite").parquet(s"$root/v3")
+    val dup = streamed()
+    assert(dup.map(_._1) === oneShot.map(_._1))
+    assert(dup.zip(oneShot).forall { case ((_, a), (_, b)) => a >= b })
+    assert(dup.zip(oneShot).exists { case ((_, a), (_, b)) => a > b },
+      "a duplicated sum delta must move at least one estimate up")
+    // compaction folds by sum — read-equivalent to the store it folds
+    // (the duplicate is preserved, not laundered away)
+    SketchStream.compactStoreCm(spark, root, upTo = 3L)
+    assert(graft.streaming.Versions.list(spark, root).size === 1)
+    assert(streamed() === dup)
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

@@ -165,6 +165,90 @@ object Profiling {
     base.join(exactVals, Seq("q")).orderBy("q")
   }
 
+  /** Per-bin counts of `colName` under FROZEN bounds — the mergeable half
+    * of [[histogramQuantiles]] split out for incremental maintenance
+    * ([[graft.streaming.QuantileStream]]): with (mn, mx, bins) pinned to a
+    * MODEL parameter instead of derived from `df`, per-part count
+    * relations combine to the one-shot relation by plain integer-sum
+    * associativity — the same structural folded == one-shot argument as
+    * [[hllRegisters]] (max) and the count-min counters (sum).
+    *
+    * Out-of-range values CLAMP into the edge bins (below mn → bin 0,
+    * above mx → bin `bins-1`; mirrored `greatest(least(..))` in the SQL
+    * oracle), so the count relation stays total and the estimate stays
+    * deterministic as the stream drifts past the frozen bounds — the
+    * drift itself is surfaced separately ([[boundsDrift]]) as the
+    * rebuild signal, exactly like `IvfStream`'s occupancy profile.
+    * Degenerate bounds (mx = mn) put every value in bin 0.
+    *
+    * Returns (__bin, __nb) — at most `bins` rows, model-sized. */
+  def boundedBinCounts(df: DataFrame, colName: String, bins: Int,
+      mn: Double, mx: Double): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    require(mn <= mx, s"mn must be <= mx (got $mn > $mx)")
+    val x = col(colName).cast(DoubleType)
+    val width = (lit(mx) - lit(mn)) / lit(bins.toDouble)
+    val bin =
+      if (mx == mn) lit(0)
+      else greatest(least(floor((col("__x") - lit(mn)) / width),
+        lit((bins - 1).toDouble)), lit(0.0)).cast("int")
+    df.select(x.as("__x")).filter(col("__x").isNotNull)
+      .groupBy(bin.as("__bin"))
+      .agg(count(lit(1)).as("__nb"))
+  }
+
+  /** Quantile estimates from a folded [[boundedBinCounts]] relation under
+    * the same frozen bounds — the read side of the incremental quantile
+    * store. The arithmetic is [[histogramQuantiles]]' estimator
+    * expression-for-expression (target rank `r = ceil(q*n)` with `n` the
+    * SUM of bin counts, first bin with `cum >= r`, linear interpolation
+    * inside it, association order mirrored by the oracle); everything
+    * after the count fold runs over at most `bins` rows — model-sized,
+    * never the data. Returns (q, n, est) ordered by q. */
+  def quantilesFromCounts(counts: DataFrame, bins: Int, mn: Double,
+      mx: Double, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val width = (lit(mx) - lit(mn)) / lit(bins.toDouble)
+    val folded = counts.groupBy(col("__bin"))
+      .agg(sum(col("__nb")).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__bin")
+      .rowsBetween(Long.MinValue, 0)
+    val cum = folded
+      .withColumn("__cum", sum(col("__nb")).over(w))
+      .crossJoin(broadcast(folded.agg(sum(col("__nb")).as("__n"))))
+      .localCheckpoint(true)
+    val r = ceil(col("q") * col("__n").cast(DoubleType))
+    val first = qs.toDF("q").crossJoin(broadcast(cum))
+      .filter(col("__cum") >= r)
+      .groupBy(col("q")).agg(min(col("__bin")).as("__bin"))
+      .join(cum, Seq("__bin"))
+    val est =
+      if (mx == mn) lit(mn)
+      else (lit(mn) + (col("__bin").cast(DoubleType) * width)) +
+        (((r.cast(DoubleType) -
+          (col("__cum") - col("__nb")).cast(DoubleType)) /
+          col("__nb").cast(DoubleType)) * width)
+    first.select(col("q"), col("__n").as("n"), est.as("est")).orderBy("q")
+  }
+
+  /** The frozen-bounds drift profile of a batch: how much of it fell
+    * outside [mn, mx] — the occupancy-drift signal that tells an operator
+    * when the [[boundedBinCounts]] store's edge-bin clamping is absorbing
+    * real distribution shift and the bounds deserve a rebuild (new store
+    * under re-derived bounds, reader swap — never in-place). One
+    * batch-sized scan, 1-row output (n_batch, n_below, n_above). */
+  def boundsDrift(df: DataFrame, colName: String, mn: Double,
+      mx: Double): DataFrame = {
+    val x = col(colName).cast(DoubleType)
+    df.select(x.as("__x")).filter(col("__x").isNotNull)
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("__x") < lit(mn), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("__x") > lit(mx), 1L).otherwise(0L)).as("n_above"))
+  }
+
   /** Robust outlier detection via median/MAD — the quality-filter sweep
     * that survives the heavy-tailed distributions where mean/stddev
     * z-scores drown (a single 10^9 outlier inflates sigma until nothing

@@ -5304,6 +5304,112 @@ object Pipeline {
        |ORDER BY token""".stripMargin
   }
 
+  // =========================================================================
+  // p111 — STREAMING quantile maintenance: the order-statistics member of
+  // the incremental family, completing the matrix (fp / band / cells /
+  // moments / postings / registers / counters / bins). Each micro-batch
+  // bins ONLY its own rows under bounds FROZEN from the standing corpus
+  // (the IvfStream bank analogue — deltas binned under different bounds
+  // silently estimate garbage, so the store fails loud on a mutated
+  // bounds root) and appends a ≤ bins-row count delta; live p50/p90/p99
+  // document-length estimates read the bin-wise integer-sum fold —
+  // model-sized, never the corpus. Out-of-range values clamp into edge
+  // bins (deterministic, mirrored greatest/least in the oracle) and the
+  // clamped mass surfaces as n_below/n_above — the drift signal that
+  // says the frozen bounds deserve a rebuild. Folded == one-shot is
+  // structural (bin counts of a union are sums of per-part bin counts);
+  // the oracle replays bounds → binning → fold → rank/interpolation
+  // (p80's estimator arithmetic expression-for-expression) over the full
+  // corpus, plus the TRUE percentile (global rank pick) and the drift
+  // counts — streamed estimates must match bin-for-bin.
+  // =========================================================================
+  def p111StreamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.QuantileStream
+    import graft.operators.Profiling
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p111_").toString
+    val in = s"$root/in"; val boundsRoot = s"$root/bounds"
+    val countRoot = s"$root/counts"; val profRoot = s"$root/prof"
+    QuantileStream.writeStanding(spark, boundsRoot, countRoot, standing,
+      "n_chars", 128)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(QuantileStream.advanceBatch(spark, boundsRoot,
+        countRoot, profRoot, "n_chars") _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val est = QuantileStream.quantilesAt(spark, boundsRoot, countRoot,
+      Seq(0.5, 0.9, 0.99))
+    val exact = Profiling.histogramQuantiles(docs, "n_chars", 128,
+      Seq(0.5, 0.9, 0.99), exact = true).select(col("q"), col("p_exact"))
+    val drift = spark.read.parquet(s"$profRoot/b*")
+      .agg(sum(col("n_below")).as("n_below"),
+        sum(col("n_above")).as("n_above"))
+    est.join(exact, Seq("q"))
+      .crossJoin(broadcast(drift))
+      .select(col("q"), col("n"), col("est"), col("p_exact"),
+        (col("est") - col("p_exact")).as("err"),
+        col("n_below"), col("n_above"))
+      .orderBy("q")
+  }
+
+  val p111Sql: String =
+    """WITH stand AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      |               WHERE doc_id < 250 AND n_chars IS NOT NULL),
+      |mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM stand),
+      |allx AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      |         WHERE n_chars IS NOT NULL),
+      |b AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0
+      |        ELSE CAST(greatest(least(floor((x - mm.mn)
+      |                                       / ((mm.mx - mm.mn) / 128.0)),
+      |                                 127.0), 0.0) AS INT) END AS bin
+      |      FROM allx CROSS JOIN mm),
+      |c AS (SELECT bin, COUNT(*) AS nb FROM b GROUP BY bin),
+      |nn AS (SELECT CAST(SUM(nb) AS BIGINT) AS n FROM c),
+      |cum AS (SELECT bin, nb,
+      |    SUM(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c),
+      |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+      |                      CAST(0.99 AS DOUBLE)]) AS q),
+      |fb AS (SELECT q, MIN(bin) AS bin
+      |       FROM qs CROSS JOIN nn
+      |       JOIN cum ON cum.cum >= ceil(q * CAST(nn.n AS DOUBLE))
+      |       GROUP BY q),
+      |est AS (SELECT q, nn.n AS n,
+      |  CASE WHEN mm.mx = mm.mn THEN mm.mn
+      |    ELSE (mm.mn + (CAST(fb.bin AS DOUBLE) * ((mm.mx - mm.mn) / 128.0)))
+      |      + (((CAST(ceil(q * CAST(nn.n AS DOUBLE)) AS DOUBLE)
+      |           - CAST(cum.cum - cum.nb AS DOUBLE)) / CAST(cum.nb AS DOUBLE))
+      |         * ((mm.mx - mm.mn) / 128.0)) END AS est
+      |  FROM fb JOIN cum USING (bin) CROSS JOIN mm CROSS JOIN nn),
+      |ord AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM allx),
+      |nf AS (SELECT COUNT(*) AS n FROM allx),
+      |ex AS (SELECT q, x AS p_exact
+      |       FROM qs CROSS JOIN nf
+      |       JOIN ord ON ord.rn = CAST(ceil(q * nf.n) AS BIGINT)),
+      |drift AS (SELECT
+      |    CAST(COALESCE(SUM(CASE WHEN x < mm.mn THEN 1 ELSE 0 END), 0)
+      |         AS BIGINT) AS n_below,
+      |    CAST(COALESCE(SUM(CASE WHEN x > mm.mx THEN 1 ELSE 0 END), 0)
+      |         AS BIGINT) AS n_above
+      |  FROM (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      |        WHERE doc_id >= 250 AND n_chars IS NOT NULL) inc
+      |  CROSS JOIN mm)
+      |SELECT est.q, est.n, est.est, ex.p_exact,
+      |  est.est - ex.p_exact AS err, drift.n_below, drift.n_above
+      |FROM est JOIN ex USING (q) CROSS JOIN drift ORDER BY q""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -5415,7 +5521,8 @@ object Pipeline {
     "p107_stream_pca" -> (p107StreamPca _),
     "p108_stream_bm25" -> (p108StreamBm25 _),
     "p109_stream_hll" -> (p109StreamHll _),
-    "p110_stream_countmin" -> (p110StreamCountMin _))
+    "p110_stream_countmin" -> (p110StreamCountMin _),
+    "p111_stream_quantiles" -> (p111StreamQuantiles _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5525,5 +5632,6 @@ object Pipeline {
     "p107_stream_pca" -> p107Sql,
     "p108_stream_bm25" -> p108Sql,
     "p109_stream_hll" -> p109Sql,
-    "p110_stream_countmin" -> p110Sql)
+    "p110_stream_countmin" -> p110Sql,
+    "p111_stream_quantiles" -> p111Sql)
 }

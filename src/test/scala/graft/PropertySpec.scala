@@ -475,6 +475,49 @@ class PropertySpec extends SparkSpec {
     assert(const === Seq(3.0, 3.0, 3.0))
   }
 
+  test("bounded-bin quantiles == histogramQuantiles under true-min/max " +
+      "bounds; per-part count deltas fold to the one-shot; out-of-range " +
+      "clamps into edge bins") {
+    import graft.operators.Profiling
+    val rng = new Random(4242)
+    (1 to 5).foreach { _ =>
+      val xs = 0.0 :: 999.0 ::
+        List.fill(200 + rng.nextInt(400))(rng.nextInt(1000).toDouble)
+      val qs = Seq(0.25, 0.5, 0.9, 0.99)
+      val bins = 1 + rng.nextInt(32)
+      val df = xs.toDF("x").repartition(5)
+      val mn = xs.min; val mx = xs.max
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
+      // the incremental estimator under the data's own bounds IS the
+      // established p80 estimator — same bins, same rank, same IEEE
+      // interpolation order
+      val viaCounts = rows(Profiling.quantilesFromCounts(
+        Profiling.boundedBinCounts(df, "x", bins, mn, mx), bins, mn, mx, qs))
+      val direct = rows(Profiling.histogramQuantiles(df, "x", bins, qs))
+      assert(viaCounts === direct, s"bins=$bins n=${xs.size}")
+      // folded == one-shot: per-part count relations union to the same
+      // estimate (the QuantileStream delta-store property)
+      val (a, b) = xs.splitAt(xs.size / 3)
+      val parts = Profiling.boundedBinCounts(a.toDF("x"), "x", bins, mn, mx)
+        .union(Profiling.boundedBinCounts(b.toDF("x"), "x", bins, mn, mx))
+      assert(rows(Profiling.quantilesFromCounts(parts, bins, mn, mx, qs))
+        === direct)
+    }
+    // out-of-range values clamp into the edge bins — counted, not dropped
+    val cl = Profiling.boundedBinCounts(
+        Seq(-5.0, 0.5, 99.0).toDF("x"), "x", 4, 0.0, 10.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(cl === Map(0 -> 2L, 3 -> 1L))
+    // degenerate bounds: everything lands in bin 0, estimate is the bound
+    val const = Profiling.quantilesFromCounts(
+        Profiling.boundedBinCounts(Seq(1.0, 7.0).toDF("x"), "x", 8, 3.0, 3.0),
+        8, 3.0, 3.0, Seq(0.5))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(const === Seq(3.0))
+  }
+
   test("ewmaByKey folds each key's timeline in (ts, tie) order and is " +
       "partitioning-invariant") {
     // scrambled input order; user 1's time order is 10.0, 4.0, 2.0

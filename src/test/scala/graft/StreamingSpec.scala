@@ -1063,6 +1063,79 @@ class StreamingSpec extends SparkSpec {
     assert(streamed() === dup)
   }
 
+  test("streaming quantiles: folded bin counts bit-identical to one-shot " +
+      "under frozen bounds; drift profile counts the clamped mass; a " +
+      "mutated bounds root is refused") {
+    import java.nio.file.Files
+    import graft.operators.Profiling
+    import graft.streaming.QuantileStream
+    import spark.implicits._
+    val base = Files.createTempDirectory("qstream_").toString
+    val boundsRoot = s"$base/bounds"; val countRoot = s"$base/counts"
+    val profRoot = s"$base/prof"
+    val docs = Tables.documents(spark, sfDir)
+    QuantileStream.writeStanding(spark, boundsRoot, countRoot,
+      docs.filter(col("doc_id") < 200), "n_chars", 64)
+    val (mn, mx, bins) = QuantileStream.readBounds(spark, boundsRoot)
+    val advance = { (lo: Long, hi: Long, id: Long) =>
+      QuantileStream.advanceBatch(spark, boundsRoot, countRoot, profRoot,
+        "n_chars")(docs.filter(col("doc_id") >= lo && col("doc_id") < hi), id)
+    }
+    advance(200L, 300L, 0L)
+    advance(300L, 400L, 1L)
+    val qs = Seq(0.5, 0.9, 0.99)
+    def streamed(): Seq[(Double, Long, Double)] =
+      QuantileStream.quantilesAt(spark, boundsRoot, countRoot, qs)
+        .as[(Double, Long, Double)].collect().sorted.toSeq
+    val oneShot = Profiling.quantilesFromCounts(
+        Profiling.boundedBinCounts(docs.filter(col("doc_id") < 400),
+          "n_chars", bins, mn, mx), bins, mn, mx, qs)
+      .as[(Double, Long, Double)].collect().sorted.toSeq
+    assert(streamed() === oneShot)
+    assert(oneShot.head._2 === docs.filter(col("doc_id") < 400).count())
+    // redelivery overwrites its OWN batch-id-named delta — unchanged
+    advance(300L, 400L, 1L)
+    assert(streamed() === oneShot)
+    // drift profile: exactly the mass the edge bins clamped, per batch
+    val profiled = spark.read.parquet(s"$profRoot/b*")
+      .agg(sum(col("n_below")), sum(col("n_above")))
+      .as[(Long, Long)].head()
+    val inc = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val expectBelow = inc.filter(col("n_chars").cast("double") < mn).count()
+    val expectAbove = inc.filter(col("n_chars").cast("double") > mx).count()
+    assert(profiled === ((expectBelow, expectAbove)))
+    // compaction folds by sum — read-identical
+    QuantileStream.compactStore(spark, countRoot, upTo = 2L)
+    assert(graft.streaming.Versions.list(spark, countRoot).size === 1)
+    assert(streamed() === oneShot)
+    // bounds immutability: a second bounds version is the one mutation
+    // the store must refuse — count deltas are bound to the bounds they
+    // were binned under (the IvfStream frozen-bank contract)
+    Seq((mn, mx, bins)).toDF("mn", "mx", "bins")
+      .write.mode("overwrite").parquet(s"$boundsRoot/v1")
+    val e = intercept[IllegalArgumentException] { advance(400L, 500L, 2L) }
+    assert(e.getMessage.contains("bounds"))
+    // rebuild = re-derived bounds under NEW roots (reader swap); a live
+    // target root is refused — the in-place mutation the guard prevents
+    val grown = docs.filter(col("doc_id") < 400)
+    val err2 = intercept[IllegalArgumentException] {
+      QuantileStream.rebuildStore(spark, grown, boundsRoot, s"$base/c2",
+        "n_chars", 64)
+    }
+    assert(err2.getMessage.contains("live root"))
+    QuantileStream.rebuildStore(spark, grown, s"$base/b2", s"$base/c2",
+      "n_chars", 64)
+    val (mn2, mx2, _) = QuantileStream.readBounds(spark, s"$base/b2")
+    assert(mn2 <= mn && mx2 >= mx)
+    val rebuilt = QuantileStream.quantilesAt(spark, s"$base/b2", s"$base/c2",
+      qs).as[(Double, Long, Double)].collect().sorted.toSeq
+    val fromScratch = Profiling.quantilesFromCounts(
+        Profiling.boundedBinCounts(grown, "n_chars", 64, mn2, mx2),
+        64, mn2, mx2, qs)
+      .as[(Double, Long, Double)].collect().sorted.toSeq
+    assert(rebuilt === fromScratch)
+  }
+
   test("streaming hourly windowed counts match the batch equivalent") {
     val streamed = EventStream.runBounded(spark, sfDir,
         EventStream.hourlyTypeCounts, "hourly_counts")

@@ -1,11 +1,39 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
+
+/** Input validation shared by the native vector kernels: each reads its
+  * array child element-wise through the float-or-double fast path, so any
+  * other element type (or a non-array) must be an ANALYSIS error — without
+  * this check an `array<int>` input would reach `ArrayData.getDouble`,
+  * which crashes mid-job on generic rows and silently reads garbage
+  * (8-byte reads spanning two 4-byte ints) on unsafe rows. The HOF forms
+  * these kernels replaced cast implicitly; the kernels fail loud instead. */
+private[functions] object VecTypeCheck {
+  def floatOrDoubleArray(e: Expression, fn: String,
+      which: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires the $which argument to be array<float> or " +
+          s"array<double>, got ${other.catalogString}")
+    }
+
+  def intArray(e: Expression, fn: String, which: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires the $which argument to be array<int>, got " +
+          s"${other.catalogString}")
+    }
+}
 
 /** All LSH table buckets of one vector in a single pass: for table t, bucket
   * bit b is the sign of v·plane(t,b). Output: array<long> of `tables`
@@ -24,6 +52,8 @@ case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Double]]
   require(planes.length == tables * bits, "planes must be tables*bits rows")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatOrDoubleArray(child, prettyName, "input")
 
   @transient private lazy val elementIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -51,6 +81,11 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecTypeCheck.floatOrDoubleArray(left, prettyName, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecTypeCheck.floatOrDoubleArray(right, prettyName, "right")
+  }
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -86,6 +121,11 @@ case class SeqSqDistExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "seq_sq_dist"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecTypeCheck.floatOrDoubleArray(left, prettyName, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecTypeCheck.floatOrDoubleArray(right, prettyName, "right")
+  }
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -118,6 +158,8 @@ case class CenteredDotExpr(child: Expression, mu: Array[Double],
   require(mu.length == pc.length, "mean/component dimension mismatch")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "centered_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatOrDoubleArray(child, prettyName, "input")
 
   @transient private lazy val elementIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -146,6 +188,8 @@ case class NearestCentroidsExpr(child: Expression,
   require(nProbe >= 1 && nProbe <= centroids.length)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatOrDoubleArray(child, prettyName, "input")
 
   @transient private lazy val elementIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -173,6 +217,8 @@ case class PqCodesExpr(child: Expression, banks: Array[Array[Array[Double]]])
   require(banks.nonEmpty && banks.forall(_.nonEmpty), "empty PQ codebooks")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_codes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatOrDoubleArray(child, prettyName, "input")
 
   @transient private lazy val elementIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -196,6 +242,8 @@ case class PqDecodeExpr(child: Expression, banks: Array[Array[Array[Double]]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_decode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.intArray(child, prettyName, "codes")
 
   override def nullSafeEval(input: Any): Any =
     GraftKernels.pqDecode(input.asInstanceOf[ArrayData], banks)

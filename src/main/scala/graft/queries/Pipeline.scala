@@ -5002,9 +5002,16 @@ object Pipeline {
     * the identical IEEE expression here. */
   private def p106Frac(n: Long): Double =
     math.floor(10000.0 * math.min(1.0, 1024.0 / n)) / 10000.0
+  // fraction cached per dir: p106Sample is called from three sites per
+  // run (both bank caches + sample_n) and each would otherwise re-count
+  // the corpus just to re-derive the same threshold
+  private val p106FracCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
   private def p106Sample(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Curation.sampleUniform(emb, "vec_id", p106Frac(emb.count()))
+    val frac: Double =
+      p106FracCache.computeIfAbsent(dir, _ => p106Frac(emb.count()))
+    Curation.sampleUniform(emb, "vec_id", frac)
   }
   private val sampledRelBankCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Double])]]()

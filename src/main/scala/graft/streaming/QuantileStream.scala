@@ -94,9 +94,12 @@ object QuantileStream {
     }
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, countRoot, batchId, k, foldCounts))
-    Profiling.boundedBinCounts(batch, colName, bins, mn, mx)
+    // one batch-sized source scan feeds both writes (the family's
+    // two-write convention — RetrievalStream/IvfStream checkpoint too)
+    val b = batch.localCheckpoint(true)
+    Profiling.boundedBinCounts(b, colName, bins, mn, mx)
       .write.mode("overwrite").parquet(s"$countRoot/v${batchId + 1}")
-    Profiling.boundsDrift(batch, colName, mn, mx)
+    Profiling.boundsDrift(b, colName, mn, mx)
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$profileRoot/b$batchId")
   }
@@ -104,23 +107,30 @@ object QuantileStream {
   private def foldCounts(df: DataFrame): DataFrame =
     df.groupBy(col("__bin")).agg(sum(col("__nb")).as("__nb"))
 
+  private def rawUnion(spark: SparkSession, countRoot: String,
+      upTo: Long): DataFrame = {
+    val versions = Versions.list(spark, countRoot).filter(_._1 <= upTo)
+    require(versions.nonEmpty, s"no count versions at $countRoot")
+    spark.read.parquet(versions.map(_._2.toString): _*)
+  }
+
   /** The folded bin-count relation over every delta `<= upTo` —
     * model-sized, exact by integer-sum associativity. */
   def readCounts(spark: SparkSession, countRoot: String,
-      upTo: Long = Long.MaxValue): DataFrame = {
-    val versions = Versions.list(spark, countRoot).filter(_._1 <= upTo)
-    require(versions.nonEmpty, s"no count versions at $countRoot")
-    foldCounts(spark.read.parquet(versions.map(_._2.toString): _*))
-  }
+      upTo: Long = Long.MaxValue): DataFrame =
+    foldCounts(rawUnion(spark, countRoot, upTo))
 
   /** Live quantile estimates — bit-identical to the one-shot
     * [[Profiling.quantilesFromCounts]] ∘ [[Profiling.boundedBinCounts]]
-    * over the corresponding corpus union. Returns (q, n, est). */
+    * over the corresponding corpus union. Feeds the RAW delta union to
+    * `quantilesFromCounts`, whose internal fold is the single
+    * aggregation (folding here too would run the identical groupBy
+    * twice). Returns (q, n, est). */
   def quantilesAt(spark: SparkSession, boundsRoot: String, countRoot: String,
       qs: Seq[Double], upTo: Long = Long.MaxValue): DataFrame = {
     val (mn, mx, bins) = readBounds(spark, boundsRoot)
     Profiling.quantilesFromCounts(
-      readCounts(spark, countRoot, upTo), bins, mn, mx, qs)
+      rawUnion(spark, countRoot, upTo), bins, mn, mx, qs)
   }
 
   /** Fold count deltas `v0..v<upTo>` into a new base (sum-merge —

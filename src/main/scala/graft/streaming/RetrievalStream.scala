@@ -65,6 +65,14 @@ object RetrievalStream {
     require(versions.exists(_._1 == 0L),
       s"standing postings ${postRoot(root)}/v0 missing — writeStanding " +
         "before starting the stream")
+    // BOTH standing roots, like every other two-root store: a
+    // writeStanding that crashed between the postings and stats writes
+    // would otherwise stream over stats that exclude the standing corpus
+    // — silently wrong idf/length normalization on every probe
+    require(Versions.list(spark, statsRoot(root)).exists(_._1 == 0L),
+      s"standing stats ${statsRoot(root)}/v0 missing (postings v0 exists " +
+        "— a writeStanding crashed between its two writes); re-run " +
+        "writeStanding before starting the stream")
     versions.lastOption.foreach { case (newest, _) =>
       require(newest <= batchId + 1,
         s"index at $root is at v$newest but the stream is replaying " +

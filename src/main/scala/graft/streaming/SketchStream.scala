@@ -34,11 +34,46 @@ object SketchStream {
     df.groupBy((groupCols.map(col) :+ col("__idx")): _*)
       .agg(max(col("__M")).as("__M"))
 
+  // ---- sketch-parameter pinning ------------------------------------------
+  // A register/counter store is bound to the sketch parameters it was
+  // built under exactly as a bin-count store is bound to its bounds
+  // (QuantileStream) and an IVF index to its bank (IvfStream): registers
+  // written at p=10 read under the p=8 estimator — or w=2048 counters
+  // probed with w=1024 bucket hashing — produce silently-garbage
+  // estimates. writeStanding pins the parameters at `root/_params`
+  // (ignored by Versions.list's v\d+ filter and by compaction); every
+  // parameter-taking read/append fails loud on a mismatch.
+
+  private def writeParams(spark: SparkSession, root: String,
+      params: Map[String, Int]): Unit = {
+    import spark.implicits._
+    params.toSeq.sortBy(_._1).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_params")
+  }
+
+  private def checkParams(spark: SparkSession, root: String,
+      params: Map[String, Int]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_params")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$root/_params missing — writeStanding (which pins the sketch " +
+        "parameters the store was built under) before reading or appending")
+    val stored = spark.read.parquet(s"$root/_params")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    require(stored == params,
+      s"sketch-parameter mismatch at $root: store built with $stored, " +
+        s"caller passed $params — estimates under mismatched parameters " +
+        "are silently garbage; use the stored parameters or build a new " +
+        "store")
+  }
+
   /** Write the standing corpus's register relation as `root/v0`. */
   def writeStanding(spark: SparkSession, root: String, standing: DataFrame,
-      groupCols: Seq[String], valueCol: String, p: Int = 8): Unit =
+      groupCols: Seq[String], valueCol: String, p: Int = 8): Unit = {
+    writeParams(spark, root, Map("p" -> p))
     Profiling.hllRegisters(standing, groupCols, valueCol, p)
       .write.mode("overwrite").parquet(s"$root/v0")
+  }
 
   /** The `foreachBatch` callback: batch registers → `root/v{batchId+1}`,
     * under the family's standing-store + lineage-fork guards. */
@@ -47,6 +82,7 @@ object SketchStream {
       autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     guardStore(spark, root, batchId)
+    checkParams(spark, root, Map("p" -> p))
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, root, batchId, k, foldRegisters(groupCols)))
     Profiling.hllRegisters(batch, groupCols, valueCol, p)
@@ -66,9 +102,11 @@ object SketchStream {
   /** The live cardinality estimate — bit-identical to
     * [[Profiling.hllDistinct]] over the corresponding corpus union. */
   def distinctAt(spark: SparkSession, root: String, groupCols: Seq[String],
-      p: Int = 8, upTo: Long = Long.MaxValue): DataFrame =
+      p: Int = 8, upTo: Long = Long.MaxValue): DataFrame = {
+    checkParams(spark, root, Map("p" -> p))
     Profiling.hllFromRegisters(
       readRegisters(spark, root, groupCols, upTo), groupCols, p)
+  }
 
   /** Fold register deltas `v0..v<upTo>` into a new base (see
     * [[Versions.compact]]); the max-merge is read-equivalent by
@@ -107,15 +145,18 @@ object SketchStream {
 
   /** Write the standing corpus's count-min counters as `root/v0`. */
   def writeStandingCm(spark: SparkSession, root: String, standing: DataFrame,
-      keyCol: String, d: Int = 4, w: Int = 1024): Unit =
+      keyCol: String, d: Int = 4, w: Int = 1024): Unit = {
+    writeParams(spark, root, Map("d" -> d, "w" -> w))
     Profiling.countMinSketch(standing, keyCol, d, w)
       .write.mode("overwrite").parquet(s"$root/v0")
+  }
 
   /** The `foreachBatch` callback for the counter store. */
   def advanceBatchCm(spark: SparkSession, root: String, keyCol: String,
       d: Int = 4, w: Int = 1024, autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     guardStore(spark, root, batchId)
+    checkParams(spark, root, Map("d" -> d, "w" -> w))
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, root, batchId, k, foldCounters))
     Profiling.countMinSketch(batch, keyCol, d, w)
@@ -136,9 +177,11 @@ object SketchStream {
     * overestimate n_cms ≥ true count included). */
   def lookupAt(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, d: Int = 4, w: Int = 1024,
-      upTo: Long = Long.MaxValue): DataFrame =
+      upTo: Long = Long.MaxValue): DataFrame = {
+    checkParams(spark, root, Map("d" -> d, "w" -> w))
     Profiling.countMinLookup(keys, keyCol,
       readCounters(spark, root, upTo), d, w)
+  }
 
   /** Fold counter deltas `v0..v<upTo>` into a new base (sum-merge —
     * read-equivalent by associativity). */

@@ -518,6 +518,25 @@ class PropertySpec extends SparkSpec {
     assert(const === Seq(3.0))
   }
 
+  test("vector kernels reject non-float/double array inputs at analysis " +
+      "instead of reading garbage at runtime") {
+    import graft.functions.VectorExpressions
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Seq(1, 2, 3), Seq(1.0, 2.0, 3.0))).toDF("vi", "vd")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.seqSqDist(col("vi"), col("vd"))).collect()
+    }
+    assert(e.getMessage.contains("seq_sq_dist"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.cosine(col("vd"), col("vi"))).collect()
+    }
+    assert(e2.getMessage.contains("cosine_similarity"))
+    // the valid paths are untouched: float and double arrays still work
+    val ok = df.select(VectorExpressions.cosine(col("vd"), col("vd")))
+      .collect().head.getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
+  }
+
   test("ewmaByKey folds each key's timeline in (ts, tie) order and is " +
       "partitioning-invariant") {
     // scrambled input order; user 1's time order is 10.0, 4.0, 2.0

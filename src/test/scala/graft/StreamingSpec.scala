@@ -1001,6 +1001,13 @@ class StreamingSpec extends SparkSpec {
     SketchStream.compactStore(spark, root, g, upTo = 3L)
     assert(graft.streaming.Versions.list(spark, root).size === 1)
     assert(streamed() === oneShot)
+    // the store is bound to the precision it was built under: a p=10
+    // read over p=8 registers would run the m=256 estimator over
+    // 1024-register groups — silently garbage without the pin
+    val pm = intercept[IllegalArgumentException] {
+      SketchStream.distinctAt(spark, root, g, p = 10)
+    }
+    assert(pm.getMessage.contains("mismatch"))
   }
 
   test("streaming count-min: folded counters estimate bit-identical to " +
@@ -1061,6 +1068,12 @@ class StreamingSpec extends SparkSpec {
     SketchStream.compactStoreCm(spark, root, upTo = 3L)
     assert(graft.streaming.Versions.list(spark, root).size === 1)
     assert(streamed() === dup)
+    // width/depth are pinned like the HLL precision: probing w=1024
+    // counters with w=2048 bucket hashing would mis-bucket every key
+    val pm = intercept[IllegalArgumentException] {
+      SketchStream.lookupAt(spark, root, keys, "token", w = 2048)
+    }
+    assert(pm.getMessage.contains("mismatch"))
   }
 
   test("streaming quantiles: folded bin counts bit-identical to one-shot " +

@@ -439,4 +439,78 @@ object Profiling {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cms"))
   }
+
+  // ---- relational bloom (membership) ---------------------------------------
+  // The MEMBERSHIP sibling of the two sketches above — and unlike p53's
+  // bridge of Spark's internal BloomFilterAggregate (an opaque binary the
+  // oracle cannot replay), this one is a RELATION of set bit positions:
+  // row j's bit for a key is `fingerprint64(key || '#' || j) & (m-1)` —
+  // the count-min hash convention verbatim, so the DuckDB oracle replays
+  // every bit in exact HUGEINT arithmetic. The fold is distinct-union:
+  // associative AND idempotent (HLL-class tolerance — a duplicated delta
+  // cannot change set membership), and monotone besides (bits are only
+  // ever added), which is exactly the algebra of a growing blocklist.
+
+  /** The set-bit relation of a bloom filter over `keyCol`: `k` hash rows ×
+    * `m` bits (m a power of two), one `(j, bit)` row per SET bit — at most
+    * k·m rows (k·m/8 bytes as a mask) regardless of input size: a bloom is
+    * a model-sized artifact by construction, which is why `m` is sized to
+    * the benchmark/blocklist (model-sized by nature), never the corpus.
+    * Partial aggregation dedups map-side; at most k·m rows cross the
+    * exchange. Returns (j, bit). */
+  def bloomBits(df: DataFrame, keyCol: String, k: Int = 4,
+      m: Int = 1 << 16): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    import graft.functions.HashFunctions
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"))
+      .withColumn("j", explode(array((0 until k).map(lit): _*)))
+      .select(col("j"),
+        HashFunctions.fingerprint64(
+          concat_ws("#", col("__k"), col("j").cast("string")))
+          .bitwiseAND(lit((m - 1).toLong)).cast("int").as("bit"))
+      .distinct()
+  }
+
+  /** Materialize a [[bloomBits]] relation as packed long masks, one
+    * `Array[Long]` of m/64 words per hash row — the model-sized driver
+    * pull (≤ k·m/8 bytes, the p53 bloom-literal / centroid-bank class)
+    * that turns membership probing into a scan-local filter. */
+  def bloomMasks(bits: DataFrame, k: Int, m: Int): Array[Array[Long]] = {
+    val masks = Array.fill(k)(new Array[Long](m / 64))
+    bits.select(col("j").cast("int"), col("bit").cast("int"))
+      .collect().foreach { r =>
+        val j = r.getInt(0); val b = r.getInt(1)
+        require(j >= 0 && j < k && b >= 0 && b < m,
+          s"bit ($j, $b) outside k=$k, m=$m — masks built under the wrong " +
+            "bloom parameters are silently garbage")
+        masks(j)(b >>> 6) |= (1L << (b & 63))
+      }
+    masks
+  }
+
+  /** Scan-local membership test of `key` against [[bloomMasks]] — k
+    * codegen'd word-index/bit-test chains AND'ed, zero joins: the masks
+    * ride into generated code as literal arrays. No false negatives;
+    * false positives at the usual bloom rate, removed by whatever exact
+    * verify the caller composes (so composed operators stay EXACT —
+    * the p53 contract). */
+  def bloomMightContain(key: org.apache.spark.sql.Column,
+      masks: Array[Array[Long]], m: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{ShiftRight => CatShiftRight}
+    import graft.functions.HashFunctions
+    def shr(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      ColumnBridge.column(CatShiftRight(
+        ColumnBridge.expression(c), ColumnBridge.expression(n)))
+    masks.indices.map { j =>
+      val bit = HashFunctions.fingerprint64(
+        concat_ws("#", key.cast("string"), lit(j.toString)))
+        .bitwiseAND(lit((m - 1).toLong))
+      val word = element_at(lit(masks(j)), shr(bit, lit(6)).cast("int") + 1)
+      shr(word, bit.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
 }

@@ -5417,6 +5417,119 @@ object Pipeline {
       |  est.est - ex.p_exact AS err, drift.n_below, drift.n_above
       |FROM est JOIN ex USING (q) CROSS JOIN drift ORDER BY q""".stripMargin
 
+  // =========================================================================
+  // p112 — STREAMING bloom maintenance: the MEMBERSHIP member of the
+  // incremental sketch family (registers / counters / bins / bits) — the
+  // growing-blocklist store a streaming decontamination pipeline keeps as
+  // new benchmark documents arrive. Each micro-batch shingles ONLY its
+  // own docs and appends a set-bit delta (≤ k·m rows — model-sized at ANY
+  // corpus); the fold is distinct-union: associative, idempotent (a
+  // duplicated delta cannot change membership) and monotone (a blocklist
+  // only grows). The live probe materializes the folded bits as literal
+  // masks (driver pull ≤ k·m/8 bytes — the p53 bloom-literal class) and
+  // prefilters the corpus scan-locally: zero joins, zero extra exchange
+  // on the corpus side; only candidate grams pay the exact verify join,
+  // so the contamination verdict stays EXACT (no false negatives).
+  // Unlike p53's opaque Spark-internal bloom binary, every set bit here
+  // is `fingerprint64(gram || '#' || j) & (m-1)` — the count-min hash
+  // convention — so the oracle replays the BLOOM ITSELF in exact HUGEINT
+  // arithmetic: n_candidate_grams (bloom-dependent, false positives
+  // included) must match bit-for-bit, not just the exact verdict. The
+  // engine also full-outer-compares folded bits against a one-shot bloom
+  // of the assembled benchmark (folded == one-shot, the bank_matches
+  // pattern); the oracle asserts it TRUE.
+  // =========================================================================
+  def p112StreamBloom(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.SketchStream
+    import graft.operators.Profiling
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          array_distinct(TF.tokenShingles(TF.tokens(col("text")), 5)).as("sh"))
+        .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val bench = docs.filter(col("source") === "src0")
+    val standing = bench.filter(pmod(col("doc_id"), lit(4)) < 2)
+    val incoming = bench.filter(pmod(col("doc_id"), lit(4)) >= 2)
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(4)) - 2)
+    val root = Files.createTempDirectory("p112_").toString
+    val in = s"$root/in"; val bloomRoot = s"$root/bloom"
+    SketchStream.writeStandingBloom(spark, bloomRoot, grams(standing), "gram")
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        SketchStream.advanceBatchBloom(spark, bloomRoot, "gram")(grams(b), id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // folded == one-shot, engine-computed bit-for-bit; oracle asserts TRUE
+    val folded = SketchStream.readBloomBits(spark, bloomRoot)
+    val oneShot = Profiling.bloomBits(grams(bench), "gram")
+    val bloomMatches = folded.withColumn("l", lit(1))
+      .join(oneShot.withColumn("r", lit(1)), Seq("j", "bit"), "full_outer")
+      .agg((count(lit(1)) === count(col("l")) &&
+        count(lit(1)) === count(col("r"))).as("ok"))
+      .head().getBoolean(0)
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+    val corpusGrams = grams(docs.filter(col("source") =!= "src0"))
+    val cand = SketchStream.prefilterAt(spark, bloomRoot, corpusGrams, "gram")
+    val nCand = cand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidate_grams"))
+    val nShared = cand.join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= 3)
+    nShared.join(nCand, "doc_id")
+      .select(col("doc_id"), col("n_candidate_grams"),
+        col("n_shared_grams"), lit(bloomMatches).as("bloom_matches"))
+      .orderBy("doc_id")
+  }
+
+  val p112Sql: String = {
+    import OracleHash._
+    // ns (the exact verdict) is computed from the RAW corpus∩benchmark
+    // join, independent of the bloom replay — a false-negative bug in the
+    // engine's prefilter would hash-mismatch here; the expensive per-gram
+    // hash replay then runs only over the retained docs' grams.
+    s"""WITH sh AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 3),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+       |    END) AS sh
+       |  FROM (SELECT doc_id, source, $sqlToks AS toks FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE source = 'src0'),
+       |corpus AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE source != 'src0'),
+       |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+       |       FROM corpus JOIN bench USING (gram)
+       |       GROUP BY doc_id HAVING COUNT(*) >= 3),
+       |bj AS (SELECT gram || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM bench CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+       |bh0 AS (SELECT j, ${fnv1a("sv")} AS h FROM bj),
+       |bbits AS (SELECT DISTINCT j, CAST(${mix("h")} % 65536 AS INT) AS bit
+       |          FROM bh0),
+       |cg AS (SELECT c.doc_id, c.gram FROM corpus c JOIN ns USING (doc_id)),
+       |cj AS (SELECT doc_id, gram, gram || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM cg CROSS JOIN (SELECT unnest(range(4)) AS j) js2),
+       |ch0 AS (SELECT doc_id, gram, j, ${fnv1a("sv")} AS h FROM cj),
+       |cbits AS (SELECT doc_id, gram, j, CAST(${mix("h")} % 65536 AS INT) AS bit
+       |          FROM ch0),
+       |cand AS (SELECT doc_id, gram FROM cbits JOIN bbits USING (j, bit)
+       |         GROUP BY doc_id, gram HAVING COUNT(*) = 4),
+       |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidate_grams
+       |       FROM cand GROUP BY doc_id)
+       |SELECT ns.doc_id, nc.n_candidate_grams, ns.n_shared_grams,
+       |  TRUE AS bloom_matches
+       |FROM ns JOIN nc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -5529,7 +5642,8 @@ object Pipeline {
     "p108_stream_bm25" -> (p108StreamBm25 _),
     "p109_stream_hll" -> (p109StreamHll _),
     "p110_stream_countmin" -> (p110StreamCountMin _),
-    "p111_stream_quantiles" -> (p111StreamQuantiles _))
+    "p111_stream_quantiles" -> (p111StreamQuantiles _),
+    "p112_stream_bloom" -> (p112StreamBloom _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5640,5 +5754,6 @@ object Pipeline {
     "p108_stream_bm25" -> p108Sql,
     "p109_stream_hll" -> p109Sql,
     "p110_stream_countmin" -> p110Sql,
-    "p111_stream_quantiles" -> p111Sql)
+    "p111_stream_quantiles" -> p111Sql,
+    "p112_stream_bloom" -> p112Sql)
 }

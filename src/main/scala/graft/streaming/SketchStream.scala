@@ -187,4 +187,69 @@ object SketchStream {
     * read-equivalent by associativity). */
   def compactStoreCm(spark: SparkSession, root: String, upTo: Long): Unit =
     Versions.compact(spark, root, upTo, foldCounters)
+
+  // ---- bloom (membership) -------------------------------------------------
+  // The MEMBERSHIP sibling — the growing-blocklist store a streaming
+  // decontamination pipeline maintains as new benchmark/blocklist items
+  // arrive. Deltas are [[Profiling.bloomBits]] set-bit relations (model-
+  // sized: ≤ k·m rows at ANY corpus); the fold is distinct-union —
+  // associative, idempotent (a duplicated delta cannot change set
+  // membership — the HLL-class tolerance) and MONOTONE (bits are only
+  // added: a standing "might contain" verdict can never be revoked by an
+  // append, which is the semantics a blocklist wants). The live probe
+  // materializes the folded bits as literal masks (driver pull ≤ k·m/8
+  // bytes — the p53 bloom-literal class) and filters scan-locally: the
+  // corpus side pays ZERO joins and ZERO extra exchange.
+
+  private def foldBits(df: DataFrame): DataFrame = df.distinct()
+
+  /** Write the standing blocklist's set-bit relation as `root/v0`. */
+  def writeStandingBloom(spark: SparkSession, root: String,
+      standing: DataFrame, keyCol: String, k: Int = 4,
+      m: Int = 1 << 16): Unit = {
+    writeParams(spark, root, Map("k" -> k, "m" -> m))
+    Profiling.bloomBits(standing, keyCol, k, m)
+      .write.mode("overwrite").parquet(s"$root/v0")
+  }
+
+  /** The `foreachBatch` callback for the bloom store: the batch's new
+    * set bits → `root/v{batchId+1}`, under the family's guards. */
+  def advanceBatchBloom(spark: SparkSession, root: String, keyCol: String,
+      k: Int = 4, m: Int = 1 << 16,
+      autoCompactVersions: Option[Int] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    guardStore(spark, root, batchId)
+    checkParams(spark, root, Map("k" -> k, "m" -> m))
+    autoCompactVersions.foreach(n =>
+      Versions.autoCompact(spark, root, batchId, n, foldBits))
+    Profiling.bloomBits(batch, keyCol, k, m)
+      .write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+  }
+
+  /** The folded set-bit relation over every delta `<= upTo` — model-sized,
+    * exact by set-union associativity (and idempotent besides). */
+  def readBloomBits(spark: SparkSession, root: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val versions = Versions.list(spark, root).filter(_._1 <= upTo)
+    require(versions.nonEmpty, s"no bloom versions at $root")
+    foldBits(spark.read.parquet(versions.map(_._2.toString): _*))
+  }
+
+  /** Live prefilter: rows of `probes` whose `keyCol` MIGHT be in the
+    * maintained set (no false negatives — a true member always passes).
+    * The folded bits become literal masks; the filter is scan-local
+    * (bit-identical to [[Profiling.bloomMightContain]] over a one-shot
+    * bloom of the corresponding union). */
+  def prefilterAt(spark: SparkSession, root: String, probes: DataFrame,
+      keyCol: String, k: Int = 4, m: Int = 1 << 16,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    checkParams(spark, root, Map("k" -> k, "m" -> m))
+    val masks = Profiling.bloomMasks(readBloomBits(spark, root, upTo), k, m)
+    probes.filter(Profiling.bloomMightContain(col(keyCol), masks, m))
+  }
+
+  /** Fold bit deltas `v0..v<upTo>` into a new base (distinct-union —
+    * read-identical by idempotent set semantics). */
+  def compactStoreBloom(spark: SparkSession, root: String, upTo: Long): Unit =
+    Versions.compact(spark, root, upTo, foldBits)
 }

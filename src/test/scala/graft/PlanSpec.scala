@@ -515,4 +515,25 @@ class PlanSpec extends SparkSpec {
     assert(lines.drop(filtIdx).exists(_.contains("FileScan")),
       s"the membership filter must sit directly over the scan:\n$plan")
   }
+
+  test("p112 bloom prefilter: scan-local membership — the corpus side " +
+      "pays zero joins and zero exchange (the masks ride as literals)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.{TextFunctions => TF}
+    val root = Files.createTempDirectory("bloomplan_").toString + "/bloom"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(TF.tokenShingles(TF.tokens(col("text")), 5)).as("gram"))
+    graft.streaming.SketchStream.writeStandingBloom(spark, root,
+      grams(docs.filter(col("doc_id") < 50)), "gram")
+    val plan = planString(graft.streaming.SketchStream.prefilterAt(
+      spark, root, grams(docs), "gram"))
+    assert(!plan.contains("Join"),
+      s"the bloom probe must not join the corpus against the bit store:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the bloom probe must add no exchange to the corpus scan:\n$plan")
+    assert(plan.contains("*(1) Filter"),
+      s"the mask filter must stay inside whole-stage codegen:\n$plan")
+  }
 }

@@ -1076,6 +1076,62 @@ class StreamingSpec extends SparkSpec {
     assert(pm.getMessage.contains("mismatch"))
   }
 
+  test("streaming bloom: folded bits set-identical to one-shot; duplicated " +
+      "delta harmless (idempotent union); prefilter has no false " +
+      "negatives; parameters pinned") {
+    import java.nio.file.Files
+    import graft.operators.Profiling
+    import graft.streaming.SketchStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("bloomstream_").toString + "/bloom"
+    val docs = Tables.documents(spark, sfDir)
+    def grams(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(explode(graft.functions.TextFunctions.tokenShingles(
+        graft.functions.TextFunctions.tokens(col("text")), 5)).as("gram"))
+    SketchStream.writeStandingBloom(spark, root, grams(0, 200), "gram")
+    val advance = SketchStream.advanceBatchBloom(spark, root, "gram") _
+    advance(grams(200, 300), 0L)
+    advance(grams(300, 400), 1L)
+    def folded(): Set[(Int, Int)] =
+      SketchStream.readBloomBits(spark, root)
+        .as[(Int, Int)].collect().toSet
+    val oneShot = Profiling.bloomBits(grams(0, 400), "gram")
+      .as[(Int, Int)].collect().toSet
+    assert(folded() === oneShot)
+    // idempotent union: the SAME batch's bits under a second version id
+    // cannot change membership — the structural tolerance counting
+    // sketches lack
+    Profiling.bloomBits(grams(300, 400), "gram")
+      .write.mode("overwrite").parquet(s"$root/v3")
+    assert(folded() === oneShot, "duplicated bit delta must be a no-op")
+    // no false negatives: every maintained gram passes the live prefilter
+    val members = grams(0, 400).distinct()
+    val kept = SketchStream.prefilterAt(spark, root, members, "gram")
+    assert(kept.count() === members.count(),
+      "a true member must always pass the bloom prefilter")
+    // and the prefilter is bit-identical to a one-shot mask probe
+    val masksOne = Profiling.bloomMasks(
+      Profiling.bloomBits(grams(0, 400), "gram"), 4, 1 << 16)
+    val probes = grams(0, 500).distinct()
+    val liveKeep = SketchStream.prefilterAt(spark, root, probes, "gram")
+      .as[String].collect().toSet
+    val oneKeep = probes.filter(Profiling.bloomMightContain(
+        col("gram"), masksOne, 1 << 16))
+      .as[String].collect().toSet
+    assert(liveKeep === oneKeep)
+    // compaction folds by distinct — read-identical
+    SketchStream.compactStoreBloom(spark, root, upTo = 3L)
+    assert(graft.streaming.Versions.list(spark, root).size === 1)
+    assert(folded() === oneShot)
+    // k/m are pinned like the HLL precision and count-min width: probing
+    // m=65536 bits with m=131072 hashing would mis-address every bit
+    val pm2 = intercept[IllegalArgumentException] {
+      SketchStream.prefilterAt(spark, root, members, "gram", m = 1 << 17)
+    }
+    assert(pm2.getMessage.contains("mismatch"))
+  }
+
   test("streaming quantiles: folded bin counts bit-identical to one-shot " +
       "under frozen bounds; drift profile counts the clamped mass; a " +
       "mutated bounds root is refused") {

@@ -252,4 +252,43 @@ object SketchStream {
     * read-identical by idempotent set semantics). */
   def compactStoreBloom(spark: SparkSession, root: String, upTo: Long): Unit =
     Versions.compact(spark, root, upTo, foldBits)
+
+  /** Saturation signal — the bloom's drift metric, as bounds drift is the
+    * quantile store's and per-cell growth the IVF index's: per hash row,
+    * the set-bit fraction of the folded store, plus the implied
+    * false-positive rate (the product of per-row fills — each of the k
+    * probes must land on a set bit of its own row). A fill climbing
+    * toward 1 means `m` was sized for a smaller blocklist than the
+    * stream delivered: false positives inflate candidate verify cost
+    * (never correctness — the exact verify holds), and the remedy is
+    * [[rebuildBloomStore]]. One model-sized fold — never the corpus. */
+  def bloomFillAt(spark: SparkSession, root: String, k: Int = 4,
+      m: Int = 1 << 16, upTo: Long = Long.MaxValue): DataFrame = {
+    checkParams(spark, root, Map("k" -> k, "m" -> m))
+    val perRow = readBloomBits(spark, root, upTo)
+      .groupBy(col("j"))
+      .agg((count(lit(1)) / lit(m.toDouble)).as("fill"))
+    // product of fills via exp∘sum∘log, with the empty-row edge handled
+    // explicitly (log(0) is null in Spark and would silently drop the
+    // factor): any empty hash row means NO key can fully match — fp 0
+    perRow.crossJoin(
+      perRow.agg(
+        when(min(col("fill")) === 0d, lit(0d))
+          .otherwise(exp(sum(log(col("fill"))))).as("fp_rate")))
+  }
+
+  /** Reader-swap rebuild for a saturated store: re-hash the standing KEY
+    * relation under a larger `m` into a NEW root (set bits cannot be
+    * re-addressed to a different m — the keys are the authority, and the
+    * pipeline's standing blocklist relation retains them), then swap
+    * readers. Refuses live targets: rebuilding into an existing root is
+    * the in-place mutation the parameter pin exists to prevent. */
+  def rebuildBloomStore(spark: SparkSession, newRoot: String,
+      standing: DataFrame, keyCol: String, k: Int = 4,
+      m: Int = 1 << 20): Unit = {
+    require(Versions.list(spark, newRoot).isEmpty,
+      s"rebuild target $newRoot already holds versions — rebuild writes " +
+        "a NEW root and readers swap; never rebuild into a live root")
+    writeStandingBloom(spark, newRoot, standing, keyCol, k, m)
+  }
 }

@@ -1132,6 +1132,57 @@ class StreamingSpec extends SparkSpec {
     assert(pm2.getMessage.contains("mismatch"))
   }
 
+  test("bloom saturation: fill/fp signal matches the folded bits; rebuild " +
+      "re-hashes the standing keys into a NEW root (reader swap, live " +
+      "targets refused, old root untouched)") {
+    import java.nio.file.Files
+    import graft.operators.Profiling
+    import graft.streaming.SketchStream
+    import spark.implicits._
+    val base = Files.createTempDirectory("bloomfill_").toString
+    val root = s"$base/bloom"
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.filter(col("doc_id") < 300)
+      .select(explode(graft.functions.TextFunctions.tokenShingles(
+        graft.functions.TextFunctions.tokens(col("text")), 5)).as("gram"))
+    // a deliberately undersized m: thousands of grams into 256-bit rows
+    SketchStream.writeStandingBloom(spark, root, grams, "gram", k = 4,
+      m = 256)
+    val fills = SketchStream.bloomFillAt(spark, root, k = 4, m = 256)
+      .select(col("j"), col("fill"), col("fp_rate"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(fills.length === 4)
+    // the signal is the folded bits, recomputed independently
+    val bitCounts = SketchStream.readBloomBits(spark, root)
+      .groupBy(col("j")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    fills.foreach { case (j, fill, _) =>
+      assert(fill === bitCounts(j).toDouble / 256d) }
+    val prod = fills.map(_._2).product
+    assert(math.abs(fills.head._3 - prod) < 1e-12)
+    assert(prod > 0.5, s"undersized m must read as saturated, got $prod")
+    // rebuild under a larger m into a NEW root: bit-identical to a
+    // from-scratch standing write at that m
+    val newRoot = s"$base/bloom_m4096"
+    SketchStream.rebuildBloomStore(spark, newRoot, grams, "gram", k = 4,
+      m = 4096)
+    val rebuilt = SketchStream.readBloomBits(spark, newRoot)
+      .as[(Int, Int)].collect().toSet
+    val fromScratch = Profiling.bloomBits(grams, "gram", 4, 4096)
+      .as[(Int, Int)].collect().toSet
+    assert(rebuilt === fromScratch)
+    // the saturated store is byte-untouched (reader swap, not mutation)
+    val oldFold = SketchStream.readBloomBits(spark, root)
+      .as[(Int, Int)].collect().toSet
+    assert(oldFold.size === bitCounts.values.sum.toInt)
+    // live targets refused
+    val e = intercept[IllegalArgumentException] {
+      SketchStream.rebuildBloomStore(spark, root, grams, "gram", k = 4,
+        m = 4096)
+    }
+    assert(e.getMessage.contains("NEW root"))
+  }
+
   test("streaming quantiles: folded bin counts bit-identical to one-shot " +
       "under frozen bounds; drift profile counts the clamped mass; a " +
       "mutated bounds root is refused") {

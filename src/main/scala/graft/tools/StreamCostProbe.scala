@@ -21,9 +21,9 @@ import graft.streaming.{IvfStream, RetrievalStream}
   * Probed stores: [[IvfStream]] (the data-sized index whose delta is
   * batch-sized — the interesting case) and [[RetrievalStream]] (posting
   * deltas — tokenizes only its own docs). The sketch stores (HLL /
-  * count-min / moments / bin counts) append model-sized deltas from a
-  * batch-sized scan by construction and would only restate the same
-  * number.
+  * count-min / moments / bin counts / bloom bits) append model-sized
+  * deltas from a batch-sized scan by construction and would only
+  * restate the same number.
   *
   * Usage: runMain graft.tools.StreamCostProbe [sf1Dir] [nAppends]
   */

@@ -38,5 +38,6 @@ object SparkEntry {
     "p86_stream_funnel", "p88_stream_ewma", "p89_stream_compacted",
     "p93_stream_kmeans", "p105_stream_ivf_index", "p107_stream_pca",
     "p108_stream_bm25", "p109_stream_hll", "p110_stream_countmin",
-    "p111_stream_quantiles", "p112_stream_bloom", "q47_paged_source")
+    "p111_stream_quantiles", "p112_stream_bloom", "p113_stream_decontam",
+    "q47_paged_source")
 }

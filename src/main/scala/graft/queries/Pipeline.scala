@@ -5491,13 +5491,15 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val p112Sql: String = {
+  /** Shared p112/p113 oracle chain: shingles → exact verdict (`ns`) →
+    * bloom bit replay (`bbits`) → candidate counts for retained docs
+    * (`nc`). ns is computed from the RAW corpus∩benchmark join,
+    * independent of the bloom replay — a false-negative bug in the
+    * engine's prefilter would hash-mismatch; the expensive per-gram hash
+    * replay then runs only over the retained docs' grams. */
+  private val sqlBloomDecontamCtes: String = {
     import OracleHash._
-    // ns (the exact verdict) is computed from the RAW corpus∩benchmark
-    // join, independent of the bloom replay — a false-negative bug in the
-    // engine's prefilter would hash-mismatch here; the expensive per-gram
-    // hash replay then runs only over the retained docs' grams.
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, source,
        |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
        |      ELSE list_transform(range(1, len(toks) - 3),
@@ -5523,12 +5525,92 @@ object Pipeline {
        |cand AS (SELECT doc_id, gram FROM cbits JOIN bbits USING (j, bit)
        |         GROUP BY doc_id, gram HAVING COUNT(*) = 4),
        |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidate_grams
-       |       FROM cand GROUP BY doc_id)
+       |       FROM cand GROUP BY doc_id)""".stripMargin
+  }
+
+  val p112Sql: String =
+    s"""WITH $sqlBloomDecontamCtes
        |SELECT ns.doc_id, nc.n_candidate_grams, ns.n_shared_grams,
        |  TRUE AS bloom_matches
        |FROM ns JOIN nc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
+  // p113 — STREAMING ingest-time decontamination: the DUAL of p112. p112
+  // streams the BLOCKLIST (benchmark docs grow the bloom); p113 streams
+  // the CORPUS against a FROZEN blocklist — the filter a training
+  // pipeline runs at ingest, flagging contaminated documents the moment
+  // they arrive instead of by periodic batch sweep (the p75/p79 filter
+  // shape). The bloom masks are materialized ONCE per epoch (the
+  // model-sized driver pull) and ride into every batch's scan-local
+  // prefilter as literals — per-batch cost is one batch-sized codegen'd
+  // filter scan + a candidates-only verify join against the standing
+  // benchmark relation; the standing corpus and blocklist are never
+  // rescanned. A doc's verdict depends only on its OWN grams and the
+  // frozen blocklist, so streamed == batch is structural — and the
+  // oracle proves it through the shared p112 chain (exact verdict
+  // independent of the bloom replay, candidate counts bit-for-bit, batch
+  // provenance replayed from the deterministic split).
+  // =========================================================================
+  def p113StreamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.SketchStream
+    import graft.operators.Profiling
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          array_distinct(TF.tokenShingles(TF.tokens(col("text")), 5)).as("sh"))
+        .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val bench = docs.filter(col("source") === "src0")
+    val root = Files.createTempDirectory("p113_").toString
+    val in = s"$root/in"; val bloomRoot = s"$root/bloom"
+    val outRoot = s"$root/out"
+    SketchStream.writeStandingBloom(spark, bloomRoot, grams(bench), "gram")
+    // frozen per-epoch probe artifacts: the literal masks + the standing
+    // benchmark gram relation the candidates verify against
+    val masks = Profiling.bloomMasks(
+      SketchStream.readBloomBits(spark, bloomRoot), 4, 1 << 16)
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+      .localCheckpoint(true)
+    val incoming = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val g = grams(b)
+        val cand = g.filter(
+          Profiling.bloomMightContain(col("gram"), masks, 1 << 16))
+        val nCand = cand.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_candidate_grams"))
+        cand.join(broadcast(benchGrams), "gram")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+          .filter(col("n_shared_grams") >= 3)
+          .join(nCand, "doc_id")
+          .withColumn("batch", lit(id))
+          .write.mode("overwrite").parquet(s"$outRoot/b$id")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("doc_id"), col("batch"), col("n_candidate_grams"),
+        col("n_shared_grams"))
+      .orderBy("doc_id")
   }
+
+  val p113Sql: String =
+    s"""WITH $sqlBloomDecontamCtes
+       |SELECT ns.doc_id, CAST(ns.doc_id % 2 AS BIGINT) AS batch,
+       |  nc.n_candidate_grams, ns.n_shared_grams
+       |FROM ns JOIN nc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5643,7 +5725,8 @@ object Pipeline {
     "p109_stream_hll" -> (p109StreamHll _),
     "p110_stream_countmin" -> (p110StreamCountMin _),
     "p111_stream_quantiles" -> (p111StreamQuantiles _),
-    "p112_stream_bloom" -> (p112StreamBloom _))
+    "p112_stream_bloom" -> (p112StreamBloom _),
+    "p113_stream_decontam" -> (p113StreamDecontam _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5755,5 +5838,6 @@ object Pipeline {
     "p109_stream_hll" -> p109Sql,
     "p110_stream_countmin" -> p110Sql,
     "p111_stream_quantiles" -> p111Sql,
-    "p112_stream_bloom" -> p112Sql)
+    "p112_stream_bloom" -> p112Sql,
+    "p113_stream_decontam" -> p113Sql)
 }

@@ -461,7 +461,11 @@ object Profiling {
   def bloomBits(df: DataFrame, keyCol: String, k: Int = 4,
       m: Int = 1 << 16): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    // m >= 64 so the parameter contract agrees with bloomMasks, which
+    // packs bits into m/64 long words — a power of two below 64 would
+    // pass here and then allocate ZERO words there
+    require(m >= 64 && (m & (m - 1)) == 0,
+      "m must be a power of two >= 64 (bloomMasks packs m/64 long words)")
     import graft.functions.HashFunctions
     df.filter(col(keyCol).isNotNull)
       .select(col(keyCol).cast("string").as("__k"))
@@ -478,6 +482,8 @@ object Profiling {
     * pull (≤ k·m/8 bytes, the p53 bloom-literal / centroid-bank class)
     * that turns membership probing into a scan-local filter. */
   def bloomMasks(bits: DataFrame, k: Int, m: Int): Array[Array[Long]] = {
+    require(m >= 64 && (m & (m - 1)) == 0,
+      "m must be a power of two >= 64 (m/64 long words per hash row)")
     val masks = Array.fill(k)(new Array[Long](m / 64))
     bits.select(col("j").cast("int"), col("bit").cast("int"))
       .collect().foreach { r =>

@@ -139,13 +139,6 @@ object Retrieval {
         col("score"))
   }
 
-  /** Persist the FULL posting table bucketed by term — the sparse-retrieval
-    * sibling of the LSH/IVF index tables: tokenization and the tf exchange
-    * are paid ONCE, and every later probe reads term-bucketed postings
-    * whose document-frequency aggregation needs no exchange at all (the
-    * bucket layout IS the grouping key). A 1-row `<table>__stats` side
-    * table pins (n_docs, total_dl) at build time, so probe scores are
-    * identical whether or not the live corpus moved on. */
   /** The full posting relation (term, doc_id, tf, dl) — the shared build
     * shape of [[writeInvertedIndex]] and the streaming index
     * ([[graft.streaming.RetrievalStream]]). Postings are DISJOINT across
@@ -184,6 +177,13 @@ object Retrieval {
       idCol, k, k1, b)
   }
 
+  /** Persist the FULL posting table bucketed by term — the sparse-retrieval
+    * sibling of the LSH/IVF index tables: tokenization and the tf exchange
+    * are paid ONCE, and every later probe reads term-bucketed postings
+    * whose document-frequency aggregation needs no exchange at all (the
+    * bucket layout IS the grouping key). A 1-row `<table>__stats` side
+    * table pins (n_docs, total_dl) at build time, so probe scores are
+    * identical whether or not the live corpus moved on. */
   def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 32): Unit = {
     postingsRelation(docs, idCol, textCol)

@@ -44,6 +44,23 @@ object SketchStream {
   // (ignored by Versions.list's v\d+ filter and by compaction); every
   // parameter-taking read/append fails loud on a mismatch.
 
+  /** A writeStanding* over a root still holding deltas (v1..vN) would
+    * leave those deltas in place under a fresh v0 + _params — possibly
+    * built under DIFFERENT sketch parameters — and the reads fold every
+    * version, so the result is silently mixed-parameter garbage (append
+    * is parameter-guarded; a plain read is not). Standing writes
+    * therefore accept only a fresh root (no versions) or an exact re-run
+    * target (v0 alone) — the rebuild functions' live-root refusal,
+    * applied to the entry points. */
+  private def guardStandingWrite(spark: SparkSession, root: String): Unit = {
+    val versions = Versions.list(spark, root).map(_._1)
+    require(versions.isEmpty || versions == Seq(0L),
+      s"standing write to $root refused: root holds versions " +
+        s"${versions.map("v" + _).mkString(", ")} — overwriting v0/_params " +
+        "under live deltas would mix sketch parameters on read; compact " +
+        "or start a NEW root (the rebuild contract)")
+  }
+
   private def writeParams(spark: SparkSession, root: String,
       params: Map[String, Int]): Unit = {
     import spark.implicits._
@@ -70,6 +87,7 @@ object SketchStream {
   /** Write the standing corpus's register relation as `root/v0`. */
   def writeStanding(spark: SparkSession, root: String, standing: DataFrame,
       groupCols: Seq[String], valueCol: String, p: Int = 8): Unit = {
+    guardStandingWrite(spark, root)
     writeParams(spark, root, Map("p" -> p))
     Profiling.hllRegisters(standing, groupCols, valueCol, p)
       .write.mode("overwrite").parquet(s"$root/v0")
@@ -146,6 +164,7 @@ object SketchStream {
   /** Write the standing corpus's count-min counters as `root/v0`. */
   def writeStandingCm(spark: SparkSession, root: String, standing: DataFrame,
       keyCol: String, d: Int = 4, w: Int = 1024): Unit = {
+    guardStandingWrite(spark, root)
     writeParams(spark, root, Map("d" -> d, "w" -> w))
     Profiling.countMinSketch(standing, keyCol, d, w)
       .write.mode("overwrite").parquet(s"$root/v0")
@@ -207,6 +226,7 @@ object SketchStream {
   def writeStandingBloom(spark: SparkSession, root: String,
       standing: DataFrame, keyCol: String, k: Int = 4,
       m: Int = 1 << 16): Unit = {
+    guardStandingWrite(spark, root)
     writeParams(spark, root, Map("k" -> k, "m" -> m))
     Profiling.bloomBits(standing, keyCol, k, m)
       .write.mode("overwrite").parquet(s"$root/v0")
@@ -261,13 +281,24 @@ object SketchStream {
     * toward 1 means `m` was sized for a smaller blocklist than the
     * stream delivered: false positives inflate candidate verify cost
     * (never correctness — the exact verify holds), and the remedy is
-    * [[rebuildBloomStore]]. One model-sized fold — never the corpus. */
+    * [[rebuildBloomStore]]. One model-sized fold — never the corpus.
+    * Hash rows with ZERO set bits (an empty or tiny blocklist) are
+    * materialized explicitly at fill 0 — groupBy alone would omit them,
+    * under-counting the rows and silently inflating fp_rate — so an
+    * empty store reads as k rows of fill 0 with fp_rate 0, not an empty
+    * frame. */
   def bloomFillAt(spark: SparkSession, root: String, k: Int = 4,
       m: Int = 1 << 16, upTo: Long = Long.MaxValue): DataFrame = {
     checkParams(spark, root, Map("k" -> k, "m" -> m))
-    val perRow = readBloomBits(spark, root, upTo)
+    val setPerRow = readBloomBits(spark, root, upTo)
       .groupBy(col("j"))
       .agg((count(lit(1)) / lit(m.toDouble)).as("fill"))
+    // a hash row with no set bits is ABSENT from the groupBy output, not
+    // present at fill 0 — left-join the literal row ids so every row
+    // contributes its true (possibly zero) fill to the product below
+    val perRow = spark.range(k).select(col("id").cast("int").as("j"))
+      .join(setPerRow, Seq("j"), "left")
+      .select(col("j"), coalesce(col("fill"), lit(0d)).as("fill"))
     // product of fills via exp∘sum∘log, with the empty-row edge handled
     // explicitly (log(0) is null in Spark and would silently drop the
     // factor): any empty hash row means NO key can fully match — fp 0

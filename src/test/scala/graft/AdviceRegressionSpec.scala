@@ -171,6 +171,59 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(new java.io.File(s"$state/v1").exists())
   }
 
+  test("bloomFillAt materializes zero-fill hash rows: an empty store reads " +
+      "as k rows of fill 0 / fp 0, not an empty frame") {
+    import java.nio.file.Files
+    import graft.streaming.SketchStream
+    val root = Files.createTempDirectory("bloomfill0_").toString
+    SketchStream.writeStandingBloom(spark, root,
+      Seq.empty[String].toDF("gram"), "gram", k = 4, m = 256)
+    val rows = SketchStream.bloomFillAt(spark, root, k = 4, m = 256)
+      .select("j", "fill", "fp_rate").as[(Int, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3),
+      s"every hash row must be present: ${rows.toSeq}")
+    assert(rows.forall(r => r._2 === 0.0 && r._3 === 0.0),
+      s"empty store must read fill 0 / fp 0: ${rows.toSeq}")
+  }
+
+  test("writeStandingBloom refuses a root still holding deltas (mixed-" +
+      "parameter fold guard); a v0-only re-run stays allowed") {
+    import java.nio.file.Files
+    import graft.streaming.SketchStream
+    val root = Files.createTempDirectory("bloomlive_").toString
+    val grams = (0 until 50).map(i => s"g$i").toDF("gram")
+    SketchStream.writeStandingBloom(spark, root, grams, "gram", k = 4, m = 256)
+    // exact re-run over v0 alone: allowed (deterministic overwrite)
+    SketchStream.writeStandingBloom(spark, root, grams, "gram", k = 4, m = 256)
+    SketchStream.advanceBatchBloom(spark, root, "gram", k = 4, m = 256)(
+      (50 until 60).map(i => s"g$i").toDF("gram"), 0L)
+    // root now holds v0 + v1: a fresh standing write under DIFFERENT
+    // parameters would leave v1's 256-bit positions folding under m=512
+    val e = intercept[IllegalArgumentException] {
+      SketchStream.writeStandingBloom(spark, root, grams, "gram",
+        k = 4, m = 512)
+    }
+    assert(e.getMessage.contains("standing write"), e.getMessage)
+  }
+
+  test("bloomBits/bloomMasks agree that m below 64 is out of contract") {
+    // a power of two in {2..32} used to pass bloomBits' check and then
+    // allocate ZERO mask words (m/64 = 0) in bloomMasks -> AIOOBE
+    val grams = Seq("a", "b").toDF("gram")
+    val eBits = intercept[IllegalArgumentException] {
+      graft.operators.Profiling.bloomBits(grams, "gram", k = 2, m = 32)
+    }
+    assert(eBits.getMessage.contains("64"), eBits.getMessage)
+    val bits = graft.operators.Profiling.bloomBits(grams, "gram", k = 2, m = 64)
+    val eMasks = intercept[IllegalArgumentException] {
+      graft.operators.Profiling.bloomMasks(bits, k = 2, m = 32)
+    }
+    assert(eMasks.getMessage.contains("64"), eMasks.getMessage)
+    assert(graft.operators.Profiling.bloomMasks(bits, 2, 64)
+      .forall(_.length === 1))
+  }
+
   test("intervalOverlap raises on times outside [0, 2^53) instead of " +
       "silently mis-binning") {
     val l = Seq((1L, 0L, 10L)).toDF("k", "ls", "le")

@@ -5612,6 +5612,93 @@ object Pipeline {
        |FROM ns JOIN nc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // =========================================================================
+  // p115 — IVF REBUILD/SWAP lifecycle under the oracle: the one incremental
+  // lifecycle step that was spec-only (r10 VERDICT missing #3). A standing
+  // corpus + two streamed deltas assemble under a SMALL bank (8 cells);
+  // the growth profiles say cells ∝ corpus demands more, so rebuildIndex
+  // retrains a 16-cell bank over the assembled corpus — on the
+  // deterministic HALF SAMPLE (trainFraction 0.5, the p106 prescription:
+  // at 100 TB training must be a function of the model, not the corpus)
+  // — re-assigns once into NEW roots, and a NEW stream (fresh lineage,
+  // batch 0) appends the post-swap arrivals under the rebuilt bank (the
+  // bank-identity pin verifying bankRoot2 against indexRoot2/_params on
+  // the way). The oracle replays the WHOLE lifecycle from raw data:
+  // sample membership (sampleUniform's hash bucket), the sampled
+  // decimal-staged Lloyd chain (ivfBankCtes over the sample CTE), then
+  // one full-corpus nearest-cell assignment — with per-row provenance
+  // (src 0 = rebuilt standing v0, src 1 = the post-swap delta) and the
+  // sample cardinality pinned on every row. Nothing about the OLD roots
+  // appears in the result because the swap replaces derived state
+  // wholesale — which is exactly the property under test: the rebuilt
+  // index is a pure function of (assembled corpus, training config),
+  // independent of the delta history that assembled it.
+  // =========================================================================
+  def p115IvfRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.IvfStream
+    val emb = Tables.embeddings(spark, dir)
+    val standing = emb.filter(col("vec_id") < 150)
+    val incoming = emb.filter(col("vec_id") >= 150 && col("vec_id") < 250)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("batch", pmod(col("vec_id"), lit(2)))
+    val root = Files.createTempDirectory("p115_").toString
+    val in = s"$root/in"
+    val bank1 = s"$root/bank1"; val idx1 = s"$root/idx1"
+    val bank2 = s"$root/bank2"; val idx2 = s"$root/idx2"
+    IvfStream.writeStanding(spark, bank1, idx1, standing,
+      IvfRelational.trainBank(standing, nCells = 8, iters = 3, stride = 15))
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(IvfStream.appendBatch(spark, bank1, idx1,
+        s"$root/out1", "vec_id", "embedding") _)
+      .option("checkpointLocation", s"$root/ckpt1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the growth signal: 100 appended over 150 standing under 8 cells —
+    // retrain with cells doubled, on the deterministic half sample
+    IvfStream.rebuildIndex(spark, idx1, bank2, idx2, nCells = 16,
+      iters = 3, stride = 3, trainFraction = 0.5)
+    // post-swap: a NEW stream (fresh lineage) appends under the rebuilt
+    // bank — one foreachBatch body call IS the stream's batch 0
+    IvfStream.appendBatch(spark, bank2, idx2, s"$root/out2",
+      "vec_id", "embedding")(emb.filter(col("vec_id") >= 250), 0L)
+    val sampleN = Curation.sampleUniform(
+        emb.filter(col("vec_id") < 250), "vec_id", 0.5)
+      .agg(count(lit(1)).as("sample_n"))
+    graft.streaming.Versions.list(spark, idx2)
+      .map { case (vid, p) =>
+        spark.read.parquet(p.toString)
+          .select(col("neighbor_id").as("vec_id"), col("cell"),
+            lit(vid).cast("int").as("src"))
+      }
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(sampleN))
+      .orderBy("vec_id")
+  }
+
+  val p115Sql: String = {
+    import OracleHash._
+    val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3, stride = 3)
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 250
+       |    AND ${Curation.sampleBucketSql("vec_id")} < 5000),
+       |$bankCtes,
+       |allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |${nearestCellCte("asg", bank, keep = 1, source = "allv")}
+       |SELECT id AS vec_id, CAST(cell AS INT) AS cell,
+       |  CAST(CASE WHEN id < 250 THEN 0 ELSE 1 END AS INT) AS src,
+       |  (SELECT COUNT(*) FROM emb) AS sample_n
+       |FROM asg
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -5726,7 +5813,8 @@ object Pipeline {
     "p110_stream_countmin" -> (p110StreamCountMin _),
     "p111_stream_quantiles" -> (p111StreamQuantiles _),
     "p112_stream_bloom" -> (p112StreamBloom _),
-    "p113_stream_decontam" -> (p113StreamDecontam _))
+    "p113_stream_decontam" -> (p113StreamDecontam _),
+    "p115_ivf_rebuild" -> (p115IvfRebuild _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -5839,5 +5927,6 @@ object Pipeline {
     "p110_stream_countmin" -> p110Sql,
     "p111_stream_quantiles" -> p111Sql,
     "p112_stream_bloom" -> p112Sql,
-    "p113_stream_decontam" -> p113Sql)
+    "p113_stream_decontam" -> p113Sql,
+    "p115_ivf_rebuild" -> p115Sql)
 }

@@ -20,8 +20,11 @@ import graft.operators.IvfRelational
   *     index: assignments under one bank and probes under another
   *     silently collapse recall (the `ivfTopK` corpusIndex contract), so
   *     [[appendBatch]] fails loud if the root holds anything but exactly
-  *     `v0`. Retraining cells ∝ corpus means building a NEW index under
-  *     a new root, then swapping readers — never mutating in place.
+  *     `v0` — and, since a version-count check cannot catch the WRONG
+  *     root, the index pins the bank's content fingerprint at
+  *     `indexRoot/_params` ([[checkBank]]). Retraining cells ∝ corpus
+  *     means building a NEW index under a new root, then swapping
+  *     readers — never mutating in place.
   *   - `indexRoot/v*` — assignment deltas (`v0` = the standing corpus's
   *     assignment; `v{b+1}` = batch b's). Append-only, batch-id-named:
   *     a redelivered batch rebases on versions `<= batchId` and
@@ -44,13 +47,85 @@ import graft.operators.IvfRelational
   * standing index has grown. */
 object IvfStream {
 
-  /** Write the standing stores: the trained bank as `bankRoot/v0` and
-    * the standing corpus's assignment as `indexRoot/v0`. */
+  // ---- bank-identity pinning ----------------------------------------------
+  // An index is bound to the CONTENT of the bank it was assigned under,
+  // not merely to "a root holding exactly v0": point a stream (or a
+  // probe session) at the wrong bankRoot — or at a same-named root
+  // retrained after a crash — and every guard below passes while recall
+  // silently collapses (assignments under one bank, probes under
+  // another). Every sibling store pins its model (SketchStream `_params`
+  // p/w, QuantileStream's frozen bounds); this is the same convention for
+  // the one store whose "parameters" are a relation: writeStanding
+  // records a model-sized content fingerprint of the frozen bank at
+  // `indexRoot/_params` (ignored by Versions.list's v\d+ filter and by
+  // compaction), and appendBatch / the bank-taking read path fail loud
+  // when the bank at hand doesn't hash to the pinned value.
+
+  /** Order-independent content fingerprint of a bank relation (cell, cv):
+    * bit_xor over `fingerprint64` of each row's canonical
+    * `cell:v0,v1,...` rendering — one model-sized fold (≤ cells rows),
+    * deterministic across partitionings because XOR is commutative and
+    * the per-row rendering is value-only. */
+  def bankFingerprint(bank: DataFrame): Long = {
+    val row = bank
+      .select(graft.functions.HashFunctions.fingerprint64(concat_ws(":",
+          col("cell").cast("string"),
+          concat_ws(",", transform(col("cv").cast("array<double>"),
+            e => e.cast("string"))))).as("__fp"))
+      .agg(expr("bit_xor(__fp)").as("fp"), count(lit(1)).as("n"))
+      .head()
+    require(row.getLong(1) > 0, "cannot fingerprint an empty bank")
+    row.getLong(0)
+  }
+
+  private def writeBankPin(spark: SparkSession, indexRoot: String,
+      fp: Long): Unit = {
+    import spark.implicits._
+    Seq(("bank_fp", fp)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/_params")
+  }
+
+  /** Fail loud unless the bank at `bankRoot/v0` hashes to the fingerprint
+    * pinned when `indexRoot` was built — the [[SketchStream]]
+    * `checkParams` pattern for a relation-valued model. */
+  def checkBank(spark: SparkSession, bankRoot: String,
+      indexRoot: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/_params")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$indexRoot/_params missing — writeStanding (which pins the " +
+        "fingerprint of the bank the index was assigned under) before " +
+        "appending or probing")
+    val pinned = spark.read.parquet(s"$indexRoot/_params")
+      .filter(col("k") === "bank_fp").head().getLong(1)
+    val actual = bankFingerprint(spark.read.parquet(s"$bankRoot/v0"))
+    require(actual == pinned,
+      s"bank at $bankRoot does not match the bank $indexRoot was built " +
+        s"under (fingerprint $actual vs pinned $pinned) — assignments " +
+        "under one bank probed under another silently collapse recall; " +
+        "use the original bank root or rebuildIndex into new roots")
+  }
+
+  /** Write the standing stores: the trained bank as `bankRoot/v0`, the
+    * standing corpus's assignment as `indexRoot/v0`, and the frozen
+    * bank's content fingerprint as `indexRoot/_params` (the identity pin
+    * [[checkBank]] verifies). Both roots must be fresh or hold exactly
+    * `v0` — overwriting a standing store under live deltas would mix
+    * lineages on read (the [[SketchStream]] standing-write guard). */
   def writeStanding(spark: SparkSession, bankRoot: String, indexRoot: String,
       standing: DataFrame, bank: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    Seq(bankRoot -> "bank", indexRoot -> "index").foreach { case (r, what) =>
+      val versions = Versions.list(spark, r).map(_._1)
+      require(versions.isEmpty || versions == Seq(0L),
+        s"standing $what write to $r refused: root holds versions " +
+          s"${versions.map("v" + _).mkString(", ")} — overwriting v0 under " +
+          "live deltas would mix lineages on read; start a NEW root (the " +
+          "rebuild contract)")
+    }
     bank.write.mode("overwrite").parquet(s"$bankRoot/v0")
     val frozen = spark.read.parquet(s"$bankRoot/v0")
+    writeBankPin(spark, indexRoot, bankFingerprint(frozen))
     IvfRelational.assign(standing, frozen, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("cell"), col("v"))
       .write.mode("overwrite").parquet(s"$indexRoot/v0")
@@ -82,6 +157,10 @@ object IvfStream {
           "existing deltas would fork their lineage; resume from the " +
           "original checkpoint or start new roots")
     }
+    // identity, not just shape: the v0-only guard above catches a MUTATED
+    // bank root, this catches the WRONG one (or a same-named retrain) —
+    // one model-sized fold per batch
+    checkBank(spark, bankRoot, indexRoot)
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, indexRoot, batchId, k))
     val bank = spark.read.parquet(s"$bankRoot/v0")
@@ -110,6 +189,16 @@ object IvfStream {
     val versions = Versions.list(spark, indexRoot).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no index versions at $indexRoot")
     spark.read.parquet(versions.map(_._2.toString): _*)
+  }
+
+  /** The probe-session entry point: [[readIndex]] AFTER verifying that
+    * the bank the probe intends to use is the one the index was assigned
+    * under ([[checkBank]]) — the identity check happens once per session
+    * (model-sized), the returned plan is the same guard-free scan union. */
+  def readIndexFor(spark: SparkSession, indexRoot: String, bankRoot: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    checkBank(spark, bankRoot, indexRoot)
+    readIndex(spark, indexRoot, upTo)
   }
 
   /** The rebuild half of the reader-SWAP lifecycle the bank-immutability

@@ -516,6 +516,48 @@ class PlanSpec extends SparkSpec {
       s"the membership filter must sit directly over the scan:\n$plan")
   }
 
+  test("p115 rebuild training honors trainFraction: the Lloyd scan over " +
+      "the assembled index reads ONLY the sample (p106's gate, sourced " +
+      "from a versioned index root)") {
+    import graft.operators.{Curation, IvfRelational}
+    import graft.streaming.IvfStream
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("p115plan_").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") < 100)
+    val bank0 = IvfRelational.trainBank(standing, nCells = 4, iters = 1,
+      stride = 10)
+    IvfStream.writeStanding(spark, s"$root/bank", s"$root/idx", standing,
+      bank0)
+    IvfStream.appendBatch(spark, s"$root/bank", s"$root/idx", s"$root/out",
+      "vec_id", "embedding")(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150), 0L)
+    // rebuildIndex's exact training composition: sampleUniform over the
+    // assembled-index read, assigned under a seed bank
+    val corpus = IvfStream.readIndex(spark, s"$root/idx")
+      .select(col("neighbor_id").as("vec_id"), col("v").as("embedding"))
+    val train = Curation.sampleUniform(corpus, "vec_id", 0.5)
+    val bank = IvfRelational.seedBank(train, nCells = 4, stride = 3)
+    val plan = planString(IvfRelational.assign(train, bank))
+    val lines = plan.linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinIdx >= 0, s"assignment must broadcast the bank:\n$plan")
+    val filtIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("2246822519"))
+    assert(filtIdx > joinIdx,
+      s"the sample-membership filter must apply before the bank join " +
+        s"(rebuild training may only scan the sample):\n$plan")
+    assert(lines.drop(filtIdx).exists(_.contains("FileScan")),
+      s"the membership filter must sit directly over the index scan:\n$plan")
+    // the distance rows themselves never shuffle: the only exchange on
+    // the whole training path is the post-argmin one (a single row per
+    // sample vector), BELOW which sits the partial_min — p103's gate
+    assert("partial_min\\(struct\\(".r.findFirstIn(plan).isDefined,
+      s"the (dist, cell) argmin must partial-aggregate before the " +
+        s"exchange:\n$plan")
+  }
+
   test("p112 bloom prefilter: scan-local membership — the corpus side " +
       "pays zero joins and zero exchange (the masks ride as literals)") {
     import java.nio.file.Files

@@ -883,6 +883,59 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/idx3").exists())
   }
 
+  test("streaming IVF bank-identity pin: appendBatch and the probe read " +
+      "refuse the WRONG (same-shaped) bank root; the right one passes") {
+    import java.nio.file.Files
+    import graft.operators.IvfRelational
+    import graft.streaming.IvfStream
+    val root = Files.createTempDirectory("ivfbankpin_").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") < 100)
+    val bank = IvfRelational.trainBank(standing, nCells = 4, iters = 2,
+      stride = 10)
+    IvfStream.writeStanding(spark, s"$root/bank", s"$root/idx", standing, bank)
+    // a DIFFERENT bank under the same layout: retrained with one more
+    // Lloyd round — exactly v0, passes every shape guard, wrong content
+    val other = IvfRelational.trainBank(standing, nCells = 4, iters = 3,
+      stride = 10)
+    other.write.mode("overwrite").parquet(s"$root/otherbank/v0")
+    val batch = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    val eAppend = intercept[IllegalArgumentException] {
+      IvfStream.appendBatch(spark, s"$root/otherbank", s"$root/idx",
+        s"$root/out", "vec_id", "embedding")(batch, 0L)
+    }
+    assert(eAppend.getMessage.contains("does not match the bank"),
+      eAppend.getMessage)
+    assert(!new java.io.File(s"$root/idx/v1").exists(),
+      "the refused batch must not have written a delta")
+    val eProbe = intercept[IllegalArgumentException] {
+      IvfStream.readIndexFor(spark, s"$root/idx", s"$root/otherbank")
+    }
+    assert(eProbe.getMessage.contains("does not match the bank"),
+      eProbe.getMessage)
+    // the RIGHT bank passes both paths; probe read == plain read
+    IvfStream.appendBatch(spark, s"$root/bank", s"$root/idx",
+      s"$root/out", "vec_id", "embedding")(batch, 0L)
+    assert(IvfStream.readIndexFor(spark, s"$root/idx", s"$root/bank")
+      .count() === IvfStream.readIndex(spark, s"$root/idx").count())
+    // the pin survives compaction (it lives outside the v\d+ namespace)
+    IvfStream.appendBatch(spark, s"$root/bank", s"$root/idx",
+      s"$root/out", "vec_id", "embedding")(
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 200), 1L)
+    IvfStream.compactStore(spark, s"$root/idx", 2L)
+    IvfStream.readIndexFor(spark, s"$root/idx", s"$root/bank")
+    // a pre-pin index (no _params) fails loud rather than probing unchecked
+    val fs = new java.io.File(s"$root/idx/_params")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(fs)
+    val eMissing = intercept[IllegalArgumentException] {
+      IvfStream.readIndexFor(spark, s"$root/idx", s"$root/bank")
+    }
+    assert(eMissing.getMessage.contains("_params missing"), eMissing.getMessage)
+  }
+
   test("streaming PCA moments: chained batches refit bit-identical to a " +
       "one-shot fit; redelivery idempotent; compaction read-identical") {
     import java.nio.file.Files

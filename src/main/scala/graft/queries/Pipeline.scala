@@ -3313,36 +3313,44 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross arm of streamed-near-dup batch `b`: the batch's bands
+    * (`bands$prefix$b`) vs the CUMULATIVE prior bands (standing chain
+    * `bands$standingTag` + batches < b), join-row-capped per bucket, then
+    * exact-Jaccard verified against the cumulative prior shingles —
+    * [[graft.operators.Dedup.minhashPairsIncremental]]'s cross-set, CTEs
+    * `pb/ps/cr/crn/cx/mx` suffixed with `$b`, emitting `mx$b(id_a, id_b,
+    * jaccard)` at threshold 0.4 / cap 200 (the registry parameters).
+    * Shared by p79 and the p114 ingest capstone. */
+  private def sqlCrossArmCtes(b: Int, standingTag: String = "x",
+      prefix: String = "g"): String = {
+    val priorBands = (s"SELECT id, bd, key FROM bands$standingTag" +:
+      (0 until b).map(p => s"SELECT id, bd, key FROM bands$prefix$p"))
+      .mkString(" UNION ALL ")
+    val priorSh = (s"SELECT id, sh FROM sh$standingTag" +:
+      (0 until b).map(p => s"SELECT id, sh FROM sh$prefix$p"))
+      .mkString(" UNION ALL ")
+    s"""pb$b AS ($priorBands),
+       |ps$b AS ($priorSh),
+       |cr$b AS (
+       |  SELECT i.id AS new_id, x.id AS old_id, i.bd, i.key
+       |  FROM bands$prefix$b i JOIN pb$b x ON i.bd = x.bd AND i.key = x.key),
+       |crn$b AS (SELECT new_id, old_id,
+       |    COUNT(*) OVER (PARTITION BY bd, key) AS n FROM cr$b),
+       |cx$b AS (SELECT DISTINCT new_id, old_id FROM crn$b WHERE n <= 200),
+       |mx$b AS (
+       |  SELECT least(new_id, old_id) AS id_a,
+       |    greatest(new_id, old_id) AS id_b, jaccard
+       |  FROM (
+       |    SELECT new_id, old_id,
+       |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+       |           ELSE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |      END AS jaccard
+       |    FROM cx$b JOIN sh$prefix$b sa ON new_id = sa.id JOIN ps$b sb ON old_id = sb.id)
+       |  WHERE jaccard >= 0.4)""".stripMargin
+  }
+
   val p79Sql: String = {
-    // cross arm of batch b: batch bands vs the CUMULATIVE prior bands
-    // (standing corpus + batches < b), join-row-capped per bucket, then
-    // exact-Jaccard verified against the cumulative prior shingles
-    def crossArm(b: Int): String = {
-      val priorBands = (s"SELECT id, bd, key FROM bandsx" +:
-        (0 until b).map(p => s"SELECT id, bd, key FROM bandsg$p"))
-        .mkString(" UNION ALL ")
-      val priorSh = (s"SELECT id, sh FROM shx" +:
-        (0 until b).map(p => s"SELECT id, sh FROM shg$p"))
-        .mkString(" UNION ALL ")
-      s"""pb$b AS ($priorBands),
-         |ps$b AS ($priorSh),
-         |cr$b AS (
-         |  SELECT i.id AS new_id, x.id AS old_id, i.bd, i.key
-         |  FROM bandsg$b i JOIN pb$b x ON i.bd = x.bd AND i.key = x.key),
-         |crn$b AS (SELECT new_id, old_id,
-         |    COUNT(*) OVER (PARTITION BY bd, key) AS n FROM cr$b),
-         |cx$b AS (SELECT DISTINCT new_id, old_id FROM crn$b WHERE n <= 200),
-         |mx$b AS (
-         |  SELECT least(new_id, old_id) AS id_a,
-         |    greatest(new_id, old_id) AS id_b, jaccard
-         |  FROM (
-         |    SELECT new_id, old_id,
-         |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
-         |           ELSE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))
-         |      END AS jaccard
-         |    FROM cx$b JOIN shg$b sa ON new_id = sa.id JOIN ps$b sb ON old_id = sb.id)
-         |  WHERE jaccard >= 0.4)""".stripMargin
-    }
+    def crossArm(b: Int): String = sqlCrossArmCtes(b)
     s"""WITH ex AS (SELECT doc_id, $sqlToks AS toks FROM documents
        |           WHERE doc_id < 250),
        |inc AS (
@@ -4484,15 +4492,20 @@ object Pipeline {
         Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  val p98Sql: String =
-    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-       |b AS (SELECT doc_id, toks,
+  /** p98's repetition-statistics chain over base CTE `$base(doc_id,
+    * toks)`: CTEs `b/sbt/s` suffixed with `$tag`, ending in
+    * `s$tag(doc_id, n_toks, distinct_ratio, top_bigram_frac,
+    * dup_bigram_frac, max_run)` — the BIGINT-packed run-length folds
+    * replaying [[graft.operators.Quality.repetitionStats]] bit-for-bit.
+    * Shared by p98 and the p114 ingest capstone. */
+  private def sqlRepetitionCtes(tag: String, base: String): String =
+    s"""b$tag AS (SELECT doc_id, toks,
        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
        |         ELSE list_transform(range(1, len(toks)),
        |                i -> toks[i] || ' ' || toks[i + 1]) END AS bg
-       |  FROM t),
-       |sbt AS (SELECT doc_id, toks, bg, list_sort(bg) AS sb FROM b),
-       |s AS (SELECT doc_id,
+       |  FROM $base),
+       |sbt$tag AS (SELECT doc_id, toks, bg, list_sort(bg) AS sb FROM b$tag),
+       |s$tag AS (SELECT doc_id,
        |  CAST(len(toks) AS INT) AS n_toks,
        |  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
        |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
@@ -4530,11 +4543,20 @@ object Pipeline {
        |                     + greatest(acc % 1000000000,
        |                                CAST(1 AS BIGINT)) END)
        |            % 1000000000 AS INT) END AS max_run
-       |  FROM sbt)
+       |  FROM sbt$tag)""".stripMargin
+
+  /** The keep thresholds — [[graft.operators.Quality.repetitionStats]]'s
+    * defaults, over an `s$tag` row's columns. */
+  private val sqlKeepVerdict: String =
+    "(distinct_ratio >= 0.5 AND top_bigram_frac <= 0.10\n" +
+      "   AND dup_bigram_frac <= 0.55 AND max_run <= 2)"
+
+  val p98Sql: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |${sqlRepetitionCtes("", "t")}
        |SELECT doc_id, n_toks, distinct_ratio, top_bigram_frac,
        |  dup_bigram_frac, max_run,
-       |  (distinct_ratio >= 0.5 AND top_bigram_frac <= 0.10
-       |   AND dup_bigram_frac <= 0.55 AND max_run <= 2) AS keep
+       |  $sqlKeepVerdict AS keep
        |FROM s
        |ORDER BY doc_id""".stripMargin
 
@@ -5497,14 +5519,20 @@ object Pipeline {
     * independent of the bloom replay — a false-negative bug in the
     * engine's prefilter would hash-mismatch; the expensive per-gram hash
     * replay then runs only over the retained docs' grams. */
+  /** The distinct 5-token shingle list of a `toks` VARCHAR[] — the
+    * decontamination gram unit (Spark side: `TF.tokenShingles(_, 5)`
+    * under `array_distinct`). Shared by p112/p113 and the p114 capstone. */
+  private def sqlGram5List(toks: String): String =
+    s"""list_distinct(CASE WHEN len($toks) < 5 THEN [array_to_string($toks, ' ')]
+       |      ELSE list_transform(range(1, len($toks) - 3),
+       |        i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3] || ' ' || $toks[i+4])
+       |    END)""".stripMargin
+
   private val sqlBloomDecontamCtes: String = {
     import OracleHash._
     s"""sh AS (
        |  SELECT doc_id, source,
-       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-       |      ELSE list_transform(range(1, len(toks) - 3),
-       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
-       |    END) AS sh
+       |    ${sqlGram5List("toks")} AS sh
        |  FROM (SELECT doc_id, source, $sqlToks AS toks FROM documents)),
        |bench AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE source = 'src0'),
        |corpus AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE source != 'src0'),
@@ -5611,6 +5639,166 @@ object Pipeline {
        |  nc.n_candidate_grams, ns.n_shared_grams
        |FROM ns JOIN nc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // =========================================================================
+  // p114 — STREAMING INGEST CAPSTONE: decontamination + quality + near-dup
+  // in ONE foreachBatch over the same micro-batch — the deploy shape of a
+  // training-data ingest pipeline (the batch capstones p56/p62/p69 proved
+  // stages compose in one plan; this is the streaming side's proof). Per
+  // batch: (1) p113's scan-local bloom prefilter against the FROZEN
+  // benchmark blocklist + exact verify join → contaminated; (2) p98's
+  // shuffle-free repetition verdict → quality_keep; (3) p79's band-index
+  // probe against the standing corpus + prior batches (appending the
+  // batch's own band/doc deltas for later batches) → near_dup, flagged on
+  // the ingest side of each pair (the newcomer of a cross pair, the
+  // greater id in-batch — first-arrival-wins, p24's canonical rule); one
+  // COMBINED verdict delta lands per batch. Planted +10000 replays of
+  // standing docs probe the cross arm. The oracle recomposes all three
+  // families' shared fragments — the 5-gram contamination join
+  // (sqlGram5List), the p98 integer chain (sqlRepetitionCtes), the
+  // tag-parameterized MinHash chain + cross arm (sqlMinhashChain /
+  // sqlCrossArmCtes) — over the deterministic batch split, so every
+  // verdict column replays bit-for-bit. At 100 TB the per-batch cost is
+  // the batch: one codegen'd literal-mask filter scan, one scan-shaped
+  // quality projection, one band probe against bucketed deltas; the
+  // standing corpus, blocklist and band index are never re-scanned.
+  // =========================================================================
+  def p114StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.{NearDupStream, SketchStream}
+    import graft.operators.{Profiling, Quality}
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          array_distinct(TF.tokenShingles(TF.tokens(col("text")), 5)).as("sh"))
+        .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val standing = corpus.filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+    val incoming = corpus.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .unionAll(corpus.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p114_").toString
+    val in = s"$root/in"; val bloomRoot = s"$root/bloom"
+    val idxRoot = s"$root/idx"; val docsRoot = s"$root/docs"
+    val pairsRoot = s"$root/pairs"; val outRoot = s"$root/out"
+    // frozen per-epoch artifacts: blocklist bloom → literal masks, the
+    // standing benchmark gram relation, the standing band index + docs
+    SketchStream.writeStandingBloom(spark, bloomRoot, grams(bench), "gram")
+    val masks = Profiling.bloomMasks(
+      SketchStream.readBloomBits(spark, bloomRoot), 4, 1 << 16)
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+      .localCheckpoint(true)
+    Dedup.minhashBandIndex(standing, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+      .write.parquet(s"$idxRoot/v0")
+    standing.write.parquet(s"$docsRoot/v0")
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // stage 1 — decontamination: literal-mask prefilter (scan-local,
+        // zero joins for clean docs) + exact verify over candidates only
+        val contam = grams(b)
+          .filter(Profiling.bloomMightContain(col("gram"), masks, 1 << 16))
+          .join(broadcast(benchGrams), "gram")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_shared"))
+          .filter(col("__n_shared") >= 3)
+          .select(col("doc_id"), lit(true).as("__contam"))
+        // stage 2 — quality: the scan-shaped repetition verdict
+        val quality = Quality.repetitionStats(b, "doc_id", "text")
+          .select(col("doc_id"), col("keep").as("quality_keep"))
+        // stage 3 — near-dup: the family's own callback probes the
+        // standing index + prior batches and appends this batch's deltas
+        NearDupStream.filterBatch(spark, idxRoot, docsRoot, pairsRoot,
+          "doc_id", "text", threshold = 0.4)(
+          b.select(col("doc_id"), col("text")), id)
+        // flag the INGEST side of each pair: id_b when it is this
+        // batch's (in-batch pairs drop the greater id; a cross pair's
+        // old side is never in the batch), else id_a
+        val dupIds = spark.read.parquet(s"$pairsRoot/b$id")
+          .join(b.select(col("doc_id").as("id_b"),
+            lit(true).as("__b_in")), Seq("id_b"), "left")
+          .select(when(col("__b_in").isNotNull, col("id_b"))
+            .otherwise(col("id_a")).as("doc_id"))
+          .distinct()
+          .withColumn("__dup", lit(true))
+        // ONE combined verdict delta per batch
+        b.select(col("doc_id"))
+          .join(contam, Seq("doc_id"), "left")
+          .join(quality, Seq("doc_id"))
+          .join(dupIds, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__contam"), lit(false)).as("contaminated"),
+            col("quality_keep"),
+            coalesce(col("__dup"), lit(false)).as("near_dup"))
+          .withColumn("keep", !col("contaminated") && col("quality_keep") &&
+            !col("near_dup"))
+          .withColumn("batch", lit(id))
+          .write.mode("overwrite").parquet(s"$outRoot/b$id")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("doc_id"), col("batch"), col("contaminated"),
+        col("quality_keep"), col("near_dup"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  val p114Sql: String =
+    s"""WITH tdocs AS (SELECT doc_id, source, $sqlToks AS toks FROM documents),
+       |inc AS (
+       |  SELECT doc_id, toks, doc_id % 2 AS b FROM tdocs
+       |  WHERE source != 'src0' AND doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 10000, toks, (doc_id + 10000) % 2 FROM tdocs
+       |  WHERE source != 'src0' AND doc_id < 10),
+       |bgr AS (SELECT DISTINCT unnest(${sqlGram5List("toks")}) AS gram
+       |        FROM tdocs WHERE source = 'src0'),
+       |igr AS (SELECT doc_id, unnest(${sqlGram5List("toks")}) AS gram
+       |        FROM inc),
+       |contam AS (SELECT doc_id FROM igr JOIN bgr USING (gram)
+       |           GROUP BY doc_id HAVING COUNT(*) >= 3),
+       |${sqlRepetitionCtes("q", "inc")},
+       |ex AS (SELECT doc_id, toks FROM tdocs
+       |       WHERE source != 'src0' AND doc_id < 250),
+       |i0 AS (SELECT doc_id, toks FROM inc WHERE b = 0),
+       |i1 AS (SELECT doc_id, toks FROM inc WHERE b = 1),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("x", "ex")},
+       |${sqlMinhashChain("g0", "i0")},
+       |${sqlMinhashChain("g1", "i1")},
+       |${sqlMinhashPairCtes("g0")},
+       |${sqlMinhashPairCtes("g1")},
+       |${sqlCrossArmCtes(0)},
+       |${sqlCrossArmCtes(1)},
+       |dup AS (
+       |  SELECT CASE WHEN id_b IN (SELECT doc_id FROM i0)
+       |    THEN id_b ELSE id_a END AS doc_id
+       |  FROM (SELECT id_a, id_b FROM mhg0 UNION ALL SELECT id_a, id_b FROM mx0)
+       |  UNION
+       |  SELECT CASE WHEN id_b IN (SELECT doc_id FROM i1)
+       |    THEN id_b ELSE id_a END AS doc_id
+       |  FROM (SELECT id_a, id_b FROM mhg1 UNION ALL SELECT id_a, id_b FROM mx1))
+       |SELECT i.doc_id, CAST(i.b AS BIGINT) AS batch,
+       |  (c.doc_id IS NOT NULL) AS contaminated,
+       |  $sqlKeepVerdict AS quality_keep,
+       |  (d.doc_id IS NOT NULL) AS near_dup,
+       |  (c.doc_id IS NULL AND $sqlKeepVerdict AND d.doc_id IS NULL) AS keep
+       |FROM inc i
+       |JOIN sq ON i.doc_id = sq.doc_id
+       |LEFT JOIN contam c ON i.doc_id = c.doc_id
+       |LEFT JOIN dup d ON i.doc_id = d.doc_id
+       |ORDER BY i.doc_id""".stripMargin
 
   // =========================================================================
   // p115 — IVF REBUILD/SWAP lifecycle under the oracle: the one incremental
@@ -5814,6 +6002,7 @@ object Pipeline {
     "p111_stream_quantiles" -> (p111StreamQuantiles _),
     "p112_stream_bloom" -> (p112StreamBloom _),
     "p113_stream_decontam" -> (p113StreamDecontam _),
+    "p114_stream_ingest" -> (p114StreamIngest _),
     "p115_ivf_rebuild" -> (p115IvfRebuild _))
 
   val oracleSql: Map[String, String] = Map(
@@ -5928,5 +6117,6 @@ object Pipeline {
     "p111_stream_quantiles" -> p111Sql,
     "p112_stream_bloom" -> p112Sql,
     "p113_stream_decontam" -> p113Sql,
+    "p114_stream_ingest" -> p114Sql,
     "p115_ivf_rebuild" -> p115Sql)
 }

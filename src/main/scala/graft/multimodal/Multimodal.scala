@@ -134,6 +134,81 @@ object Multimodal {
     }
   }
 
+  /** Deterministic pixel-perturbed near-duplicate VARIANTS of image
+    * records — the planted ground truth for the banded-Hamming image
+    * near-dup join (p116): each record's raster is decoded, every
+    * `stride`-th raster index (y·w + x) is replaced with the variant id's
+    * own noise pixel (`Hash64.mix(variantId·7919 + idx) & 0xffffff` — the
+    * [[MediaCodec.syntheticPng]] formula under the new id), everything
+    * else survives the decode → re-encode loop untouched, and the result
+    * re-encodes as a REAL PNG under `media_id + idOffset`. ~1/stride of
+    * pixels change, so the variant's aHash lands within a few bits of the
+    * original's. Pure integer pixel arithmetic end to end — the oracle
+    * replays the variant raster from (origId, idOffset, stride) alone. */
+  def plantImageVariants(ds: Dataset[MediaRecord], idOffset: Long = 10000L,
+      stride: Int = 37): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      require(r.kind == "image", s"plantImageVariants over kind ${r.kind}")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, "undecodable image payload")
+      val w = img.getWidth; val h = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val vid = r.media_id + idOffset
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val idx = y.toLong * w + x
+          val rgb =
+            if (idx % stride == 0)
+              (Hash64.mix(vid * 7919 + idx) & 0xffffff).toInt
+            else img.getRGB(x, y) & 0xffffff
+          out.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      r.copy(media_id = vid, payload = bos.toByteArray)
+    }
+  }
+
+  /** 64-bit average hash (aHash) per image record, PURE INTEGER: the
+    * decoded raster is point-sampled on an 8×8 grid (x = ⌊gx·w/8⌋,
+    * y = ⌊gy·h/8⌋), gray = r+g+b per sample, and bit gy·8+gx is set iff
+    * 64·gray exceeds the 64-sample gray sum (the mean threshold without
+    * a division). PNG decode is lossless, so the hash is a deterministic
+    * function of the synthetic pixel formula — which is what lets DuckDB
+    * replay it from raw integers, and what makes a green p116 row a
+    * proof of the whole encode → decode codec loop. Scan-shaped
+    * `mapPartitions`-class work: payloads never leave their partition;
+    * only (media_id, ahash) — 16 bytes — continues downstream. */
+  def aHash64(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, "undecodable image payload")
+      val w = img.getWidth; val h = img.getHeight
+      val g = new Array[Long](64)
+      var i = 0
+      while (i < 64) {
+        val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
+        g(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        i += 1
+      }
+      val s = g.sum
+      var hash = 0L
+      i = 0
+      while (i < 64) { if (g(i) * 64 > s) hash |= (1L << i); i += 1 }
+      (r.media_id, hash)
+    }.toDF("media_id", "ahash")
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size chunk
     * of the payload becomes a frame row (flatMap — one narrow pass). The
     * default `frameBytes` is the real container's block size, so

@@ -142,16 +142,25 @@ object Dedup {
     * Only (id, band, bucket) ever enters the exchange — the heavy shingle
     * arrays stay behind and are re-joined for verification only. */
   private def minhashBandCandidates(shingleTable: DataFrame, numHashes: Int,
-      bands: Int, maxBucketSize: Int, seed: Long): DataFrame = {
+      bands: Int, maxBucketSize: Int, seed: Long): DataFrame =
+    bucketPairs(minhashBandedRows(shingleTable, numHashes, bands, seed),
+      Seq("band", "bucket"), maxBucketSize)
+
+  /** The raw banded (id, band, bucket) rows of the LSH stage, BEFORE the
+    * `maxBucketSize` cap — exposed so bucket-occupancy diagnostics
+    * (tools/ZipfRecallProbe) can measure exactly what the cap drops on a
+    * given corpus, with the same signature/band arithmetic the candidate
+    * path uses. */
+  private[graft] def minhashBandedRows(shingleTable: DataFrame,
+      numHashes: Int, bands: Int, seed: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = shingleTable.select(col("id"),
       HashFunctions.minhashSignature(col("sh"), numHashes, seed).as("sig"))
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    bucketPairs(banded, Seq("band", "bucket"), maxBucketSize)
   }
 
   /** Edit-distance near-duplicate join: candidate pairs from the SAME
@@ -1089,18 +1098,21 @@ object Dedup {
     * Returns (id_a, id_b, hamming). */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 4, maxBucketSize: Int = 500): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"),
-      HashFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sh64"))
+      maxHamming: Int = 4, maxBucketSize: Int = 500): DataFrame =
+    hammingPairs64(docs.select(col(idCol).as("id"),
+        HashFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sh64")),
+      maxHamming, maxBucketSize)
 
-    def byteOf(c: Int) =
-      shiftrightunsigned(col("sh64"), c * 8).bitwiseAND(lit(0xffL))
-    val pairKeys = for { i <- 0 until 8; j <- i + 1 until 8 }
-      yield shiftleft(byteOf(i), 8).bitwiseOR(byteOf(j))
-    val chunked = hashed.select(col("id"), col("sh64"),
-        posexplode(array(pairKeys: _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
-
+  /** Banded Hamming near-dup pairs over PRECOMPUTED 64-bit hashes
+    * `hashed(id, sh64)` — [[simhashPairs]]' chunk-pair machinery exposed
+    * for any 64-bit perceptual hash (p116's image aHash): C(8,2) = 28
+    * two-byte band keys (every Hamming-≤6 pair guaranteed a shared band
+    * by pigeonhole), Hamming verify fused inside the in-bucket pair
+    * explode so the candidate blowup never reaches an exchange. Returns
+    * (id_a, id_b, hamming) with id_a < id_b. */
+  def hammingPairs64(hashed: DataFrame, maxHamming: Int = 4,
+      maxBucketSize: Int = 500): DataFrame = {
+    val chunked = chunkPairRows(hashed)
     val perBucket = Window.partitionBy(col("chunk"), col("ckey"))
     val members = col("__m")
     chunked
@@ -1116,5 +1128,28 @@ object Dedup {
           p => p("hamming") <= maxHamming)))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The raw (id, sh64, chunk, ckey) band rows of [[simhashPairs]]'
+    * chunk-pair index, BEFORE the `maxBucketSize` cap — the SimHash
+    * sibling of [[minhashBandedRows]], for the same bucket-occupancy
+    * diagnostics. */
+  private[graft] def simhashBandedRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    chunkPairRows(docs.select(col(idCol).as("id"),
+      HashFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sh64")))
+
+  /** The raw (id, sh64, chunk, ckey) band rows of the chunk-pair index
+    * over `hashed(id, sh64)`, BEFORE the `maxBucketSize` cap — shared by
+    * [[hammingPairs64]] and the bucket-occupancy diagnostics
+    * (tools/ZipfRecallProbe). */
+  private def chunkPairRows(hashed: DataFrame): DataFrame = {
+    def byteOf(c: Int) =
+      shiftrightunsigned(col("sh64"), c * 8).bitwiseAND(lit(0xffL))
+    val pairKeys = for { i <- 0 until 8; j <- i + 1 until 8 }
+      yield shiftleft(byteOf(i), 8).bitwiseOR(byteOf(j))
+    hashed.select(col("id"), col("sh64"),
+        posexplode(array(pairKeys: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
   }
 }

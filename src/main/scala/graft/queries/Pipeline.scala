@@ -5887,6 +5887,84 @@ object Pipeline {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // =========================================================================
+  // p116 — IMAGE aHash near-dup: the multimodal family's first ORACLE-HASH
+  // row (p14/p33 are rows-only because PNG/WAV codecs can't run in DuckDB).
+  // The trick: the synthetic rasters are a pure integer formula
+  // (mix(id·7919 + y·w + x) & 0xffffff) and PNG is LOSSLESS, so the engine
+  // can run the REAL codec loop — encode → (plant: decode, perturb every
+  // 37th pixel, re-encode) → decode → point-sampled integer aHash — while
+  // DuckDB replays the pixels from the formula alone. A green row
+  // therefore proves the whole encode/decode loop preserved every sampled
+  // pixel bit-for-bit, not just that the hash arithmetic matches. Pairs
+  // come from the SimHash chunk-pair machinery reused over the aHash
+  // (Dedup.hammingPairs64) at Hamming ≤ 6 — inside the 28-band pigeonhole
+  // guarantee, so the oracle needs no banding replay: candidates are
+  // COMPLETE below the threshold and an exact pair join reproduces them.
+  // At 100 TB: decode + hash is scan-shaped (payloads never shuffle; 16
+  // bytes per image continue), and the banded join is the p09 shape.
+  // =========================================================================
+  def p116ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val imgs = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("image"))
+    val plants = Multimodal.plantImageVariants(imgs.filter(_.media_id < 30))
+    val hashed = Multimodal.aHash64(imgs.union(plants)).localCheckpoint(true)
+    Dedup.hammingPairs64(
+        hashed.select(col("media_id").as("id"), col("ahash").as("sh64")),
+        maxHamming = 6)
+      .join(hashed.select(col("media_id").as("id_a"),
+        col("ahash").as("ahash_a")), "id_a")
+      .join(hashed.select(col("media_id").as("id_b"),
+        col("ahash").as("ahash_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"),
+        col("ahash_a"), col("ahash_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p116Sql: String = {
+    import OracleHash._
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS id, doc_id AS vid, CAST(NULL AS BIGINT) AS orig,
+       |    doc_id % 32 + 32 AS w, doc_id % 24 + 32 AS h
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000, doc_id + 10000, doc_id,
+       |    doc_id % 32 + 32, doc_id % 24 + 32
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 30),
+       |grid AS (
+       |  SELECT id, vid, orig,
+       |    gy.i * 8 + gx.i AS bit_i,
+       |    ((gy.i * h) // 8) * w + ((gx.i * w) // 8) AS idx
+       |  FROM imgs
+       |  CROSS JOIN (SELECT unnest(range(8)) AS i) gx
+       |  CROSS JOIN (SELECT unnest(range(8)) AS i) gy),
+       |seeds AS (
+       |  SELECT id, bit_i,
+       |    (CAST(CASE WHEN orig IS NULL OR idx % 37 = 0 THEN vid
+       |               ELSE orig END AS HUGEINT) * 7919 + idx) AS z
+       |  FROM grid),
+       |mixed AS (SELECT id, bit_i, ${mix("z")} % 16777216 AS p FROM seeds),
+       |grays AS (SELECT id, bit_i,
+       |    p // 65536 + (p // 256) % 256 + p % 256 AS gray FROM mixed),
+       |tots AS (SELECT id, SUM(gray) AS tot FROM grays GROUP BY id),
+       |ahu AS (
+       |  SELECT g.id,
+       |    COALESCE(SUM(CASE WHEN 64 * g.gray > t.tot
+       |      THEN (1::HUGEINT << CAST(g.bit_i AS INT)) ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS u
+       |  FROM grays g JOIN tots t ON g.id = t.id
+       |  GROUP BY g.id),
+       |ah AS (SELECT id, ${signed64("u")} AS ahash FROM ahu)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming,
+       |  a.ahash AS ahash_a, b.ahash AS ahash_b
+       |FROM ah a JOIN ah b ON a.id < b.id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -6003,7 +6081,8 @@ object Pipeline {
     "p112_stream_bloom" -> (p112StreamBloom _),
     "p113_stream_decontam" -> (p113StreamDecontam _),
     "p114_stream_ingest" -> (p114StreamIngest _),
-    "p115_ivf_rebuild" -> (p115IvfRebuild _))
+    "p115_ivf_rebuild" -> (p115IvfRebuild _),
+    "p116_image_neardup" -> (p116ImageNearDup _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -6118,5 +6197,6 @@ object Pipeline {
     "p112_stream_bloom" -> p112Sql,
     "p113_stream_decontam" -> p113Sql,
     "p114_stream_ingest" -> p114Sql,
-    "p115_ivf_rebuild" -> p115Sql)
+    "p115_ivf_rebuild" -> p115Sql,
+    "p116_image_neardup" -> p116Sql)
 }

@@ -147,6 +147,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length === 3)
   }
 
+  test("aHash64 equals the pure pixel-formula hash (the codec loop is " +
+      "lossless end to end); plants land within the Hamming-6 guarantee") {
+    import graft.multimodal.Multimodal
+    import graft.functions.Hash64
+    val imgs = Multimodal.fromDocuments(spark,
+      sources.Tables.documents(spark, sfDir), onlyKind = Some("image"))
+    val got = Multimodal.aHash64(imgs.filter(_.media_id < 60))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected: straight from the synthetic raster formula, no PNG anywhere
+    def formulaHash(id: Long): Long = {
+      val w = (id % 32 + 32).toInt; val h = (id % 24 + 32).toInt
+      val g = Array.tabulate(64) { i =>
+        val p = (Hash64.mix(id * 7919 +
+          (i / 8 * h / 8).toLong * w + (i % 8 * w / 8)) & 0xffffff).toInt
+        ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff).toLong
+      }
+      val s = g.sum
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (g(i) * 64 > s) acc | (1L << i) else acc)
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (id, h) =>
+      assert(h === formulaHash(id), s"aHash of image $id diverged from " +
+        "the raster formula — the PNG encode/decode loop is not lossless")
+    }
+    // planted variants: every perturbed copy stays within the chunk-pair
+    // band guarantee (Hamming <= 6) of its original here
+    val plants = Multimodal.aHash64(Multimodal.plantImageVariants(
+        imgs.filter(_.media_id < 30)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plants.foreach { case (pid, ph) =>
+      val d = java.lang.Long.bitCount(ph ^ got(pid - 10000))
+      assert(d <= 6, s"plant $pid at Hamming $d from its original")
+    }
+    // non-image input is out of contract, fail-loud
+    val audio = Multimodal.fromDocuments(spark,
+      sources.Tables.documents(spark, sfDir), onlyKind = Some("audio"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.plantImageVariants(audio).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("p33 media similarity: k neighbors per image probe, sims in range") {
     val rows = SparkEntry.queries("p33_media_similarity")(spark, sfDir)
       .select(col("query_id"), col("rank"), col("sim")).collect()

@@ -11,7 +11,16 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # probe dirs (target/sf1, target/zipf*) ship only documents/embeddings;
+    # a missing table only matters if an oracle actually references it
+    try:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    except Exception:
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet/*.parquet'")
+        except Exception:
+            pass
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0

@@ -39,5 +39,6 @@ object SparkEntry {
     "p93_stream_kmeans", "p105_stream_ivf_index", "p107_stream_pca",
     "p108_stream_bm25", "p109_stream_hll", "p110_stream_countmin",
     "p111_stream_quantiles", "p112_stream_bloom", "p113_stream_decontam",
+    "p114_stream_ingest", "p115_ivf_rebuild", "p117_stream_image_index",
     "q47_paged_source")
 }

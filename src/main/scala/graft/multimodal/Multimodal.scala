@@ -188,25 +188,39 @@ object Multimodal {
     * `mapPartitions`-class work: payloads never leave their partition;
     * only (media_id, ahash) — 16 bytes — continues downstream. */
   def aHash64(ds: Dataset[MediaRecord]): DataFrame = {
-    import ds.sparkSession.implicits._
-    ds.map { r =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(r.payload))
-      require(img != null, "undecodable image payload")
-      val w = img.getWidth; val h = img.getHeight
-      val g = new Array[Long](64)
-      var i = 0
-      while (i < 64) {
-        val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
-        g(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-        i += 1
-      }
-      val s = g.sum
-      var hash = 0L
-      i = 0
-      while (i < 64) { if (g(i) * 64 > s) hash |= (1L << i); i += 1 }
-      (r.media_id, hash)
-    }.toDF("media_id", "ahash")
+    import org.apache.spark.sql.functions.col
+    aHash64Bytes(ds.toDF().select(col("media_id"), col("payload")),
+      "media_id", "payload")
+  }
+
+  /** [[aHash64]] over a plain (id, payload) frame — the streaming ingest
+    * shape, where image payloads arrive as a bare binary column (the
+    * `binaryFile`-source layout) rather than a typed [[MediaRecord]]. */
+  def aHash64Bytes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null, "undecodable image payload")
+        val w = img.getWidth; val h = img.getHeight
+        val g = new Array[Long](64)
+        var i = 0
+        while (i < 64) {
+          val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
+          g(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          i += 1
+        }
+        val s = g.sum
+        var hash = 0L
+        i = 0
+        while (i < 64) { if (g(i) * 64 > s) hash |= (1L << i); i += 1 }
+        (id, hash)
+      }.toDF("media_id", "ahash")
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size chunk

@@ -1141,9 +1141,10 @@ object Dedup {
 
   /** The raw (id, sh64, chunk, ckey) band rows of the chunk-pair index
     * over `hashed(id, sh64)`, BEFORE the `maxBucketSize` cap — shared by
-    * [[hammingPairs64]] and the bucket-occupancy diagnostics
-    * (tools/ZipfRecallProbe). */
-  private def chunkPairRows(hashed: DataFrame): DataFrame = {
+    * [[hammingPairs64]], the streaming image-hash index's cross-arm probe
+    * ([[graft.streaming.AHashStream]]), and the bucket-occupancy
+    * diagnostics (tools/ZipfRecallProbe). */
+  private[graft] def chunkPairRows(hashed: DataFrame): DataFrame = {
     def byteOf(c: Int) =
       shiftrightunsigned(col("sh64"), c * 8).bitwiseAND(lit(0xffL))
     val pairKeys = for { i <- 0 until 8; j <- i + 1 until 8 }

@@ -5491,14 +5491,16 @@ object Pipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // folded == one-shot, engine-computed bit-for-bit; oracle asserts TRUE
+    // folded == one-shot, engine-computed bit-for-bit; oracle asserts
+    // TRUE. Rides into the result as a broadcast 1-row cross join (the
+    // bank_matches pattern) — the whole query stays ONE plan, no
+    // mid-query driver action (r10 VERDICT nit #2).
     val folded = SketchStream.readBloomBits(spark, bloomRoot)
     val oneShot = Profiling.bloomBits(grams(bench), "gram")
-    val bloomMatches = folded.withColumn("l", lit(1))
+    val bloomCmp = folded.withColumn("l", lit(1))
       .join(oneShot.withColumn("r", lit(1)), Seq("j", "bit"), "full_outer")
       .agg((count(lit(1)) === count(col("l")) &&
-        count(lit(1)) === count(col("r"))).as("ok"))
-      .head().getBoolean(0)
+        count(lit(1)) === count(col("r"))).as("bloom_matches"))
     val benchGrams = grams(bench).select(col("gram")).distinct()
     val corpusGrams = grams(docs.filter(col("source") =!= "src0"))
     val cand = SketchStream.prefilterAt(spark, bloomRoot, corpusGrams, "gram")
@@ -5508,8 +5510,9 @@ object Pipeline {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= 3)
     nShared.join(nCand, "doc_id")
+      .crossJoin(broadcast(bloomCmp))
       .select(col("doc_id"), col("n_candidate_grams"),
-        col("n_shared_grams"), lit(bloomMatches).as("bloom_matches"))
+        col("n_shared_grams"), col("bloom_matches"))
       .orderBy("doc_id")
   }
 
@@ -5923,17 +5926,29 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
-  val p116Sql: String = {
-    import OracleHash._
-    s"""WITH imgs AS (
+  /** The planted-variant image set as an `imgs(id, vid, orig, w, h)` CTE:
+    * every image doc (doc_id % 3 = 0) plus the +10000 pixel-perturbed
+    * variants of the first 30 ids — the Spark side's
+    * `fromDocuments(onlyKind = image)` ∪ `plantImageVariants` layout. */
+  private val sqlImageVariantsCte: String =
+    s"""imgs AS (
        |  SELECT doc_id AS id, doc_id AS vid, CAST(NULL AS BIGINT) AS orig,
        |    doc_id % 32 + 32 AS w, doc_id % 24 + 32 AS h
        |  FROM documents WHERE doc_id % 3 = 0
        |  UNION ALL
        |  SELECT doc_id + 10000, doc_id + 10000, doc_id,
        |    doc_id % 32 + 32, doc_id % 24 + 32
-       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 30),
-       |grid AS (
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 30)""".stripMargin
+
+  /** aHash replay over an `imgs(id, vid, orig, w, h)` CTE: the synthetic
+    * raster pixels (SplitMix64 in exact HUGEINT; plant rows perturb every
+    * 37th raster index with their own seed), 8×8 point-sample grid,
+    * integer gray mean threshold, signed-domain 64-bit hash — ending in
+    * CTE `ah(id, ahash BIGINT)`. Shared by p116 and the streaming image
+    * index (p117). */
+  private val sqlAHashCtes: String = {
+    import OracleHash._
+    s"""grid AS (
        |  SELECT id, vid, orig,
        |    gy.i * 8 + gx.i AS bit_i,
        |    ((gy.i * h) // 8) * w + ((gx.i * w) // 8) AS idx
@@ -5956,14 +5971,83 @@ object Pipeline {
        |      0::HUGEINT) AS u
        |  FROM grays g JOIN tots t ON g.id = t.id
        |  GROUP BY g.id),
-       |ah AS (SELECT id, ${signed64("u")} AS ahash FROM ahu)
+       |ah AS (SELECT id, ${signed64("u")} AS ahash FROM ahu)""".stripMargin
+  }
+
+  val p116Sql: String =
+    s"""WITH $sqlImageVariantsCte,
+       |$sqlAHashCtes
        |SELECT a.id AS id_a, b.id AS id_b,
        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming,
        |  a.ahash AS ahash_a, b.ahash AS ahash_b
        |FROM ah a JOIN ah b ON a.id < b.id
        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
+
+  // =========================================================================
+  // p117 — STREAMING image-hash index: the MULTIMODAL member of the
+  // incremental family (text NearDupStream / embedding IvfStream / image
+  // this). A standing image corpus is aHashed once into a 16-byte-per-
+  // image index; each image micro-batch then decodes + hashes ONLY its
+  // own payloads (codec work paid once, at ingest), emits its near-dup
+  // pairs — in-batch via the chunk-pair banding, cross via a broadcast
+  // band probe against the standing index's plain scan union — and
+  // appends its hash delta for later batches. Payloads never enter the
+  // store and never shuffle. Planted +10000 pixel-perturbed variants of
+  // STANDING images probe the cross arm. At Hamming ≤ 6 the 28-band
+  // pigeonhole makes candidates complete, so the oracle replays the whole
+  // thing from raw integers: the p116 aHash chain over originals +
+  // variants, then exact Hamming pairs with the emission batch derived
+  // from the deterministic split (a pair lands in the batch its LATER
+  // side arrived in; standing–standing pairs never stream).
+  // =========================================================================
+  def p117StreamImageIndex(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.AHashStream
+    val images = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("image"))
+    val standing = images.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    val plants = Multimodal.plantImageVariants(images.filter(_.media_id < 30))
+    val incoming = images.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(plants.toDF().select(col("media_id"), col("payload")))
+      .withColumn("batch", pmod(col("media_id"), lit(2)))
+    val root = Files.createTempDirectory("p117_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    AHashStream.writeStanding(spark, idxRoot, standing)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(AHashStream.appendBatch(spark, idxRoot, outRoot,
+        "media_id", "payload") _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("hamming"), col("batch"))
+      .orderBy("id_a", "id_b")
   }
+
+  val p117Sql: String =
+    s"""WITH $sqlImageVariantsCte,
+       |$sqlAHashCtes,
+       |asg AS (SELECT id, ahash,
+       |    CASE WHEN id < 250 THEN -1 ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM ah)
+       |SELECT a.id AS id_a, b2.id AS id_b,
+       |  CAST(bit_count(xor(a.ahash, b2.ahash)) AS INT) AS hamming,
+       |  CAST(greatest(a.b, b2.b) AS BIGINT) AS batch
+       |FROM asg a JOIN asg b2 ON a.id < b2.id
+       |WHERE bit_count(xor(a.ahash, b2.ahash)) <= 6
+       |  AND greatest(a.b, b2.b) >= 0
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6082,7 +6166,8 @@ object Pipeline {
     "p113_stream_decontam" -> (p113StreamDecontam _),
     "p114_stream_ingest" -> (p114StreamIngest _),
     "p115_ivf_rebuild" -> (p115IvfRebuild _),
-    "p116_image_neardup" -> (p116ImageNearDup _))
+    "p116_image_neardup" -> (p116ImageNearDup _),
+    "p117_stream_image_index" -> (p117StreamImageIndex _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -6198,5 +6283,6 @@ object Pipeline {
     "p113_stream_decontam" -> p113Sql,
     "p114_stream_ingest" -> p114Sql,
     "p115_ivf_rebuild" -> p115Sql,
-    "p116_image_neardup" -> p116Sql)
+    "p116_image_neardup" -> p116Sql,
+    "p117_stream_image_index" -> p117Sql)
 }

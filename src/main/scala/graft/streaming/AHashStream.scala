@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.multimodal.Multimodal
+
+/** Streaming image near-dup maintenance — the MULTIMODAL member of the
+  * incremental family ([[NearDupStream]] for text, [[IvfStream]] for
+  * embeddings, this for images): each image micro-batch decodes and
+  * aHashes ONLY its own payloads ([[Multimodal.aHash64Bytes]] — the
+  * codec work is paid once, at ingest), probes the standing hash index
+  * for Hamming-close near-duplicates, emits its pair delta, and appends
+  * its own 16-byte (id, ahash) rows for later batches to probe.
+  *
+  * Store: `root/v*` — (media_id, ahash) deltas (`v0` = the standing
+  * corpus's hashes; `v{b+1}` = batch b's). 16 bytes per image at ANY
+  * raster size: the index of a billion-image corpus is ~16 GB of
+  * parquet, and payloads NEVER enter the store — the exact
+  * fingerprint-first discipline of the text family, applied to pixels.
+  *
+  * Probe shape (the persisted-index discipline): the standing store
+  * reads as a PLAIN scan union, bands narrowly in-scan (posexplode into
+  * the 28 chunk-pair keys — no exchange), and the batch's banded hashes
+  * BROADCAST into the join; candidates Hamming-verify inside the join
+  * projection. The standing index never crosses a shuffle. In-batch
+  * pairs come from [[Dedup.hammingPairs64]]. With `maxHamming` ≤ 6 the
+  * chunk-pair pigeonhole makes candidates COMPLETE below the threshold,
+  * so the emitted pairs are a pure function of the hash relation — what
+  * the p117 oracle replays from raw integers. (The 16-bit band keys of
+  * near-uniform perceptual hashes don't form the Zipf-hot buckets text
+  * shingles do, so the cross arm needs no occupancy cap; the in-batch
+  * arm keeps [[Dedup.hammingPairs64]]'s.)
+  *
+  * Exactly-once contract is the family's: batch-id-named deltas,
+  * deterministic overwrite on redelivery, lineage-fork guard. */
+object AHashStream {
+
+  /** Hash the standing corpus's images and write `root/v0`. */
+  def writeStanding(spark: SparkSession, root: String, images: DataFrame,
+      idCol: String = "media_id", payloadCol: String = "payload"): Unit =
+    Multimodal.aHash64Bytes(images, idCol, payloadCol)
+      .write.mode("overwrite").parquet(s"$root/v0")
+
+  /** The assembled hash index: every delta `<= upTo`, a plain scan union
+    * (rows unique across deltas by construction — each image arrives in
+    * exactly one batch). */
+  def readIndex(spark: SparkSession, root: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val versions = Versions.list(spark, root).filter(_._1 <= upTo)
+    require(versions.nonEmpty, s"no index versions at $root")
+    spark.read.parquet(versions.map(_._2.toString): _*)
+  }
+
+  /** The `foreachBatch` callback: hash batch `batchId`'s images, emit its
+    * near-dup pairs (in-batch + against everything earlier) to
+    * `outRoot/b<batchId>`, and append the batch's hash delta as
+    * `root/v{batchId+1}`. */
+  def appendBatch(spark: SparkSession, root: String, outRoot: String,
+      idCol: String, payloadCol: String, maxHamming: Int = 6,
+      autoCompactVersions: Option[Int] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    require(maxHamming <= 6,
+      s"maxHamming $maxHamming exceeds the 28-band chunk-pair guarantee " +
+        "(Hamming <= 6 by pigeonhole); beyond it candidates are incomplete " +
+        "and streamed pairs would not replay")
+    val versions = Versions.list(spark, root)
+    require(versions.exists(_._1 == 0L),
+      s"standing hash index $root/v0 missing — writeStanding before " +
+        "starting the stream")
+    versions.lastOption.foreach { case (newest, _) =>
+      require(newest <= batchId + 1,
+        s"hash index at $root is at v$newest but the stream is replaying " +
+          s"batch $batchId — restarting with a fresh checkpoint over " +
+          "existing deltas would fork their lineage; resume from the " +
+          "original checkpoint or start new roots")
+    }
+    autoCompactVersions.foreach(k =>
+      Versions.autoCompact(spark, root, batchId, k))
+    val bh = Multimodal.aHash64Bytes(batch, idCol, payloadCol)
+      .localCheckpoint(true)
+    val inBatch = Dedup.hammingPairs64(
+      bh.select(col("media_id").as("id"), col("ahash").as("sh64")),
+      maxHamming)
+    // cross arm: standing bands stay a narrow scan transform; the batch
+    // side broadcasts — the standing index never shuffles
+    val oldBands = Dedup.chunkPairRows(
+      readIndex(spark, root, upTo = batchId)
+        .select(col("media_id").as("id"), col("ahash").as("sh64")))
+    val newBands = Dedup.chunkPairRows(
+        bh.select(col("media_id").as("id"), col("ahash").as("sh64")))
+      .select(col("id").as("new_id"), col("sh64").as("new_h"),
+        col("chunk"), col("ckey"))
+    val cross = oldBands.join(broadcast(newBands), Seq("chunk", "ckey"))
+      .withColumn("hamming",
+        bit_count(col("sh64").bitwiseXOR(col("new_h"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("id"), col("new_id")).as("id_a"),
+        greatest(col("id"), col("new_id")).as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+    inBatch.select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+      .unionAll(cross)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+    bh.write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+  }
+
+  /** Fold deltas `v0..v<upTo>` into a new base (rows unique across
+    * deltas ⇒ the identity fold is read-equivalent). */
+  def compactStore(spark: SparkSession, root: String, upTo: Long): Unit =
+    Versions.compact(spark, root, upTo)
+}

@@ -558,6 +558,42 @@ class PlanSpec extends SparkSpec {
         s"exchange:\n$plan")
   }
 
+  test("p117 image-hash cross probe: the standing index is a plain scan " +
+      "union banded narrowly in-scan; the batch side broadcasts") {
+    import graft.multimodal.Multimodal
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    import graft.streaming.AHashStream
+    import org.apache.spark.sql.functions.{broadcast, col, pmod, lit}
+    val root = java.nio.file.Files.createTempDirectory("p117plan_").toString
+    val images = Multimodal.fromDocuments(spark,
+      Tables.documents(spark, sfDir), onlyKind = Some("image"))
+    val standing = images.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    AHashStream.writeStanding(spark, s"$root/idx", standing)
+    AHashStream.appendBatch(spark, s"$root/idx", s"$root/out",
+      "media_id", "payload")(
+      Multimodal.plantImageVariants(images.filter(_.media_id < 30)).toDF()
+        .select(col("media_id"), col("payload")), 0L)
+    // the cross-arm probe composition: standing bands (narrow posexplode
+    // over the scan union) joined against broadcast batch bands
+    val oldBands = Dedup.chunkPairRows(
+      AHashStream.readIndex(spark, s"$root/idx")
+        .select(col("media_id").as("id"), col("ahash").as("sh64")))
+    val newBands = Dedup.chunkPairRows(
+        AHashStream.readIndex(spark, s"$root/idx")
+          .filter(pmod(col("media_id"), lit(97)) === 0)
+          .select(col("media_id").as("id"), col("ahash").as("sh64")))
+      .select(col("id").as("new_id"), col("sh64").as("new_h"),
+        col("chunk"), col("ckey"))
+    val plan = planString(oldBands.join(broadcast(newBands),
+      Seq("chunk", "ckey")))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch bands must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the standing hash index must never shuffle on the probe path:\n$plan")
+  }
+
   test("p112 bloom prefilter: scan-local membership — the corpus side " +
       "pays zero joins and zero exchange (the masks ride as literals)") {
     import java.nio.file.Files

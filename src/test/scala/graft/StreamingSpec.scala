@@ -936,6 +936,59 @@ class StreamingSpec extends SparkSpec {
     assert(eMissing.getMessage.contains("_params missing"), eMissing.getMessage)
   }
 
+  test("streaming image-hash index: streamed pairs equal the one-shot " +
+      "Hamming pairs; redelivery idempotent; guards fail loud") {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.AHashStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("ahashstream_").toString
+    val images = Multimodal.fromDocuments(spark,
+      Tables.documents(spark, sfDir), onlyKind = Some("image"))
+    val standing = images.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+    val plants = Multimodal.plantImageVariants(
+      images.filter(_.media_id < 30)).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+    AHashStream.writeStanding(spark, s"$root/idx", standing)
+    val append = AHashStream.appendBatch(spark, s"$root/idx", s"$root/out",
+      "media_id", "payload") _
+    val b0 = plants.filter(pmod(col("media_id"), lit(2)) === 0)
+    val b1 = plants.filter(pmod(col("media_id"), lit(2)) === 1)
+    append(b0, 0L)
+    append(b1, 1L)
+    def streamed() = spark.read.parquet(s"$root/out/b*")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    // one-shot truth: exact Hamming pairs over the assembled hashes,
+    // minus standing-standing pairs (they precede the stream)
+    val all = Multimodal.aHash64Bytes(standing.unionAll(plants),
+      "media_id", "payload").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+      if !(ia < 250 && ib < 250)
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).sorted.toSeq
+    assert(streamed() === want,
+      "streamed pair deltas must equal the one-shot Hamming pairs")
+    assert(want.nonEmpty, "test premise: plants must pair")
+    // redelivery overwrites deterministically
+    append(b1, 1L)
+    assert(streamed() === want)
+    // fork guard + missing-standing guard + the banding-guarantee contract
+    val eFork = intercept[IllegalArgumentException] { append(b0, 0L) }
+    assert(eFork.getMessage.contains("fork"), eFork.getMessage)
+    val eH = intercept[IllegalArgumentException] {
+      AHashStream.appendBatch(spark, s"$root/idx", s"$root/out",
+        "media_id", "payload", maxHamming = 7)(b0, 2L)
+    }
+    assert(eH.getMessage.contains("pigeonhole"), eH.getMessage)
+    // compaction folds with identity and stays read-equivalent
+    AHashStream.compactStore(spark, s"$root/idx", 2L)
+    assert(AHashStream.readIndex(spark, s"$root/idx").count() ===
+      standing.count() + plants.count())
+  }
+
   test("streaming PCA moments: chained batches refit bit-identical to a " +
       "one-shot fit; redelivery idempotent; compaction read-identical") {
     import java.nio.file.Files

@@ -36,11 +36,14 @@ import graft.multimodal.Multimodal
   * deterministic overwrite on redelivery, lineage-fork guard. */
 object AHashStream {
 
-  /** Hash the standing corpus's images and write `root/v0`. */
+  /** Hash the standing corpus's images and write `root/v0`
+    * (live-root-guarded: [[Versions.guardStandingWrite]]). */
   def writeStanding(spark: SparkSession, root: String, images: DataFrame,
-      idCol: String = "media_id", payloadCol: String = "payload"): Unit =
+      idCol: String = "media_id", payloadCol: String = "payload"): Unit = {
+    Versions.guardStandingWrite(spark, root)
     Multimodal.aHash64Bytes(images, idCol, payloadCol)
       .write.mode("overwrite").parquet(s"$root/v0")
+  }
 
   /** The assembled hash index: every delta `<= upTo`, a plain scan union
     * (rows unique across deltas by construction — each image arrives in

@@ -115,14 +115,8 @@ object IvfStream {
   def writeStanding(spark: SparkSession, bankRoot: String, indexRoot: String,
       standing: DataFrame, bank: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    Seq(bankRoot -> "bank", indexRoot -> "index").foreach { case (r, what) =>
-      val versions = Versions.list(spark, r).map(_._1)
-      require(versions.isEmpty || versions == Seq(0L),
-        s"standing $what write to $r refused: root holds versions " +
-          s"${versions.map("v" + _).mkString(", ")} — overwriting v0 under " +
-          "live deltas would mix lineages on read; start a NEW root (the " +
-          "rebuild contract)")
-    }
+    Versions.guardStandingWrite(spark, bankRoot)
+    Versions.guardStandingWrite(spark, indexRoot)
     bank.write.mode("overwrite").parquet(s"$bankRoot/v0")
     val frozen = spark.read.parquet(s"$bankRoot/v0")
     writeBankPin(spark, indexRoot, bankFingerprint(frozen))

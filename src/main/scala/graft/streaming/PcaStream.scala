@@ -41,11 +41,14 @@ object PcaStream {
         sum(col("cnt")).as("cnt"))
       .select(momentCols.map(col): _*)
 
-  /** Write the standing corpus's moments as `root/v0`. */
+  /** Write the standing corpus's moments as `root/v0` (live-root-guarded:
+    * [[Versions.guardStandingWrite]]). */
   def writeStanding(spark: SparkSession, root: String, standing: DataFrame,
-      vecCol: String = "embedding"): Unit =
+      vecCol: String = "embedding"): Unit = {
+    Versions.guardStandingWrite(spark, root)
     Decomp.moments(standing, vecCol)
       .write.mode("overwrite").parquet(s"$root/v0")
+  }
 
   /** The `foreachBatch` callback: batch moments → `root/v{batchId+1}`,
     * under the family's standing-store + lineage-fork guards. An empty

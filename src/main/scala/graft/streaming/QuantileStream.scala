@@ -60,6 +60,8 @@ object QuantileStream {
       countRoot: String, standing: DataFrame, colName: String,
       bins: Int): Unit = {
     import org.apache.spark.sql.types.DoubleType
+    Versions.guardStandingWrite(spark, boundsRoot)
+    Versions.guardStandingWrite(spark, countRoot)
     val x = col(colName).cast(DoubleType)
     val mmRow = standing.filter(x.isNotNull)
       .agg(min(x).as("mn"), max(x).as("mx")).head()

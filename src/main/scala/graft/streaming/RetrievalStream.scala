@@ -43,9 +43,12 @@ object RetrievalStream {
   private def postRoot(root: String) = s"$root/post"
   private def statsRoot(root: String) = s"$root/stats"
 
-  /** Write the standing corpus's postings + stats as the two `v0`s. */
+  /** Write the standing corpus's postings + stats as the two `v0`s
+    * (both roots live-root-guarded: [[Versions.guardStandingWrite]]). */
   def writeStanding(spark: SparkSession, root: String, standing: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    Versions.guardStandingWrite(spark, postRoot(root))
+    Versions.guardStandingWrite(spark, statsRoot(root))
     Retrieval.postingsRelation(standing, idCol, textCol)
       .write.mode("overwrite").parquet(s"${postRoot(root)}/v0")
     Retrieval.statsRelation(standing, idCol, textCol)

@@ -44,22 +44,11 @@ object SketchStream {
   // (ignored by Versions.list's v\d+ filter and by compaction); every
   // parameter-taking read/append fails loud on a mismatch.
 
-  /** A writeStanding* over a root still holding deltas (v1..vN) would
-    * leave those deltas in place under a fresh v0 + _params — possibly
-    * built under DIFFERENT sketch parameters — and the reads fold every
-    * version, so the result is silently mixed-parameter garbage (append
-    * is parameter-guarded; a plain read is not). Standing writes
-    * therefore accept only a fresh root (no versions) or an exact re-run
-    * target (v0 alone) — the rebuild functions' live-root refusal,
-    * applied to the entry points. */
-  private def guardStandingWrite(spark: SparkSession, root: String): Unit = {
-    val versions = Versions.list(spark, root).map(_._1)
-    require(versions.isEmpty || versions == Seq(0L),
-      s"standing write to $root refused: root holds versions " +
-        s"${versions.map("v" + _).mkString(", ")} — overwriting v0/_params " +
-        "under live deltas would mix sketch parameters on read; compact " +
-        "or start a NEW root (the rebuild contract)")
-  }
+  // Standing writes are live-root-guarded ([[Versions.guardStandingWrite]]
+  // — now the family-wide convention): a fresh v0 + _params over live
+  // deltas would silently mix sketch parameters on read.
+  private def guardStandingWrite(spark: SparkSession, root: String): Unit =
+    Versions.guardStandingWrite(spark, root)
 
   private def writeParams(spark: SparkSession, root: String,
       params: Map[String, Int]): Unit = {

@@ -12,6 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `<= batchId`). */
 object Versions {
 
+  /** Refuse a standing (v0) write to a root still holding deltas: the
+    * write would leave v1..vN in place under a fresh v0 — possibly built
+    * under different model parameters — and every read folds all
+    * versions, so the result is silently mixed lineage (append paths are
+    * guarded; plain reads are not). Standing writes accept only a fresh
+    * root or an exact re-run target (v0 alone) — the rebuild functions'
+    * live-root refusal, applied to every store's entry point. */
+  def guardStandingWrite(spark: SparkSession, root: String): Unit = {
+    val versions = list(spark, root).map(_._1)
+    require(versions.isEmpty || versions == Seq(0L),
+      s"standing write to $root refused: root holds versions " +
+        s"${versions.map("v" + _).mkString(", ")} — overwriting v0 under " +
+        "live deltas would mix lineages (or model parameters) on read; " +
+        "compact or start a NEW root (the rebuild contract)")
+  }
+
   def list(spark: SparkSession, root: String): Seq[(Long, Path)] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -207,6 +207,40 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(e.getMessage.contains("standing write"), e.getMessage)
   }
 
+  test("standing-write live-root guard is family-wide: every store's " +
+      "writeStanding refuses a root holding deltas") {
+    import java.nio.file.Files
+    import graft.streaming.{AHashStream, PcaStream, Versions}
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    // PCA moments store
+    val pcaRoot = Files.createTempDirectory("pcaguard_").toString + "/m"
+    PcaStream.writeStanding(spark, pcaRoot, emb.filter(col("vec_id") < 50))
+    PcaStream.advanceBatch(spark, pcaRoot)(
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 80), 0L)
+    val ePca = intercept[IllegalArgumentException] {
+      PcaStream.writeStanding(spark, pcaRoot, emb.filter(col("vec_id") < 50))
+    }
+    assert(ePca.getMessage.contains("standing write"), ePca.getMessage)
+    // image-hash store
+    import graft.multimodal.Multimodal
+    val images = Multimodal.fromDocuments(spark,
+        sources.Tables.documents(spark, sfDir), onlyKind = Some("image"))
+      .filter(_.media_id < 60).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+    val ahRoot = Files.createTempDirectory("ahguard_").toString + "/idx"
+    AHashStream.writeStanding(spark, ahRoot, images)
+    // simulate a live delta directly — the guard reads the version layout
+    spark.read.parquet(s"$ahRoot/v0").write.parquet(s"$ahRoot/v1")
+    val eAh = intercept[IllegalArgumentException] {
+      AHashStream.writeStanding(spark, ahRoot, images)
+    }
+    assert(eAh.getMessage.contains("standing write"), eAh.getMessage)
+    // the shared guard itself: fresh and v0-only roots pass
+    Versions.guardStandingWrite(spark,
+      Files.createTempDirectory("fresh_").toString + "/nothing")
+    Versions.guardStandingWrite(spark, pcaRoot.stripSuffix("/m") + "/m2")
+  }
+
   test("bloomBits/bloomMasks agree that m below 64 is out of contract") {
     // a power of two in {2..32} used to pass bloomBits' check and then
     // allocate ZERO mask words (m/64 = 0) in bloomMasks -> AIOOBE

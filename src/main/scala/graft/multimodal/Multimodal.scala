@@ -203,24 +203,40 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        require(img != null, "undecodable image payload")
-        val w = img.getWidth; val h = img.getHeight
-        val g = new Array[Long](64)
-        var i = 0
-        while (i < 64) {
-          val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
-          g(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-          i += 1
-        }
-        val s = g.sum
-        var hash = 0L
-        i = 0
-        while (i < 64) { if (g(i) * 64 > s) hash |= (1L << i); i += 1 }
-        (id, hash)
-      }.toDF("media_id", "ahash")
+      .map { case (id, payload) => (id, aHashOf(payload)) }
+      .toDF("media_id", "ahash")
+  }
+
+  /** The aHash kernel over one encoded raster — shared by
+    * [[aHash64Bytes]] (whole images) and [[frameAHash64]] (video
+    * frames). */
+  private def aHashOf(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    val g = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
+      g(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      i += 1
+    }
+    val s = g.sum
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (g(i) * 64 > s) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  /** [[aHash64Bytes]] per VIDEO FRAME: each [[FrameSample]]'s block
+    * decodes (the zero padding past IEND is ignored by the codec) and
+    * hashes with the same integer kernel — (media_id, frame_idx, ahash).
+    * The per-frame fingerprint a video-dedup pass aggregates (p118). */
+  def frameAHash64(frames: Dataset[FrameSample]): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.map(f => (f.media_id, f.frame_idx, aHashOf(f.frame)))
+      .toDF("media_id", "frame_idx", "ahash")
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size chunk

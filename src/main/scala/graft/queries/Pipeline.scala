@@ -6058,6 +6058,104 @@ object Pipeline {
        |  AND greatest(a.b, b2.b) >= 0
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p118 — VIDEO frame-profile dedup: the video sibling of p116, closing
+  // the multimodal codec-loop story (image p116, image-stream p117, video
+  // here; audio stays rows-only honestly — its synthesis runs through
+  // libm sin, which no cross-engine replay can pin). Every video's
+  // frames are REAL PNGs inside the fixed-block container; the engine
+  // strides them out (sampleFrames), decodes each frame, and aHashes it
+  // with the p116 kernel, then folds a per-video profile: frame count,
+  // DISTINCT frame-hash count (the static/low-motion signal a training
+  // pipeline filters on — and drift wraparound makes some frames repeat
+  // organically), and a video fingerprint (fingerprint64 over the
+  // frame-hash sequence in frame order). Exact-duplicate videos collapse
+  // by fingerprint (canonical = min id; planted +10000 byte-identical
+  // re-ingests probe it). The oracle replays EVERYTHING from integers:
+  // per-frame drift (SplitMix64), the gradient rasters, the 8×8 aHash,
+  // the FNV-1a+mix fingerprint over the comma-joined hash sequence — so
+  // a green row again proves the frame codec loop lossless, this time
+  // through the container.
+  // =========================================================================
+  def p118VideoFrameProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val vids = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("video"))
+    // byte-identical re-ingests under new ids — the exact-dup plant
+    val plants = vids.filter(_.media_id < 30)
+      .map(r => r.copy(media_id = r.media_id + 10000))
+    val fh = Multimodal.frameAHash64(
+      Multimodal.sampleFrames(vids.union(plants), stride = 1))
+    fh.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("ahash")).as("n_distinct_frames"),
+        HashFunctions.fingerprint64(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("frame_idx"), col("ahash")))),
+            e => e.getField("ahash").cast("string")))).as("video_fp"))
+      .withColumn("canonical_id",
+        min(col("media_id")).over(Window.partitionBy(col("video_fp"))))
+      .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+      .select(col("media_id"), col("n_frames"), col("n_distinct_frames"),
+        col("video_fp"), col("canonical_id"), col("is_dup"))
+      .orderBy("media_id")
+  }
+
+  val p118Sql: String = {
+    import OracleHash._
+    s"""WITH vids AS (
+       |  SELECT doc_id AS id, doc_id AS seed, doc_id % 32 + 32 AS w,
+       |    doc_id % 24 + 32 AS h, doc_id % 6 + 2 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 10000, doc_id, doc_id % 32 + 32,
+       |    doc_id % 24 + 32, doc_id % 6 + 2
+       |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 30),
+       |fr AS (SELECT id, seed, w, h, CAST(u.f AS INT) AS f
+       |       FROM vids CROSS JOIN unnest(range(nf)) AS u(f)),
+       |dz AS (SELECT id, f, w, h, CAST(seed AS HUGEINT) * 97 + f AS z
+       |       FROM fr),
+       |dm AS (SELECT id, f, w, h,
+       |    CAST(((${mix("z")} % 256) + f * 20) % 256 AS BIGINT) AS drift
+       |  FROM dz),
+       |vgrid AS (SELECT id, f, drift, w, h,
+       |    gy.i * 8 + gx.i AS bit_i,
+       |    (gx.i * w) // 8 AS x, (gy.i * h) // 8 AS y
+       |  FROM dm
+       |  CROSS JOIN (SELECT unnest(range(8)) AS i) gx
+       |  CROSS JOIN (SELECT unnest(range(8)) AS i) gy),
+       |vgrays AS (SELECT id, f, bit_i,
+       |    ((x * 255) // w + drift) % 256 + ((y * 255) // h) % 256
+       |      + (drift + 64) % 256 AS gray
+       |  FROM vgrid),
+       |vtots AS (SELECT id, f, SUM(gray) AS tot FROM vgrays GROUP BY id, f),
+       |vahu AS (
+       |  SELECT g.id, g.f,
+       |    COALESCE(SUM(CASE WHEN 64 * g.gray > t.tot
+       |      THEN (1::HUGEINT << CAST(g.bit_i AS INT)) ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS u
+       |  FROM vgrays g JOIN vtots t ON g.id = t.id AND g.f = t.f
+       |  GROUP BY g.id, g.f),
+       |vah AS (SELECT id, f, ${signed64("u")} AS ahash FROM vahu),
+       |vs AS (SELECT id, COUNT(*) AS n_frames,
+       |    COUNT(DISTINCT ahash) AS n_distinct_frames,
+       |    string_agg(CAST(ahash AS VARCHAR), ',' ORDER BY f) AS s
+       |  FROM vah GROUP BY id),
+       |vhh AS (SELECT id, n_frames, n_distinct_frames, ${fnv1a("s")} AS hh
+       |        FROM vs),
+       |vf AS (SELECT id, n_frames, n_distinct_frames,
+       |    ${signed64(mix("hh"))} AS video_fp
+       |  FROM vhh)
+       |SELECT id AS media_id, CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(n_distinct_frames AS BIGINT) AS n_distinct_frames, video_fp,
+       |  MIN(id) OVER (PARTITION BY video_fp) AS canonical_id,
+       |  id != MIN(id) OVER (PARTITION BY video_fp) AS is_dup
+       |FROM vf
+       |ORDER BY media_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -6176,7 +6274,8 @@ object Pipeline {
     "p114_stream_ingest" -> (p114StreamIngest _),
     "p115_ivf_rebuild" -> (p115IvfRebuild _),
     "p116_image_neardup" -> (p116ImageNearDup _),
-    "p117_stream_image_index" -> (p117StreamImageIndex _))
+    "p117_stream_image_index" -> (p117StreamImageIndex _),
+    "p118_video_frame_profile" -> (p118VideoFrameProfile _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -6293,5 +6392,6 @@ object Pipeline {
     "p114_stream_ingest" -> p114Sql,
     "p115_ivf_rebuild" -> p115Sql,
     "p116_image_neardup" -> p116Sql,
-    "p117_stream_image_index" -> p117Sql)
+    "p117_stream_image_index" -> p117Sql,
+    "p118_video_frame_profile" -> p118Sql)
 }

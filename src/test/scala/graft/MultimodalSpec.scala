@@ -190,6 +190,31 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("p118 video frame profile: planted byte-identical re-ingests " +
+      "collapse onto their originals; frame counts match the container") {
+    val rows = SparkEntry.queries("p118_video_frame_profile")(spark, sfDir)
+      .collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // every +10000 plant is flagged a dup with its original as canonical
+    val plants = rows.filter(_.getLong(0) >= 10000L)
+    assert(plants.nonEmpty)
+    plants.foreach { p =>
+      assert(p.getBoolean(5), s"plant ${p.getLong(0)} must be is_dup")
+      assert(p.getLong(4) === p.getLong(0) - 10000L,
+        s"plant ${p.getLong(0)} must collapse onto its original")
+      // identical payload -> identical profile
+      val orig = byId(p.getLong(0) - 10000L)
+      assert(p.getLong(1) === orig.getLong(1) &&
+        p.getLong(3) === orig.getLong(3))
+    }
+    // frame counts equal the container's nFrames formula (id % 6 + 2)
+    rows.filter(_.getLong(0) < 10000L).foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) % 6 + 2,
+        s"video ${r.getLong(0)}: n_frames ${r.getLong(1)}")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("p33 media similarity: k neighbors per image probe, sims in range") {
     val rows = SparkEntry.queries("p33_media_similarity")(spark, sfDir)
       .select(col("query_id"), col("rank"), col("sim")).collect()

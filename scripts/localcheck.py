@@ -13,14 +13,16 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # probe dirs (target/sf1, target/zipf*) ship only documents/embeddings;
     # a missing table only matters if an oracle actually references it
-    try:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-    except Exception:
-        try:
+    import os
+    if os.path.exists(f"{sfdir}/{t}.parquet"):
+        if os.path.isdir(f"{sfdir}/{t}.parquet"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet/*.parquet'")
-        except Exception:
-            pass
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    else:
+        print(f"WARN: table {t} missing at {sfdir} - skipped (only matters "
+              "if an oracle references it)")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0

@@ -60,7 +60,8 @@ object Multimodal {
     * decoding the other two thirds of the corpus — the narrow-filter-
     * before-expensive-stage rule applied to codec work. */
   def fromDocuments(spark: SparkSession, docs: DataFrame,
-      onlyKind: Option[String] = None): Dataset[MediaRecord] = {
+      onlyKind: Option[String] = None,
+      intAudio: Boolean = false): Dataset[MediaRecord] = {
     import spark.implicits._
     val base = docs.select(
         col("doc_id").as("media_id"),
@@ -83,10 +84,15 @@ object Multimodal {
             r.copy(payload = MediaCodec.syntheticPng(r.media_id, w, h),
               meta = r.meta.copy(width = w, height = h))
           case "audio" =>
-            // short PCM16 clips; metadata must equal true container values
+            // short PCM16 clips; metadata must equal true container values.
+            // intAudio selects the ORACLE-REPLAYABLE integer-PCM fixture
+            // (syntheticWavInt — no transcendentals) over the sine fixture
             val rate = 8000
             val ms = r.media_id % 200 + 50
-            r.copy(payload = MediaCodec.syntheticWav(r.media_id, rate, ms),
+            val wav =
+              if (intAudio) MediaCodec.syntheticWavInt(r.media_id, rate, ms)
+              else MediaCodec.syntheticWav(r.media_id, rate, ms)
+            r.copy(payload = wav,
               meta = r.meta.copy(sampleRateHz = rate, durationMs = ms))
           case _ => // video: blocked M-JPEG-style container of real PNG frames
             val w = (r.media_id % 32 + 32).toInt
@@ -239,6 +245,17 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "ahash")
   }
 
+  /** [[MediaCodec.audioProfileOf]] per audio record: real WAV decode,
+    * integer fold, 32 bytes per clip downstream — the audio analogue of
+    * [[aHash64]] (p119). */
+  def audioProfile(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (n, zc, sumAbs, fp) = MediaCodec.audioProfileOf(r.payload)
+      (r.media_id, n, zc, sumAbs, fp)
+    }.toDF("media_id", "n_samples", "zero_crossings", "sum_abs", "audio_fp")
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size chunk
     * of the payload becomes a frame row (flatMap — one narrow pass). The
     * default `frameBytes` is the real container's block size, so
@@ -344,6 +361,12 @@ object MediaCodec {
       pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
       i += 1
     }
+    wrapWav(pcm, rateHz, n)
+  }
+
+  /** Wrap raw little-endian PCM16 mono samples in a genuine RIFF/WAV
+    * container via `AudioSystem` — shared by both synthesizers. */
+  private def wrapWav(pcm: Array[Byte], rateHz: Int, n: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1,
       true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
@@ -352,6 +375,79 @@ object MediaCodec {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Deterministic mono PCM16 clip in PURE INTEGER arithmetic — the
+    * oracle-replayable audio fixture (the p116 PNG trick for sound):
+    * sample(i) = sawtooth(period p1, amplitude a1) + square(period p2,
+    * amplitude a2), all four parameters seed-derived via
+    * [[graft.functions.Hash64.mix]] unsigned residues, every intermediate
+    * non-negative before the final subtraction so Scala's
+    * truncating `/` and DuckDB's flooring `//` agree. No `sin`, no
+    * floating point anywhere: DuckDB re-derives every sample from
+    * (seed, i) alone, and WAV PCM16 being lossless, a green oracle row
+    * proves the encode → decode loop bit-exact — closing the multimodal
+    * codec-loop matrix on its third modality (image p116, video p118,
+    * audio here). |sample| ≤ 6144+12287+2048+4095 = 24574 < 2^15: no
+    * clamp, no rounding. */
+  def syntheticWavInt(seed: Long, rateHz: Int, ms: Long): Array[Byte] = {
+    import java.lang.Long.remainderUnsigned
+    val n = (rateHz * ms / 1000).toInt
+    val p1 = 32 + remainderUnsigned(Hash64.mix(seed), 96L).toInt
+    val a1 = 6144 + remainderUnsigned(Hash64.mix(seed * 31 + 7), 12288L).toInt
+    val p2 = 16 + remainderUnsigned(Hash64.mix(seed * 17 + 3), 48L).toInt
+    val a2 = 2048 + remainderUnsigned(Hash64.mix(seed * 13 + 11), 4096L).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val saw = a1 - (2 * a1 * (i % p1)) / p1
+      val sq = if (2 * (i % p2) < p2) a2 else -a2
+      val sv = (saw + sq).toShort
+      pcm(2 * i) = (sv & 0xff).toByte
+      pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+      i += 1
+    }
+    wrapWav(pcm, rateHz, n)
+  }
+
+  /** REAL audio decode folded to an ORACLE-REPLAYABLE integer profile:
+    * the WAV container is parsed by `AudioSystem` (frame count from the
+    * file), and the decoded PCM16 samples fold — in sample order — into
+    * (n_samples, zero_crossings, sum |s|, fingerprint64 of the
+    * comma-joined sample values). Everything is integer arithmetic over
+    * the exact decoded shorts, so DuckDB replays the whole profile from
+    * the [[syntheticWavInt]] formula; the fingerprint chain
+    * (FNV-1a → mix → signed) is the p118 video-fingerprint chain.
+    * Scan-shaped: payloads never leave their partition; 32 bytes per
+    * clip continue. */
+  def audioProfileOf(payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"expected little-endian PCM16 mono, got $fmt")
+    val n = ais.getFrameLength.toInt
+    val bytes = ais.readAllBytes()
+    val sb = new java.lang.StringBuilder(n * 7)
+    var zc = 0L
+    var sumAbs = 0L
+    var prevPos = true
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+        .toShort.toInt
+      if (i > 0) {
+        sb.append(',')
+        if ((s >= 0) != prevPos) zc += 1
+      }
+      prevPos = s >= 0
+      sumAbs += math.abs(s)
+      sb.append(s)
+      i += 1
+    }
+    val fp = Hash64.mix(Hash64.fnv1a(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    (n.toLong, zc, sumAbs, fp)
   }
 
   /** REAL audio decode: the WAV container is parsed by `AudioSystem` (sample

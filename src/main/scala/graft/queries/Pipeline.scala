@@ -3301,9 +3301,12 @@ object Pipeline {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
       .writeStream
-      .foreachBatch(graft.streaming.NearDupStream
-        .filterBatch(spark, idxRoot, docsRoot, outRoot, "doc_id", "text",
-          threshold = 0.4) _)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.NearDupStream
+          .filterBatch(spark, idxRoot, docsRoot, outRoot, "doc_id", "text",
+            threshold = 0.4)(b, id)
+        ()
+      }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -5402,51 +5405,60 @@ object Pipeline {
       .orderBy("q")
   }
 
+  /** The p111 bounds → binning → fold → rank/interpolation replay,
+    * parameterized over (bins, the standing-bounds WHERE clause) — shared
+    * by p111 and the p120 rebuild lifecycle (whose rebuilt bounds
+    * re-derive over a wider corpus at doubled bins). Produces the CTE
+    * chain `stand/mm/allx/.../est(q, n, est)/ex(q, p_exact)`; callers
+    * append their drift CTEs and final SELECT. */
+  private def sqlQuantileReplayCtes(bins: Int, standWhere: String): String =
+    s"""stand AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+       |               WHERE $standWhere AND n_chars IS NOT NULL),
+       |mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM stand),
+       |allx AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+       |         WHERE n_chars IS NOT NULL),
+       |b AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0
+       |        ELSE CAST(greatest(least(floor((x - mm.mn)
+       |                                       / ((mm.mx - mm.mn) / $bins.0)),
+       |                                 ${bins - 1}.0), 0.0) AS INT) END AS bin
+       |      FROM allx CROSS JOIN mm),
+       |c AS (SELECT bin, COUNT(*) AS nb FROM b GROUP BY bin),
+       |nn AS (SELECT CAST(SUM(nb) AS BIGINT) AS n FROM c),
+       |cum AS (SELECT bin, nb,
+       |    SUM(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM c),
+       |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+       |                      CAST(0.99 AS DOUBLE)]) AS q),
+       |fb AS (SELECT q, MIN(bin) AS bin
+       |       FROM qs CROSS JOIN nn
+       |       JOIN cum ON cum.cum >= ceil(q * CAST(nn.n AS DOUBLE))
+       |       GROUP BY q),
+       |est AS (SELECT q, nn.n AS n,
+       |  CASE WHEN mm.mx = mm.mn THEN mm.mn
+       |    ELSE (mm.mn + (CAST(fb.bin AS DOUBLE) * ((mm.mx - mm.mn) / $bins.0)))
+       |      + (((CAST(ceil(q * CAST(nn.n AS DOUBLE)) AS DOUBLE)
+       |           - CAST(cum.cum - cum.nb AS DOUBLE)) / CAST(cum.nb AS DOUBLE))
+       |         * ((mm.mx - mm.mn) / $bins.0)) END AS est
+       |  FROM fb JOIN cum USING (bin) CROSS JOIN mm CROSS JOIN nn),
+       |ord AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM allx),
+       |nf AS (SELECT COUNT(*) AS n FROM allx),
+       |ex AS (SELECT q, x AS p_exact
+       |       FROM qs CROSS JOIN nf
+       |       JOIN ord ON ord.rn = CAST(ceil(q * nf.n) AS BIGINT))""".stripMargin
+
   val p111Sql: String =
-    """WITH stand AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
-      |               WHERE doc_id < 250 AND n_chars IS NOT NULL),
-      |mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM stand),
-      |allx AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
-      |         WHERE n_chars IS NOT NULL),
-      |b AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0
-      |        ELSE CAST(greatest(least(floor((x - mm.mn)
-      |                                       / ((mm.mx - mm.mn) / 128.0)),
-      |                                 127.0), 0.0) AS INT) END AS bin
-      |      FROM allx CROSS JOIN mm),
-      |c AS (SELECT bin, COUNT(*) AS nb FROM b GROUP BY bin),
-      |nn AS (SELECT CAST(SUM(nb) AS BIGINT) AS n FROM c),
-      |cum AS (SELECT bin, nb,
-      |    SUM(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
-      |  FROM c),
-      |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
-      |                      CAST(0.99 AS DOUBLE)]) AS q),
-      |fb AS (SELECT q, MIN(bin) AS bin
-      |       FROM qs CROSS JOIN nn
-      |       JOIN cum ON cum.cum >= ceil(q * CAST(nn.n AS DOUBLE))
-      |       GROUP BY q),
-      |est AS (SELECT q, nn.n AS n,
-      |  CASE WHEN mm.mx = mm.mn THEN mm.mn
-      |    ELSE (mm.mn + (CAST(fb.bin AS DOUBLE) * ((mm.mx - mm.mn) / 128.0)))
-      |      + (((CAST(ceil(q * CAST(nn.n AS DOUBLE)) AS DOUBLE)
-      |           - CAST(cum.cum - cum.nb AS DOUBLE)) / CAST(cum.nb AS DOUBLE))
-      |         * ((mm.mx - mm.mn) / 128.0)) END AS est
-      |  FROM fb JOIN cum USING (bin) CROSS JOIN mm CROSS JOIN nn),
-      |ord AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM allx),
-      |nf AS (SELECT COUNT(*) AS n FROM allx),
-      |ex AS (SELECT q, x AS p_exact
-      |       FROM qs CROSS JOIN nf
-      |       JOIN ord ON ord.rn = CAST(ceil(q * nf.n) AS BIGINT)),
-      |drift AS (SELECT
-      |    CAST(COALESCE(SUM(CASE WHEN x < mm.mn THEN 1 ELSE 0 END), 0)
-      |         AS BIGINT) AS n_below,
-      |    CAST(COALESCE(SUM(CASE WHEN x > mm.mx THEN 1 ELSE 0 END), 0)
-      |         AS BIGINT) AS n_above
-      |  FROM (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
-      |        WHERE doc_id >= 250 AND n_chars IS NOT NULL) inc
-      |  CROSS JOIN mm)
-      |SELECT est.q, est.n, est.est, ex.p_exact,
-      |  est.est - ex.p_exact AS err, drift.n_below, drift.n_above
-      |FROM est JOIN ex USING (q) CROSS JOIN drift ORDER BY q""".stripMargin
+    s"""WITH ${sqlQuantileReplayCtes(128, "doc_id < 250")},
+       |drift AS (SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN x < mm.mn THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS n_below,
+       |    CAST(COALESCE(SUM(CASE WHEN x > mm.mx THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS n_above
+       |  FROM (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+       |        WHERE doc_id >= 250 AND n_chars IS NOT NULL) inc
+       |  CROSS JOIN mm)
+       |SELECT est.q, est.n, est.est, ex.p_exact,
+       |  est.est - ex.p_exact AS err, drift.n_below, drift.n_above
+       |FROM est JOIN ex USING (q) CROSS JOIN drift ORDER BY q""".stripMargin
 
   // =========================================================================
   // p112 — STREAMING bloom maintenance: the MEMBERSHIP member of the
@@ -5727,14 +5739,16 @@ object Pipeline {
         val quality = Quality.repetitionStats(b, "doc_id", "text")
           .select(col("doc_id"), col("keep").as("quality_keep"))
         // stage 3 — near-dup: the family's own callback probes the
-        // standing index + prior batches and appends this batch's deltas
-        NearDupStream.filterBatch(spark, idxRoot, docsRoot, pairsRoot,
-          "doc_id", "text", threshold = 0.4)(
+        // standing index + prior batches and appends this batch's deltas;
+        // it RETURNS the batch's pair frame (localCheckpointed), so the
+        // verdict below composes without re-reading the parquet it wrote
+        val pairs = NearDupStream.filterBatch(spark, idxRoot, docsRoot,
+          pairsRoot, "doc_id", "text", threshold = 0.4)(
           b.select(col("doc_id"), col("text")), id)
         // flag the INGEST side of each pair: id_b when it is this
         // batch's (in-batch pairs drop the greater id; a cross pair's
         // old side is never in the batch), else id_a
-        val dupIds = spark.read.parquet(s"$pairsRoot/b$id")
+        val dupIds = pairs
           .join(b.select(col("doc_id").as("id_b"),
             lit(true).as("__b_in")), Seq("id_b"), "left")
           .select(when(col("__b_in").isNotNull, col("id_b"))
@@ -5922,9 +5936,12 @@ object Pipeline {
       onlyKind = Some("image"))
     val plants = Multimodal.plantImageVariants(imgs.filter(_.media_id < 30))
     val hashed = Multimodal.aHash64(imgs.union(plants)).localCheckpoint(true)
+    // maxBucketSize unbounded: the oracle replays UNCAPPED exact Hamming
+    // pairs, and aHash band keys are near-uniform (no hot buckets), so the
+    // engine must not silently drop over-cap buckets at a larger corpus
     Dedup.hammingPairs64(
         hashed.select(col("media_id").as("id"), col("ahash").as("sh64")),
-        maxHamming = 6)
+        maxHamming = 6, maxBucketSize = Int.MaxValue)
       .join(hashed.select(col("media_id").as("id_a"),
         col("ahash").as("ahash_a")), "id_a")
       .join(hashed.select(col("media_id").as("id_b"),
@@ -6156,6 +6173,323 @@ object Pipeline {
        |ORDER BY media_id""".stripMargin
   }
 
+  // =========================================================================
+  // p119 — AUDIO codec-loop oracle: the THIRD modality's oracle-hash row,
+  // closing the multimodal codec-loop matrix (image p116, video p118,
+  // audio here — r11 VERDICT missing #1). The sine fixture's libm `sin`
+  // made audio rows-only; this query synthesizes clips with
+  // MediaCodec.syntheticWavInt — sawtooth + square in PURE INTEGER
+  // arithmetic (periods/amplitudes = seed-derived mix residues) — wraps
+  // them in genuine RIFF/WAV containers, plants byte-identical re-ingests
+  // (+10000, the p118 exact-dup probe), then runs the REAL decode
+  // (AudioSystem parses the container; frame count from the file) and
+  // folds each clip to an integer profile: n_samples, zero crossings,
+  // sum |s|, and fingerprint64 over the comma-joined sample values in
+  // sample order (the p118 fingerprint chain). DuckDB re-derives every
+  // sample from (seed, i) alone — WAV PCM16 being lossless, a green row
+  // proves the audio encode → decode loop bit-exact. At 100 TB: decode +
+  // fold is scan-shaped (payloads never shuffle; 32 bytes per clip
+  // continue), dedup is the p118 fingerprint-window shape.
+  // =========================================================================
+  def p119AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("audio"), intAudio = true)
+    // byte-identical re-ingests under new ids — the exact-dup plant
+    val plants = clips.filter(_.media_id < 30)
+      .map(r => r.copy(media_id = r.media_id + 10000))
+    Multimodal.audioProfile(clips.union(plants))
+      .withColumn("canonical_id",
+        min(col("media_id")).over(Window.partitionBy(col("audio_fp"))))
+      .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+      .select(col("media_id"), col("n_samples"), col("zero_crossings"),
+        col("sum_abs"), col("audio_fp"), col("canonical_id"), col("is_dup"))
+      .orderBy("media_id")
+  }
+
+  val p119Sql: String = {
+    import OracleHash._
+    s"""WITH clips AS (
+       |  SELECT doc_id AS id, doc_id AS seed, doc_id % 200 + 50 AS ms
+       |  FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 10000, doc_id, doc_id % 200 + 50
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30),
+       |az AS (SELECT id, (8000 * ms) // 1000 AS n,
+       |    CAST(seed AS HUGEINT) AS z1,
+       |    CAST(seed AS HUGEINT) * 31 + 7 AS z2,
+       |    CAST(seed AS HUGEINT) * 17 + 3 AS z3,
+       |    CAST(seed AS HUGEINT) * 13 + 11 AS z4
+       |  FROM clips),
+       |ap AS (SELECT id, n,
+       |    CAST(32 + ${mix("z1")} % 96 AS BIGINT) AS p1,
+       |    CAST(6144 + ${mix("z2")} % 12288 AS BIGINT) AS a1,
+       |    CAST(16 + ${mix("z3")} % 48 AS BIGINT) AS p2,
+       |    CAST(2048 + ${mix("z4")} % 4096 AS BIGINT) AS a2
+       |  FROM az),
+       |smp AS (SELECT id, CAST(u.i AS BIGINT) AS i,
+       |    (a1 - (2 * a1 * (CAST(u.i AS BIGINT) % p1)) // p1)
+       |      + (CASE WHEN 2 * (CAST(u.i AS BIGINT) % p2) < p2
+       |         THEN a2 ELSE -a2 END) AS s
+       |  FROM ap CROSS JOIN unnest(range(n)) AS u(i)),
+       |smp2 AS (SELECT id, i, s,
+       |    LAG(s) OVER (PARTITION BY id ORDER BY i) AS ps FROM smp),
+       |aagg AS (SELECT id, COUNT(*) AS n_samples,
+       |    COALESCE(SUM(CASE WHEN ps IS NOT NULL
+       |      AND ((s >= 0) != (ps >= 0)) THEN 1 ELSE 0 END), 0)
+       |      AS zero_crossings,
+       |    SUM(ABS(s)) AS sum_abs,
+       |    string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS str
+       |  FROM smp2 GROUP BY id),
+       |ahh AS (SELECT id, n_samples, zero_crossings, sum_abs,
+       |    ${fnv1a("str")} AS hh FROM aagg),
+       |afp AS (SELECT id, n_samples, zero_crossings, sum_abs,
+       |    ${signed64(mix("hh"))} AS audio_fp FROM ahh)
+       |SELECT id AS media_id, CAST(n_samples AS BIGINT) AS n_samples,
+       |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
+       |  CAST(sum_abs AS BIGINT) AS sum_abs, audio_fp,
+       |  MIN(id) OVER (PARTITION BY audio_fp) AS canonical_id,
+       |  id != MIN(id) OVER (PARTITION BY audio_fp) AS is_dup
+       |FROM afp
+       |ORDER BY media_id""".stripMargin
+  }
+
+  // =========================================================================
+  // p120 — QUANTILE-STORE REBUILD/SWAP lifecycle under the oracle (r11
+  // VERDICT missing #2a): the p115 provenance pattern applied to the
+  // order-statistics store. Phase 1: bounds frozen from the standing
+  // corpus, two streamed batches bin under them, each emitting its
+  // boundsDrift profile — the n_below/n_above mass the frozen bounds
+  // clamp is the rebuild signal. Rebuild: QuantileStream.rebuildStore
+  // re-derives bounds over the CURRENT corpus at doubled bins into NEW
+  // roots (the old roots are never touched — readers swap; a count store
+  // retains only bin counts, so re-binning scans the source corpus once,
+  // the documented cost). Post-swap: a fresh stream (new lineage,
+  // batches 0..1) appends under the rebuilt bounds. The result carries
+  // the live estimates from the REBUILT store, the exact percentiles,
+  // and both phases' drift totals — the trigger evidence and the
+  // post-swap health, all replayed by the oracle from raw data
+  // (sqlQuantileReplayCtes parameterized over the rebuilt bounds).
+  // =========================================================================
+  def p120QuantileRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.QuantileStream
+    import graft.operators.Profiling
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") < 250)
+    val inc1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p120_").toString
+    val in = s"$root/in"
+    val bounds1 = s"$root/bounds1"; val counts1 = s"$root/counts1"
+    val bounds2 = s"$root/bounds2"; val counts2 = s"$root/counts2"
+    QuantileStream.writeStanding(spark, bounds1, counts1, standing,
+      "n_chars", 128)
+    writeDailyFilesBy(inc1, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(QuantileStream.advanceBatch(spark, bounds1,
+        counts1, s"$root/prof1", "n_chars") _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the rebuild signal: clamped mass under the OLD bounds
+    val drift1 = spark.read.parquet(s"$root/prof1/b*")
+      .agg(coalesce(sum(col("n_below")), lit(0L)).as("old_below"),
+        coalesce(sum(col("n_above")), lit(0L)).as("old_above"))
+    // rebuild: bounds re-derived over the CURRENT corpus, bins doubled,
+    // NEW roots — one corpus scan (the store retains only bin counts)
+    QuantileStream.rebuildStore(spark,
+      docs.filter(col("doc_id") < 375).select(col("doc_id"), col("n_chars")),
+      bounds2, counts2, "n_chars", 256)
+    // post-swap: a fresh stream (new lineage) appends under the rebuilt
+    // bounds — direct callback calls ARE its batches 0..1 (p115's shape)
+    QuantileStream.advanceBatch(spark, bounds2, counts2, s"$root/prof2",
+      "n_chars")(
+      docs.filter(col("doc_id") >= 375 && pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("n_chars")), 0L)
+    QuantileStream.advanceBatch(spark, bounds2, counts2, s"$root/prof2",
+      "n_chars")(
+      docs.filter(col("doc_id") >= 375 && pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("n_chars")), 1L)
+    val drift2 = spark.read.parquet(s"$root/prof2/b*")
+      .agg(coalesce(sum(col("n_below")), lit(0L)).as("new_below"),
+        coalesce(sum(col("n_above")), lit(0L)).as("new_above"))
+    val est = QuantileStream.quantilesAt(spark, bounds2, counts2,
+      Seq(0.5, 0.9, 0.99))
+    val exact = Profiling.histogramQuantiles(docs, "n_chars", 256,
+      Seq(0.5, 0.9, 0.99), exact = true).select(col("q"), col("p_exact"))
+    est.join(exact, Seq("q"))
+      .crossJoin(broadcast(drift1)).crossJoin(broadcast(drift2))
+      .select(col("q"), col("n"), col("est"), col("p_exact"),
+        (col("est") - col("p_exact")).as("err"),
+        col("old_below"), col("old_above"),
+        col("new_below"), col("new_above"))
+      .orderBy("q")
+  }
+
+  val p120Sql: String =
+    s"""WITH ${sqlQuantileReplayCtes(256, "doc_id < 375")},
+       |mm1 AS (SELECT MIN(x) AS mn, MAX(x) AS mx
+       |        FROM (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+       |              WHERE doc_id < 250 AND n_chars IS NOT NULL)),
+       |drift1 AS (SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN x < mm1.mn THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS old_below,
+       |    CAST(COALESCE(SUM(CASE WHEN x > mm1.mx THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS old_above
+       |  FROM (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+       |        WHERE doc_id >= 250 AND doc_id < 375 AND n_chars IS NOT NULL)
+       |  CROSS JOIN mm1),
+       |drift2 AS (SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN x < mm.mn THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS new_below,
+       |    CAST(COALESCE(SUM(CASE WHEN x > mm.mx THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS new_above
+       |  FROM (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+       |        WHERE doc_id >= 375 AND n_chars IS NOT NULL)
+       |  CROSS JOIN mm)
+       |SELECT est.q, est.n, est.est, ex.p_exact,
+       |  est.est - ex.p_exact AS err,
+       |  drift1.old_below, drift1.old_above,
+       |  drift2.new_below, drift2.new_above
+       |FROM est JOIN ex USING (q)
+       |CROSS JOIN drift1 CROSS JOIN drift2 ORDER BY q""".stripMargin
+
+  // =========================================================================
+  // p121 — BLOOM-STORE REBUILD/SWAP lifecycle under the oracle (r11
+  // VERDICT missing #2b): the saturated-blocklist remedy, end to end.
+  // Phase 1: the standing blocklist bloom is DELIBERATELY undersized
+  // (m = 1024 bits) and two streamed batches append set-bit deltas —
+  // thousands of grams into 4×1024 bits saturate the rows (the
+  // bloomFillAt signal; its integer numerator, the folded distinct
+  // set-bit count, rides into the result as the trigger evidence).
+  // Rebuild: SketchStream.rebuildBloomStore re-hashes the RETAINED
+  // blocklist key relation (set bits cannot be re-addressed to a new m —
+  // the keys are the authority) at m = 65536 into a NEW root; old root
+  // untouched, readers swap. Post-swap: a fresh stream (new lineage,
+  // batches 0..1) appends the remaining blocklist arrivals under the new
+  // m. The probe a decontamination pass runs — scan-local literal-mask
+  // prefilter + exact verify — then reads the REBUILT store; the oracle
+  // replays both stores' exact HUGEINT bit relations (the p112 chain at
+  // each m) plus the candidate counts under the rebuilt store, so false
+  // positives of the new m must match bit-for-bit, not just verdicts.
+  // =========================================================================
+  def p121BloomRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.SketchStream
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          array_distinct(TF.tokenShingles(TF.tokens(col("text")), 5)).as("sh"))
+        .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val bench = docs.filter(col("source") === "src0")
+    val standing = bench.filter(pmod(col("doc_id"), lit(8)) < 4)
+    val inc1 = bench.filter(pmod(col("doc_id"), lit(8)).isin(4, 5))
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p121_").toString
+    val in = s"$root/in"
+    val bloom1 = s"$root/bloom1"; val bloom2 = s"$root/bloom2"
+    val mOld = 1 << 10; val mNew = 1 << 16
+    SketchStream.writeStandingBloom(spark, bloom1, grams(standing), "gram",
+      4, mOld)
+    writeDailyFilesBy(inc1, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        SketchStream.advanceBatchBloom(spark, bloom1, "gram", 4, mOld)(
+          grams(b), id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // saturation evidence: the folded old store's distinct set-bit count
+    // (the integer numerator of bloomFillAt — ≤ 4×1024 at this m)
+    val oldBits = SketchStream.readBloomBits(spark, bloom1)
+      .agg(count(lit(1)).as("old_set_bits"))
+    // rebuild: re-hash the retained key relation at the larger m into a
+    // NEW root (keys are the authority; bits don't re-address)
+    SketchStream.rebuildBloomStore(spark, bloom2,
+      grams(bench.filter(pmod(col("doc_id"), lit(8)) < 6)), "gram", 4, mNew)
+    // post-swap: a fresh stream's batches 0..1 append under the new m
+    SketchStream.advanceBatchBloom(spark, bloom2, "gram", 4, mNew)(
+      grams(bench.filter(pmod(col("doc_id"), lit(8)) === 6)), 0L)
+    SketchStream.advanceBatchBloom(spark, bloom2, "gram", 4, mNew)(
+      grams(bench.filter(pmod(col("doc_id"), lit(8)) === 7)), 1L)
+    val newBits = SketchStream.readBloomBits(spark, bloom2)
+      .agg(count(lit(1)).as("new_set_bits"))
+    // the decontamination probe against the REBUILT store
+    val corpusGrams = grams(docs.filter(col("source") =!= "src0"))
+    val cand = SketchStream.prefilterAt(spark, bloom2, corpusGrams, "gram",
+      4, mNew)
+    val nCand = cand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidate_grams"))
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+    cand.join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= 3)
+      .join(nCand, "doc_id")
+      .crossJoin(broadcast(oldBits)).crossJoin(broadcast(newBits))
+      .select(col("doc_id"), col("n_candidate_grams"),
+        col("n_shared_grams"), col("old_set_bits"), col("new_set_bits"))
+      .orderBy("doc_id")
+  }
+
+  val p121Sql: String = {
+    import OracleHash._
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, ${sqlGram5List("toks")} AS sh
+       |  FROM (SELECT doc_id, source, $sqlToks AS toks FROM documents)),
+       |bgr AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+       |        WHERE source = 'src0'),
+       |okeys AS (SELECT DISTINCT gram FROM bgr WHERE doc_id % 8 < 6),
+       |oj AS (SELECT gram || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM okeys CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+       |oh0 AS (SELECT j, ${fnv1a("sv")} AS h FROM oj),
+       |obits AS (SELECT DISTINCT j, CAST(${mix("h")} % 1024 AS INT) AS bit
+       |          FROM oh0),
+       |osb AS (SELECT CAST(COUNT(*) AS BIGINT) AS old_set_bits FROM obits),
+       |nkeys AS (SELECT DISTINCT gram FROM bgr),
+       |nj AS (SELECT gram || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM nkeys CROSS JOIN (SELECT unnest(range(4)) AS j) js2),
+       |nh0 AS (SELECT j, ${fnv1a("sv")} AS h FROM nj),
+       |nbits AS (SELECT DISTINCT j, CAST(${mix("h")} % 65536 AS INT) AS bit
+       |          FROM nh0),
+       |nsb AS (SELECT CAST(COUNT(*) AS BIGINT) AS new_set_bits FROM nbits),
+       |corpus AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+       |           WHERE source != 'src0'),
+       |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+       |       FROM corpus JOIN nkeys USING (gram)
+       |       GROUP BY doc_id HAVING COUNT(*) >= 3),
+       |cg AS (SELECT c.doc_id, c.gram FROM corpus c JOIN ns USING (doc_id)),
+       |cj AS (SELECT doc_id, gram, gram || '#' || CAST(j AS VARCHAR) AS sv, j
+       |       FROM cg CROSS JOIN (SELECT unnest(range(4)) AS j) js3),
+       |ch0 AS (SELECT doc_id, gram, j, ${fnv1a("sv")} AS h FROM cj),
+       |cbits AS (SELECT doc_id, gram, j,
+       |          CAST(${mix("h")} % 65536 AS INT) AS bit FROM ch0),
+       |cand AS (SELECT doc_id, gram FROM cbits JOIN nbits USING (j, bit)
+       |         GROUP BY doc_id, gram HAVING COUNT(*) = 4),
+       |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidate_grams
+       |       FROM cand GROUP BY doc_id)
+       |SELECT ns.doc_id, nc.n_candidate_grams, ns.n_shared_grams,
+       |  osb.old_set_bits, nsb.new_set_bits
+       |FROM ns JOIN nc USING (doc_id)
+       |CROSS JOIN osb CROSS JOIN nsb
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -6275,7 +6609,10 @@ object Pipeline {
     "p115_ivf_rebuild" -> (p115IvfRebuild _),
     "p116_image_neardup" -> (p116ImageNearDup _),
     "p117_stream_image_index" -> (p117StreamImageIndex _),
-    "p118_video_frame_profile" -> (p118VideoFrameProfile _))
+    "p118_video_frame_profile" -> (p118VideoFrameProfile _),
+    "p119_audio_fingerprint" -> (p119AudioFingerprint _),
+    "p120_quantile_rebuild" -> (p120QuantileRebuild _),
+    "p121_bloom_rebuild" -> (p121BloomRebuild _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -6393,5 +6730,8 @@ object Pipeline {
     "p115_ivf_rebuild" -> p115Sql,
     "p116_image_neardup" -> p116Sql,
     "p117_stream_image_index" -> p117Sql,
-    "p118_video_frame_profile" -> p118Sql)
+    "p118_video_frame_profile" -> p118Sql,
+    "p119_audio_fingerprint" -> p119Sql,
+    "p120_quantile_rebuild" -> p120Sql,
+    "p121_bloom_rebuild" -> p121Sql)
 }

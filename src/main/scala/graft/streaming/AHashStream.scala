@@ -82,9 +82,13 @@ object AHashStream {
       Versions.autoCompact(spark, root, batchId, k))
     val bh = Multimodal.aHash64Bytes(batch, idCol, payloadCol)
       .localCheckpoint(true)
+    // maxBucketSize = unbounded: the oracle replays UNCAPPED exact pairs,
+    // so the in-batch arm must match the cross arm's completeness contract
+    // (perceptual-hash band keys are near-uniform — no Zipf-hot buckets to
+    // cap, unlike text shingles)
     val inBatch = Dedup.hammingPairs64(
       bh.select(col("media_id").as("id"), col("ahash").as("sh64")),
-      maxHamming)
+      maxHamming, maxBucketSize = Int.MaxValue)
     // cross arm: standing bands stay a narrow scan transform; the batch
     // side broadcasts — the standing index never shuffles
     val oldBands = Dedup.chunkPairRows(

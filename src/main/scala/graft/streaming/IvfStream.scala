@@ -62,11 +62,15 @@ object IvfStream {
   // when the bank at hand doesn't hash to the pinned value.
 
   /** Order-independent content fingerprint of a bank relation (cell, cv):
-    * bit_xor over `fingerprint64` of each row's canonical
-    * `cell:v0,v1,...` rendering — one model-sized fold (≤ cells rows),
-    * deterministic across partitionings because XOR is commutative and
-    * the per-row rendering is value-only. */
-  def bankFingerprint(bank: DataFrame): Long = {
+    * (bit_xor over `fingerprint64` of each row's canonical
+    * `cell:v0,v1,...` rendering, row count) — one model-sized fold
+    * (≤ cells rows), deterministic across partitionings because XOR is
+    * commutative and the per-row rendering is value-only. The count rides
+    * along because XOR alone is blind to PAIRED duplicates (two copies of
+    * a row cancel: a bank with a crash-double-appended row would
+    * fingerprint identical to the clean bank); pinning (fp, n) together
+    * closes that hole. */
+  def bankFingerprint(bank: DataFrame): (Long, Long) = {
     val row = bank
       .select(graft.functions.HashFunctions.fingerprint64(concat_ws(":",
           col("cell").cast("string"),
@@ -75,13 +79,13 @@ object IvfStream {
       .agg(expr("bit_xor(__fp)").as("fp"), count(lit(1)).as("n"))
       .head()
     require(row.getLong(1) > 0, "cannot fingerprint an empty bank")
-    row.getLong(0)
+    (row.getLong(0), row.getLong(1))
   }
 
   private def writeBankPin(spark: SparkSession, indexRoot: String,
-      fp: Long): Unit = {
+      fp: (Long, Long)): Unit = {
     import spark.implicits._
-    Seq(("bank_fp", fp)).toDF("k", "v")
+    Seq(("bank_fp", fp._1), ("bank_n", fp._2)).toDF("k", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/_params")
   }
 
@@ -96,12 +100,13 @@ object IvfStream {
       s"$indexRoot/_params missing — writeStanding (which pins the " +
         "fingerprint of the bank the index was assigned under) before " +
         "appending or probing")
-    val pinned = spark.read.parquet(s"$indexRoot/_params")
-      .filter(col("k") === "bank_fp").head().getLong(1)
+    val pinRows = spark.read.parquet(s"$indexRoot/_params")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pinned = (pinRows("bank_fp"), pinRows.getOrElse("bank_n", -1L))
     val actual = bankFingerprint(spark.read.parquet(s"$bankRoot/v0"))
     require(actual == pinned,
       s"bank at $bankRoot does not match the bank $indexRoot was built " +
-        s"under (fingerprint $actual vs pinned $pinned) — assignments " +
+        s"under (fingerprint/count $actual vs pinned $pinned) — assignments " +
         "under one bank probed under another silently collapse recall; " +
         "use the original bank root or rebuildIndex into new roots")
   }

@@ -35,7 +35,7 @@ object NearDupStream {
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.6, maxBucketSize: Int = 200, seed: Long = 42L,
       autoCompactVersions: Option[Int] = None)(
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long): DataFrame = {
     def deltasOf(root: String, what: String,
         compactTransform: DataFrame => DataFrame): Seq[String] = {
       val versions = Versions.list(spark, root)
@@ -61,15 +61,21 @@ object NearDupStream {
       deltasOf(indexRoot, "band index", _.distinct()): _*)
     val existingDocs = spark.read.parquet(
       deltasOf(docsRoot, "docs store", identity): _*)
-    Dedup.minhashPairsIncremental(batch, idCol, textCol, idx, existingDocs,
-        numHashes, bands, shingleSize, threshold, maxBucketSize, seed)
+    // localCheckpoint before writing so the returned frame doesn't
+    // recompute the probe when a composing caller (the p114 capstone)
+    // reuses the batch's pairs — saves a parquet read-back per batch
+    val pairs = Dedup.minhashPairsIncremental(batch, idCol, textCol, idx,
+        existingDocs, numHashes, bands, shingleSize, threshold,
+        maxBucketSize, seed)
       .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+      .localCheckpoint(true)
+    pairs.write.mode("overwrite").parquet(s"$outRoot/b$batchId")
     Dedup.minhashBandIndex(batch, idCol, textCol, numHashes, bands,
         shingleSize, seed)
       .write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
     batch.select(col(idCol), col(textCol))
       .write.mode("overwrite").parquet(s"$docsRoot/v${batchId + 1}")
+    pairs
   }
 
   /** Merge both delta stores' `v0..v<upTo>` into new base snapshots (see

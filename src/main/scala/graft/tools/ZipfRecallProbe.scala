@@ -68,6 +68,11 @@ object ZipfRecallProbe {
 
       def recallRow(family: String, cap: Int, found: DataFrame,
           stats: Option[(Long, Long, Long)]): Unit = {
+        if (total == 0) {
+          println(s"| $dir | $family | $cap | n/a (no qualifying exact " +
+            "pairs at this corpus/seed) | 0/0 | - |")
+          return
+        }
         val hits = found
           .filter(col("id_a") < nSeeds || col("id_b") < nSeeds)
           .select(col("id_a"), col("id_b"))

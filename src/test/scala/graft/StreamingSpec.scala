@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.Tables
 import graft.streaming.EventStream
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Streaming/batch parity: the micro-batched pipeline over the bounded events
@@ -367,8 +368,11 @@ class StreamingSpec extends SparkSpec {
     val q = spark.readStream
       .schema(b0.schema).option("maxFilesPerTrigger", 1).parquet(in)
       .writeStream
-      .foreachBatch(NearDupStream.filterBatch(spark, idx, dstore, out,
-        "doc_id", "text", threshold = 0.4) _)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        NearDupStream.filterBatch(spark, idx, dstore, out,
+          "doc_id", "text", threshold = 0.4)(b, id)
+        ()
+      }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -5687,15 +5687,76 @@ object Pipeline {
   // quality projection, one band probe against bucketed deltas; the
   // standing corpus, blocklist and band index are never re-scanned.
   // =========================================================================
+  /** The 5-gram relation of a (doc_id, text) frame — the decontamination
+    * gram unit shared by the p112/p113/p114/p121 engines. */
+  private def gram5(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        array_distinct(TF.tokenShingles(TF.tokens(col("text")), 5)).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+
+  /** The p114 ingest-capstone `foreachBatch` body, extracted so the
+    * crash-consistency spec can drive it directly. Four stores land per
+    * batch, in order: pairs delta → band delta → doc delta (the first
+    * three inside [[graft.streaming.NearDupStream.filterBatch]]) →
+    * combined verdict delta. Every write is batch-id-named deterministic
+    * overwrite, so redelivery after a crash between ANY two of the four
+    * converges byte-identically to the uninterrupted run — spec-gated in
+    * StreamingSpec (the RetrievalStream two-root hardening applied to
+    * the composed pipeline). */
+  def ingestCapstoneBatch(spark: SparkSession, masks: Array[Array[Long]],
+      benchGrams: DataFrame, idxRoot: String, docsRoot: String,
+      pairsRoot: String, outRoot: String)(b: DataFrame, id: Long): Unit = {
+    import graft.streaming.NearDupStream
+    import graft.operators.{Profiling, Quality}
+    // stage 1 — decontamination: literal-mask prefilter (scan-local,
+    // zero joins for clean docs) + exact verify over candidates only
+    val contam = gram5(b)
+      .filter(Profiling.bloomMightContain(col("gram"), masks, 1 << 16))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_shared"))
+      .filter(col("__n_shared") >= 3)
+      .select(col("doc_id"), lit(true).as("__contam"))
+    // stage 2 — quality: the scan-shaped repetition verdict
+    val quality = Quality.repetitionStats(b, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    // stage 3 — near-dup: the family's own callback probes the
+    // standing index + prior batches and appends this batch's deltas;
+    // it RETURNS the batch's pair frame (localCheckpointed), so the
+    // verdict below composes without re-reading the parquet it wrote
+    val pairs = NearDupStream.filterBatch(spark, idxRoot, docsRoot,
+      pairsRoot, "doc_id", "text", threshold = 0.4)(
+      b.select(col("doc_id"), col("text")), id)
+    // flag the INGEST side of each pair: id_b when it is this
+    // batch's (in-batch pairs drop the greater id; a cross pair's
+    // old side is never in the batch), else id_a
+    val dupIds = pairs
+      .join(b.select(col("doc_id").as("id_b"),
+        lit(true).as("__b_in")), Seq("id_b"), "left")
+      .select(when(col("__b_in").isNotNull, col("id_b"))
+        .otherwise(col("id_a")).as("doc_id"))
+      .distinct()
+      .withColumn("__dup", lit(true))
+    // ONE combined verdict delta per batch
+    b.select(col("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__contam"), lit(false)).as("contaminated"),
+        col("quality_keep"),
+        coalesce(col("__dup"), lit(false)).as("near_dup"))
+      .withColumn("keep", !col("contaminated") && col("quality_keep") &&
+        !col("near_dup"))
+      .withColumn("batch", lit(id))
+      .write.mode("overwrite").parquet(s"$outRoot/b$id")
+  }
+
   def p114StreamIngest(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import graft.streaming.{NearDupStream, SketchStream}
     import graft.operators.{Profiling, Quality}
     val docs = Tables.documents(spark, dir)
-    def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"),
-          array_distinct(TF.tokenShingles(TF.tokens(col("text")), 5)).as("sh"))
-        .select(col("doc_id"), explode(col("sh")).as("gram"))
+    def grams(df: DataFrame): DataFrame = gram5(df)
     val bench = docs.filter(col("source") === "src0")
     val corpus = docs.filter(col("source") =!= "src0")
     val standing = corpus.filter(col("doc_id") < 250)
@@ -5726,50 +5787,8 @@ object Pipeline {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        // stage 1 — decontamination: literal-mask prefilter (scan-local,
-        // zero joins for clean docs) + exact verify over candidates only
-        val contam = grams(b)
-          .filter(Profiling.bloomMightContain(col("gram"), masks, 1 << 16))
-          .join(broadcast(benchGrams), "gram")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_shared"))
-          .filter(col("__n_shared") >= 3)
-          .select(col("doc_id"), lit(true).as("__contam"))
-        // stage 2 — quality: the scan-shaped repetition verdict
-        val quality = Quality.repetitionStats(b, "doc_id", "text")
-          .select(col("doc_id"), col("keep").as("quality_keep"))
-        // stage 3 — near-dup: the family's own callback probes the
-        // standing index + prior batches and appends this batch's deltas;
-        // it RETURNS the batch's pair frame (localCheckpointed), so the
-        // verdict below composes without re-reading the parquet it wrote
-        val pairs = NearDupStream.filterBatch(spark, idxRoot, docsRoot,
-          pairsRoot, "doc_id", "text", threshold = 0.4)(
-          b.select(col("doc_id"), col("text")), id)
-        // flag the INGEST side of each pair: id_b when it is this
-        // batch's (in-batch pairs drop the greater id; a cross pair's
-        // old side is never in the batch), else id_a
-        val dupIds = pairs
-          .join(b.select(col("doc_id").as("id_b"),
-            lit(true).as("__b_in")), Seq("id_b"), "left")
-          .select(when(col("__b_in").isNotNull, col("id_b"))
-            .otherwise(col("id_a")).as("doc_id"))
-          .distinct()
-          .withColumn("__dup", lit(true))
-        // ONE combined verdict delta per batch
-        b.select(col("doc_id"))
-          .join(contam, Seq("doc_id"), "left")
-          .join(quality, Seq("doc_id"))
-          .join(dupIds, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("__contam"), lit(false)).as("contaminated"),
-            col("quality_keep"),
-            coalesce(col("__dup"), lit(false)).as("near_dup"))
-          .withColumn("keep", !col("contaminated") && col("quality_keep") &&
-            !col("near_dup"))
-          .withColumn("batch", lit(id))
-          .write.mode("overwrite").parquet(s"$outRoot/b$id")
-        ()
-      }
+      .foreachBatch(ingestCapstoneBatch(spark, masks, benchGrams,
+        idxRoot, docsRoot, pairsRoot, outRoot) _)
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -1383,4 +1383,107 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("p114 capstone crash consistency: a crash between ANY two of the " +
+      "four store writes converges on redelivery across all four stores") {
+    // The composed ingest callback writes four stores per batch: pairs
+    // delta, band delta, doc delta (inside NearDupStream.filterBatch, in
+    // that order), then the combined verdict delta. Each is batch-id-named
+    // deterministic overwrite — but the COMPOSED failure mode a real
+    // pipeline hits is a crash BETWEEN writes, leaving some stores at the
+    // batch and some behind. Simulate the two distinct crash points and
+    // assert redelivery converges every store byte-identically to the
+    // uninterrupted run (the RetrievalStream two-root hardening, applied
+    // to the capstone).
+    import java.nio.file.Files
+    import graft.queries.Pipeline
+    import graft.streaming.{NearDupStream, SketchStream}
+    import graft.operators.{Dedup, Profiling}
+    import spark.implicits._
+    def doc(seed: Int, words: Int): String =
+      (0 until words).map(i => s"c${seed}x$i").mkString(" ")
+    val base = doc(3, 60)
+    // bench doc: batch-1 doc 22 shares a long prefix (>= 3 five-gram
+    // overlap => contaminated); others share no tokens with it
+    val benchDoc = doc(500, 40)
+    val bench = Seq((900L, benchDoc)).toDF("doc_id", "text")
+    val standing = Seq((1L, base), (2L, doc(50, 60))).toDF("doc_id", "text")
+    val novel = doc(70, 60)
+    val b0 = Seq((10L, base.split(" ").updated(5, "changed").mkString(" ")),
+      (11L, novel)).toDF("doc_id", "text")
+    val b1 = Seq(
+      (20L, novel.split(" ").updated(7, "altered").mkString(" ")), // cross dup
+      (21L, ("junk " * 40).trim),                                  // low quality
+      (22L, benchDoc.split(" ").take(20).mkString(" ") + " " + doc(77, 10)),
+      (23L, doc(90, 60))).toDF("doc_id", "text")                   // clean
+    case class Roots(idx: String, docs: String, pairs: String, out: String)
+    def setup(): (Roots, Array[Array[Long]], DataFrame) = {
+      val root = Files.createTempDirectory("p114crash_").toString
+      val r = Roots(s"$root/idx", s"$root/docs", s"$root/pairs", s"$root/out")
+      val benchGramRel = bench.select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokenShingles(
+          graft.functions.TextFunctions.tokens(col("text")), 5))).as("gram"))
+      SketchStream.writeStandingBloom(spark, s"$root/bloom",
+        benchGramRel, "gram")
+      val masks = Profiling.bloomMasks(
+        SketchStream.readBloomBits(spark, s"$root/bloom"), 4, 1 << 16)
+      val benchGrams = benchGramRel.select(col("gram"))
+        .distinct().localCheckpoint(true)
+      Dedup.minhashBandIndex(standing, "doc_id", "text")
+        .write.parquet(s"${r.idx}/v0")
+      standing.write.parquet(s"${r.docs}/v0")
+      (r, masks, benchGrams)
+    }
+    def callback(r: Roots, masks: Array[Array[Long]], bg: DataFrame)(
+        b: DataFrame, id: Long): Unit =
+      Pipeline.ingestCapstoneBatch(spark, masks, bg,
+        r.idx, r.docs, r.pairs, r.out)(b, id)
+    def snapshot(r: Roots): Map[String, Seq[String]] = Map(
+      "pairs" -> spark.read.parquet(s"${r.pairs}/b*").collect()
+        .map(_.toString).sorted.toSeq,
+      "bands" -> spark.read.parquet(s"${r.idx}/v*").collect()
+        .map(_.toString).sorted.toSeq,
+      "docs" -> spark.read.parquet(s"${r.docs}/v*").collect()
+        .map(_.toString).sorted.toSeq,
+      "verdicts" -> spark.read.parquet(s"${r.out}/b*").collect()
+        .map(_.toString).sorted.toSeq)
+
+    // scenario A: uninterrupted
+    val (ra, masksA, bgA) = setup()
+    callback(ra, masksA, bgA)(b0, 0L); callback(ra, masksA, bgA)(b1, 1L)
+    val want = snapshot(ra)
+    assert(want("verdicts").nonEmpty && want("pairs").nonEmpty)
+    // sanity: the fixture exercises all three verdict families
+    val va = spark.read.parquet(s"${ra.out}/b1")
+      .select("doc_id", "contaminated", "quality_keep", "near_dup")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(va(20L)._4, "cross-batch near-dup must flag doc 20")
+    assert(va(22L)._2, "contaminated doc 22 must flag")
+    assert(!va(21L)._3, "repetitive doc 21 must fail quality")
+    assert(va(23L) === ((23L, false, true, false)), "doc 23 clean")
+
+    // scenario B: crash AFTER the three near-dup writes, BEFORE the
+    // verdict write — then redeliver the full batch
+    val (rb, masksB, bgB) = setup()
+    callback(rb, masksB, bgB)(b0, 0L)
+    NearDupStream.filterBatch(spark, rb.idx, rb.docs, rb.pairs,
+      "doc_id", "text", threshold = 0.4)(b1.select("doc_id", "text"), 1L)
+    callback(rb, masksB, bgB)(b1, 1L)
+    assert(snapshot(rb) === want,
+      "crash between near-dup deltas and verdict must converge")
+
+    // scenario C: crash AFTER the pairs write, BEFORE the band/doc
+    // deltas — then redeliver the full batch
+    val (rc, masksC, bgC) = setup()
+    callback(rc, masksC, bgC)(b0, 0L)
+    val idxSoFar = spark.read.parquet(s"${rc.idx}/v0", s"${rc.idx}/v1")
+    val docsSoFar = spark.read.parquet(s"${rc.docs}/v0", s"${rc.docs}/v1")
+    Dedup.minhashPairsIncremental(b1.select("doc_id", "text"), "doc_id",
+        "text", idxSoFar, docsSoFar, threshold = 0.4)
+      .withColumn("batch", lit(1L))
+      .write.mode("overwrite").parquet(s"${rc.pairs}/b1")
+    callback(rc, masksC, bgC)(b1, 1L)
+    assert(snapshot(rc) === want,
+      "crash between pairs and band deltas must converge")
+  }
 }

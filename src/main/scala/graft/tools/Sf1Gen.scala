@@ -127,11 +127,65 @@ object Sf1Gen {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     // ---- embeddings ------------------------------------------------------
+    // `vecMode = aniso` (args(3)) replaces the centroid-fitted generator
+    // with a REALISM fixture for the vector-side recall audit (r11 VERDICT
+    // missing #3): real embedding corpora are ANISOTROPIC (variance
+    // concentrated in a few leading directions — the spectrum decays as a
+    // power law) with HEAVY-TAILED cluster sizes (a few giant clusters,
+    // a long tail of tiny ones — Zipf, like everything else in web text).
+    // This is exactly the configuration where hyperplane LSH (planes
+    // waste bits on low-variance directions) and fixed-stride IVF seeds
+    // (stride sampling lands mostly in the giant clusters) degrade; the
+    // shipped generator's 10 equal balanced clusters can't exhibit it.
+    // 64 clusters, sizes ∝ rank^-1.2; per-dim σ ∝ (d+1)^-0.7 for both
+    // centroid placement and within-cluster noise; unit-normalized like
+    // the shipped data.
+    val anisoVec = args.length > 3 && args(3) == "aniso"
+    import org.apache.spark.sql.functions._
+    if (anisoVec) {
+      val dim = 64; val nClusters = 64
+      val spectrum = Array.tabulate(dim)(d => math.pow(d + 1.0, -0.7))
+      val cr = new java.util.Random(SEED * 13L)
+      val cents = Array.tabulate(nClusters, dim)((_, d) =>
+        cr.nextGaussian() * spectrum(d) * 2.0)
+      val clusterCum = {
+        val w = Array.tabulate(nClusters)(i => math.pow(i + 1.0, -1.2))
+        val c = w.scanLeft(0.0)(_ + _).tail
+        c.map(_ / c.last)
+      }
+      val centB = spark.sparkContext.broadcast(cents)
+      val vecSchema = StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = true)),
+        StructField("label", IntegerType, nullable = false)))
+      val perPartV = (nVecs + nParts - 1) / nParts
+      val vecRdd = spark.sparkContext
+        .parallelize(0 until nParts, nParts)
+        .flatMap { pid =>
+          val rnd = new java.util.Random(SEED * 104729L + pid)
+          val lo = pid.toLong * perPartV
+          val hi = math.min(lo + perPartV, nVecs.toLong)
+          (lo until hi).iterator.map { id =>
+            val u = rnd.nextDouble()
+            var lab = java.util.Arrays.binarySearch(clusterCum, u)
+            if (lab < 0) lab = -lab - 1
+            val c = centB.value(lab)
+            val v = Array.tabulate(dim)(d =>
+              c(d) + rnd.nextGaussian() * spectrum(d) * 0.5)
+            val norm = math.sqrt(v.map(x => x * x).sum)
+            Row(id, v.map(x => (x / norm).toFloat).toSeq, lab)
+          }
+        }
+      spark.createDataFrame(vecRdd, vecSchema)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"sf1gen: wrote $nDocs docs + $nVecs ANISO vecs to $outDir")
+      spark.stop()
+      return
+    }
     // Fit per-label per-dim mean/σ from the shipped sf0.1 bank (10×64×2
     // doubles — model-sized), then sample around those centroids and
     // re-normalize to unit length like the shipped data.
     val ref = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    import org.apache.spark.sql.functions._
     val stats = ref.select(col("label"), posexplode(col("embedding")))
       .groupBy("label", "pos")
       .agg(avg(col("col")).as("mu"), stddev_pop(col("col")).as("sigma"))

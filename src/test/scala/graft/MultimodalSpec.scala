@@ -190,6 +190,58 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("audioProfile equals the pure integer-PCM formula (the WAV codec " +
+      "loop is lossless end to end); sine fixture is out of contract only " +
+      "for the formula, not the decode") {
+    import graft.multimodal.{MediaCodec, Multimodal}
+    import graft.functions.Hash64
+    import java.lang.Long.remainderUnsigned
+    val clips = Multimodal.fromDocuments(spark,
+      sources.Tables.documents(spark, sfDir), onlyKind = Some("audio"),
+      intAudio = true)
+    val got = Multimodal.audioProfile(clips.filter(_.media_id < 120))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    // expected: straight from the integer waveform formula — no WAV, no
+    // AudioSystem anywhere
+    def formulaProfile(id: Long): (Long, Long, Long, Long) = {
+      val ms = id % 200 + 50
+      val n = (8000 * ms / 1000).toInt
+      val p1 = 32 + remainderUnsigned(Hash64.mix(id), 96L).toInt
+      val a1 = 6144 + remainderUnsigned(Hash64.mix(id * 31 + 7), 12288L).toInt
+      val p2 = 16 + remainderUnsigned(Hash64.mix(id * 17 + 3), 48L).toInt
+      val a2 = 2048 + remainderUnsigned(Hash64.mix(id * 13 + 11), 4096L).toInt
+      val samples = Array.tabulate(n) { i =>
+        (a1 - (2 * a1 * (i % p1)) / p1) +
+          (if (2 * (i % p2) < p2) a2 else -a2)
+      }
+      val zc = (1 until n).count(i => (samples(i) >= 0) != (samples(i - 1) >= 0))
+      val fp = Hash64.mix(Hash64.fnv1a(
+        samples.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      (n.toLong, zc.toLong, samples.map(s => math.abs(s).toLong).sum, fp)
+    }
+    got.foreach { case (id, prof) =>
+      assert(prof === formulaProfile(id), s"audio profile of clip $id " +
+        "diverged from the waveform formula — the WAV encode/decode loop " +
+        "is not lossless")
+    }
+    // byte-identical re-ingests fingerprint identically (the p119 plant)
+    val replant = Multimodal.audioProfile(clips.filter(_.media_id < 30)
+      .map(r => r.copy(media_id = r.media_id + 10000))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    replant.foreach { case (pid, fp) =>
+      assert(fp === got(pid - 10000)._4,
+        s"byte-identical re-ingest $pid changed fingerprint")
+    }
+    // the decode itself also handles the sine fixture (same container)
+    val sine = Multimodal.fromDocuments(spark,
+      sources.Tables.documents(spark, sfDir), onlyKind = Some("audio"))
+      .filter(_.media_id < 10)
+    assert(Multimodal.audioProfile(sine).count() > 0)
+  }
+
   test("p118 video frame profile: planted byte-identical re-ingests " +
       "collapse onto their originals; frame counts match the container") {
     val rows = SparkEntry.queries("p118_video_frame_profile")(spark, sfDir)

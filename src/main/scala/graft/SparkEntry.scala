@@ -40,5 +40,7 @@ object SparkEntry {
     "p108_stream_bm25", "p109_stream_hll", "p110_stream_countmin",
     "p111_stream_quantiles", "p112_stream_bloom", "p113_stream_decontam",
     "p114_stream_ingest", "p115_ivf_rebuild", "p117_stream_image_index",
+    "p120_quantile_rebuild", "p121_bloom_rebuild",
+    "p122_stream_audio_index", "p123_stream_video_index",
     "q47_paged_source")
 }

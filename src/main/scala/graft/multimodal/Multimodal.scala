@@ -256,6 +256,45 @@ object Multimodal {
     }.toDF("media_id", "n_samples", "zero_crossings", "sum_abs", "audio_fp")
   }
 
+  /** [[MediaCodec.audioProfileOf]]'s fingerprint over a plain
+    * (id, payload) frame — the streaming ingest shape ([[aHash64Bytes]]
+    * for audio): 16 bytes per clip continue, payloads never shuffle
+    * (p122). */
+  def audioFpBytes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, MediaCodec.audioProfileOf(p)._4) }
+      .toDF("media_id", "audio_fp")
+  }
+
+  /** The p118 per-video content fingerprint over a plain (id, payload)
+    * frame: every frame of the fixed-block container decodes through the
+    * REAL PNG codec, aHashes with the shared kernel, and the ordered
+    * hash sequence folds to `fingerprint64` — identical to p118's
+    * `fingerprint64(concat_ws(",", hashes))` fold, so the oracle chain
+    * is shared. 16 bytes per video continue (p123). */
+  def videoFpBytes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val b = MediaCodec.videoBlockBytes
+        val n = p.length / b
+        require(n > 0 && p.length % b == 0,
+          s"malformed video container, media_id=$id")
+        val hs = (0 until n).map(f =>
+          aHashOf(java.util.Arrays.copyOfRange(p, f * b, (f + 1) * b)))
+        (id, Hash64.mix(Hash64.fnv1a(hs.mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      }
+      .toDF("media_id", "video_fp")
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size chunk
     * of the payload becomes a frame row (flatMap — one narrow pass). The
     * default `frameBytes` is the real container's block size, so

@@ -6139,17 +6139,27 @@ object Pipeline {
       .orderBy("media_id")
   }
 
-  val p118Sql: String = {
-    import OracleHash._
-    s"""WITH vids AS (
+  /** The video fixture set as a `vids(id, seed, w, h, nf)` CTE: every
+    * video doc (doc_id % 3 = 2) plus the +10000 byte-identical
+    * re-ingests of the first 30 ids — shared by p118 and the streaming
+    * video index (p123). */
+  private val sqlVideoVidsCte: String =
+    s"""vids AS (
        |  SELECT doc_id AS id, doc_id AS seed, doc_id % 32 + 32 AS w,
        |    doc_id % 24 + 32 AS h, doc_id % 6 + 2 AS nf
        |  FROM documents WHERE doc_id % 3 = 2
        |  UNION ALL
        |  SELECT doc_id + 10000, doc_id, doc_id % 32 + 32,
        |    doc_id % 24 + 32, doc_id % 6 + 2
-       |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 30),
-       |fr AS (SELECT id, seed, w, h, CAST(u.f AS INT) AS f
+       |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 30)""".stripMargin
+
+  /** The p118 per-frame drift → raster → aHash → ordered-sequence
+    * fingerprint replay over a `vids(id, seed, w, h, nf)` CTE, ending in
+    * CTE `vf(id, n_frames, n_distinct_frames, video_fp)`. Shared by p118
+    * and p123. */
+  private val sqlVideoFpCtes: String = {
+    import OracleHash._
+    s"""fr AS (SELECT id, seed, w, h, CAST(u.f AS INT) AS f
        |       FROM vids CROSS JOIN unnest(range(nf)) AS u(f)),
        |dz AS (SELECT id, f, w, h, CAST(seed AS HUGEINT) * 97 + f AS z
        |       FROM fr),
@@ -6183,14 +6193,18 @@ object Pipeline {
        |        FROM vs),
        |vf AS (SELECT id, n_frames, n_distinct_frames,
        |    ${signed64(mix("hh"))} AS video_fp
-       |  FROM vhh)
+       |  FROM vhh)""".stripMargin
+  }
+
+  val p118Sql: String =
+    s"""WITH $sqlVideoVidsCte,
+       |$sqlVideoFpCtes
        |SELECT id AS media_id, CAST(n_frames AS BIGINT) AS n_frames,
        |  CAST(n_distinct_frames AS BIGINT) AS n_distinct_frames, video_fp,
        |  MIN(id) OVER (PARTITION BY video_fp) AS canonical_id,
        |  id != MIN(id) OVER (PARTITION BY video_fp) AS is_dup
        |FROM vf
        |ORDER BY media_id""".stripMargin
-  }
 
   // =========================================================================
   // p119 — AUDIO codec-loop oracle: the THIRD modality's oracle-hash row,
@@ -6228,15 +6242,25 @@ object Pipeline {
       .orderBy("media_id")
   }
 
-  val p119Sql: String = {
-    import OracleHash._
-    s"""WITH clips AS (
+  /** The audio fixture set as a `clips(id, seed, ms)` CTE: every audio
+    * doc (doc_id % 3 = 1) plus the +10000 byte-identical re-ingests of
+    * the first 30 ids — shared by p119 and the streaming audio index
+    * (p122). */
+  private val sqlAudioClipsCte: String =
+    s"""clips AS (
        |  SELECT doc_id AS id, doc_id AS seed, doc_id % 200 + 50 AS ms
        |  FROM documents WHERE doc_id % 3 = 1
        |  UNION ALL
        |  SELECT doc_id + 10000, doc_id, doc_id % 200 + 50
-       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30),
-       |az AS (SELECT id, (8000 * ms) // 1000 AS n,
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30)""".stripMargin
+
+  /** The p119 integer-PCM replay over a `clips(id, seed, ms)` CTE —
+    * params → samples → per-clip fold — ending in CTE
+    * `afp(id, n_samples, zero_crossings, sum_abs, audio_fp)`. Shared by
+    * p119 and p122. */
+  private val sqlAudioFpCtes: String = {
+    import OracleHash._
+    s"""az AS (SELECT id, (8000 * ms) // 1000 AS n,
        |    CAST(seed AS HUGEINT) AS z1,
        |    CAST(seed AS HUGEINT) * 31 + 7 AS z2,
        |    CAST(seed AS HUGEINT) * 17 + 3 AS z3,
@@ -6265,7 +6289,12 @@ object Pipeline {
        |ahh AS (SELECT id, n_samples, zero_crossings, sum_abs,
        |    ${fnv1a("str")} AS hh FROM aagg),
        |afp AS (SELECT id, n_samples, zero_crossings, sum_abs,
-       |    ${signed64(mix("hh"))} AS audio_fp FROM ahh)
+       |    ${signed64(mix("hh"))} AS audio_fp FROM ahh)""".stripMargin
+  }
+
+  val p119Sql: String =
+    s"""WITH $sqlAudioClipsCte,
+       |$sqlAudioFpCtes
        |SELECT id AS media_id, CAST(n_samples AS BIGINT) AS n_samples,
        |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
        |  CAST(sum_abs AS BIGINT) AS sum_abs, audio_fp,
@@ -6273,7 +6302,6 @@ object Pipeline {
        |  id != MIN(id) OVER (PARTITION BY audio_fp) AS is_dup
        |FROM afp
        |ORDER BY media_id""".stripMargin
-  }
 
   // =========================================================================
   // p120 — QUANTILE-STORE REBUILD/SWAP lifecycle under the oracle (r11
@@ -6509,6 +6537,138 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // =========================================================================
+  // p122 — STREAMING audio-fingerprint index: the AUDIO member of the
+  // incremental family, completing the per-modality matrix (text
+  // NearDupStream / embedding IvfStream / image AHashStream / audio
+  // here / video p123). A standing clip corpus is fingerprinted once
+  // into a 16-byte-per-clip index (the p119 integer fold — codec work
+  // paid at ingest); each audio micro-batch then decodes ONLY its own
+  // payloads, emits its EXACT-duplicate pairs — in-batch via a
+  // fingerprint self-group, cross via a broadcast probe against the
+  // standing index's plain scan union (the re-crawl/re-ingest dedup a
+  // media lake runs) — and appends its fp delta for later batches.
+  // Payloads never enter the store and never shuffle. Planted +10000
+  // byte-identical re-ingests of STANDING clips probe the cross arm.
+  // The oracle replays every fingerprint from the integer-PCM formula
+  // (the shared p119 chain) and derives each pair's emission batch from
+  // the deterministic split (a pair lands in the batch its LATER side
+  // arrived in; standing–standing pairs never stream).
+  // =========================================================================
+  def p122StreamAudioIndex(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.MediaFpStream
+    import spark.implicits._
+    val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("audio"), intAudio = true)
+    val standing = clips.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    val plants = clips.filter(_.media_id < 30)
+      .map(r => r.copy(media_id = r.media_id + 10000))
+    val incoming = clips.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(plants.toDF().select(col("media_id"), col("payload")))
+      .withColumn("batch", pmod(col("media_id"), lit(2)))
+    val root = Files.createTempDirectory("p122_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    val profiler = (df: DataFrame) =>
+      Multimodal.audioFpBytes(df, "media_id", "payload")
+    MediaFpStream.writeStanding(spark, idxRoot, standing, profiler)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(MediaFpStream.appendBatch(spark, idxRoot, outRoot,
+        profiler) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p122Sql: String =
+    s"""WITH $sqlAudioClipsCte,
+       |$sqlAudioFpCtes,
+       |aasg AS (SELECT id, audio_fp,
+       |    CASE WHEN id < 250 THEN -1 ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM afp)
+       |SELECT a.id AS id_a, b2.id AS id_b,
+       |  CAST(greatest(a.b, b2.b) AS BIGINT) AS batch
+       |FROM aasg a JOIN aasg b2
+       |  ON a.id < b2.id AND a.audio_fp = b2.audio_fp
+       |WHERE greatest(a.b, b2.b) >= 0
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // =========================================================================
+  // p123 — STREAMING video-fingerprint index: the VIDEO member closing
+  // the per-modality incremental matrix. Same shape as p122 with the
+  // p118 content fingerprint as the fold: each batch strides its own
+  // containers, decodes every frame through the REAL PNG codec, aHashes
+  // with the shared kernel, and folds the ordered hash sequence to
+  // fingerprint64 — 16 bytes per video at ANY duration; a byte-identical
+  // re-crawled video collapses onto its standing original in the batch
+  // it re-arrives. The oracle replays the fingerprints through the p118
+  // chain (drift → rasters → aHash → FNV-1a+mix over the sequence) —
+  // the codec loop proven lossless per frame, per container, per batch.
+  // =========================================================================
+  def p123StreamVideoIndex(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.MediaFpStream
+    import spark.implicits._
+    val vids = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("video"))
+    val standing = vids.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    val plants = vids.filter(_.media_id < 30)
+      .map(r => r.copy(media_id = r.media_id + 10000))
+    val incoming = vids.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(plants.toDF().select(col("media_id"), col("payload")))
+      .withColumn("batch", pmod(col("media_id"), lit(2)))
+    val root = Files.createTempDirectory("p123_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    val profiler = (df: DataFrame) =>
+      Multimodal.videoFpBytes(df, "media_id", "payload")
+    MediaFpStream.writeStanding(spark, idxRoot, standing, profiler)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(MediaFpStream.appendBatch(spark, idxRoot, outRoot,
+        profiler) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p123Sql: String =
+    s"""WITH $sqlVideoVidsCte,
+       |$sqlVideoFpCtes,
+       |vasg AS (SELECT id, video_fp,
+       |    CASE WHEN id < 250 THEN -1 ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM vf)
+       |SELECT a.id AS id_a, b2.id AS id_b,
+       |  CAST(greatest(a.b, b2.b) AS BIGINT) AS batch
+       |FROM vasg a JOIN vasg b2
+       |  ON a.id < b2.id AND a.video_fp = b2.video_fp
+       |WHERE greatest(a.b, b2.b) >= 0
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -6631,7 +6791,9 @@ object Pipeline {
     "p118_video_frame_profile" -> (p118VideoFrameProfile _),
     "p119_audio_fingerprint" -> (p119AudioFingerprint _),
     "p120_quantile_rebuild" -> (p120QuantileRebuild _),
-    "p121_bloom_rebuild" -> (p121BloomRebuild _))
+    "p121_bloom_rebuild" -> (p121BloomRebuild _),
+    "p122_stream_audio_index" -> (p122StreamAudioIndex _),
+    "p123_stream_video_index" -> (p123StreamVideoIndex _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -6752,5 +6914,7 @@ object Pipeline {
     "p118_video_frame_profile" -> p118Sql,
     "p119_audio_fingerprint" -> p119Sql,
     "p120_quantile_rebuild" -> p120Sql,
-    "p121_bloom_rebuild" -> p121Sql)
+    "p121_bloom_rebuild" -> p121Sql,
+    "p122_stream_audio_index" -> p122Sql,
+    "p123_stream_video_index" -> p123Sql)
 }

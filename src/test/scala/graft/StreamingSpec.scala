@@ -993,6 +993,60 @@ class StreamingSpec extends SparkSpec {
       standing.count() + plants.count())
   }
 
+  test("streaming media-fingerprint index (audio + video): streamed pairs " +
+      "equal the one-shot exact-fp pairs; redelivery idempotent; guards " +
+      "fail loud") {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.MediaFpStream
+    import spark.implicits._
+    for ((kind, intAudio, profiler) <- Seq(
+        ("audio", true,
+          (df: org.apache.spark.sql.DataFrame) =>
+            Multimodal.audioFpBytes(df, "media_id", "payload")),
+        ("video", false,
+          (df: org.apache.spark.sql.DataFrame) =>
+            Multimodal.videoFpBytes(df, "media_id", "payload")))) {
+      val root = Files.createTempDirectory(s"fpstream_${kind}_").toString
+      val media = Multimodal.fromDocuments(spark,
+        Tables.documents(spark, sfDir), onlyKind = Some(kind),
+        intAudio = intAudio)
+      val standing = media.filter(_.media_id < 250).toDF()
+        .select(col("media_id"), col("payload")).localCheckpoint(true)
+      // byte-identical re-ingests of standing media → cross-arm dups
+      val plants = media.filter(_.media_id < 30)
+        .map(r => r.copy(media_id = r.media_id + 10000)).toDF()
+        .select(col("media_id"), col("payload")).localCheckpoint(true)
+      MediaFpStream.writeStanding(spark, s"$root/idx", standing, profiler)
+      val append = MediaFpStream.appendBatch(spark, s"$root/idx",
+        s"$root/out", profiler) _
+      val b0 = plants.filter(pmod(col("media_id"), lit(2)) === 0)
+      val b1 = plants.filter(pmod(col("media_id"), lit(2)) === 1)
+      append(b0, 0L)
+      append(b1, 1L)
+      def streamed() = spark.read.parquet(s"$root/out/b*")
+        .select("id_a", "id_b", "batch").as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+      // one-shot truth: every plant pairs exactly its original, in the
+      // batch the plant arrived
+      val want = plants.select("media_id").as[Long].collect().sorted
+        .map(pid => (pid - 10000, pid, pid % 2)).toSeq
+      assert(streamed() === want,
+        s"$kind: streamed fp pairs must be exactly (original, plant)")
+      assert(want.nonEmpty, s"test premise: $kind plants exist")
+      // redelivery overwrites deterministically
+      append(b1, 1L)
+      assert(streamed() === want, s"$kind: redelivery must be idempotent")
+      // fork guard
+      val eFork = intercept[IllegalArgumentException] { append(b0, 0L) }
+      assert(eFork.getMessage.contains("fork"), eFork.getMessage)
+      // compaction folds with identity and stays read-equivalent
+      MediaFpStream.compactStore(spark, s"$root/idx", 2L)
+      assert(MediaFpStream.readIndex(spark, s"$root/idx").count() ===
+        standing.count() + plants.count())
+    }
+  }
+
   test("streaming PCA moments: chained batches refit bit-identical to a " +
       "one-shot fit; redelivery idempotent; compaction read-identical") {
     import java.nio.file.Files

@@ -256,6 +256,92 @@ object Multimodal {
     }.toDF("media_id", "n_samples", "zero_crossings", "sum_abs", "audio_fp")
   }
 
+  /** Deterministic sample-perturbed near-duplicate VARIANTS of audio
+    * records — [[plantImageVariants]] for sound, the planted ground truth
+    * for the windowed-amplitude Hamming near-dup join (p124): each
+    * clip's PCM is REALLY decoded, every `stride`-th sample gets a small
+    * variant-seeded integer wobble (±1024 on a ±24.5k waveform —
+    * `mix(vid·131 + i) mod 2048 − 1024`; |s|+1024 < 2^15, no clamp),
+    * everything else survives the decode → re-encode loop untouched,
+    * and the result re-encodes as a REAL WAV under `media_id +
+    * idOffset`. Pure integer arithmetic end to end — the oracle replays
+    * the variant waveform from (origId, idOffset, stride) alone. */
+  def plantAudioVariants(ds: Dataset[MediaRecord], idOffset: Long = 10000L,
+      stride: Int = 37): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      require(r.kind == "audio", s"plantAudioVariants over kind ${r.kind}")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"expected little-endian PCM16 mono, got $fmt")
+      val n = ais.getFrameLength.toInt
+      val bytes = ais.readAllBytes()
+      val vid = r.media_id + idOffset
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        var s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+          .toShort.toInt
+        if (i % stride == 0)
+          s += java.lang.Long.remainderUnsigned(
+            Hash64.mix(vid * 131 + i), 2048L).toInt - 1024
+        val sv = s.toShort
+        pcm(2 * i) = (sv & 0xff).toByte
+        pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+        i += 1
+      }
+      r.copy(media_id = vid,
+        payload = MediaCodec.wrapWavPcm(pcm, fmt.getSampleRate.toInt, n))
+    }
+  }
+
+  /** 64-bit windowed-amplitude hash (the aHash idea for sound, p124),
+    * PURE INTEGER: the decoded PCM splits into 64 contiguous windows
+    * (sample i → window ⌊i·64/n⌋), and bit w is set iff window w's
+    * |amplitude| MEAN exceeds the clip mean — compared cross-multiplied
+    * (`sum_w · n > total · n_w`, exact integers, no division). A
+    * deterministic function of the decoded samples, so DuckDB replays it
+    * from the [[MediaCodec.syntheticWavInt]] formula — and a green p124
+    * row proves the codec loop again, through the perceptual hash this
+    * time. Scan-shaped; 16 bytes per clip continue. */
+  def audioAHash64(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map(r => (r.media_id, audioAHashOf(r.payload)))
+      .toDF("media_id", "ahash")
+  }
+
+  /** The windowed-amplitude kernel over one WAV payload. */
+  def audioAHashOf(payload: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"expected little-endian PCM16 mono, got $fmt")
+    val n = ais.getFrameLength.toInt
+    val bytes = ais.readAllBytes()
+    val sw = new Array[Long](64)
+    val nw = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+        .toShort.toInt
+      val w = (i.toLong * 64 / n).toInt
+      sw(w) += math.abs(s)
+      nw(w) += 1
+      i += 1
+    }
+    val tot = sw.sum
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (sw(w) * n > tot * nw(w)) hash |= (1L << w)
+      w += 1
+    }
+    hash
+  }
+
   /** [[MediaCodec.audioProfileOf]]'s fingerprint over a plain
     * (id, payload) frame — the streaming ingest shape ([[aHash64Bytes]]
     * for audio): 16 bytes per clip continue, payloads never shuffle
@@ -400,12 +486,13 @@ object MediaCodec {
       pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
       i += 1
     }
-    wrapWav(pcm, rateHz, n)
+    wrapWavPcm(pcm, rateHz, n)
   }
 
   /** Wrap raw little-endian PCM16 mono samples in a genuine RIFF/WAV
-    * container via `AudioSystem` — shared by both synthesizers. */
-  private def wrapWav(pcm: Array[Byte], rateHz: Int, n: Int): Array[Byte] = {
+    * container via `AudioSystem` — shared by the synthesizers and the
+    * p124 variant planter. */
+  def wrapWavPcm(pcm: Array[Byte], rateHz: Int, n: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1,
       true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
@@ -446,7 +533,7 @@ object MediaCodec {
       pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
       i += 1
     }
-    wrapWav(pcm, rateHz, n)
+    wrapWavPcm(pcm, rateHz, n)
   }
 
   /** REAL audio decode folded to an ORACLE-REPLAYABLE integer profile:

@@ -6248,35 +6248,45 @@ object Pipeline {
     * (p122). */
   private val sqlAudioClipsCte: String =
     s"""clips AS (
-       |  SELECT doc_id AS id, doc_id AS seed, doc_id % 200 + 50 AS ms
+       |  SELECT doc_id AS id, doc_id AS seed, doc_id % 200 + 50 AS ms,
+       |    0 AS vnt
        |  FROM documents WHERE doc_id % 3 = 1
        |  UNION ALL
-       |  SELECT doc_id + 10000, doc_id, doc_id % 200 + 50
+       |  SELECT doc_id + 10000, doc_id, doc_id % 200 + 50, 1
        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30)""".stripMargin
 
   /** The p119 integer-PCM replay over a `clips(id, seed, ms)` CTE —
     * params → samples → per-clip fold — ending in CTE
     * `afp(id, n_samples, zero_crossings, sum_abs, audio_fp)`. Shared by
     * p119 and p122. */
-  private val sqlAudioFpCtes: String = {
+  /** The integer-PCM waveform replay over a `clips(id, seed, ms)` CTE —
+    * params → per-sample values — ending in CTE `smp(id, n, i, s)`.
+    * Shared by the fingerprint chain ([[sqlAudioFpCtes]]) and the p124
+    * perceptual-hash chain (which perturbs these samples first). */
+  private val sqlAudioSampleCtes: String = {
     import OracleHash._
-    s"""az AS (SELECT id, (8000 * ms) // 1000 AS n,
+    s"""az AS (SELECT id, vnt, (8000 * ms) // 1000 AS n,
        |    CAST(seed AS HUGEINT) AS z1,
        |    CAST(seed AS HUGEINT) * 31 + 7 AS z2,
        |    CAST(seed AS HUGEINT) * 17 + 3 AS z3,
        |    CAST(seed AS HUGEINT) * 13 + 11 AS z4
        |  FROM clips),
-       |ap AS (SELECT id, n,
+       |ap AS (SELECT id, vnt, n,
        |    CAST(32 + ${mix("z1")} % 96 AS BIGINT) AS p1,
        |    CAST(6144 + ${mix("z2")} % 12288 AS BIGINT) AS a1,
        |    CAST(16 + ${mix("z3")} % 48 AS BIGINT) AS p2,
        |    CAST(2048 + ${mix("z4")} % 4096 AS BIGINT) AS a2
        |  FROM az),
-       |smp AS (SELECT id, CAST(u.i AS BIGINT) AS i,
+       |smp AS (SELECT id, vnt, n, CAST(u.i AS BIGINT) AS i,
        |    (a1 - (2 * a1 * (CAST(u.i AS BIGINT) % p1)) // p1)
        |      + (CASE WHEN 2 * (CAST(u.i AS BIGINT) % p2) < p2
        |         THEN a2 ELSE -a2 END) AS s
-       |  FROM ap CROSS JOIN unnest(range(n)) AS u(i)),
+       |  FROM ap CROSS JOIN unnest(range(n)) AS u(i))""".stripMargin
+  }
+
+  private val sqlAudioFpCtes: String = {
+    import OracleHash._
+    s"""$sqlAudioSampleCtes,
        |smp2 AS (SELECT id, i, s,
        |    LAG(s) OVER (PARTITION BY id ORDER BY i) AS ps FROM smp),
        |aagg AS (SELECT id, COUNT(*) AS n_samples,
@@ -6669,6 +6679,74 @@ object Pipeline {
        |WHERE greatest(a.b, b2.b) >= 0
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p124 — AUDIO windowed-amplitude near-dup: the perceptual-hash matrix
+  // closed on sound (image aHash p116 ↔ audio here). The hash is the
+  // aHash idea for PCM: 64 contiguous windows (sample i → ⌊i·64/n⌋),
+  // bit w set iff window w's |amplitude| mean exceeds the clip mean,
+  // compared cross-multiplied in exact integers. Plants decode the REAL
+  // WAV, wobble every 37th sample by a variant-seeded ±1024 (2.7% of
+  // samples, ~4% of amplitude), and re-encode through the REAL codec —
+  // so their hashes land within a few bits of the originals and the
+  // pairs surface through the SAME chunk-pair banding as p09/p116
+  // (Hamming ≤ 6, inside the 28-band pigeonhole ⇒ candidates complete,
+  // uncapped like the image path). DuckDB replays waveform → wobble →
+  // windows → hash from integers; a green row proves the codec loop
+  // once more, through the perceptual hash this time. At 100 TB:
+  // decode + hash scan-shaped (payloads never shuffle, 16 bytes/clip
+  // continue), banded join the p09 shape.
+  // =========================================================================
+  def p124AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("audio"), intAudio = true)
+    val plants = Multimodal.plantAudioVariants(clips.filter(_.media_id < 30))
+    val hashed = Multimodal.audioAHash64(clips.union(plants))
+      .localCheckpoint(true)
+    Dedup.hammingPairs64(
+        hashed.select(col("media_id").as("id"), col("ahash").as("sh64")),
+        maxHamming = 6, maxBucketSize = Int.MaxValue)
+      .join(hashed.select(col("media_id").as("id_a"),
+        col("ahash").as("ahash_a")), "id_a")
+      .join(hashed.select(col("media_id").as("id_b"),
+        col("ahash").as("ahash_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"),
+        col("ahash_a"), col("ahash_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p124Sql: String = {
+    import OracleHash._
+    s"""WITH $sqlAudioClipsCte,
+       |$sqlAudioSampleCtes,
+       |pz AS (SELECT id, n, i, s, CAST(id AS HUGEINT) * 131 + i AS z
+       |       FROM smp WHERE vnt = 1 AND i % 37 = 0),
+       |pert AS (SELECT id, n, i,
+       |    s + CAST(${mix("z")} % 2048 AS BIGINT) - 1024 AS s FROM pz),
+       |psmp AS (SELECT id, n, i, s FROM smp
+       |         WHERE NOT (vnt = 1 AND i % 37 = 0)
+       |         UNION ALL SELECT id, n, i, s FROM pert),
+       |wsum AS (SELECT id, (i * 64) // n AS w,
+       |         SUM(ABS(s)) AS sw, COUNT(*) AS nw
+       |         FROM psmp GROUP BY id, (i * 64) // n),
+       |wtot AS (SELECT id, SUM(sw) AS tot, SUM(nw) AS nn
+       |         FROM wsum GROUP BY id),
+       |wahu AS (SELECT s.id,
+       |    COALESCE(SUM(CASE WHEN s.sw * t.nn > t.tot * s.nw
+       |      THEN (1::HUGEINT << CAST(s.w AS INT)) ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS u
+       |  FROM wsum s JOIN wtot t ON s.id = t.id
+       |  GROUP BY s.id),
+       |aah AS (SELECT id, ${signed64("u")} AS ahash FROM wahu)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming,
+       |  a.ahash AS ahash_a, b.ahash AS ahash_b
+       |FROM aah a JOIN aah b ON a.id < b.id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -6793,7 +6871,8 @@ object Pipeline {
     "p120_quantile_rebuild" -> (p120QuantileRebuild _),
     "p121_bloom_rebuild" -> (p121BloomRebuild _),
     "p122_stream_audio_index" -> (p122StreamAudioIndex _),
-    "p123_stream_video_index" -> (p123StreamVideoIndex _))
+    "p123_stream_video_index" -> (p123StreamVideoIndex _),
+    "p124_audio_neardup" -> (p124AudioNearDup _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -6916,5 +6995,6 @@ object Pipeline {
     "p120_quantile_rebuild" -> p120Sql,
     "p121_bloom_rebuild" -> p121Sql,
     "p122_stream_audio_index" -> p122Sql,
-    "p123_stream_video_index" -> p123Sql)
+    "p123_stream_video_index" -> p123Sql,
+    "p124_audio_neardup" -> p124Sql)
 }

@@ -242,6 +242,60 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioProfile(sine).count() > 0)
   }
 
+  test("audioAHash64 equals the pure waveform-window formula; planted " +
+      "wobbled variants land Hamming-close; non-audio fails loud") {
+    import graft.multimodal.Multimodal
+    import graft.functions.Hash64
+    import java.lang.Long.remainderUnsigned
+    val clips = Multimodal.fromDocuments(spark,
+      sources.Tables.documents(spark, sfDir), onlyKind = Some("audio"),
+      intAudio = true)
+    val got = Multimodal.audioAHash64(clips.filter(_.media_id < 120))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    def formulaHash(id: Long): Long = {
+      val ms = id % 200 + 50
+      val n = (8000 * ms / 1000).toInt
+      val p1 = 32 + remainderUnsigned(Hash64.mix(id), 96L).toInt
+      val a1 = 6144 + remainderUnsigned(Hash64.mix(id * 31 + 7), 12288L).toInt
+      val p2 = 16 + remainderUnsigned(Hash64.mix(id * 17 + 3), 48L).toInt
+      val a2 = 2048 + remainderUnsigned(Hash64.mix(id * 13 + 11), 4096L).toInt
+      val sw = new Array[Long](64); val nw = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val s = (a1 - (2 * a1 * (i % p1)) / p1) +
+          (if (2 * (i % p2) < p2) a2 else -a2)
+        val w = (i.toLong * 64 / n).toInt
+        sw(w) += math.abs(s); nw(w) += 1
+        i += 1
+      }
+      val tot = sw.sum
+      (0 until 64).foldLeft(0L)((acc, w) =>
+        if (sw(w) * n > tot * nw(w)) acc | (1L << w) else acc)
+    }
+    got.foreach { case (id, h) =>
+      assert(h === formulaHash(id), s"audio aHash of clip $id diverged " +
+        "from the waveform formula — the WAV codec loop is not lossless")
+    }
+    // planted variants: the ±1024 wobble on 1/37 of samples stays within
+    // a few bits of the original's windowed-amplitude hash
+    val plants = Multimodal.audioAHash64(
+        Multimodal.plantAudioVariants(clips.filter(_.media_id < 30)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plants.nonEmpty)
+    plants.foreach { case (pid, ph) =>
+      val d = java.lang.Long.bitCount(ph ^ got(pid - 10000))
+      assert(d <= 6, s"audio plant $pid at Hamming $d from its original")
+    }
+    // non-audio input is out of contract, fail-loud
+    val images = Multimodal.fromDocuments(spark,
+      sources.Tables.documents(spark, sfDir), onlyKind = Some("image"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.plantAudioVariants(images).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("p118 video frame profile: planted byte-identical re-ingests " +
       "collapse onto their originals; frame counts match the container") {
     val rows = SparkEntry.queries("p118_video_frame_profile")(spark, sfDir)

@@ -312,6 +312,20 @@ object Multimodal {
       .toDF("media_id", "ahash")
   }
 
+  /** [[audioAHash64]] over a plain (id, payload) frame — the streaming
+    * ingest shape, emitting the (media_id, ahash) contract
+    * [[graft.streaming.AHashStream]]'s hash-agnostic banding expects
+    * (p126). */
+  def audioAHash64Bytes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, audioAHashOf(p)) }
+      .toDF("media_id", "ahash")
+  }
+
   /** The windowed-amplitude kernel over one WAV payload. */
   def audioAHashOf(payload: Array[Byte]): Long = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(

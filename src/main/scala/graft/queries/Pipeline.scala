@@ -6747,6 +6747,158 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // =========================================================================
+  // p125 — VIDEO frame-set containment near-dup: the CLIPPED-RE-UPLOAD
+  // detector — the near-dup the exact fingerprint (p118/p123) cannot see,
+  // because dropping one frame changes the whole sequence fingerprint.
+  // Every video reduces to its DISTINCT frame-aHash set (the shared p118
+  // kernel; 8 bytes per distinct frame), and the audited exact
+  // containment machinery (p94's prefix+length+positional-filtered join,
+  // reused verbatim via containmentJoinFromSets) finds directed pairs
+  // with |A ∩ B| / |A| ≥ 0.9 — a clipped variant's frame set is wholly
+  // contained in its original's (containment 1.0). Plants are REAL
+  // clipped re-ingests: the last container block byte-sliced off under
+  // +10000 (no re-encode needed — the fixed-block container makes
+  // trimming a slice, exactly how a re-upload tool would cut). The
+  // oracle replays frame hashes from integers (the shared p118 chain
+  // with the plant rows at nf−1) and the containment arithmetic
+  // relationally. At 100 TB: codec work scan-shaped as always; the join
+  // inherits p94's audited posture (prefix selectivity on the
+  // frame-hash vocabulary, oracle-exact at zipf1 50k docs for text —
+  // same operator, same filters).
+  // =========================================================================
+  def p125VideoContainment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaCodec, Multimodal}
+    import spark.implicits._
+    val vids = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("video"))
+    // clipped re-ingests: last block sliced off (only videos with >= 3
+    // frames, so the clip keeps >= 2)
+    val plants = vids.filter(r => r.media_id < 60 && r.media_id % 6 >= 1)
+      .map(r => r.copy(media_id = r.media_id + 10000,
+        payload = java.util.Arrays.copyOfRange(r.payload, 0,
+          r.payload.length - MediaCodec.videoBlockBytes)))
+    val fh = Multimodal.frameAHash64(
+      Multimodal.sampleFrames(vids.union(plants), stride = 1))
+    val sets = fh.groupBy(col("media_id").as("id"))
+      .agg(array_distinct(collect_list(col("ahash").cast("string")))
+        .as("sh"))
+      .localCheckpoint(true)
+    Dedup.containmentJoinFromSets(sets, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  val p125Sql: String =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS id, doc_id AS seed, doc_id % 32 + 32 AS w,
+       |    doc_id % 24 + 32 AS h, doc_id % 6 + 2 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 10000, doc_id, doc_id % 32 + 32,
+       |    doc_id % 24 + 32, doc_id % 6 + 1
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND doc_id < 60 AND doc_id % 6 >= 1),
+       |$sqlVideoFpCtes,
+       |vsets AS (SELECT id, list_distinct(list(CAST(ahash AS VARCHAR)))
+       |          AS s FROM vah GROUP BY id),
+       |vna AS (SELECT id, len(s) AS n FROM vsets),
+       |vex AS (SELECT id, unnest(s) AS g FROM vsets),
+       |vov AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+       |  FROM vex a JOIN vex b ON a.g = b.g AND a.id != b.id
+       |  GROUP BY a.id, b.id)
+       |SELECT id_a, id_b, i / vna.n AS containment
+       |FROM vov JOIN vna ON vov.id_a = vna.id
+       |WHERE i / vna.n >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // =========================================================================
+  // p126 — STREAMING audio perceptual-hash index: p117's shape with the
+  // p124 windowed-amplitude hash as the kernel — AHashStream's banding,
+  // pigeonhole guarantee and store shape are hash-AGNOSTIC over 64-bit
+  // perceptual hashes, so the audio sibling is the same machinery with a
+  // different (id, payload) → (media_id, ahash) profiler. A standing
+  // clip corpus is hashed once (16 bytes/clip); each audio micro-batch
+  // decodes ONLY its own payloads, emits Hamming-≤6 near-dup pairs
+  // (in-batch banding + broadcast cross probe against the standing
+  // index's plain scan union), and appends its hash delta. Planted
+  // WOBBLED variants of standing clips (the p124 plant — perceptually
+  // near, not byte-identical, so the exact-fp index p122 canNOT see
+  // them) probe the cross arm. The oracle replays hashes from integers
+  // (the p124 chain) and exact Hamming pairs with the emission batch
+  // from the deterministic split.
+  // =========================================================================
+  def p126StreamAudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.AHashStream
+    import spark.implicits._
+    val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("audio"), intAudio = true)
+    val standing = clips.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    val plants = Multimodal.plantAudioVariants(clips.filter(_.media_id < 30))
+    val incoming = clips.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(plants.toDF().select(col("media_id"), col("payload")))
+      .withColumn("batch", pmod(col("media_id"), lit(2)))
+    val root = Files.createTempDirectory("p126_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    AHashStream.writeStanding(spark, idxRoot, standing,
+      hasher = Multimodal.audioAHash64Bytes)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(AHashStream.appendBatch(spark, idxRoot, outRoot,
+        "media_id", "payload",
+        hasher = Multimodal.audioAHash64Bytes) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("hamming"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p126Sql: String = {
+    import OracleHash._
+    s"""WITH $sqlAudioClipsCte,
+       |$sqlAudioSampleCtes,
+       |pz AS (SELECT id, n, i, s, CAST(id AS HUGEINT) * 131 + i AS z
+       |       FROM smp WHERE vnt = 1 AND i % 37 = 0),
+       |pert AS (SELECT id, n, i,
+       |    s + CAST(${mix("z")} % 2048 AS BIGINT) - 1024 AS s FROM pz),
+       |psmp AS (SELECT id, n, i, s FROM smp
+       |         WHERE NOT (vnt = 1 AND i % 37 = 0)
+       |         UNION ALL SELECT id, n, i, s FROM pert),
+       |wsum AS (SELECT id, (i * 64) // n AS w,
+       |         SUM(ABS(s)) AS sw, COUNT(*) AS nw
+       |         FROM psmp GROUP BY id, (i * 64) // n),
+       |wtot AS (SELECT id, SUM(sw) AS tot, SUM(nw) AS nn
+       |         FROM wsum GROUP BY id),
+       |wahu AS (SELECT s.id,
+       |    COALESCE(SUM(CASE WHEN s.sw * t.nn > t.tot * s.nw
+       |      THEN (1::HUGEINT << CAST(s.w AS INT)) ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS u
+       |  FROM wsum s JOIN wtot t ON s.id = t.id
+       |  GROUP BY s.id),
+       |aah AS (SELECT id, ${signed64("u")} AS ahash FROM wahu),
+       |sasg AS (SELECT id, ahash,
+       |    CASE WHEN id < 250 THEN -1 ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM aah)
+       |SELECT a.id AS id_a, b2.id AS id_b,
+       |  CAST(bit_count(xor(a.ahash, b2.ahash)) AS INT) AS hamming,
+       |  CAST(greatest(a.b, b2.b) AS BIGINT) AS batch
+       |FROM sasg a JOIN sasg b2 ON a.id < b2.id
+       |WHERE bit_count(xor(a.ahash, b2.ahash)) <= 6
+       |  AND greatest(a.b, b2.b) >= 0
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -6872,7 +7024,9 @@ object Pipeline {
     "p121_bloom_rebuild" -> (p121BloomRebuild _),
     "p122_stream_audio_index" -> (p122StreamAudioIndex _),
     "p123_stream_video_index" -> (p123StreamVideoIndex _),
-    "p124_audio_neardup" -> (p124AudioNearDup _))
+    "p124_audio_neardup" -> (p124AudioNearDup _),
+    "p125_video_containment" -> (p125VideoContainment _),
+    "p126_stream_audio_neardup" -> (p126StreamAudioNearDup _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -6996,5 +7150,7 @@ object Pipeline {
     "p121_bloom_rebuild" -> p121Sql,
     "p122_stream_audio_index" -> p122Sql,
     "p123_stream_video_index" -> p123Sql,
-    "p124_audio_neardup" -> p124Sql)
+    "p124_audio_neardup" -> p124Sql,
+    "p125_video_containment" -> p125Sql,
+    "p126_stream_audio_neardup" -> p126Sql)
 }

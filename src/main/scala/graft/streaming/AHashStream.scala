@@ -36,12 +36,18 @@ import graft.multimodal.Multimodal
   * deterministic overwrite on redelivery, lineage-fork guard. */
 object AHashStream {
 
-  /** Hash the standing corpus's images and write `root/v0`
-    * (live-root-guarded: [[Versions.guardStandingWrite]]). */
+  /** Hash the standing corpus's media and write `root/v0`
+    * (live-root-guarded: [[Versions.guardStandingWrite]]). `hasher` maps
+    * a (id, payload) frame to (media_id, 64-bit hash) — the image aHash
+    * by default (p117); the audio windowed-amplitude hash for the p126
+    * sibling. Everything downstream (banding, pigeonhole guarantee,
+    * store shape) is hash-agnostic over 64-bit perceptual hashes. */
   def writeStanding(spark: SparkSession, root: String, images: DataFrame,
-      idCol: String = "media_id", payloadCol: String = "payload"): Unit = {
+      idCol: String = "media_id", payloadCol: String = "payload",
+      hasher: (DataFrame, String, String) => DataFrame =
+        Multimodal.aHash64Bytes): Unit = {
     Versions.guardStandingWrite(spark, root)
-    Multimodal.aHash64Bytes(images, idCol, payloadCol)
+    hasher(images, idCol, payloadCol)
       .write.mode("overwrite").parquet(s"$root/v0")
   }
 
@@ -61,7 +67,9 @@ object AHashStream {
     * `root/v{batchId+1}`. */
   def appendBatch(spark: SparkSession, root: String, outRoot: String,
       idCol: String, payloadCol: String, maxHamming: Int = 6,
-      autoCompactVersions: Option[Int] = None)(
+      autoCompactVersions: Option[Int] = None,
+      hasher: (DataFrame, String, String) => DataFrame =
+        Multimodal.aHash64Bytes)(
       batch: DataFrame, batchId: Long): Unit = {
     require(maxHamming <= 6,
       s"maxHamming $maxHamming exceeds the 28-band chunk-pair guarantee " +
@@ -80,7 +88,7 @@ object AHashStream {
     }
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, root, batchId, k))
-    val bh = Multimodal.aHash64Bytes(batch, idCol, payloadCol)
+    val bh = hasher(batch, idCol, payloadCol)
       .localCheckpoint(true)
     // maxBucketSize = unbounded: the oracle replays UNCAPPED exact pairs,
     // so the in-batch arm must match the cross arm's completeness contract

@@ -614,4 +614,52 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"),
       s"the mask filter must stay inside whole-stage codegen:\n$plan")
   }
+
+  test("p122/p126 media-fp and audio-band cross probes: the standing " +
+      "index is a plain scan union; the batch side broadcasts") {
+    import graft.multimodal.Multimodal
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    import graft.streaming.{AHashStream, MediaFpStream}
+    import org.apache.spark.sql.functions.{broadcast, col, pmod, lit}
+    val clips = Multimodal.fromDocuments(spark,
+      Tables.documents(spark, sfDir), onlyKind = Some("audio"),
+      intAudio = true)
+    val standing = clips.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    // exact-fp family (p122): standing (media_id, fp) scan union joined
+    // against the broadcast batch fingerprints — no shuffle on the store
+    val fpRoot = java.nio.file.Files.createTempDirectory("fpplan_").toString
+    MediaFpStream.writeStanding(spark, s"$fpRoot/idx", standing,
+      df => Multimodal.audioFpBytes(df, "media_id", "payload"))
+    val bf = MediaFpStream.readIndex(spark, s"$fpRoot/idx")
+      .filter(pmod(col("media_id"), lit(97)) === 0)
+      .select(col("media_id").as("new_id"), col("fp"))
+    val fpPlan = planString(MediaFpStream.readIndex(spark, s"$fpRoot/idx")
+      .join(broadcast(bf), Seq("fp")))
+    assert(fpPlan.contains("BroadcastHashJoin"),
+      s"batch fingerprints must broadcast:\n$fpPlan")
+    assert(!fpPlan.contains("Exchange hashpartitioning"),
+      s"the standing fp index must never shuffle on the probe path:\n$fpPlan")
+    // perceptual family (p126): AHashStream's cross arm with the audio
+    // hasher — the same exchange-free banding contract as p117's
+    val ahRoot = java.nio.file.Files.createTempDirectory("ahplan_").toString
+    AHashStream.writeStanding(spark, s"$ahRoot/idx", standing,
+      hasher = Multimodal.audioAHash64Bytes)
+    val oldBands = Dedup.chunkPairRows(
+      AHashStream.readIndex(spark, s"$ahRoot/idx")
+        .select(col("media_id").as("id"), col("ahash").as("sh64")))
+    val newBands = Dedup.chunkPairRows(
+        AHashStream.readIndex(spark, s"$ahRoot/idx")
+          .filter(pmod(col("media_id"), lit(97)) === 0)
+          .select(col("media_id").as("id"), col("ahash").as("sh64")))
+      .select(col("id").as("new_id"), col("sh64").as("new_h"),
+        col("chunk"), col("ckey"))
+    val ahPlan = planString(oldBands.join(broadcast(newBands),
+      Seq("chunk", "ckey")))
+    assert(ahPlan.contains("BroadcastHashJoin"),
+      s"batch bands must broadcast:\n$ahPlan")
+    assert(!ahPlan.contains("Exchange hashpartitioning"),
+      s"the standing audio-hash index must never shuffle:\n$ahPlan")
+  }
 }

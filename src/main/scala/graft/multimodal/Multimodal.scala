@@ -284,9 +284,19 @@ object Multimodal {
       while (i < n) {
         var s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
           .toShort.toInt
-        if (i % stride == 0)
+        if (i % stride == 0) {
+          // fail loud on wraparound (ADVICE r12): the oracle's pert CTE
+          // adds WITHOUT 16-bit truncation, so a wobble that overflows
+          // PCM16 would silently diverge engine from replay — the
+          // intAudio fixture bounds |s| at 24574, but the function is
+          // public and the container require above checks only format
+          require(math.abs(s) + 1024 < 32768,
+            s"clip ${r.media_id} sample $i: |$s| + 1024 wobble exceeds " +
+              "PCM16 range — plantAudioVariants needs amplitude headroom " +
+              "(the oracle replay adds without wraparound)")
           s += java.lang.Long.remainderUnsigned(
             Hash64.mix(vid * 131 + i), 2048L).toInt - 1024
+        }
         val sv = s.toShort
         pcm(2 * i) = (sv & 0xff).toByte
         pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte

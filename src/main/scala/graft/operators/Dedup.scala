@@ -405,14 +405,39 @@ object Dedup {
     * batch alone. */
   def containmentIncremental(batch: DataFrame, corpusIndex: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame =
+    containmentIncrementalFromSets(
+      jaccardShingleSets(batch, idCol, textCol, shingleSize)
+        .localCheckpoint(true), corpusIndex, threshold)
+
+  /** [[containmentIncremental]] over PRE-SHINGLED batch (id, sh) sets —
+    * the shared body, factored (the [[containmentJoinFromSets]]
+    * precedent) so the streaming frame-set index
+    * ([[graft.streaming.ContainmentStream]]) probes with MEDIA element
+    * sets (frame hashes, audio window hashes) instead of re-deriving
+    * text shingles. `bsets` must be checkpointed/cached by the caller
+    * (both the in-batch arm and the cross arm reference it);
+    * `corpusIndex` needs columns (id, n, g) — [[containmentOrderedAll]]'s
+    * relation works (`p` is unused: the cross arm drops the positional
+    * filter rather than re-rank the standing corpus under a merged
+    * order).
+    *
+    * Scan posture (the streaming probe discipline): the standing
+    * relation is touched twice, both times WITHOUT a full exchange — the
+    * df aggregation first semi-restricts to the batch's own grams (a
+    * broadcast of the batch gram set; df of grams absent from the batch
+    * orders nothing, so the restriction is result-identical) and the
+    * candidate join broadcasts the batch prefix. Only matched,
+    * candidate-sized rows ever reach a shuffle. */
+  def containmentIncrementalFromSets(bsets: DataFrame,
+      corpusIndex: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    val bsets = jaccardShingleSets(batch, idCol, textCol, shingleSize)
-      .localCheckpoint(true)
     val bex = bsets.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("g"))
-    val cdf = corpusIndex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val cdf = corpusIndex
+      .join(broadcast(bex.select(col("g")).distinct()), "g")
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
     val plen = (col("n") - ceil(col("n").cast("double") * lit(threshold))
       + 1).cast("int")
     val prefix = bex.join(cdf, Seq("g"), "left")
@@ -424,8 +449,8 @@ object Dedup {
         explode(slice(transform(col("__o"), s => s("g")), lit(1), plen))
           .as("g"))
     val alpha = lit(threshold) * col("__na").cast("double") - lit(1e-9)
-    val cand = prefix.select(col("g"), col("id").as("id_a"),
-        col("n").as("__na"))
+    val cand = broadcast(prefix.select(col("g"), col("id").as("id_a"),
+        col("n").as("__na")))
       .join(corpusIndex.select(col("g"), col("id").as("id_b"),
         col("n").as("__nb")), "g")
       // a batch id that already exists in the corpus (redelivery, re-crawl)
@@ -1109,9 +1134,23 @@ object Dedup {
     * two-byte band keys (every Hamming-≤6 pair guaranteed a shared band
     * by pigeonhole), Hamming verify fused inside the in-bucket pair
     * explode so the candidate blowup never reaches an exchange. Returns
-    * (id_a, id_b, hamming) with id_a < id_b. */
+    * (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * The UNCAPPED form (`maxBucketSize = Int.MaxValue` — the oracle
+    * completeness contract of the media paths p116/p124 and
+    * [[graft.streaming.AHashStream]]'s in-batch arm) routes through
+    * [[hammingPairsByClass]] instead: real media has DEGENERATE hash
+    * values (uniform/black rasters and near-silent clips all hash to 0 —
+    * both kernels use strict `>`), so a k-item equal-hash class collides
+    * on ALL 28 band keys and the in-bucket `collect_list` would
+    * materialize k structs in ONE unspillable row before exploding k²
+    * pairs (ADVICE r12). The class form collapses every equal-hash class
+    * to one banded row and expands memberships through ordinary
+    * (spillable) joins — the same output relation, bounded rows. */
   def hammingPairs64(hashed: DataFrame, maxHamming: Int = 4,
       maxBucketSize: Int = 500): DataFrame = {
+    if (maxBucketSize == Int.MaxValue)
+      return hammingPairsByClass(hashed, maxHamming)
     val chunked = chunkPairRows(hashed)
     val perBucket = Window.partitionBy(col("chunk"), col("ckey"))
     val members = col("__m")
@@ -1128,6 +1167,57 @@ object Dedup {
           p => p("hamming") <= maxHamming)))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The uncapped [[hammingPairs64]] relation — all pairs with Hamming ≤
+    * `maxHamming` (≤ 6, inside the 28-band pigeonhole guarantee) — in the
+    * equal-hash-CLASS formulation that survives degenerate hash values:
+    *   - equal-hash pairs (Hamming 0) come from a plain self-join on the
+    *     hash value: a k-copy class streams k² pair rows through the join
+    *     operator (which spills) instead of one k-element array row;
+    *   - cross-class pairs band the DISTINCT hash values (a million black
+    *     images are ONE banded row), pair them in-bucket (distinct
+    *     near-uniform hashes have no hot buckets), then expand each close
+    *     hash pair to its id memberships through two joins.
+    * Output-identical to the uncapped explode: with no cap, banding emits
+    * exactly {all pairs Hamming ≤ maxHamming} (pigeonhole), partitioned
+    * here into the Hamming-0 classes and the Hamming-≥1 hash pairs. */
+  private[graft] def hammingPairsByClass(hashed: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 6,
+      s"maxHamming $maxHamming exceeds the 28-band chunk-pair guarantee")
+    val h = hashed.select(col("id"), col("sh64"))
+    val eqPairs = h.join(h.select(col("sh64"), col("id").as("__id2")),
+        "sh64")
+      .filter(col("id") < col("__id2"))
+      .select(col("id").as("id_a"), col("__id2").as("id_b"),
+        lit(0).as("hamming"))
+    // one row per DISTINCT hash; `id` is a placeholder for chunkPairRows'
+    // shape (the pair explode below keys on the hash values themselves)
+    val distinctHashes = h.groupBy(col("sh64"))
+      .agg(min(col("id")).as("id"))
+      .select(col("id"), col("sh64"))
+    val members = col("__m")
+    val hashPairs = chunkPairRows(distinctHashes)
+      .groupBy(col("chunk"), col("ckey"))
+      .agg(collect_list(col("sh64")).as("__m"))
+      .filter(size(members) >= 2)
+      .select(explode(flatten(transform(members, (x, i) =>
+        filter(transform(slice(members, i + 2, size(members)), y =>
+          // canonical (least, greatest) hash order: the same hash pair
+          // surfaces from several buckets in arbitrary list orders, and
+          // the dedup below must see ONE key for it
+          struct(least(x, y).as("h_a"), greatest(x, y).as("h_b"),
+            bit_count(x.bitwiseXOR(y)).as("hamming"))),
+          p => p("hamming") <= maxHamming)))).as("p"))
+      .select(col("p.h_a"), col("p.h_b"), col("p.hamming"))
+      .dropDuplicates("h_a", "h_b")
+    val crossPairs = hashPairs
+      .join(h.select(col("sh64").as("h_a"), col("id").as("__ia")), "h_a")
+      .join(h.select(col("sh64").as("h_b"), col("id").as("__ib")), "h_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    eqPairs.unionAll(crossPairs)
   }
 
   /** The raw (id, sh64, chunk, ckey) band rows of [[simhashPairs]]'

@@ -5724,7 +5724,8 @@ object Pipeline {
     // it RETURNS the batch's pair frame (localCheckpointed), so the
     // verdict below composes without re-reading the parquet it wrote
     val pairs = NearDupStream.filterBatch(spark, idxRoot, docsRoot,
-      pairsRoot, "doc_id", "text", threshold = 0.4)(
+      pairsRoot, "doc_id", "text", threshold = 0.4,
+      materializePairs = true)(
       b.select(col("doc_id"), col("text")), id)
     // flag the INGEST side of each pair: id_b when it is this
     // batch's (in-batch pairs drop the greater id; a cross pair's

@@ -75,25 +75,17 @@ object AHashStream {
       s"maxHamming $maxHamming exceeds the 28-band chunk-pair guarantee " +
         "(Hamming <= 6 by pigeonhole); beyond it candidates are incomplete " +
         "and streamed pairs would not replay")
-    val versions = Versions.list(spark, root)
-    require(versions.exists(_._1 == 0L),
-      s"standing hash index $root/v0 missing — writeStanding before " +
-        "starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"hash index at $root is at v$newest but the stream is replaying " +
-          s"batch $batchId — restarting with a fresh checkpoint over " +
-          "existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
+    Versions.guardAppend(spark, root, "hash index", batchId,
+      "writeStanding before starting the stream")
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, root, batchId, k))
     val bh = hasher(batch, idCol, payloadCol)
       .localCheckpoint(true)
     // maxBucketSize = unbounded: the oracle replays UNCAPPED exact pairs,
     // so the in-batch arm must match the cross arm's completeness contract
-    // (perceptual-hash band keys are near-uniform — no Zipf-hot buckets to
-    // cap, unlike text shingles)
+    // — routed through hammingPairs64's equal-hash-CLASS form, which
+    // survives degenerate hash values (uniform/black/near-silent media all
+    // hash to 0 and collide on all 28 bands; ADVICE r12)
     val inBatch = Dedup.hammingPairs64(
       bh.select(col("media_id").as("id"), col("ahash").as("sh64")),
       maxHamming, maxBucketSize = Int.MaxValue)

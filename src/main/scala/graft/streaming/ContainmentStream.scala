@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Streaming frame-set CONTAINMENT index — the clipped-re-upload detector
+  * ([[graft.queries.Pipeline]] p125) as an incremental stream, closing
+  * the one near-dup family that had no streaming member on any modality
+  * (exact-fp [[MediaFpStream]], perceptual [[AHashStream]], MinHash
+  * [[NearDupStream]], passages [[PassageStream]] all have theirs): a
+  * media lake detects a clipped/trimmed re-ingest AT INGEST or pays a
+  * full-corpus containment join later.
+  *
+  * Each micro-batch decodes ONLY its own payloads into distinct
+  * element-hash sets (`setsOf` — the family's scan-shaped profiler:
+  * per-video distinct frame-aHash sets for p127, per-clip audio
+  * window-hash sets for the audio sibling), probes the standing set
+  * relation through the audited containment machinery
+  * ([[Dedup.containmentIncrementalFromSets]] — prefix completeness holds
+  * under ANY fixed order, so the batch prefixes under the corpus df
+  * order), emits every DIRECTED pair (a ∈ batch, b ∈ corpus ∪ batch)
+  * with |A ∩ B| / |A| ≥ `threshold`, and appends its own set delta for
+  * later batches to probe.
+  *
+  * Store: `root/v*` — exploded (id, n, g) rows, `v0` = standing: 8 bytes
+  * per DISTINCT element hash (plus id and set size), payloads never
+  * enter the store and never shuffle. Probe posture: the standing
+  * relation is read as a plain scan union and both standing-side joins
+  * broadcast the batch side (see `containmentIncrementalFromSets` — the
+  * df aggregation semi-restricts to the batch's own grams first), so the
+  * standing index never crosses a full exchange. Exactly-once contract
+  * is the family's: batch-id-named deltas, deterministic overwrite on
+  * redelivery, lineage-fork guard ([[Versions.guardAppend]]). */
+object ContainmentStream {
+
+  private def explodeSets(sets: DataFrame): DataFrame =
+    sets.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+
+  /** Profile the standing corpus into its element-hash set relation and
+    * write `root/v0` (live-root-guarded). `setsOf` maps an (id,
+    * payload...) frame to (id, sh: array<string>) DISTINCT sets; rows
+    * with empty sets are dropped (the [[Dedup.jaccardShingleSets]]
+    * family contract — an empty probe set has no defined containment). */
+  def writeStanding(spark: SparkSession, root: String, standing: DataFrame,
+      setsOf: DataFrame => DataFrame): Unit = {
+    Versions.guardStandingWrite(spark, root)
+    explodeSets(setsOf(standing).toDF("id", "sh")
+        .filter(size(col("sh")) > 0))
+      .write.mode("overwrite").parquet(s"$root/v0")
+  }
+
+  /** The assembled set relation: every delta `<= upTo`, a plain scan
+    * union (rows unique across deltas — each item arrives in exactly one
+    * batch). */
+  def readIndex(spark: SparkSession, root: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val versions = Versions.list(spark, root).filter(_._1 <= upTo)
+    require(versions.nonEmpty, s"no index versions at $root")
+    spark.read.parquet(versions.map(_._2.toString): _*)
+  }
+
+  /** The `foreachBatch` callback: profile batch `batchId`'s media, emit
+    * its directed containment pairs (in-batch + against everything
+    * earlier) to `outRoot/b<batchId>` as (id_a, id_b, containment,
+    * batch), append the batch's set delta as `root/v{batchId+1}`, and
+    * return the pair frame. `materializePairs` follows
+    * [[NearDupStream.filterBatch]]'s contract: a composing caller (the
+    * media ingest capstone) sets it to reuse the pairs without
+    * recomputing the probe; plain callers leave it false (the write is
+    * the frame's only consumer). */
+  def filterBatch(spark: SparkSession, root: String, outRoot: String,
+      setsOf: DataFrame => DataFrame, threshold: Double,
+      autoCompactVersions: Option[Int] = None,
+      materializePairs: Boolean = false)(
+      batch: DataFrame, batchId: Long): DataFrame = {
+    Versions.guardAppend(spark, root, "set index", batchId,
+      "writeStanding before starting the stream")
+    autoCompactVersions.foreach(k =>
+      Versions.autoCompact(spark, root, batchId, k))
+    val bsets = setsOf(batch).toDF("id", "sh")
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val probe = Dedup.containmentIncrementalFromSets(bsets,
+        readIndex(spark, root, upTo = batchId), threshold)
+      .withColumn("batch", lit(batchId))
+    val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
+    pairs.write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+    explodeSets(bsets)
+      .write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+    pairs
+  }
+
+  /** Fold deltas `v0..v<upTo>` into a new base (rows unique across
+    * deltas ⇒ the identity fold is read-equivalent). */
+  def compactStore(spark: SparkSession, root: String, upTo: Long): Unit =
+    Versions.compact(spark, root, upTo)
+}

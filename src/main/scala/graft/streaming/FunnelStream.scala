@@ -32,17 +32,8 @@ object FunnelStream {
       keyCol: String, tsCol: String, tieCol: String, typeCol: String,
       steps: Seq[String], autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val versions = Versions.list(spark, stateRoot)
-    require(versions.exists(_._1 == 0L),
-      s"standing state $stateRoot/v0 missing — write it (empty for a cold " +
-        "start) before starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"state at $stateRoot is at v$newest but the stream is replaying " +
-          s"batch $batchId — restarting with a fresh checkpoint over " +
-          "existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
+    val versions = Versions.guardAppend(spark, stateRoot, "state", batchId,
+      "write it (empty for a cold start) before starting the stream")
     val current = autoCompactVersions match {
       case Some(k) => Versions.autoCompact(spark, stateRoot, batchId, k, df =>
         df.withColumn("__rn", row_number().over(

@@ -102,7 +102,18 @@ object IvfStream {
         "appending or probing")
     val pinRows = spark.read.parquet(s"$indexRoot/_params")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val pinned = (pinRows("bank_fp"), pinRows.getOrElse("bank_n", -1L))
+    // a pin written by the pre-r12 single-row format carries only bank_fp;
+    // comparing it against today's (fp, n) would fail EVERY bank — even a
+    // byte-identical one — with a misleading "does not match" message, so
+    // name the real problem (ADVICE r12): the old pin cannot distinguish
+    // a crash-double-appended bank row (XOR pairs cancel), which is the
+    // hole count-pinning closed
+    require(pinRows.contains("bank_n"),
+      s"$indexRoot/_params predates count pinning (bank_fp only) — the " +
+        "old pin format cannot detect paired-duplicate bank rows; " +
+        "rebuildIndex into new roots (which re-pins (fp, n)) before " +
+        "appending or probing")
+    val pinned = (pinRows("bank_fp"), pinRows("bank_n"))
     val actual = bankFingerprint(spark.read.parquet(s"$bankRoot/v0"))
     require(actual == pinned,
       s"bank at $bankRoot does not match the bank $indexRoot was built " +
@@ -145,17 +156,8 @@ object IvfStream {
         s"${bankVersions.map("v" + _._1).mkString(", ")}) — an index is " +
         "bound to the bank it was built under; retrain into a NEW root " +
         "and rebuild, never mutate a live bank")
-    val idxVersions = Versions.list(spark, indexRoot)
-    require(idxVersions.exists(_._1 == 0L),
-      s"standing index $indexRoot/v0 missing — writeStanding before " +
-        "starting the stream")
-    idxVersions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"index at $indexRoot is at v$newest but the stream is replaying " +
-          s"batch $batchId — restarting with a fresh checkpoint over " +
-          "existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
+    Versions.guardAppend(spark, indexRoot, "index", batchId,
+      "writeStanding before starting the stream")
     // identity, not just shape: the v0-only guard above catches a MUTATED
     // bank root, this catches the WRONG one (or a same-named retrain) —
     // one model-sized fold per batch

@@ -61,31 +61,20 @@ object MediaFpStream {
       profiler: DataFrame => DataFrame,
       autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val versions = Versions.list(spark, root)
-    require(versions.exists(_._1 == 0L),
-      s"standing fingerprint index $root/v0 missing — writeStanding " +
-        "before starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"fingerprint index at $root is at v$newest but the stream is " +
-          s"replaying batch $batchId — restarting with a fresh checkpoint " +
-          "over existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
+    Versions.guardAppend(spark, root, "fingerprint index", batchId,
+      "writeStanding before starting the stream")
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, root, batchId, k))
     val bf = profiler(batch).toDF("media_id", "fp").localCheckpoint(true)
-    // in-batch: exact-fp self-group; groups are duplicate classes (tiny
-    // by construction — identical payloads), pairs enumerate in-group
-    val members = col("__m")
-    val inBatch = bf
-      .groupBy(col("fp"))
-      .agg(collect_list(col("media_id")).as("__m"))
-      .filter(size(members) >= 2)
-      .select(explode(flatten(transform(sort_array(members), (x, i) =>
-        transform(slice(sort_array(members), i + 2,
-          size(members)), y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // in-batch: exact-fp SELF-JOIN — a heavily re-crawled identical
+    // payload (the exact scenario this index targets) can form a k-copy
+    // class, and the earlier collect_list form materialized all k members
+    // in one unspillable row before exploding k² pairs (ADVICE r12); the
+    // join streams the same pair relation through spillable operators
+    val inBatch = bf.select(col("media_id").as("id_a"), col("fp"))
+      .join(bf.select(col("media_id").as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
     // cross arm: the standing index stays a narrow scan union; the
     // batch's fingerprints BROADCAST into the join — the standing index
     // never crosses a shuffle

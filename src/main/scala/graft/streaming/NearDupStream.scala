@@ -29,25 +29,26 @@ object NearDupStream {
 
   /** The `foreachBatch` callback: emit batch `batchId`'s near-dup pairs
     * (in-batch + against everything earlier) to `outRoot/b<batchId>`,
-    * then append the batch's band and doc deltas as `v<batchId+1>`. */
+    * then append the batch's band and doc deltas as `v<batchId+1>`.
+    *
+    * `materializePairs` eagerly `localCheckpoint`s the returned pair
+    * frame BEFORE the parquet write, so a composing caller (the p114
+    * capstone) reuses the batch's pairs without recomputing the probe or
+    * re-reading the parquet it just wrote. Plain foreachBatch callers
+    * that ignore the returned frame (p79) leave it false: the write is
+    * then the frame's only consumer and an eager checkpoint would
+    * materialize every batch's pairs into the block manager for nothing
+    * (the r12 p79 1.2× regression). Hashes are identical either way. */
   def filterBatch(spark: SparkSession, indexRoot: String, docsRoot: String,
       outRoot: String, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.6, maxBucketSize: Int = 200, seed: Long = 42L,
-      autoCompactVersions: Option[Int] = None)(
+      autoCompactVersions: Option[Int] = None,
+      materializePairs: Boolean = false)(
       batch: DataFrame, batchId: Long): DataFrame = {
     def deltasOf(root: String, what: String,
         compactTransform: DataFrame => DataFrame): Seq[String] = {
-      val versions = Versions.list(spark, root)
-      require(versions.exists(_._1 == 0L),
-        s"standing $what $root/v0 missing — write it before starting the stream")
-      versions.lastOption.foreach { case (newest, _) =>
-        require(newest <= batchId + 1,
-          s"$what at $root is at v$newest but the stream is replaying batch " +
-            s"$batchId — restarting with a fresh checkpoint over existing " +
-            "deltas would fork their lineage; resume from the original " +
-            "checkpoint or start new roots")
-      }
+      val versions = Versions.guardAppend(spark, root, what, batchId)
       val current = autoCompactVersions match {
         case Some(k) =>
           Versions.autoCompact(spark, root, batchId, k, compactTransform)
@@ -61,14 +62,11 @@ object NearDupStream {
       deltasOf(indexRoot, "band index", _.distinct()): _*)
     val existingDocs = spark.read.parquet(
       deltasOf(docsRoot, "docs store", identity): _*)
-    // localCheckpoint before writing so the returned frame doesn't
-    // recompute the probe when a composing caller (the p114 capstone)
-    // reuses the batch's pairs — saves a parquet read-back per batch
-    val pairs = Dedup.minhashPairsIncremental(batch, idCol, textCol, idx,
+    val probe = Dedup.minhashPairsIncremental(batch, idCol, textCol, idx,
         existingDocs, numHashes, bands, shingleSize, threshold,
         maxBucketSize, seed)
       .withColumn("batch", lit(batchId))
-      .localCheckpoint(true)
+    val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
     pairs.write.mode("overwrite").parquet(s"$outRoot/b$batchId")
     Dedup.minhashBandIndex(batch, idCol, textCol, numHashes, bands,
         shingleSize, seed)

@@ -48,17 +48,9 @@ object PassageStream {
       idCol: String, textCol: String, windowTokens: Int = 8,
       autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val versions = Versions.list(spark, indexRoot)
-    require(versions.exists(_._1 == 0L),
-      s"standing index $indexRoot/v0 missing — write " +
-        "Dedup.passageWindowIndex(corpus) there before starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"index at $indexRoot is at v$newest but the stream is replaying " +
-          s"batch $batchId — restarting with a fresh checkpoint over an " +
-          "existing index would fork its lineage; resume from the original " +
-          "checkpoint or start a new index root")
-    }
+    val versions = Versions.guardAppend(spark, indexRoot, "index", batchId,
+      "write Dedup.passageWindowIndex(corpus) there before starting the " +
+        "stream")
     val current = autoCompactVersions match {
       case Some(k) =>
         Versions.autoCompact(spark, indexRoot, batchId, k, _.distinct())

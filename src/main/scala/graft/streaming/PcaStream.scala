@@ -57,17 +57,8 @@ object PcaStream {
       vecCol: String = "embedding",
       autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val versions = Versions.list(spark, root)
-    require(versions.exists(_._1 == 0L),
-      s"standing moments $root/v0 missing — writeStanding before " +
-        "starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"moments store at $root is at v$newest but the stream is " +
-          s"replaying batch $batchId — restarting with a fresh checkpoint " +
-          "over existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
+    Versions.guardAppend(spark, root, "moments store", batchId,
+      "writeStanding before starting the stream")
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, root, batchId, k, foldMoments))
     Decomp.moments(batch, vecCol)

@@ -83,17 +83,8 @@ object QuantileStream {
       autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val (mn, mx, bins) = readBounds(spark, boundsRoot)
-    val versions = Versions.list(spark, countRoot)
-    require(versions.exists(_._1 == 0L),
-      s"standing store $countRoot/v0 missing — writeStanding before " +
-        "starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"store at $countRoot is at v$newest but the stream is replaying " +
-          s"batch $batchId — restarting with a fresh checkpoint over " +
-          "existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
+    Versions.guardAppend(spark, countRoot, "store", batchId,
+      "writeStanding before starting the stream")
     autoCompactVersions.foreach(k =>
       Versions.autoCompact(spark, countRoot, batchId, k, foldCounts))
     // one batch-sized source scan feeds both writes (the family's

@@ -64,10 +64,8 @@ object RetrievalStream {
       idCol: String = "doc_id", textCol: String = "text",
       autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val versions = Versions.list(spark, postRoot(root))
-    require(versions.exists(_._1 == 0L),
-      s"standing postings ${postRoot(root)}/v0 missing — writeStanding " +
-        "before starting the stream")
+    Versions.guardAppend(spark, postRoot(root), "postings", batchId,
+      "writeStanding before starting the stream")
     // BOTH standing roots, like every other two-root store: a
     // writeStanding that crashed between the postings and stats writes
     // would otherwise stream over stats that exclude the standing corpus
@@ -76,13 +74,6 @@ object RetrievalStream {
       s"standing stats ${statsRoot(root)}/v0 missing (postings v0 exists " +
         "— a writeStanding crashed between its two writes); re-run " +
         "writeStanding before starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"index at $root is at v$newest but the stream is replaying " +
-          s"batch $batchId — restarting with a fresh checkpoint over " +
-          "existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
     autoCompactVersions.foreach { k =>
       Versions.autoCompact(spark, postRoot(root), batchId, k)
       Versions.autoCompact(spark, statsRoot(root), batchId, k, foldStats)

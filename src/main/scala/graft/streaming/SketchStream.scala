@@ -137,17 +137,9 @@ object SketchStream {
 
   private def guardStore(spark: SparkSession, root: String,
       batchId: Long): Unit = {
-    val versions = Versions.list(spark, root)
-    require(versions.exists(_._1 == 0L),
-      s"standing store $root/v0 missing — writeStanding before " +
-        "starting the stream")
-    versions.lastOption.foreach { case (newest, _) =>
-      require(newest <= batchId + 1,
-        s"store at $root is at v$newest but the stream is replaying " +
-          s"batch $batchId — restarting with a fresh checkpoint over " +
-          "existing deltas would fork their lineage; resume from the " +
-          "original checkpoint or start new roots")
-    }
+    Versions.guardAppend(spark, root, "store", batchId,
+      "writeStanding before starting the stream")
+    ()
   }
 
   /** Write the standing corpus's count-min counters as `root/v0`. */

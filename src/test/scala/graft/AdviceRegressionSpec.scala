@@ -282,4 +282,85 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(eBig.getMessage.contains("2^53"),
       s"time >= 2^53 must raise: ${eBig.getMessage}")
   }
+
+  test("hammingPairs64 uncapped: a degenerate equal-hash class (all-zero " +
+      "hashes) emits its complete pair set without banding blowup, and " +
+      "mixed sets match brute force (r12 advice)") {
+    import graft.operators.Dedup
+    // 40 items hashing to 0 (uniform/black media), plus a near cluster
+    // and a far outlier — the degenerate class collides on ALL 28 bands
+    val rows =
+      (0L until 40L).map(i => (i, 0L)) ++
+      Seq((100L, 3L), (101L, 7L), (102L, 0xff00ff00ff00ff0L))
+    val hashed = rows.toDF("id", "sh64")
+    val got = Dedup.hammingPairs64(hashed, maxHamming = 6,
+        maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the same relation
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    // 780 in-class (hamming 0) + 40 class↔3 + 40 class↔7 + (3,7)
+    assert(want.size === 40 * 39 / 2 + 40 + 40 + 1, s"fixture: ${want.size}")
+    assert(got === want)
+    // and each pair appears exactly once (the canonical hash-pair dedup)
+    val all = Dedup.hammingPairs64(hashed, maxHamming = 6,
+        maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(all.length === all.toSet.size, "duplicate pairs emitted")
+  }
+
+  test("plantAudioVariants fails loud when a wobble would wrap PCM16 " +
+      "instead of silently diverging from the oracle (r12 advice)") {
+    import graft.multimodal.{MediaCodec, Multimodal}
+    import Multimodal.{MediaMeta, MediaRecord}
+    // a clip at the PCM16 ceiling: 32000 + 1024 wraps a Short
+    val n = 400
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      pcm(2 * i) = (32000 & 0xff).toByte
+      pcm(2 * i + 1) = ((32000 >> 8) & 0xff).toByte
+      i += 1
+    }
+    val meta = MediaMeta(0, 0, 8000, 50L)
+    val hot = Seq(MediaRecord(1L, "audio",
+      MediaCodec.wrapWavPcm(pcm, 8000, n), meta)).toDS()
+    val e = intercept[Exception] {
+      Multimodal.plantAudioVariants(hot).collect()
+    }
+    assert(e.getMessage.contains("headroom"), e.getMessage)
+    // the in-contract fixture still plants fine
+    val ok = Seq(MediaRecord(2L, "audio",
+      MediaCodec.syntheticWavInt(2L, 8000, 52L), meta)).toDS()
+    assert(Multimodal.plantAudioVariants(ok).collect().length === 1)
+  }
+
+  test("IvfStream.checkBank names the pre-r12 pin format instead of a " +
+      "misleading bank mismatch (r12 advice)") {
+    import graft.streaming.IvfStream
+    import graft.operators.IvfRelational
+    val root = java.nio.file.Files.createTempDirectory("oldpin_").toString
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val bank = IvfRelational.trainBank(emb, nCells = 2, iters = 1,
+      stride = 10)
+    IvfStream.writeStanding(spark, s"$root/bank", s"$root/idx", emb, bank)
+    // regress the pin to the old single-row bank_fp-only format
+    val fp = spark.read.parquet(s"$root/idx/_params")
+      .filter(col("k") === "bank_fp").select("k", "v")
+    val old = fp.collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(old, 1),
+        spark.read.parquet(s"$root/idx/_params").schema)
+      .write.mode("overwrite").parquet(s"$root/idx/_params")
+    val e = intercept[Exception] {
+      IvfStream.checkBank(spark, s"$root/bank", s"$root/idx")
+    }
+    assert(e.getMessage.contains("predates count pinning"), e.getMessage)
+    assert(!e.getMessage.contains("does not match"), e.getMessage)
+  }
 }

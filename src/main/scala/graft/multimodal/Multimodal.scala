@@ -366,6 +366,111 @@ object Multimodal {
     hash
   }
 
+  /** Decode one WAV payload to its raw PCM16 sample array (the shared
+    * little-endian mono decode of [[audioAHashOf]] /
+    * [[plantAudioVariants]], factored). */
+  private def decodePcm16(payload: Array[Byte]): (Array[Int], Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"expected little-endian PCM16 mono, got $fmt")
+    val n = ais.getFrameLength.toInt
+    val bytes = ais.readAllBytes()
+    (Array.tabulate(n)(i =>
+      ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt),
+      fmt.getSampleRate.toInt)
+  }
+
+  /** Per-clip DISTINCT window-hash set — the p124 windowed-amplitude
+    * kernel over FIXED-length windows (p130): the decoded PCM splits
+    * into ⌊n/256⌋ full 256-sample windows (the trailing partial window
+    * is dropped — a trimmed re-encode then shares every surviving
+    * window), each window hashes to 64 bits via the p124 rule applied
+    * WITHIN the window (64 contiguous 4-sample sub-windows; bit b set
+    * iff sub-window b's |amplitude| mean exceeds the window mean,
+    * cross-multiplied in exact integers: `ss·64 > tot` since every
+    * sub-window holds exactly 4 of the window's 256 samples), and only
+    * the distinct hash strings continue — 8 bytes per distinct window,
+    * the containment-set shape [[graft.streaming.ContainmentStream]]
+    * probes. A clip excerpted from a longer recording at window
+    * boundaries keeps its prefix windows bit-identical, so its set is
+    * wholly contained in the original's — the directed relation the
+    * exact fingerprint (length changes) and the whole-clip perceptual
+    * hash (windows re-normalize) both miss. */
+  def audioWindowHashSets(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        (id, audioWindowHashesOf(p).map(_.toString).distinct.toArray)
+      }
+      .toDF("id", "sh")
+  }
+
+  /** The fixed-window hash kernel over one WAV payload: one 64-bit hash
+    * per FULL 256-sample window (see [[audioWindowHashSets]]). */
+  def audioWindowHashesOf(payload: Array[Byte]): Array[Long] = {
+    val (s, _) = decodePcm16(payload)
+    val nWin = s.length / 256
+    Array.tabulate(nWin) { w =>
+      val base = w * 256
+      val ss = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < 256) {
+        val a = math.abs(s(base + i)).toLong
+        ss(i / 4) += a
+        tot += a
+        i += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        // sub mean > window mean ⇔ ss/4 > tot/256 ⇔ ss·64 > tot
+        if (ss(b) * 64 > tot) hash |= (1L << b)
+        b += 1
+      }
+      hash
+    }
+  }
+
+  /** Deterministic TAIL-TRUNCATED re-encodes of audio records — the
+    * clipped-re-upload plant for the containment relation (p130, the
+    * audio analogue of p125's sliced video blocks): the clip's PCM is
+    * REALLY decoded, cut to its first `⌊n/256⌋ − 1` full windows (a
+    * window-aligned excerpt — exactly how a trimming tool cuts), and
+    * re-encoded through the REAL codec under `media_id + idOffset`. The
+    * surviving samples are bit-identical (WAV PCM16 is lossless), so
+    * every surviving window hash equals the original's and containment
+    * is exactly 1.0 — while the exact fingerprint and the whole-clip
+    * perceptual hash both change. Requires ≥ 2 full windows (≥ 512
+    * samples, i.e. ms ≥ 64 at 8 kHz) so the excerpt keeps ≥ 1. */
+  def plantAudioClips(ds: Dataset[MediaRecord],
+      idOffset: Long = 10000L): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      require(r.kind == "audio", s"plantAudioClips over kind ${r.kind}")
+      val (s, rate) = decodePcm16(r.payload)
+      val nWin = s.length / 256
+      require(nWin >= 2,
+        s"clip ${r.media_id}: ${s.length} samples = $nWin full windows — " +
+          "a tail-truncated excerpt needs >= 2 to keep >= 1")
+      val keep = (nWin - 1) * 256
+      val pcm = new Array[Byte](keep * 2)
+      var i = 0
+      while (i < keep) {
+        pcm(2 * i) = (s(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      r.copy(media_id = r.media_id + idOffset,
+        payload = MediaCodec.wrapWavPcm(pcm, rate, keep))
+    }
+  }
+
   /** [[MediaCodec.audioProfileOf]]'s fingerprint over a plain
     * (id, payload) frame — the streaming ingest shape ([[aHash64Bytes]]
     * for audio): 16 bytes per clip continue, payloads never shuffle
@@ -403,6 +508,31 @@ object Multimodal {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
       }
       .toDF("media_id", "video_fp")
+  }
+
+  /** The p125 per-video DISTINCT frame-aHash set over a plain (id,
+    * payload) frame — the streaming containment-ingest shape
+    * ([[graft.streaming.ContainmentStream]], p127): every frame of the
+    * fixed-block container decodes through the REAL PNG codec ONCE at
+    * ingest, and only the distinct hash strings continue (8 bytes per
+    * distinct frame — the payload never shuffles). Hash strings match
+    * p125's `ahash.cast("string")` rendering, so the oracle chain is
+    * shared. */
+  def videoFrameSetBytes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val b = MediaCodec.videoBlockBytes
+        val n = p.length / b
+        require(n > 0 && p.length % b == 0,
+          s"malformed video container, media_id=$id")
+        (id, (0 until n).map(f => aHashOf(java.util.Arrays.copyOfRange(
+          p, f * b, (f + 1) * b)).toString).distinct.toArray)
+      }
+      .toDF("id", "sh")
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size chunk

@@ -142,11 +142,11 @@ private[queries] object OracleHash {
     * `n`·`stride` rows of `emb(id, v)` by id, every `stride`-th vector, as
     * CTE `$name(${keyCol} INT, v)`. */
   def strideSampleCte(name: String, n: Int, keyCol: String,
-      stride: Int = 50): String =
+      stride: Int = 50, src: String = "emb"): String =
     s"""$name AS (
        |  SELECT CAST((rn - 1) // $stride AS INT) AS $keyCol, v
        |  FROM (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn
-       |        FROM (SELECT id, v FROM emb ORDER BY id LIMIT ${n * stride}))
+       |        FROM (SELECT id, v FROM $src ORDER BY id LIMIT ${n * stride}))
        |  WHERE (rn - 1) % $stride = 0 AND (rn - 1) // $stride < $n)""".stripMargin
 
   /** Nearest-cell assignment of `source` rows (default the `emb` CTE)
@@ -194,40 +194,47 @@ private[queries] object OracleHash {
     * `bank(j, code, cv)` (the `pqCodes` kernel: squared-L2 on the
     * subspace slice, ties to the lower code). Emits
     * `$name(id, j, code)`. */
-  def pqAssignCte(name: String, bank: String, subDim: Int): String =
+  def pqAssignCte(name: String, bank: String, subDim: Int,
+      src: String = "emb"): String =
     s"""$name AS (
        |  SELECT id, j, code FROM (
        |    SELECT e.id, b.j, b.code,
        |      ROW_NUMBER() OVER (PARTITION BY e.id, b.j
        |        ORDER BY ${seqSqDist(s"e.v[b.j*$subDim+1:(b.j+1)*$subDim]", "b.cv")} ASC, b.code ASC) AS rn
-       |    FROM emb e CROSS JOIN $bank b)
+       |    FROM $src e CROSS JOIN $bank b)
        |  WHERE rn = 1)""".stripMargin
 
   /** The full trained-PQ codebooks (`pqTrain`): per-subspace stride seed
     * + `iters` decimal-staged Lloyd iterations. Returns (ctes,
-    * finalBankName); bank CTEs are `pqb0..pqb$iters(j, code, cv)`. */
-  def pqBankCtes(m: Int, nCodes: Int, subDim: Int, iters: Int): (String, String) = {
-    val seed = strideSampleCte("pqseed", nCodes, "code") +
+    * finalBankName); bank CTEs are `${prefix}pqb0..$iters(j, code, cv)`.
+    * `prefix`/`src` let one query replay TWO codebook generations (the
+    * p129 rebuild lifecycle) without CTE-name or training-source
+    * collisions; the defaults are byte-identical to the original
+    * fragment (p29/p32/p87/p104 hashes unchanged). */
+  def pqBankCtes(m: Int, nCodes: Int, subDim: Int, iters: Int,
+      prefix: String = "", src: String = "emb"): (String, String) = {
+    val seed = strideSampleCte(s"${prefix}pqseed", nCodes, "code",
+      src = src) +
       s""",
-         |pqb0 AS (
-         |  SELECT j.j, pqseed.code, pqseed.v[j.j*$subDim+1:(j.j+1)*$subDim] AS cv
-         |  FROM pqseed CROSS JOIN (SELECT CAST(unnest(range($m)) AS INT) AS j) j)""".stripMargin
+         |${prefix}pqb0 AS (
+         |  SELECT j.j, ${prefix}pqseed.code, ${prefix}pqseed.v[j.j*$subDim+1:(j.j+1)*$subDim] AS cv
+         |  FROM ${prefix}pqseed CROSS JOIN (SELECT CAST(unnest(range($m)) AS INT) AS j) j)""".stripMargin
     val rounds = (1 to iters).map { it =>
-      val prev = s"pqb${it - 1}"
-      s"""${pqAssignCte(s"pqa$it", prev, subDim)},
-         |pqm$it AS (
+      val prev = s"${prefix}pqb${it - 1}"
+      s"""${pqAssignCte(s"${prefix}pqa$it", prev, subDim, src = src)},
+         |${prefix}pqm$it AS (
          |  SELECT c.j, c.code, CAST((p - 1) % $subDim AS INT) AS pos_in,
          |    SUM(${decimalStage("v[p]")}) AS s, COUNT(*) AS n
-         |  FROM emb e CROSS JOIN unnest(range(1, len(e.v) + 1)) AS r(p)
-         |  JOIN pqa$it c ON c.id = e.id AND c.j = CAST((p - 1) // $subDim AS INT)
+         |  FROM $src e CROSS JOIN unnest(range(1, len(e.v) + 1)) AS r(p)
+         |  JOIN ${prefix}pqa$it c ON c.id = e.id AND c.j = CAST((p - 1) // $subDim AS INT)
          |  GROUP BY c.j, c.code, pos_in),
-         |pqb$it AS (
+         |${prefix}pqb$it AS (
          |  SELECT b.j, b.code, COALESCE(nl.cv, b.cv) AS cv
          |  FROM $prev b LEFT JOIN (
          |    SELECT j, code, list(${decimalToDouble("s")} / n ORDER BY pos_in) AS cv
-         |    FROM pqm$it GROUP BY j, code) nl ON b.j = nl.j AND b.code = nl.code)""".stripMargin
+         |    FROM ${prefix}pqm$it GROUP BY j, code) nl ON b.j = nl.j AND b.code = nl.code)""".stripMargin
     }.mkString(",\n")
-    (s"$seed,\n$rounds", s"pqb$iters")
+    (s"$seed,\n$rounds", s"${prefix}pqb$iters")
   }
 
   /** The seeded hyperplane bank as SQL VALUES rows `(t, b, p DOUBLE[])` —

@@ -6263,10 +6263,13 @@ object Pipeline {
   /** The integer-PCM waveform replay over a `clips(id, seed, ms)` CTE —
     * params → per-sample values — ending in CTE `smp(id, n, i, s)`.
     * Shared by the fingerprint chain ([[sqlAudioFpCtes]]) and the p124
-    * perceptual-hash chain (which perturbs these samples first). */
-  private val sqlAudioSampleCtes: String = {
+    * perceptual-hash chain (which perturbs these samples first).
+    * `nExpr` parameterizes the per-clip sample count (default: derived
+    * from `ms` — the p119/p122/p124/p126 fixture; p130's clipped plants
+    * carry an explicit window-aligned `n` instead). */
+  private def sqlAudioSampleCtesFrom(nExpr: String): String = {
     import OracleHash._
-    s"""az AS (SELECT id, vnt, (8000 * ms) // 1000 AS n,
+    s"""az AS (SELECT id, vnt, $nExpr AS n,
        |    CAST(seed AS HUGEINT) AS z1,
        |    CAST(seed AS HUGEINT) * 31 + 7 AS z2,
        |    CAST(seed AS HUGEINT) * 17 + 3 AS z3,
@@ -6284,6 +6287,9 @@ object Pipeline {
        |         THEN a2 ELSE -a2 END) AS s
        |  FROM ap CROSS JOIN unnest(range(n)) AS u(i))""".stripMargin
   }
+
+  private val sqlAudioSampleCtes: String =
+    sqlAudioSampleCtesFrom("(8000 * ms) // 1000")
 
   private val sqlAudioFpCtes: String = {
     import OracleHash._
@@ -6900,6 +6906,303 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // =========================================================================
+  // p127 — STREAMING video frame-set containment index: p125's
+  // clipped-re-upload detector as an incremental foreachBatch store — the
+  // one near-dup family that had no streaming member on any modality
+  // (exact-fp p122/p123, perceptual p117/p126, MinHash p79, passages p75
+  // all have theirs). A standing video corpus is reduced ONCE to its
+  // distinct frame-aHash sets (ContainmentStream store: exploded
+  // (id, n, g) rows, 8 bytes per distinct frame); each video micro-batch
+  // then decodes ONLY its own payloads and probes the standing relation
+  // through the audited containment machinery
+  // (Dedup.containmentIncrementalFromSets — prefix completeness holds
+  // under the corpus df order), emitting every DIRECTED pair
+  // (a ∈ batch, b arrived no later) with |A∩B|/|A| ≥ 0.9, then appends
+  // its set delta. Plants are REAL clipped re-ingests of standing videos
+  // (last container block byte-sliced off, +10000) arriving THROUGH the
+  // stream — the cross-arm probe: a trimmed re-upload is caught in the
+  // batch it re-arrives, exactly the at-ingest detection a media lake
+  // needs (detect at ingest or pay a full-corpus join later). The oracle
+  // replays frame hashes from integers (the shared p118 chain with plant
+  // rows at nf−1 and an explicit vnt flag — never id-magnitude), the
+  // containment arithmetic relationally, and each pair's emission batch
+  // from the deterministic split (a pair surfaces in its PROBE side's
+  // batch; the contained side must have arrived no later).
+  // =========================================================================
+  def p127StreamVideoContainment(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.{MediaCodec, Multimodal}
+    import graft.streaming.ContainmentStream
+    import spark.implicits._
+    val vids = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("video"))
+    val standing = vids.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    // clipped re-ingests of STANDING videos (>= 3 frames so the clip
+    // keeps >= 2) — the p125 plant, arriving through the stream
+    val plants = vids.filter(r => r.media_id < 60 && r.media_id % 6 >= 1)
+      .map(r => r.copy(media_id = r.media_id + 10000,
+        payload = java.util.Arrays.copyOfRange(r.payload, 0,
+          r.payload.length - MediaCodec.videoBlockBytes)))
+    val incoming = vids.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(plants.toDF().select(col("media_id"), col("payload")))
+      .withColumn("batch", pmod(col("media_id"), lit(2)))
+    val root = Files.createTempDirectory("p127_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    val setsOf = (df: DataFrame) =>
+      Multimodal.videoFrameSetBytes(df, "media_id", "payload")
+    ContainmentStream.writeStanding(spark, idxRoot, standing, setsOf)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ContainmentStream.filterBatch(spark, idxRoot, outRoot, setsOf,
+          threshold = 0.9)(b, id)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("containment"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p127Sql: String =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS id, doc_id AS seed, doc_id % 32 + 32 AS w,
+       |    doc_id % 24 + 32 AS h, doc_id % 6 + 2 AS nf, 0 AS vnt
+       |  FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 10000, doc_id, doc_id % 32 + 32,
+       |    doc_id % 24 + 32, doc_id % 6 + 1, 1
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND doc_id < 60 AND doc_id % 6 >= 1),
+       |$sqlVideoFpCtes,
+       |vsets AS (SELECT id, list_distinct(list(CAST(ahash AS VARCHAR)))
+       |          AS s FROM vah GROUP BY id),
+       |vna AS (SELECT id, len(s) AS n FROM vsets),
+       |vex AS (SELECT id, unnest(s) AS g FROM vsets),
+       |vov AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+       |  FROM vex a JOIN vex b ON a.g = b.g AND a.id != b.id
+       |  GROUP BY a.id, b.id),
+       |vasg AS (SELECT id,
+       |    CASE WHEN vnt = 0 AND id < 250 THEN -1
+       |         ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM vids)
+       |SELECT id_a, id_b, i / vna.n AS containment,
+       |  CAST(aa.b AS BIGINT) AS batch
+       |FROM vov JOIN vna ON vov.id_a = vna.id
+       |JOIN vasg aa ON vov.id_a = aa.id
+       |JOIN vasg bb ON vov.id_b = bb.id
+       |WHERE i / vna.n >= 0.9 AND aa.b >= 0 AND bb.b <= aa.b
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // =========================================================================
+  // p129 — PQ CODEBOOK rebuild/swap lifecycle under the oracle: the last
+  // versioned model without a drift → retrain → swap story (IVF banks
+  // p115, quantile bounds p120, bloom m p121 — PQ codebooks were frozen
+  // driver artifacts with no drift signal). Phase 1: codebooks trained
+  // on the STANDING corpus (m=16, nCodes=6), two streamed batches encode
+  // under them, each emitting its quantization-error profile — the
+  // decimal-staged sum of every vector's sequential squared-L2 to its
+  // codeword reconstruction, the signal that frozen books stopped
+  // fitting the arrivals. Rebuild: PqStream.rebuild retrains over the
+  // CURRENT corpus at higher resolution (nCodes=8) into NEW roots (the
+  // codes store is LOSSY by design — retraining reads the lake; both
+  // targets live-root-refused), re-encodes once. Post-swap: a fresh
+  // stream appends under the rebuilt books (the (fp, n) identity pin
+  // verifying book2 against codes2/_params on the way). The oracle
+  // replays BOTH codebook generations (pqBankCtes parameterized over
+  // prefix/source — the p120/p121 two-generation pattern), the final
+  // codes of every vector under gen 2 with per-row provenance (src 0 =
+  // rebuilt standing, 1 = post-swap delta), and all three drift sums
+  // from raw vectors. At 100 TB: per-batch cost is one batch-sized
+  // encode scan; codebooks are model-sized at any corpus (nCodes is a
+  // quantization resolution, not a corpus fraction — SCALING.md).
+  // =========================================================================
+  def p129PqRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.PqStream
+    val emb = Tables.embeddings(spark, dir)
+    val standing = emb.filter(col("vec_id") < 300)
+    val incoming = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("batch", pmod(col("vec_id"), lit(2)))
+    val root = Files.createTempDirectory("p129_").toString
+    val in = s"$root/in"
+    val book1 = s"$root/book1"; val codes1 = s"$root/codes1"
+    val book2 = s"$root/book2"; val codes2 = s"$root/codes2"
+    PqStream.writeStanding(spark, book1, codes1, standing,
+      Similarity.pqTrain(standing, m = 16, nCodes = 6))
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(PqStream.appendBatch(spark, book1, codes1,
+        s"$root/out1", "vec_id", "embedding") _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the drift signal says the gen-1 books stopped fitting — retrain
+    // over the CURRENT corpus at higher resolution into NEW roots
+    PqStream.rebuild(spark, emb.filter(col("vec_id") < 400), book2, codes2,
+      m = 16, nCodes = 8)
+    // post-swap: a NEW stream (fresh lineage) appends under the rebuilt
+    // codebooks — one foreachBatch body call IS the stream's batch 0
+    PqStream.appendBatch(spark, book2, codes2, s"$root/out2",
+      "vec_id", "embedding")(emb.filter(col("vec_id") >= 400), 0L)
+    val drifts = spark.read.parquet(s"$root/out1/b*")
+      .agg(max(when(col("batch") === 0, col("err_sum"))).as("drift_b0"),
+        max(when(col("batch") === 1, col("err_sum"))).as("drift_b1"))
+      .crossJoin(spark.read.parquet(s"$root/out2/b0")
+        .select(col("err_sum").as("drift_post")))
+    graft.streaming.Versions.list(spark, codes2)
+      .map { case (vid, p) =>
+        spark.read.parquet(p.toString)
+          .select(col("neighbor_id").as("vec_id"), posexplode(col("codes")))
+          .select(col("vec_id"), col("pos").cast("int").as("j"),
+            col("col").cast("int").as("code"),
+            lit(vid).cast("int").as("src"))
+      }
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(drifts))
+      .orderBy("vec_id", "j")
+  }
+
+  val p129Sql: String = {
+    import OracleHash._
+    val (g1Ctes, bank1) = pqBankCtes(m = 16, nCodes = 6, subDim = 4,
+      iters = 2)
+    val (g2Ctes, bank2) = pqBankCtes(m = 16, nCodes = 8, subDim = 4,
+      iters = 2, prefix = "r", src = "emb2")
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 300),
+       |$g1Ctes,
+       |emb2 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 400),
+       |$g2Ctes,
+       |allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |${pqAssignCte("enc2", bank2, 4, src = "allv")},
+       |ph1 AS (SELECT id, v FROM allv WHERE id >= 300 AND id < 400),
+       |${pqAssignCte("enc1", bank1, 4, src = "ph1")},
+       |rv1 AS (SELECT e.id, flatten(list(b.cv ORDER BY e.j)) AS rv
+       |  FROM enc1 e JOIN $bank1 b ON e.j = b.j AND e.code = b.code
+       |  GROUP BY e.id),
+       |e1 AS (SELECT p.id, ${seqSqDist("p.v", "r.rv")} AS se
+       |  FROM ph1 p JOIN rv1 r ON p.id = r.id),
+       |d1 AS (SELECT CAST(id % 2 AS INT) AS b,
+       |    ${decimalToDouble(s"SUM(${decimalStage("se")})")} AS err
+       |  FROM e1 GROUP BY 1),
+       |ph2 AS (SELECT id, v FROM allv WHERE id >= 400),
+       |${pqAssignCte("enc3", bank2, 4, src = "ph2")},
+       |rv2 AS (SELECT e.id, flatten(list(b.cv ORDER BY e.j)) AS rv
+       |  FROM enc3 e JOIN $bank2 b ON e.j = b.j AND e.code = b.code
+       |  GROUP BY e.id),
+       |e2 AS (SELECT p.id, ${seqSqDist("p.v", "r.rv")} AS se
+       |  FROM ph2 p JOIN rv2 r ON p.id = r.id),
+       |d2 AS (SELECT ${decimalToDouble(s"SUM(${decimalStage("se")})")}
+       |    AS drift_post FROM e2),
+       |dd AS (SELECT
+       |    MAX(CASE WHEN b = 0 THEN err END) AS drift_b0,
+       |    MAX(CASE WHEN b = 1 THEN err END) AS drift_b1
+       |  FROM d1)
+       |SELECT enc2.id AS vec_id, CAST(enc2.j AS INT) AS j,
+       |  CAST(enc2.code AS INT) AS code,
+       |  CAST(CASE WHEN enc2.id < 400 THEN 0 ELSE 1 END AS INT) AS src,
+       |  dd.drift_b0, dd.drift_b1, d2.drift_post
+       |FROM enc2 CROSS JOIN dd CROSS JOIN d2
+       |ORDER BY vec_id, j""".stripMargin
+  }
+
+  // =========================================================================
+  // p130 — AUDIO clip-within-clip containment: the p125 relation on sound,
+  // closing the last per-modality hole in the containment family (a clip
+  // excerpted from a longer recording was invisible to all three audio
+  // detectors: the exact fingerprint changes with length, the whole-clip
+  // perceptual hash re-normalizes its 64 relative windows, and nothing
+  // did containment). Every clip reduces to its DISTINCT fixed-window
+  // hash set (Multimodal.audioWindowHashSets — the p124 amplitude-pattern
+  // kernel applied WITHIN each full 256-sample window, 8 bytes per
+  // distinct window), and the audited exact containment machinery
+  // (containmentJoinFromSets — p94's prefix+length+positional filters,
+  // reused verbatim) finds directed pairs with |A∩B|/|A| ≥ 0.9. Plants
+  // are REAL tail-truncated re-encodes (Multimodal.plantAudioClips: the
+  // last full window dropped at a window boundary, re-encoded through
+  // the REAL codec — WAV PCM16 lossless, so every surviving window hash
+  // is bit-identical and containment is exactly 1.0). The oracle replays
+  // waveform → fixed windows → per-window hash → relational containment
+  // from integers — plant rows carry an EXPLICIT window-aligned n and a
+  // vnt flag (never id-magnitude). At 100 TB: decode + hash scan-shaped
+  // (payloads never shuffle; ~8 bytes per distinct window continue),
+  // the join inherits p94's audited posture.
+  // =========================================================================
+  def p130AudioContainment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("audio"), intAudio = true)
+    // tail-truncated excerpts of clips with >= 2 full windows
+    // (ms >= 64 ⇔ n >= 512 at 8 kHz; ms = id % 200 + 50)
+    val plants = Multimodal.plantAudioClips(
+      clips.filter(r => r.media_id < 60 && r.media_id % 200 >= 14))
+    val sets = Multimodal.audioWindowHashSets(
+        clips.union(plants).toDF().select(col("media_id"), col("payload")),
+        "media_id", "payload")
+      .localCheckpoint(true)
+    Dedup.containmentJoinFromSets(sets, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  val p130Sql: String = {
+    import OracleHash._
+    s"""WITH clips AS (
+       |  SELECT doc_id AS id, doc_id AS seed,
+       |    (8000 * (doc_id % 200 + 50)) // 1000 AS n, 0 AS vnt
+       |  FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 10000, doc_id,
+       |    (((8000 * (doc_id % 200 + 50)) // 1000) // 256 - 1) * 256, 1
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id < 60 AND doc_id % 200 >= 14),
+       |${sqlAudioSampleCtesFrom("n")},
+       |wfx AS (SELECT id, i // 256 AS w, (i % 256) // 4 AS sb, s
+       |        FROM smp WHERE i < (n // 256) * 256),
+       |sbs AS (SELECT id, w, sb, SUM(ABS(s)) AS ss
+       |        FROM wfx GROUP BY id, w, sb),
+       |swt AS (SELECT id, w, SUM(ss) AS tot FROM sbs GROUP BY id, w),
+       |swu AS (SELECT s.id, s.w,
+       |    COALESCE(SUM(CASE WHEN s.ss * 64 > t.tot
+       |      THEN (1::HUGEINT << CAST(s.sb AS INT)) ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS u
+       |  FROM sbs s JOIN swt t ON s.id = t.id AND s.w = t.w
+       |  GROUP BY s.id, s.w),
+       |swh AS (SELECT id, ${signed64("u")} AS wh FROM swu),
+       |wsets AS (SELECT id, list_distinct(list(CAST(wh AS VARCHAR))) AS s
+       |          FROM swh GROUP BY id),
+       |wna AS (SELECT id, len(s) AS n FROM wsets),
+       |wex AS (SELECT id, unnest(s) AS g FROM wsets),
+       |wov AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+       |  FROM wex a JOIN wex b ON a.g = b.g AND a.id != b.id
+       |  GROUP BY a.id, b.id)
+       |SELECT id_a, id_b, i / wna.n AS containment
+       |FROM wov JOIN wna ON wov.id_a = wna.id
+       |WHERE i / wna.n >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -7027,7 +7330,10 @@ object Pipeline {
     "p123_stream_video_index" -> (p123StreamVideoIndex _),
     "p124_audio_neardup" -> (p124AudioNearDup _),
     "p125_video_containment" -> (p125VideoContainment _),
-    "p126_stream_audio_neardup" -> (p126StreamAudioNearDup _))
+    "p126_stream_audio_neardup" -> (p126StreamAudioNearDup _),
+    "p127_stream_video_containment" -> (p127StreamVideoContainment _),
+    "p129_pq_rebuild" -> (p129PqRebuild _),
+    "p130_audio_containment" -> (p130AudioContainment _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -7153,5 +7459,8 @@ object Pipeline {
     "p123_stream_video_index" -> p123Sql,
     "p124_audio_neardup" -> p124Sql,
     "p125_video_containment" -> p125Sql,
-    "p126_stream_audio_neardup" -> p126Sql)
+    "p126_stream_audio_neardup" -> p126Sql,
+    "p127_stream_video_containment" -> p127Sql,
+    "p129_pq_rebuild" -> p129Sql,
+    "p130_audio_containment" -> p130Sql)
 }

@@ -296,6 +296,62 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("audioWindowHashesOf equals the pure fixed-window formula; " +
+      "tail-truncated plants keep a subset of their original's windows") {
+    import graft.multimodal.Multimodal
+    import graft.functions.Hash64
+    import java.lang.Long.remainderUnsigned
+    val clips = Multimodal.fromDocuments(spark,
+      sources.Tables.documents(spark, sfDir), onlyKind = Some("audio"),
+      intAudio = true).filter(_.media_id < 120)
+    def formulaWindows(id: Long, n: Int): Array[Long] = {
+      val p1 = 32 + remainderUnsigned(Hash64.mix(id), 96L).toInt
+      val a1 = 6144 + remainderUnsigned(Hash64.mix(id * 31 + 7), 12288L).toInt
+      val p2 = 16 + remainderUnsigned(Hash64.mix(id * 17 + 3), 48L).toInt
+      val a2 = 2048 + remainderUnsigned(Hash64.mix(id * 13 + 11), 4096L).toInt
+      def sample(i: Int): Int = (a1 - (2 * a1 * (i % p1)) / p1) +
+        (if (2 * (i % p2) < p2) a2 else -a2)
+      Array.tabulate(n / 256) { w =>
+        val abs = Array.tabulate(256)(k => math.abs(sample(w * 256 + k)).toLong)
+        val tot = abs.sum
+        (0 until 64).foldLeft(0L)((acc, b) =>
+          if (abs.slice(b * 4, b * 4 + 4).sum * 64 > tot) acc | (1L << b)
+          else acc)
+      }
+    }
+    val recs = clips.collect()
+    assert(recs.nonEmpty)
+    recs.foreach { r =>
+      val n = (8000 * (r.media_id % 200 + 50) / 1000).toInt
+      val got = Multimodal.audioWindowHashesOf(r.payload)
+      assert(got.length === n / 256, s"clip ${r.media_id} window count")
+      assert(got.toSeq === formulaWindows(r.media_id, n).toSeq,
+        s"clip ${r.media_id} window hashes diverged from the waveform " +
+          "formula — the WAV codec loop is not lossless")
+    }
+    // tail-truncated plants: the excerpt's window hashes are EXACTLY the
+    // original's first nWin−1 — its distinct set is contained (= 1.0)
+    val eligible = clips.filter(r => r.media_id % 200 >= 14)
+    val origWin = eligible.collect()
+      .map(r => r.media_id -> Multimodal.audioWindowHashesOf(r.payload))
+      .toMap
+    val plants = Multimodal.plantAudioClips(eligible).collect()
+    assert(plants.nonEmpty)
+    plants.foreach { p =>
+      val got = Multimodal.audioWindowHashesOf(p.payload).toSeq
+      val orig = origWin(p.media_id - 10000)
+      assert(got === orig.take(orig.length - 1).toSeq,
+        s"plant ${p.media_id}: excerpt windows must be the original's " +
+          "prefix bit-for-bit")
+    }
+    // under-two-window clips are out of the plant contract, fail-loud
+    val tiny = clips.filter(r => r.media_id % 200 < 14)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.plantAudioClips(tiny).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("p118 video frame profile: planted byte-identical re-ingests " +
       "collapse onto their originals; frame counts match the container") {
     val rows = SparkEntry.queries("p118_video_frame_profile")(spark, sfDir)

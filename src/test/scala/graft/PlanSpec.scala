@@ -662,4 +662,62 @@ class PlanSpec extends SparkSpec {
     assert(!ahPlan.contains("Exchange hashpartitioning"),
       s"the standing audio-hash index must never shuffle:\n$ahPlan")
   }
+
+  test("p127 containment probe: the standing set relation never crosses " +
+      "a full exchange — df restricts to batch grams first, the batch " +
+      "prefix broadcasts into the candidate join") {
+    import graft.multimodal.Multimodal
+    import graft.sources.Tables
+    import graft.streaming.ContainmentStream
+    import org.apache.spark.sql.functions.{broadcast, col, pmod, lit}
+    val vids = Multimodal.fromDocuments(spark,
+      Tables.documents(spark, sfDir), onlyKind = Some("video"))
+    val standing = vids.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    val root = java.nio.file.Files.createTempDirectory("ctplan_").toString
+    val setsOf = (df: org.apache.spark.sql.DataFrame) =>
+      Multimodal.videoFrameSetBytes(df, "media_id", "payload")
+    ContainmentStream.writeStanding(spark, s"$root/idx", standing, setsOf)
+    val corpusIndex = ContainmentStream.readIndex(spark, s"$root/idx")
+    // the two standing-side joins of containmentIncrementalFromSets,
+    // in isolation: (1) the df aggregation semi-restricted to the batch's
+    // grams; (2) the candidate join against the broadcast batch prefix.
+    // In both, the store side must reach the join as a plain scan.
+    val batchGrams = corpusIndex
+      .filter(pmod(col("id"), lit(97)) === 0)
+      .select(col("g")).distinct()
+    val dfPlan = planString(corpusIndex
+      .join(broadcast(batchGrams), "g")
+      .groupBy(col("g")).agg(org.apache.spark.sql.functions.count(
+        lit(1)).as("df")))
+    assert(dfPlan.contains("BroadcastHashJoin"),
+      s"batch grams must broadcast into the df restriction:\n$dfPlan")
+    // hash exchanges carry only BATCH-gram-sized data: the post-join df
+    // aggregation and the batch-gram distinct inside the broadcast build
+    // — never the store. The streamed (store) branch prints between the
+    // join node and its BroadcastQueryStage build side: plain scan only.
+    val dfEx = "Exchange hashpartitioning".r.findAllIn(dfPlan).length
+    assert(dfEx <= 2,
+      s"expected only the two batch-sized exchanges, got $dfEx:\n$dfPlan")
+    val dfBranch = dfPlan.substring(dfPlan.indexOf("BroadcastHashJoin"),
+      dfPlan.indexOf("BroadcastQueryStage"))
+    assert(dfBranch.contains("FileScan parquet") &&
+        !dfBranch.contains("Exchange"),
+      s"the standing set relation must feed the df restriction as a " +
+        s"plain scan:\n$dfPlan")
+    assert(dfPlan.contains("partial_count") &&
+        dfPlan.indexOf("partial_count") >
+          dfPlan.indexOf("Exchange hashpartitioning"),
+      s"df must aggregate partially before the exchange:\n$dfPlan")
+    val prefix = corpusIndex.filter(pmod(col("id"), lit(97)) === 0)
+      .select(col("g"), col("id").as("id_a"), col("n").as("__na"))
+    val candPlan = planString(
+      broadcast(prefix).join(corpusIndex.select(col("g"),
+        col("id").as("id_b"), col("n").as("__nb")), "g"))
+    assert(candPlan.contains("BroadcastHashJoin"),
+      s"the batch prefix must broadcast into the candidate join:\n$candPlan")
+    assert(!candPlan.contains("Exchange hashpartitioning"),
+      s"the standing set relation must never shuffle on the candidate " +
+        s"path:\n$candPlan")
+  }
 }

@@ -1047,6 +1047,153 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming frame-set containment index: streamed directed pairs " +
+      "equal the one-shot containment relation under the emission rule; " +
+      "redelivery idempotent; guards fail loud; compaction " +
+      "read-equivalent") {
+    import java.nio.file.Files
+    import graft.multimodal.{MediaCodec, Multimodal}
+    import graft.operators.Dedup
+    import graft.streaming.ContainmentStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("ctstream_").toString
+    val vids = Multimodal.fromDocuments(spark,
+      Tables.documents(spark, sfDir), onlyKind = Some("video"))
+    val standing = vids.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+    // clipped re-ingests of standing videos (>= 3 frames keeps >= 2)
+    val plants = vids.filter(r => r.media_id < 60 && r.media_id % 6 >= 1)
+      .map(r => r.copy(media_id = r.media_id + 10000,
+        payload = java.util.Arrays.copyOfRange(r.payload, 0,
+          r.payload.length - MediaCodec.videoBlockBytes))).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+    val setsOf = (df: org.apache.spark.sql.DataFrame) =>
+      Multimodal.videoFrameSetBytes(df, "media_id", "payload")
+    ContainmentStream.writeStanding(spark, s"$root/idx", standing, setsOf)
+    val append = ContainmentStream.filterBatch(spark, s"$root/idx",
+      s"$root/out", setsOf, threshold = 0.9) _
+    val b0 = plants.filter(pmod(col("media_id"), lit(2)) === 0)
+    val b1 = plants.filter(pmod(col("media_id"), lit(2)) === 1)
+    append(b0, 0L)
+    append(b1, 1L)
+    def streamed() = spark.read.parquet(s"$root/out/b*")
+      .select("id_a", "id_b", "containment", "batch")
+      .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    // one-shot truth: the FULL directed relation over standing ∪ plants,
+    // kept where the probe side streamed and the contained side arrived
+    // no later (batch -1 = standing, else id parity)
+    def batchOf(id: Long): Long = if (id < 10000) -1L else id % 2
+    val full = Dedup.containmentJoinFromSets(
+        setsOf(standing.unionAll(plants)).localCheckpoint(true),
+        threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    val want = full.collect {
+      case (a, b, c) if batchOf(a) >= 0 && batchOf(b) <= batchOf(a) =>
+        (a, b, c, batchOf(a))
+    }.sorted.toSeq
+    assert(want.nonEmpty, "test premise: containment pairs exist")
+    assert(want.exists(_._2 < 250),
+      "test premise: cross pairs against the standing corpus exist")
+    assert(streamed() === want)
+    // redelivery overwrites deterministically
+    append(b1, 1L)
+    assert(streamed() === want, "redelivery must be idempotent")
+    // fork guard + missing-standing guard
+    val eFork = intercept[IllegalArgumentException] { append(b0, 0L) }
+    assert(eFork.getMessage.contains("fork"), eFork.getMessage)
+    val eMissing = intercept[IllegalArgumentException] {
+      ContainmentStream.filterBatch(spark, s"$root/empty", s"$root/out2",
+        setsOf, threshold = 0.9)(b0, 0L)
+    }
+    assert(eMissing.getMessage.contains("missing"), eMissing.getMessage)
+    // live-root standing-write guard
+    val eLive = intercept[IllegalArgumentException] {
+      ContainmentStream.writeStanding(spark, s"$root/idx", standing, setsOf)
+    }
+    assert(eLive.getMessage.contains("standing write"), eLive.getMessage)
+    // compaction folds with identity and stays read-equivalent
+    val before = ContainmentStream.readIndex(spark, s"$root/idx").count()
+    ContainmentStream.compactStore(spark, s"$root/idx", 2L)
+    assert(ContainmentStream.readIndex(spark, s"$root/idx").count() ===
+      before)
+  }
+
+  test("streaming PQ codes: streamed deltas equal the one-shot encode; " +
+      "redelivery idempotent; book-immutability + identity pin + " +
+      "rebuild live-target guards fail loud; drift profile replays") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    import graft.streaming.PqStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("pqstream_").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") < 300)
+    val arrivals = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .select(col("vec_id"), col("embedding"))
+    val banks = Similarity.pqTrain(standing, m = 16, nCodes = 6)
+    PqStream.writeStanding(spark, s"$root/book", s"$root/codes",
+      standing, banks)
+    val append = PqStream.appendBatch(spark, s"$root/book", s"$root/codes",
+      s"$root/out", "vec_id", "embedding") _
+    val b0 = arrivals.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b1 = arrivals.filter(pmod(col("vec_id"), lit(2)) === 1)
+    append(b0, 0L)
+    append(b1, 1L)
+    def codes() = PqStream.readCodes(spark, s"$root/codes")
+      .select(col("neighbor_id"), col("codes").cast("string"))
+      .as[(Long, String)].collect().sorted.toSeq
+    // one-shot truth: pqEncode over standing ∪ arrivals under the SAME
+    // frozen books
+    val want = Similarity.pqEncode(standing.select(col("vec_id"),
+          col("embedding")).unionAll(arrivals), banks)
+      .select(col("neighbor_id"), col("codes").cast("string"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(codes() === want)
+    // redelivery overwrites deterministically (codes AND profile)
+    val prof1 = spark.read.parquet(s"$root/out/b1")
+      .select("n_vecs", "err_sum").as[(Long, Double)].head()
+    append(b1, 1L)
+    assert(codes() === want, "redelivery must be idempotent")
+    assert(spark.read.parquet(s"$root/out/b1")
+      .select("n_vecs", "err_sum").as[(Long, Double)].head() === prof1)
+    assert(prof1._1 === b1.count())
+    assert(prof1._2 > 0.0, "quantization error must be a real signal")
+    // fork guard
+    val eFork = intercept[IllegalArgumentException] { append(b0, 0L) }
+    assert(eFork.getMessage.contains("fork"), eFork.getMessage)
+    // book-immutability guard: a delta under the book root fails loud
+    spark.read.parquet(s"$root/book/v0").limit(1)
+      .write.parquet(s"$root/book/v1")
+    val eBook = intercept[IllegalArgumentException] { append(b1, 2L) }
+    assert(eBook.getMessage.contains("exactly v0"), eBook.getMessage)
+    val fs = new org.apache.hadoop.fs.Path(s"$root/book/v1")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/book/v1"), true)
+    // identity pin: the RIGHT-shaped but WRONG codebook fails loud
+    val otherBanks = Similarity.pqTrain(
+      emb.filter(col("vec_id") < 200), m = 16, nCodes = 6)
+    PqStream.bookRelation(spark, otherBanks)
+      .write.mode("overwrite").parquet(s"$root/otherbook/v0")
+    val ePin = intercept[IllegalArgumentException] {
+      PqStream.checkBook(spark, s"$root/otherbook", s"$root/codes")
+    }
+    assert(ePin.getMessage.contains("does not match"), ePin.getMessage)
+    // rebuild refuses live targets, then swaps into fresh roots
+    val eLive = intercept[IllegalArgumentException] {
+      PqStream.rebuild(spark, emb.filter(col("vec_id") < 400),
+        s"$root/book", s"$root/codes2", m = 16, nCodes = 8)
+    }
+    assert(eLive.getMessage.contains("never rebuild into a live root"),
+      eLive.getMessage)
+    PqStream.rebuild(spark, emb.filter(col("vec_id") < 400),
+      s"$root/book2", s"$root/codes2", m = 16, nCodes = 8)
+    PqStream.checkBook(spark, s"$root/book2", s"$root/codes2")
+    assert(PqStream.readCodes(spark, s"$root/codes2").count() === 400L)
+    // compaction folds with identity and stays read-equivalent
+    PqStream.compactStore(spark, s"$root/codes", 2L)
+    assert(codes() === want)
+  }
+
   test("streaming PCA moments: chained batches refit bit-identical to a " +
       "one-shot fit; redelivery idempotent; compaction read-identical") {
     import java.nio.file.Files

@@ -6291,11 +6291,15 @@ object Pipeline {
   private val sqlAudioSampleCtes: String =
     sqlAudioSampleCtesFrom("(8000 * ms) // 1000")
 
-  private val sqlAudioFpCtes: String = {
+  /** The p119 per-clip fingerprint FOLD over a sample relation
+    * `$src(id, i, s)` — factored from [[sqlAudioFpCtes]] so the media
+    * ingest capstone (p128) folds the PERTURBED sample relation (its
+    * wobbled plants) instead of the raw one. Ends in CTE
+    * `afp(id, n_samples, zero_crossings, sum_abs, audio_fp)`. */
+  private def sqlAudioFpFoldCtes(src: String): String = {
     import OracleHash._
-    s"""$sqlAudioSampleCtes,
-       |smp2 AS (SELECT id, i, s,
-       |    LAG(s) OVER (PARTITION BY id ORDER BY i) AS ps FROM smp),
+    s"""smp2 AS (SELECT id, i, s,
+       |    LAG(s) OVER (PARTITION BY id ORDER BY i) AS ps FROM $src),
        |aagg AS (SELECT id, COUNT(*) AS n_samples,
        |    COALESCE(SUM(CASE WHEN ps IS NOT NULL
        |      AND ((s >= 0) != (ps >= 0)) THEN 1 ELSE 0 END), 0)
@@ -6308,6 +6312,9 @@ object Pipeline {
        |afp AS (SELECT id, n_samples, zero_crossings, sum_abs,
        |    ${signed64(mix("hh"))} AS audio_fp FROM ahh)""".stripMargin
   }
+
+  private val sqlAudioFpCtes: String =
+    s"$sqlAudioSampleCtes,\n${sqlAudioFpFoldCtes("smp")}"
 
   val p119Sql: String =
     s"""WITH $sqlAudioClipsCte,
@@ -7007,6 +7014,224 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
 
   // =========================================================================
+  // p128 — MULTIMODAL INGEST CAPSTONE: the media deploy shape — p114's
+  // composed-foreachBatch pattern over AUDIO, with all three media
+  // near-dup families' verdicts in ONE callback: exact-fp (p122's
+  // re-crawl dedup), perceptual (p126's wobbled-variant detection), and
+  // clip-within-clip containment (p130's kernel as a ContainmentStream)
+  // — one COMBINED verdict delta per batch. Per batch the cost is the
+  // batch: each family's own filterBatch decodes the batch's payloads,
+  // probes its standing store (fp scan-union broadcast probe, banded
+  // hash probe, containment prefix probe — every standing relation
+  // exchange-free), appends its delta, and RETURNS the pair frame
+  // (materializePairs — no parquet read-back); the verdict flags the
+  // INGEST side of each pair (p114's rule: the batch side of a cross
+  // pair, the greater id in-batch). Plants exercise all three families
+  // through the stream: byte-identical re-ingests (+10000 — exact),
+  // wobbled re-encodes (+20000 — perceptual, invisible to exact-fp),
+  // tail-truncated excerpts (+40000 — containment, invisible to both).
+  // The oracle recomposes the three families' replay chains over ONE
+  // shared perturbed-sample relation (integer-PCM samples, the wobble
+  // branch, the fp fold, the whole-clip window hash, the fixed-window
+  // containment sets) with explicit vnt flags, and derives every verdict
+  // bit from raw integers. Crash consistency across the SEVEN per-batch
+  // writes (3 × pairs+delta, then the verdict) is spec-gated — the p114
+  // treatment applied to the media stores.
+  // =========================================================================
+  /** The p128 media-capstone `foreachBatch` body, extracted so the
+    * crash-consistency spec can drive it directly. Seven stores land per
+    * batch, in order: fp pairs → fp delta → hash pairs → hash delta →
+    * containment pairs → set delta → combined verdict. Every write is
+    * batch-id-named deterministic overwrite, so redelivery after a crash
+    * between ANY two converges byte-identically. */
+  def mediaCapstoneBatch(spark: SparkSession, fpRoot: String,
+      ahRoot: String, ctRoot: String, fpOut: String, ahOut: String,
+      ctOut: String, outRoot: String)(b: DataFrame, id: Long): Unit = {
+    import graft.multimodal.Multimodal
+    import graft.streaming.{AHashStream, ContainmentStream, MediaFpStream}
+    val fpPairs = MediaFpStream.filterBatch(spark, fpRoot, fpOut,
+      df => Multimodal.audioFpBytes(df, "media_id", "payload"),
+      materializePairs = true)(b, id)
+    val ahPairs = AHashStream.filterBatch(spark, ahRoot, ahOut,
+      "media_id", "payload", hasher = Multimodal.audioAHash64Bytes,
+      materializePairs = true)(b, id)
+    val ctPairs = ContainmentStream.filterBatch(spark, ctRoot, ctOut,
+      df => Multimodal.audioWindowHashSets(df, "media_id", "payload"),
+      threshold = 0.9, materializePairs = true)(b, id)
+    // flag the INGEST side of each undirected pair (p114's rule: id_b
+    // when it is this batch's — in-batch pairs flag the greater id, a
+    // cross pair's standing side is never in the batch); containment
+    // pairs are DIRECTED with the probe side a ∈ batch by construction
+    def ingestIds(pairs: DataFrame): DataFrame = pairs
+      .join(b.select(col("media_id").as("id_b"),
+        lit(true).as("__b_in")), Seq("id_b"), "left")
+      .select(when(col("__b_in").isNotNull, col("id_b"))
+        .otherwise(col("id_a")).as("media_id"))
+      .distinct()
+    val x = ingestIds(fpPairs).withColumn("__x", lit(true))
+    val p = ingestIds(ahPairs).withColumn("__p", lit(true))
+    val c = ctPairs.select(col("id_a").as("media_id")).distinct()
+      .withColumn("__c", lit(true))
+    b.select(col("media_id"))
+      .join(x, Seq("media_id"), "left")
+      .join(p, Seq("media_id"), "left")
+      .join(c, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("__x"), lit(false)).as("exact_dup"),
+        coalesce(col("__p"), lit(false)).as("percep_dup"),
+        coalesce(col("__c"), lit(false)).as("contained"))
+      .withColumn("keep", !col("exact_dup") && !col("percep_dup") &&
+        !col("contained"))
+      .withColumn("batch", lit(id))
+      .write.mode("overwrite").parquet(s"$outRoot/b$id")
+  }
+
+  def p128MediaIngestCapstone(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.{AHashStream, ContainmentStream, MediaFpStream}
+    import spark.implicits._
+    val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("audio"), intAudio = true)
+    val standing = clips.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+    val exactPlants = clips.filter(_.media_id < 30)
+      .map(r => r.copy(media_id = r.media_id + 10000))
+    val wobblePlants = Multimodal.plantAudioVariants(
+      clips.filter(_.media_id < 30), idOffset = 20000L)
+    val clipPlants = Multimodal.plantAudioClips(
+      clips.filter(r => r.media_id < 60 && r.media_id % 200 >= 14),
+      idOffset = 40000L)
+    val incoming = clips.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(exactPlants.toDF().select(col("media_id"), col("payload")))
+      .unionAll(wobblePlants.toDF().select(col("media_id"), col("payload")))
+      .unionAll(clipPlants.toDF().select(col("media_id"), col("payload")))
+      .withColumn("batch", pmod(col("media_id"), lit(2)))
+    val root = Files.createTempDirectory("p128_").toString
+    val in = s"$root/in"
+    val fpIdx = s"$root/fpidx"; val ahIdx = s"$root/ahidx"
+    val ctIdx = s"$root/ctidx"; val outRoot = s"$root/out"
+    MediaFpStream.writeStanding(spark, fpIdx, standing,
+      df => Multimodal.audioFpBytes(df, "media_id", "payload"))
+    AHashStream.writeStanding(spark, ahIdx, standing,
+      hasher = Multimodal.audioAHash64Bytes)
+    ContainmentStream.writeStanding(spark, ctIdx, standing,
+      df => Multimodal.audioWindowHashSets(df, "media_id", "payload"))
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch(mediaCapstoneBatch(spark, fpIdx, ahIdx, ctIdx,
+        s"$root/fpout", s"$root/ahout", s"$root/ctout", outRoot) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("media_id"), col("batch"), col("exact_dup"),
+        col("percep_dup"), col("contained"), col("keep"))
+      .orderBy("media_id")
+  }
+
+  val p128Sql: String = {
+    import OracleHash._
+    s"""WITH clips AS (
+       |  SELECT doc_id AS id, doc_id AS seed,
+       |    (8000 * (doc_id % 200 + 50)) // 1000 AS n, 0 AS vnt
+       |  FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 10000, doc_id,
+       |    (8000 * (doc_id % 200 + 50)) // 1000, 1
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30
+       |  UNION ALL
+       |  SELECT doc_id + 20000, doc_id,
+       |    (8000 * (doc_id % 200 + 50)) // 1000, 2
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30
+       |  UNION ALL
+       |  SELECT doc_id + 40000, doc_id,
+       |    (((8000 * (doc_id % 200 + 50)) // 1000) // 256 - 1) * 256, 3
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id < 60 AND doc_id % 200 >= 14),
+       |${sqlAudioSampleCtesFrom("n")},
+       |pz AS (SELECT id, n, i, s, CAST(id AS HUGEINT) * 131 + i AS z
+       |       FROM smp WHERE vnt = 2 AND i % 37 = 0),
+       |pert AS (SELECT id, n, i,
+       |    s + CAST(${mix("z")} % 2048 AS BIGINT) - 1024 AS s FROM pz),
+       |psmp AS (SELECT id, n, i, s FROM smp
+       |         WHERE NOT (vnt = 2 AND i % 37 = 0)
+       |         UNION ALL SELECT id, n, i, s FROM pert),
+       |${sqlAudioFpFoldCtes("psmp")},
+       |wsum AS (SELECT id, (i * 64) // n AS w,
+       |         SUM(ABS(s)) AS sw, COUNT(*) AS nw
+       |         FROM psmp GROUP BY id, (i * 64) // n),
+       |wtot AS (SELECT id, SUM(sw) AS tot, SUM(nw) AS nn
+       |         FROM wsum GROUP BY id),
+       |wahu AS (SELECT s.id,
+       |    COALESCE(SUM(CASE WHEN s.sw * t.nn > t.tot * s.nw
+       |      THEN (1::HUGEINT << CAST(s.w AS INT)) ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS u
+       |  FROM wsum s JOIN wtot t ON s.id = t.id
+       |  GROUP BY s.id),
+       |aah AS (SELECT id, ${signed64("u")} AS ahash FROM wahu),
+       |wfx AS (SELECT id, i // 256 AS w, (i % 256) // 4 AS sb, s
+       |        FROM psmp WHERE i < (n // 256) * 256),
+       |sbs AS (SELECT id, w, sb, SUM(ABS(s)) AS ss
+       |        FROM wfx GROUP BY id, w, sb),
+       |swt AS (SELECT id, w, SUM(ss) AS tot FROM sbs GROUP BY id, w),
+       |swu AS (SELECT s.id, s.w,
+       |    COALESCE(SUM(CASE WHEN s.ss * 64 > t.tot
+       |      THEN (1::HUGEINT << CAST(s.sb AS INT)) ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS u
+       |  FROM sbs s JOIN swt t ON s.id = t.id AND s.w = t.w
+       |  GROUP BY s.id, s.w),
+       |swh AS (SELECT id, ${signed64("u")} AS wh FROM swu),
+       |wsets AS (SELECT id, list_distinct(list(CAST(wh AS VARCHAR))) AS s
+       |          FROM swh GROUP BY id),
+       |basg AS (SELECT id,
+       |    CASE WHEN vnt = 0 AND id < 250 THEN -1
+       |         ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM clips),
+       |xp AS (SELECT a.id AS id_a, b2.id AS id_b, ba.b AS b_a, bb.b AS b_b
+       |  FROM afp a JOIN afp b2 ON a.id < b2.id AND a.audio_fp = b2.audio_fp
+       |  JOIN basg ba ON a.id = ba.id JOIN basg bb ON b2.id = bb.id
+       |  WHERE greatest(ba.b, bb.b) >= 0),
+       |xflag AS (SELECT DISTINCT CASE WHEN b_b = greatest(b_a, b_b)
+       |    THEN id_b ELSE id_a END AS id FROM xp),
+       |pp AS (SELECT a.id AS id_a, b2.id AS id_b, ba.b AS b_a, bb.b AS b_b
+       |  FROM aah a JOIN aah b2 ON a.id < b2.id
+       |    AND bit_count(xor(a.ahash, b2.ahash)) <= 6
+       |  JOIN basg ba ON a.id = ba.id JOIN basg bb ON b2.id = bb.id
+       |  WHERE greatest(ba.b, bb.b) >= 0),
+       |pflag AS (SELECT DISTINCT CASE WHEN b_b = greatest(b_a, b_b)
+       |    THEN id_b ELSE id_a END AS id FROM pp),
+       |wna AS (SELECT id, len(s) AS n FROM wsets),
+       |wex AS (SELECT id, unnest(s) AS g FROM wsets),
+       |wov AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+       |  FROM wex a JOIN wex b ON a.g = b.g AND a.id != b.id
+       |  GROUP BY a.id, b.id),
+       |cflag AS (SELECT DISTINCT wov.id_a AS id
+       |  FROM wov JOIN wna ON wov.id_a = wna.id
+       |  JOIN basg aa ON wov.id_a = aa.id
+       |  JOIN basg bb ON wov.id_b = bb.id
+       |  WHERE i / wna.n >= 0.9 AND aa.b >= 0 AND bb.b <= aa.b)
+       |SELECT c.id AS media_id, CAST(ba.b AS BIGINT) AS batch,
+       |  xflag.id IS NOT NULL AS exact_dup,
+       |  pflag.id IS NOT NULL AS percep_dup,
+       |  cflag.id IS NOT NULL AS contained,
+       |  xflag.id IS NULL AND pflag.id IS NULL AND cflag.id IS NULL AS keep
+       |FROM clips c JOIN basg ba ON c.id = ba.id
+       |LEFT JOIN xflag ON c.id = xflag.id
+       |LEFT JOIN pflag ON c.id = pflag.id
+       |LEFT JOIN cflag ON c.id = cflag.id
+       |WHERE ba.b >= 0
+       |ORDER BY media_id""".stripMargin
+  }
+
+  // =========================================================================
   // p129 — PQ CODEBOOK rebuild/swap lifecycle under the oracle: the last
   // versioned model without a drift → retrain → swap story (IVF banks
   // p115, quantile bounds p120, bloom m p121 — PQ codebooks were frozen
@@ -7332,6 +7557,7 @@ object Pipeline {
     "p125_video_containment" -> (p125VideoContainment _),
     "p126_stream_audio_neardup" -> (p126StreamAudioNearDup _),
     "p127_stream_video_containment" -> (p127StreamVideoContainment _),
+    "p128_media_ingest_capstone" -> (p128MediaIngestCapstone _),
     "p129_pq_rebuild" -> (p129PqRebuild _),
     "p130_audio_containment" -> (p130AudioContainment _))
 
@@ -7461,6 +7687,7 @@ object Pipeline {
     "p125_video_containment" -> p125Sql,
     "p126_stream_audio_neardup" -> p126Sql,
     "p127_stream_video_containment" -> p127Sql,
+    "p128_media_ingest_capstone" -> p128Sql,
     "p129_pq_rebuild" -> p129Sql,
     "p130_audio_containment" -> p130Sql)
 }

@@ -71,6 +71,23 @@ object AHashStream {
       hasher: (DataFrame, String, String) => DataFrame =
         Multimodal.aHash64Bytes)(
       batch: DataFrame, batchId: Long): Unit = {
+    filterBatch(spark, root, outRoot, idCol, payloadCol, maxHamming,
+      autoCompactVersions, hasher)(batch, batchId)
+    ()
+  }
+
+  /** [[appendBatch]] returning the batch's pair frame — the composing
+    * shape ([[NearDupStream.filterBatch]]'s contract): the media ingest
+    * capstone sets `materializePairs` to reuse the pairs without
+    * recomputing the probe; plain callers ignore the return (the write
+    * is the frame's only consumer, no eager checkpoint). */
+  def filterBatch(spark: SparkSession, root: String, outRoot: String,
+      idCol: String, payloadCol: String, maxHamming: Int = 6,
+      autoCompactVersions: Option[Int] = None,
+      hasher: (DataFrame, String, String) => DataFrame =
+        Multimodal.aHash64Bytes,
+      materializePairs: Boolean = false)(
+      batch: DataFrame, batchId: Long): DataFrame = {
     require(maxHamming <= 6,
       s"maxHamming $maxHamming exceeds the 28-band chunk-pair guarantee " +
         "(Hamming <= 6 by pigeonhole); beyond it candidates are incomplete " +
@@ -105,12 +122,14 @@ object AHashStream {
       .select(least(col("id"), col("new_id")).as("id_a"),
         greatest(col("id"), col("new_id")).as("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
-    inBatch.select(col("id_a"), col("id_b"),
+    val probe = inBatch.select(col("id_a"), col("id_b"),
         col("hamming").cast("int").as("hamming"))
       .unionAll(cross)
       .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+    val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
+    pairs.write.mode("overwrite").parquet(s"$outRoot/b$batchId")
     bh.write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+    pairs
   }
 
   /** Fold deltas `v0..v<upTo>` into a new base (rows unique across

@@ -61,6 +61,21 @@ object MediaFpStream {
       profiler: DataFrame => DataFrame,
       autoCompactVersions: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
+    filterBatch(spark, root, outRoot, profiler, autoCompactVersions)(
+      batch, batchId)
+    ()
+  }
+
+  /** [[appendBatch]] returning the batch's pair frame — the composing
+    * shape ([[NearDupStream.filterBatch]]'s contract): the media ingest
+    * capstone sets `materializePairs` to reuse the pairs without
+    * recomputing the probe; plain callers ignore the return (the write
+    * is the frame's only consumer, no eager checkpoint). */
+  def filterBatch(spark: SparkSession, root: String, outRoot: String,
+      profiler: DataFrame => DataFrame,
+      autoCompactVersions: Option[Int] = None,
+      materializePairs: Boolean = false)(
+      batch: DataFrame, batchId: Long): DataFrame = {
     Versions.guardAppend(spark, root, "fingerprint index", batchId,
       "writeStanding before starting the stream")
     autoCompactVersions.foreach(k =>
@@ -83,11 +98,13 @@ object MediaFpStream {
         col("fp"))), Seq("fp"))
       .select(least(col("media_id"), col("new_id")).as("id_a"),
         greatest(col("media_id"), col("new_id")).as("id_b"))
-    inBatch.unionAll(cross)
+    val probe = inBatch.unionAll(cross)
       .dropDuplicates("id_a", "id_b")
       .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+    val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
+    pairs.write.mode("overwrite").parquet(s"$outRoot/b$batchId")
     bf.write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+    pairs
   }
 
   /** Fold deltas `v0..v<upTo>` into a new base (rows unique across

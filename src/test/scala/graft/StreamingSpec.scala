@@ -1585,6 +1585,121 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("p128 media capstone crash consistency: a crash between ANY two " +
+      "of the seven store writes converges on redelivery across all " +
+      "seven stores") {
+    // The composed media callback writes seven stores per batch: fp
+    // pairs → fp delta → hash pairs → hash delta → containment pairs →
+    // set delta → combined verdict. Simulate a crash after each FAMILY's
+    // writes (the distinct interleave points — within a family the p122/
+    // p117/p127 single-family redelivery tests already cover the
+    // pairs-vs-delta split) and assert redelivery converges every store
+    // byte-identically to the uninterrupted run.
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.queries.Pipeline
+    import graft.streaming.{AHashStream, ContainmentStream, MediaFpStream}
+    import spark.implicits._
+    val clips = Multimodal.fromDocuments(spark,
+      Tables.documents(spark, sfDir), onlyKind = Some("audio"),
+      intAudio = true)
+    val standing = clips.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+    // all three plant families stream in: exact (+10000), wobbled
+    // (+20000), tail-truncated (+40000)
+    val incoming = clips.filter(_.media_id < 30)
+      .map(r => r.copy(media_id = r.media_id + 10000)).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(Multimodal.plantAudioVariants(clips.filter(_.media_id < 30),
+        idOffset = 20000L).toDF().select(col("media_id"), col("payload")))
+      .unionAll(Multimodal.plantAudioClips(
+        clips.filter(r => r.media_id < 60 && r.media_id % 200 >= 14),
+        idOffset = 40000L).toDF().select(col("media_id"), col("payload")))
+      .localCheckpoint(true)
+    val b0 = incoming.filter(pmod(col("media_id"), lit(2)) === 0)
+    val b1 = incoming.filter(pmod(col("media_id"), lit(2)) === 1)
+    val fpProf = (df: org.apache.spark.sql.DataFrame) =>
+      Multimodal.audioFpBytes(df, "media_id", "payload")
+    val ctSets = (df: org.apache.spark.sql.DataFrame) =>
+      Multimodal.audioWindowHashSets(df, "media_id", "payload")
+    case class R(root: String) {
+      val fpIdx = s"$root/fpidx"; val ahIdx = s"$root/ahidx"
+      val ctIdx = s"$root/ctidx"; val fpOut = s"$root/fpout"
+      val ahOut = s"$root/ahout"; val ctOut = s"$root/ctout"
+      val out = s"$root/out"
+    }
+    def setup(): R = {
+      val r = R(Files.createTempDirectory("p128crash_").toString)
+      MediaFpStream.writeStanding(spark, r.fpIdx, standing, fpProf)
+      AHashStream.writeStanding(spark, r.ahIdx, standing,
+        hasher = Multimodal.audioAHash64Bytes)
+      ContainmentStream.writeStanding(spark, r.ctIdx, standing, ctSets)
+      r
+    }
+    def callback(r: R)(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Pipeline.mediaCapstoneBatch(spark, r.fpIdx, r.ahIdx, r.ctIdx,
+        r.fpOut, r.ahOut, r.ctOut, r.out)(b, id)
+    def snapshot(r: R): Map[String, Seq[String]] = Map(
+      "fpPairs" -> spark.read.parquet(s"${r.fpOut}/b*").collect()
+        .map(_.toString).sorted.toSeq,
+      "fpIdx" -> spark.read.parquet(s"${r.fpIdx}/v*").collect()
+        .map(_.toString).sorted.toSeq,
+      "ahPairs" -> spark.read.parquet(s"${r.ahOut}/b*").collect()
+        .map(_.toString).sorted.toSeq,
+      "ahIdx" -> spark.read.parquet(s"${r.ahIdx}/v*").collect()
+        .map(_.toString).sorted.toSeq,
+      "ctPairs" -> spark.read.parquet(s"${r.ctOut}/b*").collect()
+        .map(_.toString).sorted.toSeq,
+      "ctIdx" -> spark.read.parquet(s"${r.ctIdx}/v*").collect()
+        .map(_.toString).sorted.toSeq,
+      "verdicts" -> spark.read.parquet(s"${r.out}/b*").collect()
+        .map(_.toString).sorted.toSeq)
+
+    // uninterrupted truth — and the fixture exercises all three families
+    val ra = setup()
+    callback(ra)(b0, 0L); callback(ra)(b1, 1L)
+    val want = snapshot(ra)
+    val v = spark.read.parquet(s"${ra.out}/b*")
+      .select("media_id", "exact_dup", "percep_dup", "contained")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    assert(v.exists(r => r._1 >= 10000 && r._1 < 20000 && r._2),
+      "exact plants must flag exact_dup")
+    assert(v.exists(r => r._1 >= 20000 && r._1 < 30000 && r._3 && !r._2),
+      "wobbled plants must flag percep_dup while invisible to exact-fp")
+    assert(v.exists(r => r._1 >= 40000 && r._4 && !r._2),
+      "truncated plants must flag contained while invisible to exact-fp")
+
+    // crash after the fp family's two writes, before the hash family
+    val rb = setup()
+    callback(rb)(b0, 0L)
+    MediaFpStream.filterBatch(spark, rb.fpIdx, rb.fpOut, fpProf)(b1, 1L)
+    callback(rb)(b1, 1L)
+    assert(snapshot(rb) === want,
+      "crash between the fp and hash families must converge")
+
+    // crash after fp + hash families, before the containment family
+    val rc = setup()
+    callback(rc)(b0, 0L)
+    MediaFpStream.filterBatch(spark, rc.fpIdx, rc.fpOut, fpProf)(b1, 1L)
+    AHashStream.filterBatch(spark, rc.ahIdx, rc.ahOut, "media_id",
+      "payload", hasher = Multimodal.audioAHash64Bytes)(b1, 1L)
+    callback(rc)(b1, 1L)
+    assert(snapshot(rc) === want,
+      "crash between the hash and containment families must converge")
+
+    // crash after all three families, before the verdict write
+    val rd = setup()
+    callback(rd)(b0, 0L)
+    MediaFpStream.filterBatch(spark, rd.fpIdx, rd.fpOut, fpProf)(b1, 1L)
+    AHashStream.filterBatch(spark, rd.ahIdx, rd.ahOut, "media_id",
+      "payload", hasher = Multimodal.audioAHash64Bytes)(b1, 1L)
+    ContainmentStream.filterBatch(spark, rd.ctIdx, rd.ctOut, ctSets,
+      threshold = 0.9)(b1, 1L)
+    callback(rd)(b1, 1L)
+    assert(snapshot(rd) === want,
+      "crash between the set delta and the verdict must converge")
+  }
+
   test("p114 capstone crash consistency: a crash between ANY two of the " +
       "four store writes converges on redelivery across all four stores") {
     // The composed ingest callback writes four stores per batch: pairs

@@ -42,6 +42,8 @@ object SparkEntry {
     "p114_stream_ingest", "p115_ivf_rebuild", "p117_stream_image_index",
     "p120_quantile_rebuild", "p121_bloom_rebuild",
     "p122_stream_audio_index", "p123_stream_video_index",
-    "p126_stream_audio_neardup",
+    "p126_stream_audio_neardup", "p127_stream_video_containment",
+    "p128_media_ingest_capstone", "p129_pq_rebuild",
+    "p131_stream_text_containment",
     "q47_paged_source")
 }

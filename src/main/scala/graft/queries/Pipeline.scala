@@ -7428,6 +7428,92 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // =========================================================================
+  // p131 — STREAMING text containment index: ContainmentStream's TEXT
+  // instantiation (video p127, audio-in-capstone p128, text here — the
+  // containment family's streaming coverage closed on every modality).
+  // The store is the generic exploded (id, n, g) set relation with token
+  // 3-shingles as elements (jaccardShingleSets IS the setsOf profiler —
+  // zero new operator code); each document micro-batch probes the
+  // standing corpus for directed excerpt/quote/subset pairs at the p96
+  // threshold (0.6) and appends its shingle-set delta. Planted 12-token
+  // excerpts of STANDING docs (+100000 — an offset outside every
+  // corpus's id range; the oracle discriminates by vnt regardless)
+  // arrive through the stream and are caught in their own batch with
+  // containment exactly 1.0. The oracle is p96's exploded equi-join
+  // replay plus the family's emission-batch rule.
+  // =========================================================================
+  def p131StreamTextContainment(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.ContainmentStream
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") < 400)
+    val planted = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 12), " ").as("text"))
+    val incoming = docs.filter(col("doc_id") >= 400).unionAll(planted)
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p131_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    val setsOf = (df: DataFrame) =>
+      Dedup.jaccardShingleSets(df, "doc_id", "text")
+    ContainmentStream.writeStanding(spark, idxRoot, standing, setsOf)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ContainmentStream.filterBatch(spark, idxRoot, outRoot, setsOf,
+          threshold = 0.6)(b, id)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("containment"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p131Sql: String =
+    s"""WITH tk0 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |corpus AS (SELECT doc_id AS id, text, 0 AS vnt
+       |  FROM documents),
+       |plant AS (SELECT doc_id + 100000 AS id,
+       |    array_to_string(toks[1:12], ' ') AS text, 1 AS vnt
+       |  FROM tk0 WHERE doc_id < 5),
+       |alld AS (SELECT id, text, vnt FROM corpus
+       |  UNION ALL SELECT id, text, vnt FROM plant),
+       |tks AS (SELECT id, vnt, $sqlToks AS toks FROM alld),
+       |shs AS (SELECT id, vnt, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |         END) AS s
+       |       FROM tks),
+       |ne AS (SELECT id, vnt, s FROM shs WHERE len(s) > 0),
+       |na AS (SELECT id, len(s) AS n FROM ne),
+       |ex AS (SELECT id, unnest(s) AS g FROM ne),
+       |ov AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.id != b.id
+       |  GROUP BY a.id, b.id),
+       |basg AS (SELECT id,
+       |    CASE WHEN vnt = 0 AND id < 400 THEN -1
+       |         ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM ne)
+       |SELECT id_a, id_b, i / na.n AS containment,
+       |  CAST(aa.b AS BIGINT) AS batch
+       |FROM ov JOIN na ON ov.id_a = na.id
+       |JOIN basg aa ON ov.id_a = aa.id
+       |JOIN basg bb ON ov.id_b = bb.id
+       |WHERE i / na.n >= 0.6 AND aa.b >= 0 AND bb.b <= aa.b
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -7559,7 +7645,8 @@ object Pipeline {
     "p127_stream_video_containment" -> (p127StreamVideoContainment _),
     "p128_media_ingest_capstone" -> (p128MediaIngestCapstone _),
     "p129_pq_rebuild" -> (p129PqRebuild _),
-    "p130_audio_containment" -> (p130AudioContainment _))
+    "p130_audio_containment" -> (p130AudioContainment _),
+    "p131_stream_text_containment" -> (p131StreamTextContainment _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -7689,5 +7776,6 @@ object Pipeline {
     "p127_stream_video_containment" -> p127Sql,
     "p128_media_ingest_capstone" -> p128Sql,
     "p129_pq_rebuild" -> p129Sql,
-    "p130_audio_containment" -> p130Sql)
+    "p130_audio_containment" -> p130Sql,
+    "p131_stream_text_containment" -> p131Sql)
 }

@@ -428,7 +428,16 @@ object Dedup {
     * broadcast of the batch gram set; df of grams absent from the batch
     * orders nothing, so the restriction is result-identical) and the
     * candidate join broadcasts the batch prefix. Only matched,
-    * candidate-sized rows ever reach a shuffle. */
+    * candidate-sized rows ever reach a shuffle.
+    *
+    * Batch-size bound: BOTH broadcasts are of batch-derived relations
+    * (the batch's distinct grams; the batch's prefix rows, ≤ the gram
+    * count), so the plan assumes micro-batches small enough to broadcast
+    * — which every shipped caller guarantees via `maxFilesPerTrigger`
+    * (the streaming stores' trigger bound). A one-shot caller feeding a
+    * corpus-sized "batch" should use [[containmentJoinFromSets]] /
+    * [[containmentJoinExact]] instead, whose shuffle-based plan degrades
+    * gracefully past the broadcast threshold. */
   def containmentIncrementalFromSets(bsets: DataFrame,
       corpusIndex: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,

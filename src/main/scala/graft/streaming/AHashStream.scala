@@ -116,6 +116,10 @@ object AHashStream {
       .select(col("id").as("new_id"), col("sh64").as("new_h"),
         col("chunk"), col("ckey"))
     val cross = oldBands.join(broadcast(newBands), Seq("chunk", "ckey"))
+      // a batch id already present in the standing index (re-crawl under
+      // the same id) matches its own bands at Hamming 0 — drop the (x, x)
+      // self-pair, the containment path's id_a =!= id_b contract
+      .filter(col("id") =!= col("new_id"))
       .withColumn("hamming",
         bit_count(col("sh64").bitwiseXOR(col("new_h"))).cast("int"))
       .filter(col("hamming") <= maxHamming)

@@ -96,6 +96,10 @@ object MediaFpStream {
     val cross = readIndex(spark, root, upTo = batchId)
       .join(broadcast(bf.select(col("media_id").as("new_id"),
         col("fp"))), Seq("fp"))
+      // a batch id already present in the standing index (re-crawl under
+      // the same id) matches its own fingerprint — drop the (x, x)
+      // self-pair, the containment path's id_a =!= id_b contract
+      .filter(col("media_id") =!= col("new_id"))
       .select(least(col("media_id"), col("new_id")).as("id_a"),
         greatest(col("media_id"), col("new_id")).as("id_b"))
     val probe = inBatch.unionAll(cross)

@@ -44,6 +44,7 @@ object SparkEntry {
     "p122_stream_audio_index", "p123_stream_video_index",
     "p126_stream_audio_neardup", "p127_stream_video_containment",
     "p128_media_ingest_capstone", "p129_pq_rebuild",
-    "p131_stream_text_containment",
+    "p131_stream_text_containment", "p132_tombstone_neardup",
+    "p133_tombstone_bm25", "p134_tombstone_containment",
     "q47_paged_source")
 }

@@ -158,6 +158,19 @@ object Retrieval {
     corpusStats(docs, idCol, textCol)
       .select(col("__n_docs").as("n_docs"), col("__total_dl").as("total_dl"))
 
+  /** The per-doc length relation (doc_id, dl) — one 16-byte row per doc,
+    * INCLUDING zero-token docs (which [[postingsRelation]] necessarily
+    * omits: they have no posting rows but still count in
+    * [[statsRelation]]'s n_docs). This is the artifact that makes a
+    * takedown's stats retraction EXACT: subtracting a deleted doc's
+    * (1, dl) from the stats fold needs its dl, and the posting relation
+    * alone cannot distinguish "doc never ingested" from "doc ingested
+    * with no tokens". */
+  def doclenRelation(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TF.tokenCount(col(textCol)).as("dl"))
+
   /** BM25 top-k over an EXISTING posting relation + stats row (the
     * [[postingsRelation]]/[[statsRelation]] schema) — scores bit-identical
     * to [[bm25TopK]] over the corpus the relations were built from (same

@@ -88,9 +88,19 @@ object Pipeline {
     * log-free idf, scores staged DECIMAL(38,18) in `x$tag.sct`. ONE mirror
     * of [[graft.operators.Retrieval.bm25TopK]]'s arithmetic (p42/p63);
     * callers aggregate `SUM(sct)` and rank/limit themselves. */
-  private def sqlBm25Ctes(tag: String, terms: Seq[String]): String = {
+  /** [[sqlBm25Ctes]] over an explicit source relation (the
+    * `pqBankCtes(prefix, src)` parameterization precedent — the default
+    * is byte-identical to the original): p133 replays the takedown path
+    * by pointing the SAME scoring chain at `documents` minus the deleted
+    * set, which is exactly what the engine's masked postings + doclen-
+    * corrected stats must reproduce bit-for-bit. */
+  private def sqlBm25Ctes(tag: String, terms: Seq[String]): String =
+    sqlBm25CtesFrom(tag, terms, "documents")
+
+  private def sqlBm25CtesFrom(tag: String, terms: Seq[String],
+      src: String): String = {
     val ts = terms.map(t => s"'$t'").mkString(", ")
-    s"""t$tag AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+    s"""t$tag AS (SELECT doc_id, $sqlToks AS toks FROM $src),
        |d$tag AS (SELECT doc_id, toks, len(toks) AS dl FROM t$tag),
        |s$tag AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM d$tag),
        |e$tag AS (SELECT doc_id, dl, unnest(toks) AS term FROM d$tag),
@@ -3325,15 +3335,20 @@ object Pipeline {
     * jaccard)` at threshold 0.4 / cap 200 (the registry parameters).
     * Shared by p79 and the p114 ingest capstone. */
   private def sqlCrossArmCtes(b: Int, standingTag: String = "x",
-      prefix: String = "g"): String = {
+      prefix: String = "g", excludeOld: Option[String] = None): String = {
+    // `excludeOld` replays a takedown visible to this batch (p132): the
+    // engine's maskTombstones anti-join removes the deleted ids from the
+    // prior bands AND prior docs BEFORE the bucket-occupancy cap counts,
+    // so the oracle's exclusion must land on pb/ps, not on the output
+    val excl = excludeOld.map(p => s" WHERE NOT ($p)").getOrElse("")
     val priorBands = (s"SELECT id, bd, key FROM bands$standingTag" +:
       (0 until b).map(p => s"SELECT id, bd, key FROM bands$prefix$p"))
       .mkString(" UNION ALL ")
     val priorSh = (s"SELECT id, sh FROM sh$standingTag" +:
       (0 until b).map(p => s"SELECT id, sh FROM sh$prefix$p"))
       .mkString(" UNION ALL ")
-    s"""pb$b AS ($priorBands),
-       |ps$b AS ($priorSh),
+    s"""pb$b AS (SELECT * FROM ($priorBands)$excl),
+       |ps$b AS (SELECT * FROM ($priorSh)$excl),
        |cr$b AS (
        |  SELECT i.id AS new_id, x.id AS old_id, i.bd, i.key
        |  FROM bands$prefix$b i JOIN pb$b x ON i.bd = x.bd AND i.key = x.key),
@@ -3648,9 +3663,11 @@ object Pipeline {
 
   // =========================================================================
   // p86 — STREAMING funnel: p83's stateful sibling. Events split into
-  // three time-ordered "daily" files (ntile(3) over (ts, event_id) —
-  // rank-based, so every event of batch b sorts after all of batch
-  // b-1's and the per-batch fold composes into the one-shot fold); each
+  // three time-ordered "daily" files (rankBatches — ntile(3)-equivalent
+  // thirds by (ts, event_id) computed distributively, so every event of
+  // batch b sorts after all of batch b-1's and the per-batch fold
+  // composes into the one-shot fold; the oracle keeps its ntile(3) CTE,
+  // same membership); each
   // micro-batch folds on top of the carried per-user stage (versioned
   // state deltas, the p75 convention: v0 = standing state, v{b+1} =
   // batch b's advances) and emits only the users whose stage advanced.
@@ -3919,8 +3936,9 @@ object Pipeline {
   // p88 — STREAMING per-key EWMA: p81's stateful sibling and the chained-
   // seed operator the TimeSeries scaladoc promised (verdict r6 "What's
   // missing #2"). Events split into three time-ordered files (the p86
-  // ntile convention — every event of batch b sorts after all of batch
-  // b-1's); each micro-batch seeds its codegen'd fold with the carried
+  // rankBatches convention — every event of batch b sorts after all of
+  // batch b-1's); each micro-batch seeds its codegen'd fold with the
+  // carried
   // (n_events, ewma) DOUBLE-state and emits every key that saw values.
   // Because the EWMA recurrence is a left fold, the seeded batch fold
   // replays the identical IEEE sequence as one fold over the cumulative
@@ -7568,6 +7586,257 @@ object Pipeline {
        |WHERE i / na.n >= 0.6 AND aa.b >= 0 AND bb.b <= aa.b
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p132 — TAKEDOWN through the streaming near-dup filter (VERDICT r13 #1,
+  // the missing corpus-maintenance verb): p79's fixture with a MID-STREAM
+  // tombstone. Batch 0 probes the full standing corpus; before batch 1's
+  // probe, standing docs 0-9 are retracted from BOTH stores
+  // (NearDupStream.tombstone — a broadcast anti-join mask over the band
+  // index and the docs store), so the +10000 byte-identical plants of
+  // those docs arriving in batches 1 and 2 find NOTHING to pair with,
+  // while the batch-0 plant's jaccard-1.0 pair (emitted before the
+  // takedown) stands — emission history is never retracted, the STORE
+  // stops returning the deleted docs. The oracle replays p79's minhash/
+  // band/cap/verify chain with the deleted ids excluded from the PRIOR
+  // side of arms 1-2 only (before the bucket-occupancy cap counts,
+  // mirroring where the engine's mask sits). Incoming is bounded to
+  // [250, 2250) so the DuckDB minhash replay stays spot-gate-feasible at
+  // the zipf1 corpus; the deletion semantics are id-set-driven and
+  // unaffected by the bound.
+  // =========================================================================
+  def p132TombstoneNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 250)
+    val incoming = docs
+      .filter(col("doc_id") >= 250 && col("doc_id") < 2250)
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id").between(250, 254))
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val root = Files.createTempDirectory("p132_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val docsRoot = s"$root/docs"; val outRoot = s"$root/out"
+    Dedup.minhashBandIndex(existing, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+      .write.parquet(s"$idxRoot/v0")
+    existing.write.parquet(s"$docsRoot/v0")
+    writeDailyFiles(incoming, in, 3)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // the takedown lands before batch 1's probe: docs 0-9 (standing —
+        // strictly earlier than the marker's batch, per the tombstone
+        // contract) disappear from both stores from here on; a
+        // redelivered batch 1 re-issues the marker deterministically
+        if (id == 1L)
+          graft.streaming.NearDupStream.tombstone(spark, idxRoot, docsRoot,
+            0L until 10L, id)
+        graft.streaming.NearDupStream
+          .filterBatch(spark, idxRoot, docsRoot, outRoot, "doc_id", "text",
+            threshold = 0.4)(b, id)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p132Sql: String = {
+    // the literal takedown set (standing originals 0-9): every other id
+    // in the prior unions is >= 250 or offset by +10000/+20000, so the
+    // predicate names exactly the Spark side's literal marker ids at any
+    // corpus scale
+    def crossArm(b: Int): String =
+      sqlCrossArmCtes(b,
+        excludeOld = if (b >= 1) Some("id < 10") else None)
+    s"""WITH ex AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |           WHERE doc_id < 250),
+       |inc AS (
+       |  SELECT doc_id, $sqlToks AS toks, doc_id % 3 AS b FROM documents
+       |  WHERE doc_id >= 250 AND doc_id < 2250
+       |  UNION ALL
+       |  SELECT doc_id + 10000, $sqlToks, (doc_id + 10000) % 3
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 20000, $sqlToks, (doc_id + 20000) % 3
+       |  FROM documents WHERE doc_id BETWEEN 250 AND 254),
+       |i0 AS (SELECT doc_id, toks FROM inc WHERE b = 0),
+       |i1 AS (SELECT doc_id, toks FROM inc WHERE b = 1),
+       |i2 AS (SELECT doc_id, toks FROM inc WHERE b = 2),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("x", "ex")},
+       |${sqlMinhashChain("g0", "i0")},
+       |${sqlMinhashChain("g1", "i1")},
+       |${sqlMinhashChain("g2", "i2")},
+       |${sqlMinhashPairCtes("g0")},
+       |${sqlMinhashPairCtes("g1")},
+       |${sqlMinhashPairCtes("g2")},
+       |${crossArm(0)},
+       |${crossArm(1)},
+       |${crossArm(2)}
+       |SELECT id_a, id_b, jaccard, batch FROM (
+       |  SELECT id_a, id_b, jaccard, CAST(0 AS BIGINT) AS batch FROM
+       |    (SELECT * FROM mhg0 UNION ALL SELECT * FROM mx0)
+       |  UNION ALL
+       |  SELECT id_a, id_b, jaccard, CAST(1 AS BIGINT) FROM
+       |    (SELECT * FROM mhg1 UNION ALL SELECT * FROM mx1)
+       |  UNION ALL
+       |  SELECT id_a, id_b, jaccard, CAST(2 AS BIGINT) FROM
+       |    (SELECT * FROM mhg2 UNION ALL SELECT * FROM mx2))
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // =========================================================================
+  // p133 — TAKEDOWN through the streaming BM25 index: the retraction must
+  // propagate past the posting rows into the SCORING STATISTICS — a
+  // deleted doc leaves n_docs, total_dl (so every idf and every length
+  // normalization shifts) and the per-term df counts. The engine masks
+  // postings with a broadcast anti-join and retracts each deleted doc's
+  // exact (1, dl) from the stats fold via the doclen relation
+  // (RetrievalStream.tombstone); the oracle simply runs the UNCHANGED
+  // sqlBm25 chain over `documents` minus the deleted set — a green hash
+  // row therefore proves post-takedown probes score bit-identically to a
+  // from-scratch index over the retained corpus. The takedown set mixes
+  // standing docs (0-119) and batch-0 arrivals (even ids in [250, 290))
+  // to prove deltas retract like the base does.
+  // =========================================================================
+  def p133TombstoneBm25(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.RetrievalStream
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p133_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    RetrievalStream.writeStanding(spark, idxRoot, standing)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L)
+          RetrievalStream.tombstone(spark, idxRoot,
+            (0L until 120L) ++ (250L until 290L by 2), id)
+        RetrievalStream.appendBatch(spark, idxRoot)(b, id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    RetrievalStream.bm25TopK(spark, idxRoot, p108Terms, k = 40)
+  }
+
+  val p133Sql: String =
+    s"""WITH live AS (SELECT * FROM documents
+       |  WHERE NOT (doc_id < 120
+       |             OR (doc_id >= 250 AND doc_id < 290 AND doc_id % 2 = 0))),
+       |${sqlBm25CtesFrom("133", p108Terms, "live")}
+       |SELECT doc_id, CAST(ROUND(SUM(sct), 6) AS DOUBLE) AS score
+       |FROM x133 GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 40""".stripMargin
+
+  // =========================================================================
+  // p134 — TAKEDOWN through the streaming text containment index: p131's
+  // fixture with standing docs 0-49 retracted before batch 1's probe.
+  // The batch-1 plants (12-token excerpts of docs 1 and 3) then find no
+  // original to be contained in — the clipped-quote detector stops
+  // flagging quotes of deleted sources — while batch-0 emissions stand.
+  // Deletion also changes the probe's df-order prefix (document
+  // frequencies shift when 50 standing set rows vanish), which the green
+  // row proves is result-invariant: prefix completeness holds under ANY
+  // fixed order and the final overlap verify is exact over the masked
+  // relation. Oracle = p131's exploded equi-join replay with pairs
+  // (a probed at batch >= 1, b deleted) excluded — the del flag is
+  // vnt-scoped, never id-magnitude.
+  // =========================================================================
+  def p134TombstoneContainment(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.ContainmentStream
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") < 400)
+    val planted = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 12), " ").as("text"))
+    val incoming = docs.filter(col("doc_id") >= 400).unionAll(planted)
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p134_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    val setsOf = (df: DataFrame) =>
+      Dedup.jaccardShingleSets(df, "doc_id", "text")
+    ContainmentStream.writeStanding(spark, idxRoot, standing, setsOf)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L)
+          ContainmentStream.tombstone(spark, idxRoot, 0L until 50L, id)
+        ContainmentStream.filterBatch(spark, idxRoot, outRoot, setsOf,
+          threshold = 0.6)(b, id)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("containment"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p134Sql: String =
+    s"""WITH tk0 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |corpus AS (SELECT doc_id AS id, text, 0 AS vnt
+       |  FROM documents),
+       |plant AS (SELECT doc_id + 100000 AS id,
+       |    array_to_string(toks[1:12], ' ') AS text, 1 AS vnt
+       |  FROM tk0 WHERE doc_id < 5),
+       |alld AS (SELECT id, text, vnt FROM corpus
+       |  UNION ALL SELECT id, text, vnt FROM plant),
+       |tks AS (SELECT id, vnt, $sqlToks AS toks FROM alld),
+       |shs AS (SELECT id, vnt, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |         END) AS s
+       |       FROM tks),
+       |ne AS (SELECT id, vnt, s FROM shs WHERE len(s) > 0),
+       |na AS (SELECT id, len(s) AS n FROM ne),
+       |ex AS (SELECT id, unnest(s) AS g FROM ne),
+       |ov AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.id != b.id
+       |  GROUP BY a.id, b.id),
+       |basg AS (SELECT id,
+       |    CASE WHEN vnt = 0 AND id < 400 THEN -1
+       |         ELSE CAST(id % 2 AS INT) END AS b,
+       |    CASE WHEN vnt = 0 AND id < 50 THEN 1 ELSE 0 END AS del
+       |  FROM ne)
+       |SELECT id_a, id_b, i / na.n AS containment,
+       |  CAST(aa.b AS BIGINT) AS batch
+       |FROM ov JOIN na ON ov.id_a = na.id
+       |JOIN basg aa ON ov.id_a = aa.id
+       |JOIN basg bb ON ov.id_b = bb.id
+       |WHERE i / na.n >= 0.6 AND aa.b >= 0 AND bb.b <= aa.b
+       |  AND NOT (aa.b >= 1 AND bb.del = 1)
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -7700,7 +7969,10 @@ object Pipeline {
     "p128_media_ingest_capstone" -> (p128MediaIngestCapstone _),
     "p129_pq_rebuild" -> (p129PqRebuild _),
     "p130_audio_containment" -> (p130AudioContainment _),
-    "p131_stream_text_containment" -> (p131StreamTextContainment _))
+    "p131_stream_text_containment" -> (p131StreamTextContainment _),
+    "p132_tombstone_neardup" -> (p132TombstoneNearDup _),
+    "p133_tombstone_bm25" -> (p133TombstoneBm25 _),
+    "p134_tombstone_containment" -> (p134TombstoneContainment _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -7831,5 +8103,8 @@ object Pipeline {
     "p128_media_ingest_capstone" -> p128Sql,
     "p129_pq_rebuild" -> p129Sql,
     "p130_audio_containment" -> p130Sql,
-    "p131_stream_text_containment" -> p131Sql)
+    "p131_stream_text_containment" -> p131Sql,
+    "p132_tombstone_neardup" -> p132Sql,
+    "p133_tombstone_bm25" -> p133Sql,
+    "p134_tombstone_containment" -> p134Sql)
 }

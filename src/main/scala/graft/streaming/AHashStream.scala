@@ -53,13 +53,23 @@ object AHashStream {
 
   /** The assembled hash index: every delta `<= upTo`, a plain scan union
     * (rows unique across deltas by construction — each image arrives in
-    * exactly one batch). */
+    * exactly one batch), minus tombstoned ids
+    * ([[Versions.maskTombstones]] — broadcast anti-join; the plan is
+    * untouched when no takedown ever happened). */
   def readIndex(spark: SparkSession, root: String,
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no index versions at $root")
-    spark.read.parquet(versions.map(_._2.toString): _*)
+    Versions.maskTombstones(spark, root,
+      spark.read.parquet(versions.map(_._2.toString): _*), "media_id", upTo)
   }
+
+  /** Retract ids from the hash index ([[Versions.tombstone]] contract):
+    * probes from marker batch `batchId` on stop pairing against their
+    * hashes; [[compactStore]] drops the rows physically. */
+  def tombstone(spark: SparkSession, root: String, ids: Seq[Long],
+      batchId: Long): Unit =
+    Versions.tombstone(spark, root, ids, batchId)
 
   /** The `foreachBatch` callback: hash batch `batchId`'s images, emit its
     * near-dup pairs (in-batch + against everything earlier) to
@@ -95,7 +105,8 @@ object AHashStream {
     Versions.guardAppend(spark, root, "hash index", batchId,
       "writeStanding before starting the stream")
     autoCompactVersions.foreach(k =>
-      Versions.autoCompact(spark, root, batchId, k))
+      Versions.autoCompact(spark, root, batchId, k,
+        tombstoneIdCol = Some("media_id")))
     val bh = hasher(batch, idCol, payloadCol)
       .localCheckpoint(true)
     // maxBucketSize = unbounded: the oracle replays UNCAPPED exact pairs,
@@ -137,7 +148,12 @@ object AHashStream {
   }
 
   /** Fold deltas `v0..v<upTo>` into a new base (rows unique across
-    * deltas ⇒ the identity fold is read-equivalent). */
+    * deltas ⇒ the identity fold is read-equivalent), physically dropping
+    * tombstoned ids (markers consumed — [[Versions.compact]]). No probe-
+    * key clustering: the probe bands the 64-bit hashes IN-SCAN into 28
+    * chunk-pair keys and pushes no stored-column predicate, so no sort
+    * order of (media_id, ahash) can gain it row-group pruning — the
+    * standing scan is inherently full (and 16 bytes/image cheap). */
   def compactStore(spark: SparkSession, root: String, upTo: Long): Unit =
-    Versions.compact(spark, root, upTo)
+    Versions.compact(spark, root, upTo, tombstoneIdCol = Some("media_id"))
 }

@@ -189,8 +189,20 @@ object IvfStream {
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, indexRoot).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no index versions at $indexRoot")
-    spark.read.parquet(versions.map(_._2.toString): _*)
+    Versions.maskTombstones(spark, indexRoot,
+      spark.read.parquet(versions.map(_._2.toString): _*), "neighbor_id",
+      upTo)
   }
+
+  /** Retract vector ids from the assignment index
+    * ([[Versions.tombstone]] contract): probes stop returning the
+    * retracted vectors; compaction drops their rows physically. The bank
+    * itself is a trained MODEL, not per-item state — it never needs
+    * retraction (and the rebuild lifecycle re-trains it from the
+    * remaining corpus when drift says so). */
+  def tombstone(spark: SparkSession, indexRoot: String, ids: Seq[Long],
+      batchId: Long): Unit =
+    Versions.tombstone(spark, indexRoot, ids, batchId)
 
   /** The probe-session entry point: [[readIndex]] AFTER verifying that
     * the bank the probe intends to use is the one the index was assigned
@@ -241,7 +253,11 @@ object IvfStream {
 
   /** Fold index deltas `v0..v<upTo>` into a new base (see
     * [[Versions.compact]] safety contract); rows unique across deltas ⇒
-    * the identity fold is read-equivalent. */
+    * the identity fold is read-equivalent. Tombstoned vectors drop
+    * physically (markers consumed) and the base CLUSTERS by the probe
+    * key `cell` — probes that push their shortlisted cell ids into the
+    * standing scan then skip non-shortlist row groups. */
   def compactStore(spark: SparkSession, indexRoot: String, upTo: Long): Unit =
-    Versions.compact(spark, indexRoot, upTo)
+    Versions.compact(spark, indexRoot, upTo,
+      tombstoneIdCol = Some("neighbor_id"), clusterBy = Seq("cell"))
 }

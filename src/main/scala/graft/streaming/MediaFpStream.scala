@@ -45,13 +45,24 @@ object MediaFpStream {
 
   /** The assembled fingerprint index: every delta `<= upTo`, a plain
     * scan union (rows unique across deltas — each item arrives in
-    * exactly one batch). */
+    * exactly one batch), minus tombstoned ids
+    * ([[Versions.maskTombstones]] — broadcast anti-join; the plan is
+    * untouched when no takedown ever happened). */
   def readIndex(spark: SparkSession, root: String,
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no index versions at $root")
-    spark.read.parquet(versions.map(_._2.toString): _*)
+    Versions.maskTombstones(spark, root,
+      spark.read.parquet(versions.map(_._2.toString): _*), "media_id", upTo)
   }
+
+  /** Retract ids from the fingerprint index ([[Versions.tombstone]]
+    * contract): probes from marker batch `batchId` on stop pairing
+    * against their fingerprints; [[compactStore]] drops the rows
+    * physically. */
+  def tombstone(spark: SparkSession, root: String, ids: Seq[Long],
+      batchId: Long): Unit =
+    Versions.tombstone(spark, root, ids, batchId)
 
   /** The `foreachBatch` callback: fingerprint batch `batchId`'s media,
     * emit its exact-dup pairs (in-batch + against everything earlier) to
@@ -79,7 +90,8 @@ object MediaFpStream {
     Versions.guardAppend(spark, root, "fingerprint index", batchId,
       "writeStanding before starting the stream")
     autoCompactVersions.foreach(k =>
-      Versions.autoCompact(spark, root, batchId, k))
+      Versions.autoCompact(spark, root, batchId, k,
+        tombstoneIdCol = Some("media_id"), clusterBy = Seq("fp")))
     val bf = profiler(batch).toDF("media_id", "fp").localCheckpoint(true)
     // in-batch: exact-fp SELF-JOIN — a heavily re-crawled identical
     // payload (the exact scenario this index targets) can form a k-copy
@@ -112,7 +124,11 @@ object MediaFpStream {
   }
 
   /** Fold deltas `v0..v<upTo>` into a new base (rows unique across
-    * deltas ⇒ the identity fold is read-equivalent). */
+    * deltas ⇒ the identity fold is read-equivalent), physically dropping
+    * tombstoned ids (markers consumed) and CLUSTERING the base by the
+    * probe key `fp` ([[Versions.compact]] — a small batch's fingerprint
+    * set pushed into the standing scan then skips most row groups). */
   def compactStore(spark: SparkSession, root: String, upTo: Long): Unit =
-    Versions.compact(spark, root, upTo)
+    Versions.compact(spark, root, upTo, tombstoneIdCol = Some("media_id"),
+      clusterBy = Seq("fp"))
 }

@@ -46,22 +46,28 @@ object NearDupStream {
       autoCompactVersions: Option[Int] = None,
       materializePairs: Boolean = false)(
       batch: DataFrame, batchId: Long): DataFrame = {
-    def deltasOf(root: String, what: String,
-        compactTransform: DataFrame => DataFrame): Seq[String] = {
+    def deltasOf(root: String, what: String, tombstoneIdCol: String,
+        compactTransform: DataFrame => DataFrame,
+        clusterBy: Seq[String]): Seq[String] = {
       val versions = Versions.guardAppend(spark, root, what, batchId)
       val current = autoCompactVersions match {
         case Some(k) =>
-          Versions.autoCompact(spark, root, batchId, k, compactTransform)
+          Versions.autoCompact(spark, root, batchId, k, compactTransform,
+            Some(tombstoneIdCol), clusterBy)
         case None => versions
       }
       current.filter(_._1 <= batchId).map(_._2.toString)
     }
     // same per-store transforms as compactStores (band rows distinct,
-    // docs plain union)
-    val idx = spark.read.parquet(
-      deltasOf(indexRoot, "band index", _.distinct()): _*)
-    val existingDocs = spark.read.parquet(
-      deltasOf(docsRoot, "docs store", identity): _*)
+    // docs plain union); both reads mask tombstoned ids
+    // (Versions.maskTombstones — no-op plan when no takedown happened)
+    val idx = Versions.maskTombstones(spark, indexRoot, spark.read.parquet(
+      deltasOf(indexRoot, "band index", "id", _.distinct(),
+        Seq("band", "bucket")): _*), "id", batchId)
+    val existingDocs = Versions.maskTombstones(spark, docsRoot,
+      spark.read.parquet(
+        deltasOf(docsRoot, "docs store", idCol, identity, Nil): _*),
+      idCol, batchId)
     val probe = Dedup.minhashPairsIncremental(batch, idCol, textCol, idx,
         existingDocs, numHashes, bands, shingleSize, threshold,
         maxBucketSize, seed)
@@ -76,16 +82,32 @@ object NearDupStream {
     pairs
   }
 
+  /** Retract doc ids from BOTH stores ([[Versions.tombstone]] contract,
+    * one marker per root so each root stays self-describing): probes
+    * from marker batch `batchId` on stop pairing against the retracted
+    * docs' bands, and the exact-Jaccard verify stops reading their text;
+    * [[compactStores]] drops the rows physically. */
+  def tombstone(spark: SparkSession, indexRoot: String, docsRoot: String,
+      ids: Seq[Long], batchId: Long): Unit = {
+    Versions.tombstone(spark, indexRoot, ids, batchId)
+    Versions.tombstone(spark, docsRoot, ids, batchId)
+  }
+
   /** Merge both delta stores' `v0..v<upTo>` into new base snapshots (see
-    * [[Versions.compact]] for the lineage-guard and safety contract).
+    * [[Versions.compact]] for the lineage-guard and safety contract),
+    * physically dropping tombstoned docs (markers consumed) and
+    * CLUSTERING the band base by its probe key (band, bucket) so a small
+    * batch's pushed band predicate can skip standing row groups.
     * Band rows (id, band, bucket) are unique across deltas — each doc
     * lands in exactly one batch — so `distinct` is read-equivalent while
     * also collapsing any rows a crashed, re-run batch left behind; the
     * docs store compacts by plain union (ids are unique per batch and the
     * verify semi-join re-reads by id). */
   def compactStores(spark: SparkSession, indexRoot: String, docsRoot: String,
-      upTo: Long): Unit = {
-    Versions.compact(spark, indexRoot, upTo, _.distinct())
-    Versions.compact(spark, docsRoot, upTo)
+      upTo: Long, docIdCol: String = "doc_id"): Unit = {
+    Versions.compact(spark, indexRoot, upTo, _.distinct(),
+      tombstoneIdCol = Some("id"), clusterBy = Seq("band", "bucket"))
+    Versions.compact(spark, docsRoot, upTo,
+      tombstoneIdCol = Some(docIdCol))
   }
 }

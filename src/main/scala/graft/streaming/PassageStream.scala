@@ -34,6 +34,24 @@ import graft.operators.Dedup
   */
 object PassageStream {
 
+  /** Takedown refusal — the fingerprint index is ID-FREE (distinct window
+    * fps, no doc provenance) and fps are SHARED across docs: dropping one
+    * doc's fps would also forget every other doc holding the same
+    * passage, and keeping them can't be told apart from the doc never
+    * having existed. Retraction is therefore the rebuild lifecycle:
+    * re-derive [[graft.operators.Dedup.passageWindowIndex]] over the
+    * corpus minus the deleted docs into a NEW root and point a fresh
+    * stream at it ([[graft.streaming.Versions.tombstone]]'s
+    * monotone-store contract). */
+  def tombstone(spark: SparkSession, indexRoot: String, ids: Seq[Long],
+      batchId: Long): Unit =
+    throw new UnsupportedOperationException(
+      s"tombstone($indexRoot, ${ids.size} ids, batch $batchId) refused: " +
+        "the passage-fp index stores id-free fingerprints shared across " +
+        "docs — one doc's windows cannot be retracted. Rebuild " +
+        "Dedup.passageWindowIndex over the retained corpus into a NEW " +
+        "root and swap readers")
+
   /** The `foreachBatch` callback: score one micro-batch against the
     * index-as-of-this-batch, write its stats to `outRoot/b<batchId>`, and
     * append its window-fingerprint delta as `indexRoot/v<batchId+1>`.

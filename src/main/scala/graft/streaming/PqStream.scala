@@ -181,8 +181,18 @@ object PqStream {
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, codesRoot).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no codes versions at $codesRoot")
-    spark.read.parquet(versions.map(_._2.toString): _*)
+    Versions.maskTombstones(spark, codesRoot,
+      spark.read.parquet(versions.map(_._2.toString): _*), "neighbor_id",
+      upTo)
   }
+
+  /** Retract vector ids from the codes store ([[Versions.tombstone]]
+    * contract): reads stop returning the retracted codes; compaction
+    * drops their rows physically. The codebooks are a trained MODEL —
+    * never retracted, only rebuilt ([[rebuild]]). */
+  def tombstone(spark: SparkSession, codesRoot: String, ids: Seq[Long],
+      batchId: Long): Unit =
+    Versions.tombstone(spark, codesRoot, ids, batchId)
 
   /** The rebuild half of the reader-swap lifecycle the drift profiles
     * signal: retrain codebooks over the CURRENT source corpus (the codes
@@ -207,7 +217,9 @@ object PqStream {
   }
 
   /** Fold codes deltas `v0..v<upTo>` into a new base (rows unique across
-    * deltas ⇒ the identity fold is read-equivalent). */
+    * deltas ⇒ the identity fold is read-equivalent); tombstoned vectors
+    * drop physically (markers consumed). */
   def compactStore(spark: SparkSession, codesRoot: String, upTo: Long): Unit =
-    Versions.compact(spark, codesRoot, upTo)
+    Versions.compact(spark, codesRoot, upTo,
+      tombstoneIdCol = Some("neighbor_id"))
 }

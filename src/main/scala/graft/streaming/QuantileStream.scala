@@ -40,6 +40,20 @@ import graft.operators.Profiling
   * model-sized read. */
 object QuantileStream {
 
+  /** Takedown refusal — the bin-count store keeps per-bin sums with no
+    * per-item provenance: one item's bin contribution cannot be located,
+    * so retraction is the REBUILD lifecycle ([[rebuildStore]] over the
+    * corpus minus the deleted items, the p120 reader-swap shape), not a
+    * tombstone ([[graft.streaming.Versions.tombstone]]'s monotone-store
+    * contract). */
+  def tombstone(spark: SparkSession, root: String, ids: Seq[Long],
+      batchId: Long): Unit =
+    throw new UnsupportedOperationException(
+      s"tombstone($root, ${ids.size} ids, batch $batchId) refused: the " +
+        "bin-count store holds per-bin sums with no per-item provenance. " +
+        "Rebuild from the retained corpus into NEW roots and swap readers " +
+        "(rebuildStore — the p120 lifecycle)")
+
   /** The frozen bounds at `boundsRoot/v0`: (mn, mx, bins), one row. */
   def readBounds(spark: SparkSession, boundsRoot: String)
       : (Double, Double, Int) = {

@@ -42,17 +42,26 @@ object RetrievalStream {
 
   private def postRoot(root: String) = s"$root/post"
   private def statsRoot(root: String) = s"$root/stats"
+  private def dlenRoot(root: String) = s"$root/dlen"
 
-  /** Write the standing corpus's postings + stats as the two `v0`s
-    * (both roots live-root-guarded: [[Versions.guardStandingWrite]]). */
+  /** Write the standing corpus's postings + stats + per-doc lengths as
+    * the three `v0`s (all roots live-root-guarded:
+    * [[Versions.guardStandingWrite]]). The doclen relation
+    * ([[Retrieval.doclenRelation]] — 16 bytes/doc) exists for the
+    * takedown path: it is what lets [[readStats]] retract a tombstoned
+    * doc's (1, dl) stats contribution EXACTLY, including zero-token docs
+    * the posting relation never saw. */
   def writeStanding(spark: SparkSession, root: String, standing: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     Versions.guardStandingWrite(spark, postRoot(root))
     Versions.guardStandingWrite(spark, statsRoot(root))
+    Versions.guardStandingWrite(spark, dlenRoot(root))
     Retrieval.postingsRelation(standing, idCol, textCol)
       .write.mode("overwrite").parquet(s"${postRoot(root)}/v0")
     Retrieval.statsRelation(standing, idCol, textCol)
       .write.mode("overwrite").parquet(s"${statsRoot(root)}/v0")
+    Retrieval.doclenRelation(standing, idCol, textCol)
+      .write.mode("overwrite").parquet(s"${dlenRoot(root)}/v0")
   }
 
   /** The `foreachBatch` callback: tokenize batch `batchId`'s docs only,
@@ -74,36 +83,90 @@ object RetrievalStream {
       s"standing stats ${statsRoot(root)}/v0 missing (postings v0 exists " +
         "— a writeStanding crashed between its two writes); re-run " +
         "writeStanding before starting the stream")
+    require(Versions.list(spark, dlenRoot(root)).exists(_._1 == 0L),
+      s"standing doclens ${dlenRoot(root)}/v0 missing (postings v0 exists " +
+        "— a writeStanding crashed mid-way, or the store predates the " +
+        "takedown-capable layout); re-run writeStanding before starting " +
+        "the stream")
     autoCompactVersions.foreach { k =>
       Versions.autoCompact(spark, postRoot(root), batchId, k)
       Versions.autoCompact(spark, statsRoot(root), batchId, k, foldStats)
+      Versions.autoCompact(spark, dlenRoot(root), batchId, k)
     }
     val b = batch.localCheckpoint(true)
     Retrieval.postingsRelation(b, idCol, textCol)
       .write.mode("overwrite").parquet(s"${postRoot(root)}/v${batchId + 1}")
     Retrieval.statsRelation(b, idCol, textCol)
       .write.mode("overwrite").parquet(s"${statsRoot(root)}/v${batchId + 1}")
+    Retrieval.doclenRelation(b, idCol, textCol)
+      .write.mode("overwrite").parquet(s"${dlenRoot(root)}/v${batchId + 1}")
   }
 
   private def foldStats(df: DataFrame): DataFrame =
     df.agg(sum(col("n_docs")).cast("long").as("n_docs"),
       sum(col("total_dl")).cast("long").as("total_dl"))
 
+  /** Retract doc ids from the index ([[Versions.tombstone]] contract —
+    * the marker lives under the posting root; [[readPostings]] masks the
+    * docs' posting rows and [[readStats]] retracts their exact (1, dl)
+    * stats contribution via the doclen relation, so post-takedown probes
+    * score bit-identically to [[Retrieval.bm25TopK]] over the corpus
+    * minus the deleted docs). [[compactStore]] makes the retraction
+    * physical. */
+  def tombstone(spark: SparkSession, root: String, ids: Seq[Long],
+      batchId: Long): Unit =
+    Versions.tombstone(spark, postRoot(root), ids, batchId)
+
   /** The assembled posting relation: plain union, zero exchanges (rows
-    * disjoint across deltas by construction). */
+    * disjoint across deltas by construction), minus tombstoned docs
+    * ([[Versions.maskTombstones]] — broadcast anti-join; plan untouched
+    * when no takedown ever happened). */
   def readPostings(spark: SparkSession, root: String,
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, postRoot(root)).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no posting versions at ${postRoot(root)}")
-    spark.read.parquet(versions.map(_._2.toString): _*)
+    Versions.maskTombstones(spark, postRoot(root),
+      spark.read.parquet(versions.map(_._2.toString): _*), "doc_id", upTo)
   }
 
-  /** The assembled 1-row stats: exact integer fold of the deltas. */
+  /** The tombstoned docs' exact aggregate stats contribution
+    * (__nd docs, __dd total dl) as a 1-row frame, derived from the
+    * doclen relation — None when no markers are visible. */
+  private def tombstoneStats(spark: SparkSession, root: String,
+      upTo: Long): Option[DataFrame] = {
+    val markers = Versions.listTombstones(spark, postRoot(root))
+      .filter(_._1 <= upTo)
+    if (markers.isEmpty) None
+    else {
+      val ids = spark.read.parquet(markers.map(_._2.toString): _*)
+        .select(col("id").as("doc_id")).distinct()
+      val dlen = Versions.list(spark, dlenRoot(root)).filter(_._1 <= upTo)
+      require(dlen.nonEmpty,
+        s"takedown markers exist but ${dlenRoot(root)} is empty — the " +
+          "store predates the takedown-capable layout; rebuild via " +
+          "writeStanding")
+      Some(spark.read.parquet(dlen.map(_._2.toString): _*)
+        .join(broadcast(ids), "doc_id")
+        .agg(count(lit(1)).as("__nd"),
+          coalesce(sum(col("dl")), lit(0L)).cast("long").as("__dd")))
+    }
+  }
+
+  /** The assembled 1-row stats: exact integer fold of the deltas, minus
+    * the tombstoned docs' exact contribution (each deleted doc retracts
+    * its (1, dl) — dl from the doclen relation, so zero-token docs
+    * retract correctly too). */
   def readStats(spark: SparkSession, root: String,
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, statsRoot(root)).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no stats versions at ${statsRoot(root)}")
-    foldStats(spark.read.parquet(versions.map(_._2.toString): _*))
+    val raw = foldStats(spark.read.parquet(versions.map(_._2.toString): _*))
+    tombstoneStats(spark, root, upTo) match {
+      case None => raw
+      case Some(del) => raw.crossJoin(broadcast(del))
+        .select((col("n_docs") - col("__nd")).cast("long").as("n_docs"),
+          (col("total_dl") - col("__dd")).cast("long").as("total_dl"))
+    }
   }
 
   /** BM25 top-k over the assembled index — bit-identical to
@@ -114,10 +177,43 @@ object RetrievalStream {
     Retrieval.bm25TopKOver(readPostings(spark, root, upTo),
       readStats(spark, root, upTo), queryTerms, k, k1, b)
 
-  /** Fold both stores' deltas `v0..v<upTo>` into new bases (postings by
-    * identity — rows disjoint; stats by the integer fold). */
+  /** Fold all three stores' deltas `v0..v<upTo>` into new bases
+    * (postings by identity — rows disjoint; stats by the integer fold;
+    * doclens by identity), making any takedown PHYSICAL: the stats base
+    * folds with the tombstoned docs' contribution already subtracted and
+    * the deleted docs' posting/doclen rows dropped, then the consumed
+    * markers are deleted — reads before and after are identical. The
+    * posting base CLUSTERS by its probe key `term` (the probe's
+    * query-vocabulary filter pushes into the parquet scan, so a sorted
+    * base prunes standing row groups per probe — VERDICT r13 #2).
+    *
+    * Ordering note: the stats fold must run BEFORE the posting
+    * compaction consumes the markers — both happen here, in order. A
+    * tombstone's doc must have arrived in a batch strictly before the
+    * marker's (the [[Versions.tombstone]] contract), so every corrected
+    * doc's doclen row is inside the `<= upTo` fold. */
   def compactStore(spark: SparkSession, root: String, upTo: Long): Unit = {
-    Versions.compact(spark, postRoot(root), upTo)
-    Versions.compact(spark, statsRoot(root), upTo, foldStats)
+    val del = tombstoneStats(spark, root, upTo)
+    val statsFold: DataFrame => DataFrame = del match {
+      case None => foldStats
+      case Some(d) => df => foldStats(df).crossJoin(broadcast(d))
+        .select((col("n_docs") - col("__nd")).cast("long").as("n_docs"),
+          (col("total_dl") - col("__dd")).cast("long").as("total_dl"))
+    }
+    Versions.compact(spark, statsRoot(root), upTo, statsFold)
+    // the dlen markers live under the posting root: drop the deleted
+    // docs' doclen rows with the marker set directly (the posting
+    // compaction below is what consumes the markers)
+    val delIds = Versions.listTombstones(spark, postRoot(root))
+      .filter(_._1 <= upTo) match {
+      case Seq() => None
+      case ms => Some(spark.read.parquet(ms.map(_._2.toString): _*)
+        .select(col("id").as("doc_id")).distinct())
+    }
+    Versions.compact(spark, dlenRoot(root), upTo,
+      df => delIds.fold(df)(ids =>
+        df.join(broadcast(ids), Seq("doc_id"), "left_anti")))
+    Versions.compact(spark, postRoot(root), upTo,
+      tombstoneIdCol = Some("doc_id"), clusterBy = Seq("term"))
   }
 }

@@ -30,6 +30,24 @@ import graft.operators.Profiling
   * model-sized fold, not the corpus. */
 object SketchStream {
 
+  /** Takedown refusal — the sketch stores are MONOTONE: an HLL register
+    * holds a max over every item that ever hashed into it, a count-min
+    * counter a sum, a bloom word an OR of set bits. None can un-absorb
+    * one item ([[graft.streaming.Versions.tombstone]]'s contract names
+    * this class), so the takedown verb for a sketch is its REBUILD
+    * lifecycle: re-derive the model from the corpus minus the deleted
+    * items into a new root and swap readers ([[rebuildBloomStore]] for
+    * bloom; HLL/count-min re-run [[writeStanding]]/[[writeStandingCm]]
+    * over the retained corpus — the p115/p120/p121 reader-swap shape). */
+  def tombstone(spark: SparkSession, root: String, ids: Seq[Long],
+      batchId: Long): Unit =
+    throw new UnsupportedOperationException(
+      s"tombstone($root, ${ids.size} ids, batch $batchId) refused: sketch " +
+        "stores are monotone (HLL register max / count-min sums / bloom " +
+        "OR-ed bits cannot un-absorb an item). Rebuild from the retained " +
+        "corpus into a NEW root and swap readers — rebuildBloomStore for " +
+        "bloom; writeStanding/writeStandingCm for HLL/count-min")
+
   private def foldRegisters(groupCols: Seq[String])(df: DataFrame): DataFrame =
     df.groupBy((groupCols.map(col) :+ col("__idx")): _*)
       .agg(max(col("__M")).as("__M"))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Listing and maintenance for `root/v<N>` versioned-parquet layouts — the
   * shared convention of the streaming maintenance loops
@@ -65,6 +66,79 @@ object Versions {
       .sortBy(_._1)
   }
 
+  // --- takedown/retraction markers (VERDICT r13 #1: the one corpus-
+  // maintenance verb the row-level store family lacked) -------------------
+
+  /** Write a takedown marker delta `root/d<batchId>` holding the retracted
+    * ids — the GDPR/takedown verb for ROW-LEVEL versioned stores (band
+    * index, postings, fingerprint/aHash/set stores, IVF assignments, PQ
+    * codes: anything whose rows carry the item id). Readers mask marked
+    * ids out of every version via [[maskTombstones]]; [[compact]] with
+    * `tombstoneIdCol` physically drops them and consumes the markers.
+    *
+    * Contract:
+    *   - Markers are batch-id-named like version deltas, so a redelivered
+    *     batch overwrites its own marker deterministically (exactly-once).
+    *     Issue from inside a `foreachBatch` body BEFORE the store's probe
+    *     (batch `b` reads markers `<= b`, so its own probe already
+    *     excludes the retracted ids), or between triggers under any
+    *     batchId at most the next batch's.
+    *   - A marker masks the id in EVERY version, including deltas appended
+    *     later: once taken down, an id stays down. Re-crawled content must
+    *     arrive under a fresh ingest id — the family's ids-are-ingest-
+    *     events discipline (rows unique across deltas), which is also what
+    *     makes marker consumption at [[compact]] sound.
+    *   - Marked ids must reference content from batches STRICTLY EARLIER
+    *     than the marker's (you cannot take down what is arriving in the
+    *     same trigger — drop it ingest-side instead). This keeps every
+    *     marked row inside any `compact(upTo >= markerBatch)` fold, so
+    *     delete-aware compaction never consumes a marker whose rows it
+    *     could not see.
+    *   - Marker relations are takedown-sized (they broadcast into an
+    *     anti-join on read); a corpus-scale retraction is a rebuild, not a
+    *     tombstone.
+    *   - MONOTONE stores cannot retract: a bloom filter's set bits, an HLL
+    *     register max, or an id-free fingerprint index ([[PassageStream]])
+    *     cannot un-absorb one item — those stores refuse this verb and
+    *     point at their rebuild lifecycle instead. */
+  def tombstone(spark: SparkSession, root: String, ids: Seq[Long],
+      batchId: Long): Unit = {
+    require(ids.nonEmpty, "tombstone of an empty id set")
+    require(list(spark, root).exists(_._1 == 0L),
+      s"tombstone refused: $root/v0 missing — the store must exist before " +
+        "ids can be retracted from it")
+    import spark.implicits._
+    ids.toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/d$batchId")
+  }
+
+  /** Marker deltas under `root` (`d<batchId>` dirs), sorted by batch. */
+  def listTombstones(spark: SparkSession, root: String): Seq[(Long, Path)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("d\\d+"))
+      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
+      .sortBy(_._1)
+  }
+
+  /** Mask tombstoned ids (markers `<= upTo`) out of a store read: a
+    * broadcast anti-join on `idCol` — the standing relation still never
+    * crosses an exchange (markers are takedown-sized by contract). The
+    * no-marker case returns `df` untouched, so stores that never retract
+    * keep their exact pre-tombstone plans. */
+  def maskTombstones(spark: SparkSession, root: String, df: DataFrame,
+      idCol: String, upTo: Long = Long.MaxValue): DataFrame = {
+    val markers = listTombstones(spark, root).filter(_._1 <= upTo)
+    if (markers.isEmpty) df
+    else {
+      val ids = spark.read.parquet(markers.map(_._2.toString): _*)
+        .select(col("id").as(idCol)).distinct()
+      df.join(broadcast(ids), Seq(idCol), "left_anti")
+    }
+  }
+
   /** Merge deltas `v0..v<upTo>` into one new base snapshot named `v0`,
     * leaving newer deltas untouched — the maintenance operation that keeps
     * a long-running stream's per-batch read from growing linearly with
@@ -113,16 +187,38 @@ object Versions {
     * invariant either way, so outputs stay byte-identical. Returns the
     * refreshed version list. */
   def autoCompact(spark: SparkSession, root: String, batchId: Long,
-      threshold: Int, transform: DataFrame => DataFrame = identity)
-      : Seq[(Long, Path)] = {
+      threshold: Int, transform: DataFrame => DataFrame = identity,
+      tombstoneIdCol: Option[String] = None,
+      clusterBy: Seq[String] = Nil): Seq[(Long, Path)] = {
     require(threshold >= 1, s"autoCompact threshold must be >= 1: $threshold")
     val visible = list(spark, root).filter(_._1 <= batchId)
-    if (visible.size > threshold) compact(spark, root, batchId, transform)
+    if (visible.size > threshold)
+      compact(spark, root, batchId, transform, tombstoneIdCol, clusterBy)
     list(spark, root)
   }
 
+  /** (See the contract scaladoc above [[autoCompact]].) Two maintenance
+    * extensions beyond the plain fold:
+    *
+    *   - `tombstoneIdCol`: delete-aware compaction (VERDICT r13 #1) —
+    *     tombstoned ids (markers `<= upTo`, see [[tombstone]]) are
+    *     PHYSICALLY dropped from the folded base, and the consumed
+    *     markers are deleted (sound because rows are unique across deltas
+    *     and a taken-down id never re-arrives — deltas `> upTo` cannot
+    *     hold consumed ids). Markers `> upTo` stay and keep masking.
+    *     Reads are identical before and after (the mask becomes physical).
+    *   - `clusterBy`: sort the folded base by the store's PROBE key
+    *     (VERDICT r13 #2 — g for containment sets, term for postings, fp
+    *     for fingerprint stores): range-partition + in-partition sort, so
+    *     parquet row-group min/max zones become tight key ranges and a
+    *     probe whose key predicate pushes down (query-vocabulary terms, a
+    *     small batch's gram/fp set) skips most of the standing base
+    *     instead of scanning it every trigger. Read-equivalent: row order
+    *     within a version carries no meaning in any store. */
   def compact(spark: SparkSession, root: String, upTo: Long,
-      transform: DataFrame => DataFrame = identity): Unit = {
+      transform: DataFrame => DataFrame = identity,
+      tombstoneIdCol: Option[String] = None,
+      clusterBy: Seq[String] = Nil): Unit = {
     val versions = list(spark, root)
     require(versions.exists(_._1 == 0L),
       s"nothing to compact: $root/v0 missing")
@@ -132,11 +228,23 @@ object Versions {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(rootPath, ".compact_tmp")
-    transform(spark.read.parquet(merged.map(_._2.toString): _*))
-      .write.mode("overwrite").parquet(tmp.toString)
+    val folded = spark.read.parquet(merged.map(_._2.toString): _*)
+    val masked = tombstoneIdCol match {
+      case Some(idCol) => maskTombstones(spark, root, folded, idCol, upTo)
+      case None        => folded
+    }
+    val shaped = transform(masked)
+    val clustered =
+      if (clusterBy.isEmpty) shaped
+      else shaped.repartitionByRange(clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    clustered.write.mode("overwrite").parquet(tmp.toString)
     merged.foreach { case (_, p) => fs.delete(p, true) }
     require(fs.rename(tmp, new Path(rootPath, "v0")),
       s"compaction swap failed: could not rename $tmp to $root/v0 — " +
         "recover the merge from the tmp dir before restarting the stream")
+    if (tombstoneIdCol.isDefined)
+      listTombstones(spark, root).filter(_._1 <= upTo)
+        .foreach { case (_, p) => fs.delete(p, true) }
   }
 }

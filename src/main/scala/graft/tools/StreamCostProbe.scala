@@ -1,14 +1,17 @@
 package graft.tools
 
 import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 import graft.operators.IvfRelational
 import graft.sources.Tables
-import graft.streaming.{ContainmentStream, IvfStream, RetrievalStream}
+import graft.streaming.{AHashStream, ContainmentStream, IvfStream,
+  MediaFpStream, RetrievalStream}
 
 /** Dev tool: measures the incremental family's central 100 TB claim —
   * per-batch append cost is BATCH-sized, independent of how large the
@@ -20,11 +23,15 @@ import graft.streaming.{ContainmentStream, IvfStream, RetrievalStream}
   * ≈ 1×, not ≈ 10×).
   *
   * Probed stores: [[IvfStream]] (the data-sized index whose delta is
-  * batch-sized — the interesting case) and [[RetrievalStream]] (posting
-  * deltas — tokenizes only its own docs). The sketch stores (HLL /
-  * count-min / moments / bin counts / bloom bits) append model-sized
-  * deltas from a batch-sized scan by construction and would only
-  * restate the same number.
+  * batch-sized — the interesting case), [[RetrievalStream]] (posting
+  * deltas — tokenizes only its own docs), and since r14 the media-hash
+  * stores [[AHashStream]] / [[MediaFpStream]] (the family whose per-batch
+  * cost is DOMINATED by its own codec work — decode scales with the
+  * batch, the probe is a broadcast against the standing scan union;
+  * VERDICT r13 missing #4 asked for the same number the other stores
+  * have). The sketch stores (HLL / count-min / moments / bin counts /
+  * bloom bits) append model-sized deltas from a batch-sized scan by
+  * construction and would only restate the same number.
   *
   * The r13 containment arm ([[ContainmentStream]], p127) measures a
   * WEAKER claim deliberately: its probe must read the standing set
@@ -32,7 +39,18 @@ import graft.streaming.{ContainmentStream, IvfStream, RetrievalStream}
   * so per-batch cost is batch work + ONE narrow columnar scan of the
   * 8-bytes-per-element store — the 10× ratio should therefore sit well
   * below 10× (scan increment only, no re-shingle, no standing-sized
-  * exchange), not at 1×.
+  * exchange), not at 1×. Each append lands under FRESH ids (r13's probe
+  * replayed identical ids every batch, violating the store's
+  * rows-unique-across-deltas contract mid-measurement — ADVICE r13 #2).
+  *
+  * The r14 PRUNING arm measures the layout lever on that linear term
+  * (VERDICT r13 #2): a trickle-sized batch (2 videos, ≤ a dozen distinct
+  * frame hashes) probes the same standing store before and after
+  * [[ContainmentStream.compactStore]] clusters the base by `g`, with the
+  * batch's gram set pushed as a literal IN predicate
+  * (`filterBatch(pushGramLimit)`); parquet row-group stats then skip
+  * non-matching zones and the standing-scan input bytes must DROP on the
+  * clustered base.
   *
   * Usage: runMain graft.tools.StreamCostProbe [sf1Dir] [nAppends]
   */
@@ -44,8 +62,19 @@ object StreamCostProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      // let the pruning arm's ~dozen-hash IN survive to the parquet
+      // filter instead of degrading to a useless min/max range on
+      // uniform hash keys (see ContainmentStream.filterBatch scaladoc)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", 64)
       .appName("streamcostprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val bytesRead = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    })
 
     // The fixed batch: the same 500 sf0.1 vectors / 200 sf0.1 docs at
     // every standing size, so any time difference is the standing store's.
@@ -97,16 +126,29 @@ object StreamCostProbe {
       times
     }
 
-    // The fixed video batch: the same 50 sf0.1 videos at every standing
-    // size (ids chosen from the standing range so the probe actually
-    // finds cross pairs — the realistic re-upload shape)
+    // The fixed media batches: the same 50 sf0.1 videos / clips at every
+    // standing size. Ids are offset PER APPEND (base + b·1000) so every
+    // delta lands under fresh ids — the store's rows-unique-across-deltas
+    // contract holds throughout the measurement (ADVICE r13 #2); ids stay
+    // inside the standing id range's hash neighborhoods so probes still
+    // exercise the realistic re-upload shape.
+    def offsetIds(base: DataFrame, b: Long): DataFrame =
+      base.withColumn("media_id", col("media_id") + lit(900000L + b * 1000L))
+
     val batchVids = {
       import spark.implicits._
       Multimodal.fromDocuments(spark,
           Tables.documents(spark, "/root/testdata/sf0.1"),
           onlyKind = Some("video"))
-        .filter(_.media_id < 150)
-        .map(r => r.copy(media_id = r.media_id + 900000)).toDF()
+        .filter(_.media_id < 150).toDF()
+        .select(col("media_id"), col("payload")).localCheckpoint(true)
+    }
+    val batchClips = {
+      import spark.implicits._
+      Multimodal.fromDocuments(spark,
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          onlyKind = Some("audio"), intAudio = true)
+        .filter(_.media_id < 150).toDF()
         .select(col("media_id"), col("payload")).localCheckpoint(true)
     }
 
@@ -123,13 +165,97 @@ object StreamCostProbe {
       val times = (0L until nAppends.toLong).map { b =>
         timed {
           ContainmentStream.filterBatch(spark, s"$root/idx", s"$root/out",
-            setsOf, threshold = 0.9)(batchVids, b)
+            setsOf, threshold = 0.9)(offsetIds(batchVids, b), b)
           ()
         }
       }
       println(f"CONT  $label%-6s standing=$standing%6.2fs appends=" +
         times.map(t => f"$t%.2f").mkString("[", ", ", "]s"))
       times
+    }
+
+    def ahAppends(dir: String, label: String): Seq[Double] = {
+      val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+        onlyKind = Some("audio"), intAudio = true).toDF()
+        .select(col("media_id"), col("payload"))
+      val root = Files.createTempDirectory(s"scp_ah_$label").toString
+      val standing = timed {
+        AHashStream.writeStanding(spark, s"$root/idx", clips,
+          hasher = Multimodal.audioAHash64Bytes)
+      }
+      val times = (0L until nAppends.toLong).map { b =>
+        timed {
+          AHashStream.filterBatch(spark, s"$root/idx", s"$root/out",
+            "media_id", "payload",
+            hasher = Multimodal.audioAHash64Bytes)(
+            offsetIds(batchClips, b), b)
+          ()
+        }
+      }
+      println(f"AHASH $label%-6s standing=$standing%6.2fs appends=" +
+        times.map(t => f"$t%.2f").mkString("[", ", ", "]s"))
+      times
+    }
+
+    def mfAppends(dir: String, label: String): Seq[Double] = {
+      val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+        onlyKind = Some("audio"), intAudio = true).toDF()
+        .select(col("media_id"), col("payload"))
+      val root = Files.createTempDirectory(s"scp_mf_$label").toString
+      val profiler = (df: DataFrame) =>
+        Multimodal.audioFpBytes(df, "media_id", "payload")
+      val standing = timed {
+        MediaFpStream.writeStanding(spark, s"$root/idx", clips, profiler)
+      }
+      val times = (0L until nAppends.toLong).map { b =>
+        timed {
+          MediaFpStream.filterBatch(spark, s"$root/idx", s"$root/out",
+            profiler)(offsetIds(batchClips, b), b)
+          ()
+        }
+      }
+      println(f"MEDFP $label%-6s standing=$standing%6.2fs appends=" +
+        times.map(t => f"$t%.2f").mkString("[", ", ", "]s"))
+      times
+    }
+
+    // ---- pruning arm: clustered compacted base vs plain base ------------
+    // One trickle batch (2 videos) probes an sf1-sized standing store;
+    // the batch's ≤ ~dozen distinct frame hashes push as a literal IN.
+    // Before clustering: the scan reads every row group (uniform hashes,
+    // nothing sorted). After compactStore (base sorted by g): row-group
+    // zones are tight g ranges and the IN skips the rest.
+    def pruneProbe(dir: String): (Long, Long) = {
+      import spark.implicits._
+      val vids = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+        onlyKind = Some("video")).toDF()
+        .select(col("media_id"), col("payload"))
+      val tiny = Multimodal.fromDocuments(spark,
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          onlyKind = Some("video"))
+        .filter(_.media_id < 6).toDF()
+        .select(col("media_id") + 990000L, col("payload"))
+        .toDF("media_id", "payload").localCheckpoint(true)
+      val root = Files.createTempDirectory("scp_prune").toString
+      val setsOf = (df: DataFrame) =>
+        Multimodal.videoFrameSetBytes(df, "media_id", "payload")
+      ContainmentStream.writeStanding(spark, s"$root/idx", vids, setsOf)
+      // one delta so compaction has >= 2 versions to fold
+      ContainmentStream.filterBatch(spark, s"$root/idx", s"$root/out",
+        setsOf, threshold = 0.9)(offsetIds(batchVids, 90L), 0L)
+      def measure(b: Long): Long = {
+        // the listener bus is async (and its flush is private[spark]) —
+        // a short settle after the action is enough for a dev tool
+        Thread.sleep(1500); bytesRead.set(0L)
+        ContainmentStream.filterBatch(spark, s"$root/idx", s"$root/out",
+          setsOf, threshold = 0.9)(tiny, b)
+        Thread.sleep(1500)
+        bytesRead.get()
+      }
+      val plain = measure(1L)
+      ContainmentStream.compactStore(spark, s"$root/idx", upTo = 2L)
+      val clustered = measure(3L)
+      (plain, clustered)
     }
 
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -140,6 +266,11 @@ object StreamCostProbe {
     val b1 = bm25Appends(sf1, "sf1")
     val c01 = ctAppends("/root/testdata/sf0.1", "sf0.1")
     val c1 = ctAppends(sf1, "sf1")
+    val a01 = ahAppends("/root/testdata/sf0.1", "sf0.1")
+    val a1 = ahAppends(sf1, "sf1")
+    val m01 = mfAppends("/root/testdata/sf0.1", "sf0.1")
+    val m1 = mfAppends(sf1, "sf1")
+    val (plainBytes, clusteredBytes) = pruneProbe(sf1)
 
     println("| store | batch | sf0.1 append s | sf1 append s | ratio |")
     println("|---|---|---|---|---|")
@@ -152,6 +283,14 @@ object StreamCostProbe {
       "(narrow-scan increment expected — the probe reads the standing " +
       "set relation; the claim is no re-shingle/no standing exchange, " +
       "not flatness) |")
+    println(f"| AHashStream | 50 clips | ${med(a01)}%.2f | ${med(a1)}%.2f " +
+      f"| ${med(a1) / med(a01)}%.2f× (decode dominates — batch-sized) |")
+    println(f"| MediaFpStream | 50 clips | ${med(m01)}%.2f | ${med(m1)}%.2f " +
+      f"| ${med(m1) / med(m01)}%.2f× (decode dominates — batch-sized) |")
+    println(f"| prune (2-video probe, sf1 store) | input bytes | " +
+      f"plain ${plainBytes / 1048576.0}%.1f MiB | clustered " +
+      f"${clusteredBytes / 1048576.0}%.1f MiB | " +
+      f"${plainBytes.toDouble / math.max(1L, clusteredBytes)}%.1f× less |")
     spark.stop()
   }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Retrieval}
+import graft.sources.Tables
+import graft.streaming.{ContainmentStream, PassageStream, QuantileStream,
+  RetrievalStream, SketchStream, Versions}
+
+/** The takedown/retraction lifecycle (VERDICT r13 #1): tombstone markers,
+  * read-time masking, delete-aware compaction, marker consumption, the
+  * never-re-arrives contract, exact BM25 stats retraction, and the
+  * monotone-store refusals. */
+class TombstoneSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  private def freshContainmentStore(): String = {
+    val root = java.nio.file.Files.createTempDirectory("tomb_ct_").toString
+    val setsOf = (df: DataFrame) =>
+      Dedup.jaccardShingleSets(df, "doc_id", "text")
+    ContainmentStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 30), setsOf)
+    // one appended delta so compaction has >= 2 versions to fold
+    ContainmentStream.filterBatch(spark, root,
+      s"$root.out", setsOf, threshold = 0.6)(
+      docs.filter(col("doc_id").between(30, 39)), 0L)
+    root
+  }
+
+  test("tombstone masks ids out of every read and redelivery is idempotent") {
+    val root = freshContainmentStore()
+    val before = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 5L, 35L).subsetOf(before))
+
+    ContainmentStream.tombstone(spark, root, Seq(0L, 5L, 35L), 1L)
+    val after = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(after === before -- Set(0L, 5L, 35L))
+
+    // redelivered marker (same batch id) overwrites deterministically
+    ContainmentStream.tombstone(spark, root, Seq(0L, 5L, 35L), 1L)
+    val redelivered = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(redelivered === after)
+    assert(Versions.listTombstones(spark, root).map(_._1) === Seq(1L))
+  }
+
+  test("tombstone-then-compact is read-equivalent, physical, and consumes " +
+      "the markers") {
+    val root = freshContainmentStore()
+    ContainmentStream.tombstone(spark, root, Seq(1L, 31L), 1L)
+    val before = ContainmentStream.readIndex(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+    ContainmentStream.compactStore(spark, root, upTo = 1L)
+    val after = ContainmentStream.readIndex(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(after === before)
+    // physical: the raw base (no mask) no longer holds the deleted rows
+    val raw = spark.read.parquet(s"$root/v0")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!raw.contains(1L) && !raw.contains(31L))
+    // consumed: no markers left, and the fold is one base version
+    assert(Versions.listTombstones(spark, root).isEmpty)
+    assert(Versions.list(spark, root).map(_._1) === Seq(0L))
+  }
+
+  test("a tombstoned id stays dead: re-ingest under the same id is masked") {
+    val root = freshContainmentStore()
+    ContainmentStream.tombstone(spark, root, Seq(2L), 1L)
+    // batch 1 re-ingests doc 2's content under the SAME id (re-crawl)
+    ContainmentStream.filterBatch(spark, root, s"$root.out",
+      df => Dedup.jaccardShingleSets(df, "doc_id", "text"),
+      threshold = 0.6)(docs.filter(col("doc_id") === 2), 1L)
+    val ids = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L))
+  }
+
+  test("BM25 takedown retracts postings AND exact stats: probes score " +
+      "bit-identically to a from-scratch index over the retained corpus, " +
+      "before and after compaction") {
+    val root = java.nio.file.Files.createTempDirectory("tomb_bm_").toString
+    val terms = Seq("data", "merge", "hash", "scan")
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40))
+    RetrievalStream.appendBatch(spark, root)(
+      docs.filter(col("doc_id").between(40, 49)), 0L)
+    RetrievalStream.tombstone(spark, root, Seq(0L, 3L, 41L), 1L)
+
+    val retained = docs.filter(col("doc_id") < 50 &&
+      !col("doc_id").isin(0L, 3L, 41L))
+    val oneShot = Retrieval.bm25TopK(retained, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val streamed = RetrievalStream.bm25TopK(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === oneShot)
+
+    RetrievalStream.compactStore(spark, root, upTo = 1L)
+    val compacted = RetrievalStream.bm25TopK(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted === oneShot)
+    // markers consumed by the posting compaction
+    assert(Versions.listTombstones(spark, s"$root/post").isEmpty)
+  }
+
+  test("monotone stores refuse the takedown verb and point at rebuild") {
+    val e1 = intercept[UnsupportedOperationException] {
+      SketchStream.tombstone(spark, "/tmp/nowhere", Seq(1L), 0L)
+    }
+    assert(e1.getMessage.contains("rebuild"))
+    val e2 = intercept[UnsupportedOperationException] {
+      QuantileStream.tombstone(spark, "/tmp/nowhere", Seq(1L), 0L)
+    }
+    assert(e2.getMessage.contains("rebuildStore"))
+    val e3 = intercept[UnsupportedOperationException] {
+      PassageStream.tombstone(spark, "/tmp/nowhere", Seq(1L), 0L)
+    }
+    assert(e3.getMessage.contains("passageWindowIndex"))
+  }
+
+  test("tombstone guards: missing store and empty id set are refused") {
+    val root = java.nio.file.Files.createTempDirectory("tomb_g_").toString
+    val e1 = intercept[IllegalArgumentException] {
+      Versions.tombstone(spark, s"$root/absent", Seq(1L), 0L)
+    }
+    assert(e1.getMessage.contains("v0 missing"))
+    val e2 = intercept[IllegalArgumentException] {
+      Versions.tombstone(spark, s"$root/absent", Seq.empty, 0L)
+    }
+    assert(e2.getMessage.contains("empty id set"))
+  }
+}

@@ -61,6 +61,40 @@ object CorpusMaintenance {
     merged.write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
   }
 
+  /** Delete keyed rows from the corpus — the takedown verb for the
+    * SNAPSHOT-versioned source-corpus store, completing the end-to-end
+    * retraction story (the row-level delta stores carry
+    * [[Versions.tombstone]] markers because their versions are immutable
+    * appends; the corpus is upsert-MERGED full snapshots, so a delete is
+    * just a merge that drops the keys). `tombstones` holds the key
+    * columns of the rows to remove (takedown-sized — it broadcasts into
+    * the anti-join; the corpus never re-shuffles). Exactly-once contract
+    * is [[upsertBatch]]'s: version named by batch id, deterministic
+    * rebase + overwrite on redelivery. Old snapshots still hold the
+    * deleted rows for time travel until [[vacuum]] drops them — a
+    * compliance sweep is deleteBatch + vacuum. */
+  def deleteBatch(spark: SparkSession, root: String, keys: Seq[String])(
+      tombstones: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val versions = versionsIn(spark, root)
+    versions.lastOption.foreach { case (newest, _) =>
+      require(newest <= batchId + 1,
+        s"corpus at $root is at v$newest but the stream is replaying batch " +
+          s"$batchId — restarting with a fresh checkpoint over an existing " +
+          "corpus would overwrite newer versions; resume from the original " +
+          "checkpoint or start a new corpus root")
+    }
+    val base = versions.filter(_._1 <= batchId).lastOption
+    require(base.nonEmpty,
+      s"deleteBatch on $root with no corpus version to delete from — " +
+        "the corpus must exist before rows can be retracted")
+    spark.read.parquet(base.get._2.toString)
+      .join(broadcast(tombstones.select(keys.map(
+        org.apache.spark.sql.functions.col): _*).distinct()),
+        keys, "left_anti")
+      .write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+  }
+
   /** Drop all but the newest `keepLast` corpus versions — the maintenance
     * op that bounds a long-running upsert loop's storage (each version is
     * a FULL corpus snapshot, so a year of daily merges holds 365 copies).

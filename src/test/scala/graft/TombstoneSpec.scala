@@ -124,6 +124,35 @@ class TombstoneSpec extends SparkSpec {
     assert(e3.getMessage.contains("passageWindowIndex"))
   }
 
+  test("corpus deleteBatch drops keyed rows as a new snapshot; vacuum " +
+      "makes it physical; redelivery is idempotent") {
+    import graft.streaming.CorpusMaintenance
+    import spark.implicits._
+    val corpus = java.nio.file.Files.createTempDirectory("tomb_cm_").toString
+    CorpusMaintenance.upsertBatch(spark, corpus, Seq("id"))(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), 0L)
+    CorpusMaintenance.deleteBatch(spark, corpus, Seq("id"))(
+      Seq(Tuple1(2L)).toDF("id"), 1L)
+    def latestRows() = spark.read
+      .parquet(CorpusMaintenance.latest(spark, corpus).get)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latestRows() === Set((1L, "a"), (3L, "c")))
+    // redelivered delete rewrites the same snapshot
+    CorpusMaintenance.deleteBatch(spark, corpus, Seq("id"))(
+      Seq(Tuple1(2L)).toDF("id"), 1L)
+    assert(latestRows() === Set((1L, "a"), (3L, "c")))
+    // time travel still sees the pre-delete snapshot until vacuum
+    assert(spark.read.parquet(s"$corpus/v1").count() === 3)
+    CorpusMaintenance.vacuum(spark, corpus, keepLast = 2)
+    assert(Versions.list(spark, corpus).map(_._1) === Seq(1L, 2L))
+    // deleting from an absent corpus is refused
+    val e = intercept[IllegalArgumentException] {
+      CorpusMaintenance.deleteBatch(spark, s"$corpus/absent", Seq("id"))(
+        Seq(Tuple1(1L)).toDF("id"), 0L)
+    }
+    assert(e.getMessage.contains("no corpus version"))
+  }
+
   test("tombstone guards: missing store and empty id set are refused") {
     val root = java.nio.file.Files.createTempDirectory("tomb_g_").toString
     val e1 = intercept[IllegalArgumentException] {

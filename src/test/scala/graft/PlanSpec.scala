@@ -720,4 +720,42 @@ class PlanSpec extends SparkSpec {
       s"the standing set relation must never shuffle on the candidate " +
         s"path:\n$candPlan")
   }
+
+  test("tombstone mask: the marker set BROADCASTS into a left-anti join " +
+      "and a pushed gram IN reaches the standing scan — no exchange " +
+      "either way") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    import graft.streaming.{ContainmentStream, Versions}
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("tsplan_").toString
+    ContainmentStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40),
+      df => Dedup.jaccardShingleSets(df, "doc_id", "text"))
+    Versions.tombstone(spark, root, Seq(1L, 2L), 0L)
+    val plan = planString(ContainmentStream.readIndex(spark, root))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the tombstone mask must be a broadcast anti-join:\n$plan")
+    // the STANDING branch (between the anti-join node and its broadcast
+    // build side) must be a plain scan — the only exchange anywhere is
+    // the marker set's own takedown-sized distinct inside the build
+    val standingBranch = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastQueryStage"))
+    assert(standingBranch.contains("FileScan parquet") &&
+        !standingBranch.contains("Exchange"),
+      s"masking must never shuffle the standing relation:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+      s"only the marker-distinct exchange is allowed:\n$plan")
+    // the trickle-batch gram push: a literal IN on the probe key reaches
+    // the parquet scan THROUGH the mask's anti-join (what row-group
+    // pruning on a compactStore-clustered base keys off)
+    val pushed = planString(ContainmentStream.readIndex(spark, root)
+      .filter(col("g").isin("a b c", "d e f")))
+    val scanPart = pushed.substring(pushed.indexOf("FileScan parquet"))
+    assert(scanPart.contains("PushedFilters: [") &&
+        scanPart.contains("In(g"),
+      s"the gram IN must push into the standing scan:\n$pushed")
+  }
 }

@@ -109,6 +109,85 @@ class TombstoneSpec extends SparkSpec {
     assert(Versions.listTombstones(spark, s"$root/post").isEmpty)
   }
 
+  test("media and vector stores mask tombstoned ids: aHash pairs, fp " +
+      "pairs, IVF assignments (PqStream.readCodes shares the identical " +
+      "mask line)") {
+    import graft.multimodal.Multimodal
+    import graft.operators.IvfRelational
+    import graft.streaming.{AHashStream, IvfStream, MediaFpStream}
+    import spark.implicits._
+    val clips = Multimodal.fromDocuments(spark,
+        Tables.documents(spark, sfDir), onlyKind = Some("audio"),
+        intAudio = true)
+      .filter(_.media_id < 40).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+
+    // AHashStream: a byte-identical re-upload of clip c pairs with it at
+    // Hamming 0 — after tombstoning c, the probe finds nothing
+    val ahRoot = java.nio.file.Files.createTempDirectory("tomb_ah_").toString
+    AHashStream.writeStanding(spark, ahRoot, clips,
+      hasher = Multimodal.audioAHash64Bytes)
+    val someId = clips.select("media_id").orderBy("media_id")
+      .first().getLong(0)
+    val reupload = clips.filter(col("media_id") === someId)
+      .select((col("media_id") + 5000).as("media_id"), col("payload"))
+      .localCheckpoint(true)
+    val before = AHashStream.filterBatch(spark, ahRoot, s"$ahRoot.o1",
+      "media_id", "payload", hasher = Multimodal.audioAHash64Bytes,
+      materializePairs = true)(reupload, 0L)
+      .filter(col("id_a") === someId || col("id_b") === someId).count()
+    assert(before > 0)
+    AHashStream.tombstone(spark, ahRoot, Seq(someId), 1L)
+    val after = AHashStream.filterBatch(spark, ahRoot, s"$ahRoot.o2",
+      "media_id", "payload", hasher = Multimodal.audioAHash64Bytes,
+      materializePairs = true)(
+      reupload.select((col("media_id") + 1000).as("media_id"),
+        col("payload")), 1L)
+      .filter(col("id_a") === someId || col("id_b") === someId).count()
+    assert(after === 0L)
+
+    // MediaFpStream: same shape on exact fingerprints
+    val fpRoot = java.nio.file.Files.createTempDirectory("tomb_fp_").toString
+    val profiler = (df: org.apache.spark.sql.DataFrame) =>
+      Multimodal.audioFpBytes(df, "media_id", "payload")
+    MediaFpStream.writeStanding(spark, fpRoot, clips, profiler)
+    val fpBefore = MediaFpStream.filterBatch(spark, fpRoot, s"$fpRoot.o1",
+      profiler, materializePairs = true)(reupload, 0L)
+      .filter(col("id_a") === someId || col("id_b") === someId).count()
+    assert(fpBefore > 0)
+    MediaFpStream.tombstone(spark, fpRoot, Seq(someId), 1L)
+    val fpAfter = MediaFpStream.filterBatch(spark, fpRoot, s"$fpRoot.o2",
+      profiler, materializePairs = true)(
+      reupload.select((col("media_id") + 1000).as("media_id"),
+        col("payload")), 1L)
+      .filter(col("id_a") === someId || col("id_b") === someId).count()
+    assert(fpAfter === 0L)
+
+    // IvfStream / PqStream: reads stop returning the retracted vectors,
+    // physically after compaction
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 60).localCheckpoint(true)
+    val bank = IvfRelational.trainBank(emb, nCells = 4, iters = 1)
+      .localCheckpoint(true)
+    val ivfRoot = java.nio.file.Files.createTempDirectory("tomb_iv_").toString
+    IvfStream.writeStanding(spark, s"$ivfRoot/bank", s"$ivfRoot/idx",
+      emb, bank)
+    IvfStream.appendBatch(spark, s"$ivfRoot/bank", s"$ivfRoot/idx",
+      s"$ivfRoot/out", "vec_id", "embedding")(
+      Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id").between(60, 69)), 0L)
+    IvfStream.tombstone(spark, s"$ivfRoot/idx", Seq(0L, 61L), 1L)
+    val ivfIds = IvfStream.readIndex(spark, s"$ivfRoot/idx")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!ivfIds.contains(0L) && !ivfIds.contains(61L) &&
+      ivfIds.contains(1L) && ivfIds.contains(62L))
+    IvfStream.compactStore(spark, s"$ivfRoot/idx", upTo = 1L)
+    val ivfRaw = spark.read.parquet(s"$ivfRoot/idx/v0")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!ivfRaw.contains(0L) && !ivfRaw.contains(61L))
+    assert(Versions.listTombstones(spark, s"$ivfRoot/idx").isEmpty)
+  }
+
   test("monotone stores refuse the takedown verb and point at rebuild") {
     val e1 = intercept[UnsupportedOperationException] {
       SketchStream.tombstone(spark, "/tmp/nowhere", Seq(1L), 0L)

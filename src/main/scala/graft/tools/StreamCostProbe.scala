@@ -258,6 +258,29 @@ object StreamCostProbe {
       (plain, clustered)
     }
 
+    // BM25 sibling of the pruning arm: the probe's query-vocabulary IN
+    // (4 terms, under the default inFilterThreshold) already pushes into
+    // every delta's scan — compactStore's term-clustered base turns it
+    // into row-group/file pruning at DEFAULT settings.
+    def bm25PruneProbe(dir: String): (Long, Long) = {
+      val docs = Tables.documents(spark, dir)
+      val root = Files.createTempDirectory("scp_bmprune").toString
+      RetrievalStream.writeStanding(spark, root, docs, "doc_id", "text")
+      RetrievalStream.appendBatch(spark, root, "doc_id", "text")(
+        batchDocs, 0L)
+      val terms = Seq("data", "merge", "hash", "scan")
+      def measure(): Long = {
+        Thread.sleep(1500); bytesRead.set(0L)
+        RetrievalStream.bm25TopK(spark, root, terms, 40).collect()
+        Thread.sleep(1500)
+        bytesRead.get()
+      }
+      val plain = measure()
+      RetrievalStream.compactStore(spark, root, upTo = 1L)
+      val clustered = measure()
+      (plain, clustered)
+    }
+
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     val i01 = ivfAppends("/root/testdata/sf0.1", "sf0.1")
@@ -271,6 +294,7 @@ object StreamCostProbe {
     val m01 = mfAppends("/root/testdata/sf0.1", "sf0.1")
     val m1 = mfAppends(sf1, "sf1")
     val (plainBytes, clusteredBytes) = pruneProbe(sf1)
+    val (bmPlain, bmClustered) = bm25PruneProbe(sf1)
 
     println("| store | batch | sf0.1 append s | sf1 append s | ratio |")
     println("|---|---|---|---|---|")
@@ -291,6 +315,10 @@ object StreamCostProbe {
       f"plain ${plainBytes / 1048576.0}%.1f MiB | clustered " +
       f"${clusteredBytes / 1048576.0}%.1f MiB | " +
       f"${plainBytes.toDouble / math.max(1L, clusteredBytes)}%.1f× less |")
+    println(f"| prune (bm25 4-term probe, sf1 store) | input bytes | " +
+      f"plain ${bmPlain / 1048576.0}%.1f MiB | clustered " +
+      f"${bmClustered / 1048576.0}%.1f MiB | " +
+      f"${bmPlain.toDouble / math.max(1L, bmClustered)}%.1f× less |")
     spark.stop()
   }
 }

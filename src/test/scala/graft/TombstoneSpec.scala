@@ -188,6 +188,31 @@ class TombstoneSpec extends SparkSpec {
     assert(Versions.listTombstones(spark, s"$ivfRoot/idx").isEmpty)
   }
 
+  test("two-root tombstone crash consistency: a crash between the band " +
+      "and docs markers heals on redelivery") {
+    import graft.streaming.NearDupStream
+    val root = java.nio.file.Files.createTempDirectory("tomb_nd_").toString
+    val idxRoot = s"$root/idx"; val docsRoot = s"$root/docs"
+    val existing = docs.filter(col("doc_id") < 30)
+    Dedup.minhashBandIndex(existing, "doc_id", "text")
+      .write.parquet(s"$idxRoot/v0")
+    existing.write.parquet(s"$docsRoot/v0")
+    // simulate the crash: batch 1's callback wrote the band marker and
+    // died before the docs marker
+    Versions.tombstone(spark, idxRoot, Seq(3L, 7L), 1L)
+    // redelivery re-runs the whole callback: both markers re-issued
+    // deterministically, stores converge
+    NearDupStream.tombstone(spark, idxRoot, docsRoot, Seq(3L, 7L), 1L)
+    val bandIds = Versions.maskTombstones(spark, idxRoot,
+        spark.read.parquet(s"$idxRoot/v0"), "id", 1L)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val docIds = Versions.maskTombstones(spark, docsRoot,
+        spark.read.parquet(s"$docsRoot/v0"), "doc_id", 1L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bandIds === docIds)
+    assert(!bandIds.contains(3L) && !bandIds.contains(7L))
+  }
+
   test("monotone stores refuse the takedown verb and point at rebuild") {
     val e1 = intercept[UnsupportedOperationException] {
       SketchStream.tombstone(spark, "/tmp/nowhere", Seq(1L), 0L)

@@ -565,18 +565,28 @@ object Dedup {
     * for docs that actually share a bucket with the batch (a semi-join
     * before the shingle verify). In-batch pairs come from the standard
     * [[minhashPairs]]. Returns (id_a, id_b, jaccard) with new-batch ids on
-    * at least one side. */
+    * at least one side.
+    *
+    * `newBandedOpt`: a caller that already banded the batch (the
+    * [[graft.streaming.NearDupStream]] delta write — which also needs the
+    * batch's buckets for its trickle-probe push) passes the relation here
+    * so the batch's shingle+minhash chain runs ONCE per trigger instead
+    * of twice; it must be exactly [[minhashBandIndex]] of `newDocs` under
+    * the same parameters (banding is deterministic, so results are
+    * byte-identical either way). */
   def minhashPairsIncremental(
       newDocs: DataFrame, idCol: String, textCol: String,
       existingIndex: DataFrame, existingDocs: DataFrame,
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, threshold: Double = 0.6,
-      maxBucketSize: Int = 200, seed: Long = 42L): DataFrame = {
+      maxBucketSize: Int = 200, seed: Long = 42L,
+      newBandedOpt: Option[DataFrame] = None): DataFrame = {
     val inBatch = minhashPairs(newDocs, idCol, textCol, numHashes, bands,
       shingleSize, threshold, maxBucketSize, seed)
 
-    val newBanded = minhashBandIndex(newDocs, idCol, textCol, numHashes,
-      bands, shingleSize, seed)
+    val newBanded = newBandedOpt.getOrElse(
+      minhashBandIndex(newDocs, idCol, textCol, numHashes,
+        bands, shingleSize, seed))
     val idx = existingIndex.select(col("id").as("old_id"), col("band"),
       col("bucket"))
     // candidate (new, old) ids from shared buckets; bucket cap bounds the

@@ -160,6 +160,33 @@ object IvfRelational {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** [[topK]] over a PRE-ASSIGNED index relation — the probe-session form
+    * for persisted/assembled indexes ([[graft.streaming.IvfStream
+    * .readIndex]]'s (neighbor_id, cell, v) shape): the corpus is NOT
+    * re-assigned (no bank distance scan over standing vectors — the
+    * assignment already happened, once, at ingest), the index stays a
+    * plain scan the broadcast probes join on `cell`, and candidates
+    * rerank by exact cosine exactly as [[topK]] does. The bank must be
+    * the one the index was assigned under (the `ivfTopK` corpusIndex
+    * contract — [[graft.streaming.IvfStream.checkBank]] pins it for the
+    * streaming store). Returns (query_id, rank, neighbor_id, sim). */
+  def topKIndexed(queries: DataFrame, index: DataFrame, bank: DataFrame,
+      k: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.cosine
+    val probes = probeCells(queries, bank, nProbe, idCol, vecCol)
+    val assigned = index.select(col("neighbor_id"),
+      col("v").cast("array<double>").as("nv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** The IVF-PQ index relation under a RELATION coarse bank: one corpus
     * scan — cell from the broadcast-assign argmin, codes from the
     * `pqCodes` kernel. The codebooks stay a driver-side model artifact by

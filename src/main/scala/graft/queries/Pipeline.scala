@@ -7837,6 +7837,110 @@ object Pipeline {
        |  AND NOT (aa.b >= 1 AND bb.del = 1)
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p135 — TAKEDOWN through the streaming IVF vector index: the ANN member
+  // of the takedown family (p132 band index, p133 postings, p134
+  // containment sets — this closes the embedding modality's derived
+  // index). p105's fixture with byte-identical plants: the incoming
+  // stream carries +10000 copies of standing vectors 0-9, and before
+  // batch 1's append those ORIGINALS are retracted from the assignment
+  // index (IvfStream.tombstone — broadcast anti-join mask on read,
+  // physically dropped at compaction). The post-stream probe runs the
+  // plants' own embeddings through the assembled masked index via
+  // IvfRelational.topKIndexed — the probe-session form over the
+  // (neighbor_id, cell, v) store: NO re-assignment of the standing
+  // corpus, probes broadcast, the index scan never shuffles. Each
+  // plant's cosine-1.0 original must be ABSENT from its top-k: a broken
+  // mask puts the deleted original at rank 1 and fails the hash. The
+  // oracle replays the bank (ivfBankCtes over the standing subset),
+  // assigns the RETAINED corpus (minus ids 0-9 — the mask's position),
+  // shortlists each query's nProbe cells, and reranks by the exact
+  // seqDot cosine — the p76/p103 chain over the post-takedown corpus.
+  // Incoming is bounded to [250, 2250) so the fixture's ids never collide
+  // with the +10000 plants at the sf1 spot-gate (20k original vec_ids —
+  // the p132 bound; the deletion semantics are id-set-driven and
+  // unaffected).
+  // =========================================================================
+  def p135TombstoneIvf(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, dir)
+    val standing = emb.filter(col("vec_id") < 250)
+    val plants = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val incoming = emb.filter(col("vec_id") >= 250 && col("vec_id") < 2250)
+      .select(col("vec_id"), col("embedding"))
+      .unionAll(plants)
+      .withColumn("batch", pmod(col("vec_id"), lit(2)))
+    val root = Files.createTempDirectory("p135_").toString
+    val in = s"$root/in"; val bankRoot = s"$root/bank"
+    val indexRoot = s"$root/index"; val outRoot = s"$root/out"
+    val bank = IvfRelational.trainBank(standing, nCells = 16, iters = 3,
+      stride = 15)
+    graft.streaming.IvfStream.writeStanding(spark, bankRoot, indexRoot,
+      standing, bank)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // originals 0-9 are standing (v0) — strictly earlier than the
+        // marker's batch, per the tombstone contract; a redelivered
+        // batch 1 re-issues the marker deterministically
+        if (id == 1L)
+          graft.streaming.IvfStream.tombstone(spark, indexRoot,
+            0L until 10L, id)
+        graft.streaming.IvfStream.appendBatch(spark, bankRoot, indexRoot,
+          outRoot, "vec_id", "embedding")(b, id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val idx = graft.streaming.IvfStream.readIndexFor(spark, indexRoot,
+      bankRoot)
+    val frozen = spark.read.parquet(s"$bankRoot/v0")
+    IvfRelational.topKIndexed(plants, idx, frozen, k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  val p135Sql: String = {
+    import OracleHash._
+    val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3, stride = 15)
+    s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 250),
+       |$bankCtes,
+       |qs AS (SELECT vec_id + 10000 AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 10),
+       |ret AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |    FROM embeddings WHERE vec_id >= 10 AND vec_id < 2250
+       |  UNION ALL SELECT id, v FROM qs),
+       |${nearestCellCte("qa0", bank, keep = 4, source = "qs")},
+       |qa AS (SELECT id AS query_id, cell FROM qa0),
+       |${nearestCellCte("ca0", bank, keep = 1, source = "ret")},
+       |ca AS (SELECT id AS neighbor_id, v AS cv, cell FROM ca0),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cv
+       |  FROM qa JOIN ca USING (cell)
+       |  WHERE query_id != neighbor_id),
+       |qv AS (SELECT id AS query_id, v AS qv FROM qs),
+       |sx AS (SELECT query_id, neighbor_id,
+       |    ${seqDot("qv", "cv")} AS dt,
+       |    sqrt(${seqDot("qv", "qv")}) AS nq,
+       |    sqrt(${seqDot("cv", "cv")}) AS nc
+       |  FROM cand JOIN qv USING (query_id)),
+       |r AS (SELECT query_id, neighbor_id,
+       |    ${sqlCosine("dt", "nq", "nc")} AS sim FROM sx),
+       |t AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM r)
+       |SELECT query_id, "rank", neighbor_id, sim FROM t
+       |WHERE "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -7972,7 +8076,8 @@ object Pipeline {
     "p131_stream_text_containment" -> (p131StreamTextContainment _),
     "p132_tombstone_neardup" -> (p132TombstoneNearDup _),
     "p133_tombstone_bm25" -> (p133TombstoneBm25 _),
-    "p134_tombstone_containment" -> (p134TombstoneContainment _))
+    "p134_tombstone_containment" -> (p134TombstoneContainment _),
+    "p135_tombstone_ivf" -> (p135TombstoneIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -8106,5 +8211,6 @@ object Pipeline {
     "p131_stream_text_containment" -> p131Sql,
     "p132_tombstone_neardup" -> p132Sql,
     "p133_tombstone_bm25" -> p133Sql,
-    "p134_tombstone_containment" -> p134Sql)
+    "p134_tombstone_containment" -> p134Sql,
+    "p135_tombstone_ivf" -> p135Sql)
 }

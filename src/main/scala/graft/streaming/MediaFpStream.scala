@@ -81,11 +81,22 @@ object MediaFpStream {
     * shape ([[NearDupStream.filterBatch]]'s contract): the media ingest
     * capstone sets `materializePairs` to reuse the pairs without
     * recomputing the probe; plain callers ignore the return (the write
-    * is the frame's only consumer, no eager checkpoint). */
+    * is the frame's only consumer, no eager checkpoint).
+    *
+    * `pushFpLimit`: when the batch holds at most this many DISTINCT
+    * fingerprints, they are additionally pushed as a literal `fp IN`
+    * predicate into the standing scan — result-identical (the cross arm
+    * joins on fp equality), and it is what turns a [[compactStore]]-
+    * clustered base's row-group zones into actual scan pruning for
+    * trickle-sized batches (the [[ContainmentStream.filterBatch]]
+    * pushGramLimit contract — same parquet `inFilterThreshold` caveat
+    * for wide INs on uniform hash keys). The driver pull is bounded at
+    * `pushFpLimit + 1` longs. 0 disables the push. */
   def filterBatch(spark: SparkSession, root: String, outRoot: String,
       profiler: DataFrame => DataFrame,
       autoCompactVersions: Option[Int] = None,
-      materializePairs: Boolean = false)(
+      materializePairs: Boolean = false,
+      pushFpLimit: Int = 1024)(
       batch: DataFrame, batchId: Long): DataFrame = {
     Versions.guardAppend(spark, root, "fingerprint index", batchId,
       "writeStanding before starting the stream")
@@ -105,7 +116,16 @@ object MediaFpStream {
     // cross arm: the standing index stays a narrow scan union; the
     // batch's fingerprints BROADCAST into the join — the standing index
     // never crosses a shuffle
-    val cross = readIndex(spark, root, upTo = batchId)
+    val idx = readIndex(spark, root, upTo = batchId)
+    val restricted =
+      if (pushFpLimit <= 0) idx
+      else {
+        val fps = bf.select(col("fp")).distinct()
+          .limit(pushFpLimit + 1).collect().map(_.getLong(0)).toSeq
+        if (fps.size <= pushFpLimit) idx.filter(col("fp").isin(fps: _*))
+        else idx
+      }
+    val cross = restricted
       .join(broadcast(bf.select(col("media_id").as("new_id"),
         col("fp"))), Seq("fp"))
       // a batch id already present in the standing index (re-crawl under

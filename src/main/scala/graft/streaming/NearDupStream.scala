@@ -38,13 +38,32 @@ object NearDupStream {
     * that ignore the returned frame (p79) leave it false: the write is
     * then the frame's only consumer and an eager checkpoint would
     * materialize every batch's pairs into the block manager for nothing
-    * (the r12 p79 1.2× regression). Hashes are identical either way. */
+    * (the r12 p79 1.2× regression). Hashes are identical either way.
+    *
+    * The batch is banded ONCE per trigger (a batch-sized checkpoint
+    * feeds the probe, the bucket push, and the delta write — previously
+    * the shingle+minhash chain ran twice per batch).
+    *
+    * `pushBucketLimit`: when the batch's banded rows hold at most this
+    * many DISTINCT bucket values, they are additionally pushed as a
+    * literal `bucket IN` predicate into the standing band scan —
+    * result-identical (cross candidates require bucket equality, and the
+    * occupancy cap counts JOINED rows per (band, bucket), which the
+    * value-level restriction preserves for every surviving bucket), and
+    * it is what turns a [[compactStores]]-clustered base's row-group
+    * zones into actual scan pruning for trickle-sized batches (the
+    * [[ContainmentStream.filterBatch]] pushGramLimit contract — same
+    * parquet `inFilterThreshold` caveat: Spark rewrites an IN wider than
+    * that threshold into a min/max range that prunes nothing on uniform
+    * hash keys). The driver pull is bounded at `pushBucketLimit + 1`
+    * longs. 0 disables the push. */
   def filterBatch(spark: SparkSession, indexRoot: String, docsRoot: String,
       outRoot: String, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.6, maxBucketSize: Int = 200, seed: Long = 42L,
       autoCompactVersions: Option[Int] = None,
-      materializePairs: Boolean = false)(
+      materializePairs: Boolean = false,
+      pushBucketLimit: Int = 1024)(
       batch: DataFrame, batchId: Long): DataFrame = {
     def deltasOf(root: String, what: String, tombstoneIdCol: String,
         compactTransform: DataFrame => DataFrame,
@@ -68,15 +87,24 @@ object NearDupStream {
       spark.read.parquet(
         deltasOf(docsRoot, "docs store", idCol, identity, Nil): _*),
       idCol, batchId)
-    val probe = Dedup.minhashPairsIncremental(batch, idCol, textCol, idx,
-        existingDocs, numHashes, bands, shingleSize, threshold,
-        maxBucketSize, seed)
+    val bBands = Dedup.minhashBandIndex(batch, idCol, textCol, numHashes,
+      bands, shingleSize, seed).localCheckpoint(true)
+    val restricted =
+      if (pushBucketLimit <= 0) idx
+      else {
+        val bks = bBands.select(col("bucket")).distinct()
+          .limit(pushBucketLimit + 1).collect().map(_.getLong(0)).toSeq
+        if (bks.size <= pushBucketLimit)
+          idx.filter(col("bucket").isin(bks: _*))
+        else idx
+      }
+    val probe = Dedup.minhashPairsIncremental(batch, idCol, textCol,
+        restricted, existingDocs, numHashes, bands, shingleSize, threshold,
+        maxBucketSize, seed, newBandedOpt = Some(bBands))
       .withColumn("batch", lit(batchId))
     val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
     pairs.write.mode("overwrite").parquet(s"$outRoot/b$batchId")
-    Dedup.minhashBandIndex(batch, idCol, textCol, numHashes, bands,
-        shingleSize, seed)
-      .write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
+    bBands.write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
     batch.select(col(idCol), col(textCol))
       .write.mode("overwrite").parquet(s"$docsRoot/v${batchId + 1}")
     pairs

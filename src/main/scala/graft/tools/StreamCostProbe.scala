@@ -281,6 +281,77 @@ object StreamCostProbe {
       (plain, clustered)
     }
 
+    // MediaFp sibling of the pruning arm (r14: the fp push + fp-clustered
+    // base): a 2-clip batch's fingerprints push as a literal `fp IN`
+    // (2 longs — under even the DEFAULT inFilterThreshold) and the
+    // standing-scan input bytes must drop once compactStore clusters the
+    // base by fp.
+    def mfPruneProbe(dir: String): (Long, Long) = {
+      import spark.implicits._
+      val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+        onlyKind = Some("audio"), intAudio = true).toDF()
+        .select(col("media_id"), col("payload"))
+      val tiny = Multimodal.fromDocuments(spark,
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          onlyKind = Some("audio"), intAudio = true)
+        .filter(_.media_id < 6).toDF()
+        .select(col("media_id") + 990000L, col("payload"))
+        .toDF("media_id", "payload").localCheckpoint(true)
+      val root = Files.createTempDirectory("scp_mfprune").toString
+      val profiler = (df: DataFrame) =>
+        Multimodal.audioFpBytes(df, "media_id", "payload")
+      MediaFpStream.writeStanding(spark, s"$root/idx", clips, profiler)
+      // one delta so compaction has >= 2 versions to fold
+      MediaFpStream.filterBatch(spark, s"$root/idx", s"$root/out",
+        profiler)(offsetIds(batchClips, 90L), 0L)
+      def measure(b: Long): Long = {
+        Thread.sleep(1500); bytesRead.set(0L)
+        MediaFpStream.filterBatch(spark, s"$root/idx", s"$root/out",
+          profiler)(tiny, b)
+        Thread.sleep(1500)
+        bytesRead.get()
+      }
+      val plain = measure(1L)
+      MediaFpStream.compactStore(spark, s"$root/idx", upTo = 2L)
+      val clustered = measure(3L)
+      (plain, clustered)
+    }
+
+    // Near-dup sibling (r14: the bucket push + (band, bucket)-clustered
+    // base): a 3-doc batch bands to ≤ 48 distinct buckets (under the
+    // configured inFilterThreshold), pushed as a literal `bucket IN`;
+    // within each band run of the clustered base, bucket zones are tight
+    // and the standing band scan prunes.
+    def ndPruneProbe(dir: String): (Long, Long) = {
+      import graft.streaming.NearDupStream
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val tiny = Tables.documents(spark, "/root/testdata/sf0.1")
+        .filter(col("doc_id") < 3)
+        .select((col("doc_id") + 990000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val root = Files.createTempDirectory("scp_ndprune").toString
+      val idxRoot = s"$root/idx"; val docsRoot = s"$root/docs"
+      graft.operators.Dedup.minhashBandIndex(docs, "doc_id", "text")
+        .write.parquet(s"$idxRoot/v0")
+      docs.write.parquet(s"$docsRoot/v0")
+      // one delta so compaction has >= 2 versions to fold
+      NearDupStream.filterBatch(spark, idxRoot, docsRoot, s"$root/out",
+        "doc_id", "text", threshold = 0.4)(
+        batchDocs.withColumn("doc_id", col("doc_id") + 900000L), 0L)
+      def measure(b: Long): Long = {
+        Thread.sleep(1500); bytesRead.set(0L)
+        NearDupStream.filterBatch(spark, idxRoot, docsRoot, s"$root/out",
+          "doc_id", "text", threshold = 0.4)(tiny, b)
+        Thread.sleep(1500)
+        bytesRead.get()
+      }
+      val plain = measure(1L)
+      NearDupStream.compactStores(spark, idxRoot, docsRoot, upTo = 2L)
+      val clustered = measure(3L)
+      (plain, clustered)
+    }
+
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     val i01 = ivfAppends("/root/testdata/sf0.1", "sf0.1")
@@ -295,6 +366,8 @@ object StreamCostProbe {
     val m1 = mfAppends(sf1, "sf1")
     val (plainBytes, clusteredBytes) = pruneProbe(sf1)
     val (bmPlain, bmClustered) = bm25PruneProbe(sf1)
+    val (mfPlain, mfClustered) = mfPruneProbe(sf1)
+    val (ndPlain, ndClustered) = ndPruneProbe(sf1)
 
     println("| store | batch | sf0.1 append s | sf1 append s | ratio |")
     println("|---|---|---|---|---|")
@@ -319,6 +392,14 @@ object StreamCostProbe {
       f"plain ${bmPlain / 1048576.0}%.1f MiB | clustered " +
       f"${bmClustered / 1048576.0}%.1f MiB | " +
       f"${bmPlain.toDouble / math.max(1L, bmClustered)}%.1f× less |")
+    println(f"| prune (2-clip fp probe, sf1 store) | input bytes | " +
+      f"plain ${mfPlain / 1048576.0}%.1f MiB | clustered " +
+      f"${mfClustered / 1048576.0}%.1f MiB | " +
+      f"${mfPlain.toDouble / math.max(1L, mfClustered)}%.1f× less |")
+    println(f"| prune (3-doc bucket probe, sf1 store) | input bytes | " +
+      f"plain ${ndPlain / 1048576.0}%.1f MiB | clustered " +
+      f"${ndClustered / 1048576.0}%.1f MiB | " +
+      f"${ndPlain.toDouble / math.max(1L, ndClustered)}%.1f× less |")
     spark.stop()
   }
 }

@@ -59,6 +59,28 @@ class IvfRelationalSpec extends SparkSpec {
     }
   }
 
+  test("topKIndexed over a pre-assigned index row-matches topK (the " +
+      "probe-session form never re-assigns)") {
+    import org.apache.spark.sql.functions.col
+    val relBank = IvfRelational.trainBank(emb, nCells = 8, iters = 2,
+      stride = 5)
+    val qs = emb.filter(col("vec_id") < 10)
+    val want = IvfRelational.topK(qs, emb, relBank, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    // the IvfStream.readIndex shape: (neighbor_id, cell, v) assigned once
+    val index = IvfRelational.assign(emb, relBank, "vec_id", "embedding")
+      .select(col("id").as("neighbor_id"), col("cell"), col("v"))
+    val got = IvfRelational.topKIndexed(qs, index, relBank, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(got.length == want.length,
+      s"row count ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"indexed top-k row differs: $g vs $w")
+    }
+  }
+
   test("topKPq through the relation coarse bank row-matches ivfPqTopK " +
       "under the same bank and codebooks") {
     val lit = Similarity.ivfCentroidsTrained(emb, nCells = 8, iters = 2,

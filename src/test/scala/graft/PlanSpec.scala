@@ -758,4 +758,36 @@ class PlanSpec extends SparkSpec {
         scanPart.contains("In(g"),
       s"the gram IN must push into the standing scan:\n$pushed")
   }
+
+  test("trickle pushes reach the fp and band stores' standing scans " +
+      "through the tombstone mask (the r14 pruning levers)") {
+    import graft.streaming.{MediaFpStream, Versions}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // store-shaped relations written directly — the push composes on the
+    // readIndex plan, not on the profiler/banding upstream of it
+    val fpRoot = java.nio.file.Files.createTempDirectory("fppln_").toString
+    Seq((1L, 11L), (2L, 22L), (3L, 33L)).toDF("media_id", "fp")
+      .write.parquet(s"$fpRoot/v0")
+    Versions.tombstone(spark, fpRoot, Seq(3L), 0L)
+    val fpPlan = planString(MediaFpStream.readIndex(spark, fpRoot)
+      .filter(col("fp").isin(11L, 22L)))
+    val fpScan = fpPlan.substring(fpPlan.indexOf("FileScan parquet"))
+    assert(fpScan.contains("PushedFilters: [") && fpScan.contains("In(fp"),
+      s"the fp IN must push into the standing scan:\n$fpPlan")
+
+    val ndRoot = java.nio.file.Files.createTempDirectory("ndpln_").toString
+    Seq((1L, 0, 5L), (2L, 1, 6L)).toDF("id", "band", "bucket")
+      .write.parquet(s"$ndRoot/v0")
+    Versions.tombstone(spark, ndRoot, Seq(2L), 0L)
+    // the exact composition NearDupStream.filterBatch builds:
+    // maskTombstones(scan union) under the batch's bucket IN
+    val ndPlan = planString(Versions.maskTombstones(spark, ndRoot,
+        spark.read.parquet(s"$ndRoot/v0"), "id")
+      .filter(col("bucket").isin(5L, 6L)))
+    val ndScan = ndPlan.substring(ndPlan.indexOf("FileScan parquet"))
+    assert(ndScan.contains("PushedFilters: [") &&
+        ndScan.contains("In(bucket"),
+      s"the bucket IN must push into the standing scan:\n$ndPlan")
+  }
 }

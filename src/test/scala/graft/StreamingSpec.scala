@@ -400,6 +400,65 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("fresh checkpoint"))
   }
 
+  test("trickle-probe pushes are result-identical: near-dup bucket IN and " +
+      "media fp IN emit the same pairs as the unpushed probe") {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.{MediaFpStream, NearDupStream}
+    import graft.sources.Tables
+    import spark.implicits._
+    // near-dup: the same 3-doc batch (one a near-dup of a standing doc)
+    // probes the same standing store with and without the bucket push
+    def doc(seed: Int, words: Int): String =
+      (0 until words).map(i => s"t${seed}x$i").mkString(" ")
+    val base = doc(3, 60)
+    val standing = Seq((1L, base), (2L, doc(50, 60))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.split(" ").updated(5, "changed").mkString(" ")),
+      (11L, doc(70, 60)), (12L, doc(80, 60))).toDF("doc_id", "text")
+    def ndPairs(push: Int): Set[(Long, Long, Long)] = {
+      val root = Files.createTempDirectory("ndpush_").toString
+      graft.operators.Dedup.minhashBandIndex(standing, "doc_id", "text")
+        .write.parquet(s"$root/idx/v0")
+      standing.write.parquet(s"$root/docs/v0")
+      NearDupStream.filterBatch(spark, s"$root/idx", s"$root/docs",
+        s"$root/out", "doc_id", "text", threshold = 0.4,
+        pushBucketLimit = push)(batch, 0L)
+      spark.read.parquet(s"$root/out/b0")
+        .select("id_a", "id_b", "batch").as[(Long, Long, Long)]
+        .collect().toSet
+    }
+    val ndPushed = ndPairs(1024)
+    assert(ndPushed === ndPairs(0), "bucket push must not change pairs")
+    assert(ndPushed.contains((1L, 10L, 0L)),
+      s"the planted near-dup must survive the push: $ndPushed")
+
+    // media fp: a re-upload batch probes with and without the fp push
+    val clips = Multimodal.fromDocuments(spark,
+        Tables.documents(spark, sfDir), onlyKind = Some("audio"),
+        intAudio = true)
+      .filter(_.media_id < 40).toDF()
+      .select(col("media_id"), col("payload")).localCheckpoint(true)
+    val someId = clips.select("media_id").orderBy("media_id")
+      .first().getLong(0)
+    val reupload = clips.filter(col("media_id") === someId)
+      .select((col("media_id") + 5000).as("media_id"), col("payload"))
+      .localCheckpoint(true)
+    val profiler = (df: org.apache.spark.sql.DataFrame) =>
+      Multimodal.audioFpBytes(df, "media_id", "payload")
+    def fpPairs(push: Int): Set[(Long, Long)] = {
+      val root = Files.createTempDirectory("fppush_").toString
+      MediaFpStream.writeStanding(spark, root, clips, profiler)
+      MediaFpStream.filterBatch(spark, root, s"$root.out", profiler,
+        materializePairs = true, pushFpLimit = push)(reupload, 0L)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val fpPushed = fpPairs(1024)
+    assert(fpPushed === fpPairs(0), "fp push must not change pairs")
+    assert(fpPushed.contains((someId, someId + 5000)),
+      s"the re-upload's exact-fp pair must survive the push: $fpPushed")
+  }
+
   test("streaming funnel: carried stage advances across batches, no-change " +
       "users stay silent; redelivery idempotent; lineage guard") {
     import java.nio.file.{Files, Paths}

@@ -46,6 +46,6 @@ object SparkEntry {
     "p128_media_ingest_capstone", "p129_pq_rebuild",
     "p131_stream_text_containment", "p132_tombstone_neardup",
     "p133_tombstone_bm25", "p134_tombstone_containment",
-    "p135_tombstone_ivf",
+    "p135_tombstone_ivf", "p136_tombstone_sweep",
     "q47_paged_source")
 }

@@ -7941,6 +7941,70 @@ object Pipeline {
        |ORDER BY query_id, "rank"""".stripMargin
   }
 
+  // =========================================================================
+  // p136 — PREDICATE-DRIVEN takedown sweep: p133's BM25 store, but the
+  // retracted id set is COMPUTED, not hand-listed — every standing doc
+  // whose p03 quality score falls below 0.6 (the re-curation sweep a
+  // quality-bar change triggers; GDPR/PII/licensing sweeps are the same
+  // shape). The sweep is a distributed scan + filter whose result flows
+  // into the marker delta WITHOUT touching the driver
+  // (Versions.tombstoneFrom — the takedown-sized contract is the
+  // marker's, not a collect()'s), and the retraction must propagate
+  // through postings, df, n_docs and total_dl exactly as p133's literal
+  // set does. The oracle re-derives the sweep from the SAME quality
+  // formula (the shared sqlQualityCtes fragment — bit-identical doubles,
+  // p03/p44's proof) and replays the unchanged BM25 chain over the
+  // retained corpus.
+  // =========================================================================
+  def p136TombstoneSweep(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.RetrievalStream
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p136_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    RetrievalStream.writeStanding(spark, idxRoot, standing)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L) {
+          val sweep = standing
+            .select(col("doc_id"), TF.qualityScoreFromTokens(col("text"),
+              TF.tokens(col("text"))).as("q"))
+            .filter(col("q") < 0.6)
+            .select(col("doc_id"))
+          RetrievalStream.tombstoneFrom(spark, idxRoot, sweep, id)
+        }
+        RetrievalStream.appendBatch(spark, idxRoot)(b, id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    RetrievalStream.bm25TopK(spark, idxRoot, p108Terms, k = 40)
+  }
+
+  val p136Sql: String =
+    s"""WITH t136s AS (SELECT doc_id, text, $sqlToks AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |${sqlQualityCtes("136s", "t136s", "doc_id")},
+       |del136 AS (SELECT doc_id FROM q136s WHERE quality < 0.6),
+       |live AS (SELECT d.* FROM documents d
+       |  LEFT JOIN del136 x ON d.doc_id = x.doc_id
+       |  WHERE x.doc_id IS NULL),
+       |${sqlBm25CtesFrom("136", p108Terms, "live")}
+       |SELECT doc_id, CAST(ROUND(SUM(sct), 6) AS DOUBLE) AS score
+       |FROM x136 GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 40""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -8077,7 +8141,8 @@ object Pipeline {
     "p132_tombstone_neardup" -> (p132TombstoneNearDup _),
     "p133_tombstone_bm25" -> (p133TombstoneBm25 _),
     "p134_tombstone_containment" -> (p134TombstoneContainment _),
-    "p135_tombstone_ivf" -> (p135TombstoneIvf _))
+    "p135_tombstone_ivf" -> (p135TombstoneIvf _),
+    "p136_tombstone_sweep" -> (p136TombstoneSweep _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -8212,5 +8277,6 @@ object Pipeline {
     "p132_tombstone_neardup" -> p132Sql,
     "p133_tombstone_bm25" -> p133Sql,
     "p134_tombstone_containment" -> p134Sql,
-    "p135_tombstone_ivf" -> p135Sql)
+    "p135_tombstone_ivf" -> p135Sql,
+    "p136_tombstone_sweep" -> p136Sql)
 }

@@ -117,6 +117,14 @@ object RetrievalStream {
       batchId: Long): Unit =
     Versions.tombstone(spark, postRoot(root), ids, batchId)
 
+  /** [[tombstone]] with the retracted ids as a relation
+    * ([[Versions.tombstoneFrom]]) — the predicate-driven sweep shape: the
+    * id set is computed distributively (a quality/PII/licensing pass over
+    * the corpus) and never touches the driver. */
+  def tombstoneFrom(spark: SparkSession, root: String, ids: DataFrame,
+      batchId: Long): Unit =
+    Versions.tombstoneFrom(spark, postRoot(root), ids, batchId)
+
   /** The assembled posting relation: plain union, zero exchanges (rows
     * disjoint across deltas by construction), minus tombstoned docs
     * ([[Versions.maskTombstones]] — broadcast anti-join; plan untouched

@@ -112,6 +112,34 @@ object Versions {
       .write.mode("overwrite").parquet(s"$root/d$batchId")
   }
 
+  /** [[tombstone]] with the retracted ids as a RELATION — the
+    * predicate-driven sweep shape: a GDPR/PII/quality re-curation pass
+    * computes WHICH ids to retract distributively (a scan + filter over
+    * the corpus), and hand-listing the result through a driver `Seq`
+    * would be exactly the `collect()` the engine's operator code avoids.
+    * `ids` must be a single long-castable column (any name); it is
+    * deduplicated and written as the marker delta without touching the
+    * driver. The sweep is materialized once (takedown-sized by the
+    * marker contract — it broadcasts on every read) and the empty sweep
+    * refuses like the `Seq` form: an empty marker delta would mask
+    * nothing while still paying a read per version forever. Everything
+    * else — batch-id naming, redelivery overwrite, strictly-earlier
+    * content, compaction consumption — is [[tombstone]]'s contract
+    * verbatim. */
+  def tombstoneFrom(spark: SparkSession, root: String, ids: DataFrame,
+      batchId: Long): Unit = {
+    require(ids.schema.fields.length == 1,
+      s"tombstoneFrom takes a single id column, got ${ids.schema.fieldNames
+        .mkString(", ")}")
+    require(list(spark, root).exists(_._1 == 0L),
+      s"tombstone refused: $root/v0 missing — the store must exist before " +
+        "ids can be retracted from it")
+    val rel = ids.toDF("id").select(col("id").cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    require(rel.limit(1).count() > 0, "tombstone of an empty id set")
+    rel.coalesce(1).write.mode("overwrite").parquet(s"$root/d$batchId")
+  }
+
   /** Marker deltas under `root` (`d<batchId>` dirs), sorted by batch. */
   def listTombstones(spark: SparkSession, root: String): Seq[(Long, Path)] = {
     val p = new Path(root)

@@ -268,4 +268,32 @@ class TombstoneSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("empty id set"))
   }
+
+  test("tombstoneFrom: the relation form masks like the Seq form; " +
+      "multi-column and empty sweeps are refused") {
+    import spark.implicits._
+    val root = freshContainmentStore()
+    // a predicate-driven sweep: ids computed as a relation, never a Seq
+    Versions.tombstoneFrom(spark, root,
+      docs.filter(col("doc_id") < 4).select(col("doc_id")), 1L)
+    val masked = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(masked.intersect(Set(0L, 1L, 2L, 3L)).isEmpty,
+      s"swept ids must be masked: $masked")
+    assert(masked.contains(4L), "unswept ids must survive")
+    // byte-wise same marker contract: a redelivered sweep overwrites
+    Versions.tombstoneFrom(spark, root,
+      docs.filter(col("doc_id") < 4).select(col("doc_id")), 1L)
+    assert(Versions.listTombstones(spark, root).map(_._1) === Seq(1L))
+    val e1 = intercept[IllegalArgumentException] {
+      Versions.tombstoneFrom(spark, root,
+        docs.select(col("doc_id"), col("text")), 2L)
+    }
+    assert(e1.getMessage.contains("single id column"))
+    val e2 = intercept[IllegalArgumentException] {
+      Versions.tombstoneFrom(spark, root,
+        docs.filter(col("doc_id") < 0).select(col("doc_id")), 2L)
+    }
+    assert(e2.getMessage.contains("empty id set"))
+  }
 }

@@ -162,8 +162,13 @@ object IvfStream {
     // bank root, this catches the WRONG one (or a same-named retrain) —
     // one model-sized fold per batch
     checkBank(spark, bankRoot, indexRoot)
+    // same fold parameters as compactStore: tombstoned vectors drop
+    // physically and the base stays cell-clustered — an auto-compacted
+    // root must not silently lose the pruning layout or pay the marker
+    // mask forever
     autoCompactVersions.foreach(k =>
-      Versions.autoCompact(spark, indexRoot, batchId, k))
+      Versions.autoCompact(spark, indexRoot, batchId, k,
+        tombstoneIdCol = Some("neighbor_id"), clusterBy = Seq("cell")))
     val bank = spark.read.parquet(s"$bankRoot/v0")
     val delta = IvfRelational.assign(batch, bank, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("cell"), col("v"))

@@ -153,8 +153,11 @@ object PqStream {
     Versions.guardAppend(spark, codesRoot, "codes store", batchId,
       "writeStanding before starting the stream")
     checkBook(spark, bookRoot, codesRoot)
+    // same fold parameters as compactStore: tombstoned codes drop
+    // physically and the markers are consumed
     autoCompactVersions.foreach(k =>
-      Versions.autoCompact(spark, codesRoot, batchId, k))
+      Versions.autoCompact(spark, codesRoot, batchId, k,
+        tombstoneIdCol = Some("neighbor_id")))
     val banks = banksOf(spark, bookRoot)
     val enc = Similarity.pqEncode(batch, banks, idCol, vecCol)
       .localCheckpoint(true)

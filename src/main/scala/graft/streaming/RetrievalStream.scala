@@ -89,7 +89,15 @@ object RetrievalStream {
         "takedown-capable layout); re-run writeStanding before starting " +
         "the stream")
     autoCompactVersions.foreach { k =>
-      Versions.autoCompact(spark, postRoot(root), batchId, k)
+      // the posting base clusters by its probe key (compactStore's
+      // layout) but deliberately does NOT consume tombstone markers
+      // here: the takedown-aware fold is a three-root orchestration
+      // (stats must subtract the deleted docs' contribution and doclens
+      // must drop their rows BEFORE the posting compaction deletes the
+      // markers) that only compactStore runs — auto-compacted reads stay
+      // correct through the mask either way
+      Versions.autoCompact(spark, postRoot(root), batchId, k,
+        clusterBy = Seq("term"))
       Versions.autoCompact(spark, statsRoot(root), batchId, k, foldStats)
       Versions.autoCompact(spark, dlenRoot(root), batchId, k)
     }

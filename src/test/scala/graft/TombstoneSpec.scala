@@ -269,6 +269,63 @@ class TombstoneSpec extends SparkSpec {
     assert(e2.getMessage.contains("empty id set"))
   }
 
+  test("auto-compaction folds like compactStore: IVF markers consumed " +
+      "and rows dropped physically; BM25 postings keep their markers " +
+      "(the three-root orchestration is compactStore's)") {
+    import graft.operators.IvfRelational
+    import graft.streaming.{IvfStream, RetrievalStream}
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("tomb_ac_").toString
+    val (bankRoot, idxRoot, outRoot) =
+      (s"$root/bank", s"$root/idx", s"$root/out")
+    val standing = emb.filter(col("vec_id") < 100)
+    val bank = IvfRelational.trainBank(standing, nCells = 4, iters = 2,
+      stride = 10)
+    IvfStream.writeStanding(spark, bankRoot, idxRoot, standing, bank)
+    val append = IvfStream.appendBatch(spark, bankRoot, idxRoot, outRoot,
+      "vec_id", "embedding", autoCompactVersions = Some(1)) _
+    append(emb.filter(col("vec_id").between(100, 119)), 0L)
+    IvfStream.tombstone(spark, idxRoot, Seq(0L, 110L), 1L)
+    // batch 1's auto-compaction (threshold 1, 2 versions visible) folds
+    // with the marker: rows dropped physically, marker consumed
+    append(emb.filter(col("vec_id").between(120, 139)), 1L)
+    assert(Versions.listTombstones(spark, idxRoot).isEmpty,
+      "auto-compaction must consume the marker like compactStore")
+    val ids = IvfStream.readIndex(spark, idxRoot)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(0L) && !ids.contains(110L),
+      "tombstoned vectors must be gone from the folded base")
+    assert(ids.contains(1L) && ids.contains(120L))
+
+    // BM25: the bare posting auto-compaction must PRESERVE markers (the
+    // stats/doclen-correcting fold is compactStore's orchestration) and
+    // reads stay corrected through the mask
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val bmRoot = java.nio.file.Files.createTempDirectory("tomb_ac_bm_")
+      .toString
+    RetrievalStream.writeStanding(spark, bmRoot,
+      docs.filter(col("doc_id") < 60))
+    RetrievalStream.appendBatch(spark, bmRoot,
+      autoCompactVersions = Some(1))(
+      docs.filter(col("doc_id").between(60, 79)), 0L)
+    RetrievalStream.tombstone(spark, bmRoot, Seq(1L, 2L), 1L)
+    RetrievalStream.appendBatch(spark, bmRoot,
+      autoCompactVersions = Some(1))(
+      docs.filter(col("doc_id").between(80, 99)), 1L)
+    assert(Versions.listTombstones(spark, s"$bmRoot/post").nonEmpty,
+      "posting auto-compaction must not consume markers")
+    val streamed = RetrievalStream.bm25TopK(spark, bmRoot,
+        Seq("data", "merge", "hash", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShot = Retrieval.bm25TopK(
+        docs.filter(col("doc_id") < 100 && !col("doc_id").isin(1L, 2L)),
+        "doc_id", "text", Seq("data", "merge", "hash", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === oneShot,
+      "auto-compacted reads must stay takedown-corrected through the mask")
+  }
+
   test("tombstoneFrom: the relation form masks like the Seq form; " +
       "multi-column and empty sweeps are refused") {
     import spark.implicits._

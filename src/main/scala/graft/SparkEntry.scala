@@ -47,5 +47,6 @@ object SparkEntry {
     "p131_stream_text_containment", "p132_tombstone_neardup",
     "p133_tombstone_bm25", "p134_tombstone_containment",
     "p135_tombstone_ivf", "p136_tombstone_sweep",
+    "p137_tombstone_ahash", "p138_tombstone_mediafp",
     "q47_paged_source")
 }

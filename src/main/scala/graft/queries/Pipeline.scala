@@ -8005,6 +8005,151 @@ object Pipeline {
        |ORDER BY score DESC, doc_id
        |LIMIT 40""".stripMargin
 
+  /** The emission-batch exclusion both media takedown oracles share: a
+    * pair whose emission batch is past the marker (>= 1) and whose
+    * STANDING side (b = -1) is one of the retracted originals (the
+    * literal id < 30 takedown set — every other fixture id is >= 250 or
+    * +10000, so the predicate is id-scale-independent) must not emit;
+    * batch-0 emissions and retained-side pairs stand. */
+  private def sqlMediaTombstoneCut(a: String, b: String): String =
+    s"AND NOT (greatest($a.b, $b.b) >= 1 AND " +
+      s"(($a.b = -1 AND $a.id < 30) OR ($b.b = -1 AND $b.id < 30)))"
+
+  // =========================================================================
+  // p137 — TAKEDOWN through the streaming PERCEPTUAL image index: p117's
+  // fixture with the plants' standing originals (image ids < 30)
+  // retracted before batch 1's probe — issued through the RELATION form
+  // (Versions.tombstoneFrom over the standing frame's filtered ids, the
+  // predicate-sweep shape). Batch-0 plant pairs (even original ids)
+  // stand; batch-1 plants' Hamming-0 originals are gone from the band
+  // probe, as is any organic Hamming-<=6 pair against a deleted
+  // standing image. Oracle = p117's aHash replay with the shared
+  // emission-batch exclusion.
+  // =========================================================================
+  def p137TombstoneAHash(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.AHashStream
+    val images = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("image"))
+    val standing = images.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    val plants = Multimodal.plantImageVariants(images.filter(_.media_id < 30))
+    val incoming = images.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(plants.toDF().select(col("media_id"), col("payload")))
+      .withColumn("batch", pmod(col("media_id"), lit(2)))
+    val root = Files.createTempDirectory("p137_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    AHashStream.writeStanding(spark, idxRoot, standing)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L)
+          graft.streaming.Versions.tombstoneFrom(spark, idxRoot,
+            standing.filter(col("media_id") < 30).select("media_id"), id)
+        AHashStream.appendBatch(spark, idxRoot, outRoot,
+          "media_id", "payload")(b, id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("hamming"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p137Sql: String =
+    s"""WITH $sqlImageVariantsCte,
+       |$sqlAHashCtes,
+       |asg AS (SELECT id, ahash,
+       |    CASE WHEN id < 250 THEN -1 ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM ah)
+       |SELECT a.id AS id_a, b2.id AS id_b,
+       |  CAST(bit_count(xor(a.ahash, b2.ahash)) AS INT) AS hamming,
+       |  CAST(greatest(a.b, b2.b) AS BIGINT) AS batch
+       |FROM asg a JOIN asg b2 ON a.id < b2.id
+       |WHERE bit_count(xor(a.ahash, b2.ahash)) <= 6
+       |  AND greatest(a.b, b2.b) >= 0
+       |  ${sqlMediaTombstoneCut("a", "b2")}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // =========================================================================
+  // p138 — TAKEDOWN through the streaming EXACT media-fingerprint index:
+  // p122's fixture with the re-ingested plants' standing originals
+  // (audio ids < 30) retracted before batch 1's probe. A batch-1
+  // byte-identical re-ingest of a deleted clip finds nothing to collapse
+  // onto — the re-crawl dedup stops resurrecting taken-down content —
+  // while batch-0 collapses stand. Completes the oracled takedown
+  // matrix: every derived index family (band / postings / containment /
+  // IVF / perceptual / exact-fp) now has a mid-stream retraction query
+  // hash-matched against a from-scratch replay over the retained corpus.
+  // =========================================================================
+  def p138TombstoneMediaFp(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.MediaFpStream
+    import spark.implicits._
+    val clips = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("audio"), intAudio = true)
+    val standing = clips.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    val plants = clips.filter(_.media_id < 30)
+      .map(r => r.copy(media_id = r.media_id + 10000))
+    val incoming = clips.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .unionAll(plants.toDF().select(col("media_id"), col("payload")))
+      .withColumn("batch", pmod(col("media_id"), lit(2)))
+    val root = Files.createTempDirectory("p138_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    val profiler = (df: DataFrame) =>
+      Multimodal.audioFpBytes(df, "media_id", "payload")
+    MediaFpStream.writeStanding(spark, idxRoot, standing, profiler)
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // the relation form keeps the marker set to ids the store
+        // actually holds (audio ids < 30 — the 0..29 range also spans
+        // image/video ids this store never saw)
+        if (id == 1L)
+          graft.streaming.Versions.tombstoneFrom(spark, idxRoot,
+            standing.filter(col("media_id") < 30).select("media_id"), id)
+        MediaFpStream.appendBatch(spark, idxRoot, outRoot, profiler)(b, id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p138Sql: String =
+    s"""WITH $sqlAudioClipsCte,
+       |$sqlAudioFpCtes,
+       |aasg AS (SELECT id, audio_fp,
+       |    CASE WHEN id < 250 THEN -1 ELSE CAST(id % 2 AS INT) END AS b
+       |  FROM afp)
+       |SELECT a.id AS id_a, b2.id AS id_b,
+       |  CAST(greatest(a.b, b2.b) AS BIGINT) AS batch
+       |FROM aasg a JOIN aasg b2
+       |  ON a.id < b2.id AND a.audio_fp = b2.audio_fp
+       |WHERE greatest(a.b, b2.b) >= 0
+       |  ${sqlMediaTombstoneCut("a", "b2")}
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -8142,7 +8287,9 @@ object Pipeline {
     "p133_tombstone_bm25" -> (p133TombstoneBm25 _),
     "p134_tombstone_containment" -> (p134TombstoneContainment _),
     "p135_tombstone_ivf" -> (p135TombstoneIvf _),
-    "p136_tombstone_sweep" -> (p136TombstoneSweep _))
+    "p136_tombstone_sweep" -> (p136TombstoneSweep _),
+    "p137_tombstone_ahash" -> (p137TombstoneAHash _),
+    "p138_tombstone_mediafp" -> (p138TombstoneMediaFp _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -8278,5 +8425,7 @@ object Pipeline {
     "p133_tombstone_bm25" -> p133Sql,
     "p134_tombstone_containment" -> p134Sql,
     "p135_tombstone_ivf" -> p135Sql,
-    "p136_tombstone_sweep" -> p136Sql)
+    "p136_tombstone_sweep" -> p136Sql,
+    "p137_tombstone_ahash" -> p137Sql,
+    "p138_tombstone_mediafp" -> p138Sql)
 }

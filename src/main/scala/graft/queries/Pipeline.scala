@@ -1297,7 +1297,7 @@ object Pipeline {
     val existing = docs.filter(col("doc_id") < 250)
     val incoming = docs.filter(col("doc_id") >= 250)
       .unionAll(docs.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
     Dedup.exactKeptIncremental(incoming, "doc_id", "text",
         Dedup.dedupIndex(existing, "text"))
       .select(col("doc_id"))
@@ -1308,7 +1308,7 @@ object Pipeline {
     """WITH incoming AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10),
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 10),
       |kept AS (
       |  SELECT doc_id, text FROM incoming i
       |  WHERE doc_id = (SELECT MIN(i2.doc_id) FROM incoming i2
@@ -2838,7 +2838,7 @@ object Pipeline {
     val existing = docs.filter(col("doc_id") < 250)
     val incoming = docs.filter(col("doc_id") >= 250)
       .unionAll(docs.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
     Dedup.duplicatePassageStatsIncremental(incoming, "doc_id", "text",
         Dedup.passageWindowIndex(existing, "doc_id", "text"))
       .orderBy("doc_id")
@@ -2850,7 +2850,7 @@ object Pipeline {
        |inc AS (
        |  SELECT doc_id, $sqlToks AS toks FROM documents WHERE doc_id >= 250
        |  UNION ALL
-       |  SELECT doc_id + 10000 AS doc_id, $sqlToks AS toks FROM documents
+       |  SELECT doc_id + 10000000 AS doc_id, $sqlToks AS toks FROM documents
        |  WHERE doc_id < 10),
        |${sqlWindowFpCtes("x", "ex")},
        |${sqlWindowFpCtes("i", "inc")},
@@ -2914,8 +2914,8 @@ object Pipeline {
   // each foreachBatch scores the batch against the persisted fingerprint
   // index as-of that batch (standing corpus delta v0 + every earlier
   // batch's delta) and appends its own delta — PassageStream.filterBatch.
-  // Planted dups probe every path: +10000 replays of standing docs
-  // (cross-corpus), +20000 replays of incoming docs (+20000 ≡ +2 mod 3, so
+  // Planted dups probe every path: +10000000 replays of standing docs
+  // (cross-corpus), +20000000 replays of incoming docs (+20000000 ≡ +2 mod 3, so
   // the replica ALWAYS lands in a different batch than its original:
   // cross-batch, order-dependent — the later sibling gets flagged). The
   // oracle recomposes the exact per-batch semantics from p73's shared
@@ -2959,9 +2959,9 @@ object Pipeline {
     val existing = docs.filter(col("doc_id") < 250)
     val incoming = docs.filter(col("doc_id") >= 250)
       .unionAll(docs.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
       .unionAll(docs.filter(col("doc_id").between(250, 254))
-        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 20000000).as("doc_id"), col("text")))
     (existing, incoming)
   }
 
@@ -3018,10 +3018,10 @@ object Pipeline {
        |  SELECT doc_id, $sqlToks AS toks, doc_id % 3 AS b FROM documents
        |  WHERE doc_id >= 250
        |  UNION ALL
-       |  SELECT doc_id + 10000, $sqlToks, (doc_id + 10000) % 3
+       |  SELECT doc_id + 10000000, $sqlToks, (doc_id + 10000000) % 3
        |  FROM documents WHERE doc_id < 10
        |  UNION ALL
-       |  SELECT doc_id + 20000, $sqlToks, (doc_id + 20000) % 3
+       |  SELECT doc_id + 20000000, $sqlToks, (doc_id + 20000000) % 3
        |  FROM documents WHERE doc_id BETWEEN 250 AND 254),
        |i0 AS (SELECT doc_id, toks FROM inc WHERE b = 0),
        |i1 AS (SELECT doc_id, toks FROM inc WHERE b = 1),
@@ -3174,7 +3174,7 @@ object Pipeline {
   // formulation over the batch, the cross arm joins batch bands to
   // standing bands on slice VALUES (the banding definition the xxhash
   // bucket join implements) under the engine's join-row bucket cap.
-  // Planted +10000 replays of standing docs guarantee cross-set hits
+  // Planted +10000000 replays of standing docs guarantee cross-set hits
   // (jaccard 1.0) alongside the natural boundary-straddling near-dups.
   // =========================================================================
   def p77MinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
@@ -3182,7 +3182,7 @@ object Pipeline {
     val existing = docs.filter(col("doc_id") < 250)
     val incoming = docs.filter(col("doc_id") >= 250)
       .unionAll(docs.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
     val idx = Dedup.minhashBandIndex(existing, "doc_id", "text",
       numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
     Dedup.minhashPairsIncremental(incoming, "doc_id", "text", idx, existing,
@@ -3196,7 +3196,7 @@ object Pipeline {
        |inc AS (
        |  SELECT doc_id, $sqlToks AS toks FROM documents WHERE doc_id >= 250
        |  UNION ALL
-       |  SELECT doc_id + 10000, $sqlToks FROM documents WHERE doc_id < 10),
+       |  SELECT doc_id + 10000000, $sqlToks FROM documents WHERE doc_id < 10),
        |$sqlMinhashCoef,
        |${sqlMinhashChain("i", "inc")},
        |${sqlMinhashPairCtes("i")},
@@ -3280,8 +3280,8 @@ object Pipeline {
   // emits in-batch pairs plus pairs against everything earlier (standing
   // corpus band deltas + prior batches), then appends its own band and
   // doc deltas — NearDupStream.filterBatch. Planted dups probe both
-  // incremental arms: +10000 replays of standing docs (cross-corpus) and
-  // +20000 replays of incoming docs (+2 mod 3 ⇒ always a different
+  // incremental arms: +10000000 replays of standing docs (cross-corpus) and
+  // +20000000 replays of incoming docs (+2 mod 3 ⇒ always a different
   // batch: the pair surfaces in the LATER sibling's batch, an
   // order-dependence the oracle replays). The oracle recomposes each
   // batch from the tag-parameterized MinHash chain: in-batch = p08's
@@ -3295,9 +3295,9 @@ object Pipeline {
     val existing = docs.filter(col("doc_id") < 250)
     val incoming = docs.filter(col("doc_id") >= 250)
       .unionAll(docs.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
       .unionAll(docs.filter(col("doc_id").between(250, 254))
-        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 20000000).as("doc_id"), col("text")))
     val root = Files.createTempDirectory("p79_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
     val docsRoot = s"$root/docs"; val outRoot = s"$root/out"
@@ -3375,10 +3375,10 @@ object Pipeline {
        |  SELECT doc_id, $sqlToks AS toks, doc_id % 3 AS b FROM documents
        |  WHERE doc_id >= 250
        |  UNION ALL
-       |  SELECT doc_id + 10000, $sqlToks, (doc_id + 10000) % 3
+       |  SELECT doc_id + 10000000, $sqlToks, (doc_id + 10000000) % 3
        |  FROM documents WHERE doc_id < 10
        |  UNION ALL
-       |  SELECT doc_id + 20000, $sqlToks, (doc_id + 20000) % 3
+       |  SELECT doc_id + 20000000, $sqlToks, (doc_id + 20000000) % 3
        |  FROM documents WHERE doc_id BETWEEN 250 AND 254),
        |i0 AS (SELECT doc_id, toks FROM inc WHERE b = 0),
        |i1 AS (SELECT doc_id, toks FROM inc WHERE b = 1),
@@ -5734,7 +5734,7 @@ object Pipeline {
   // batch's own band/doc deltas for later batches) → near_dup, flagged on
   // the ingest side of each pair (the newcomer of a cross pair, the
   // greater id in-batch — first-arrival-wins, p24's canonical rule); one
-  // COMBINED verdict delta lands per batch. Planted +10000 replays of
+  // COMBINED verdict delta lands per batch. Planted +10000000 replays of
   // standing docs probe the cross arm. The oracle recomposes all three
   // families' shared fragments — the 5-gram contamination join
   // (sqlGram5List), the p98 integer chain (sqlRepetitionCtes), the
@@ -5823,7 +5823,7 @@ object Pipeline {
     val incoming = corpus.filter(col("doc_id") >= 250)
       .select(col("doc_id"), col("text"))
       .unionAll(corpus.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
       .withColumn("batch", pmod(col("doc_id"), lit(2)))
     val root = Files.createTempDirectory("p114_").toString
     val in = s"$root/in"; val bloomRoot = s"$root/bloom"
@@ -5864,7 +5864,7 @@ object Pipeline {
        |  SELECT doc_id, toks, doc_id % 2 AS b FROM tdocs
        |  WHERE source != 'src0' AND doc_id >= 250
        |  UNION ALL
-       |  SELECT doc_id + 10000, toks, (doc_id + 10000) % 2 FROM tdocs
+       |  SELECT doc_id + 10000000, toks, (doc_id + 10000000) % 2 FROM tdocs
        |  WHERE source != 'src0' AND doc_id < 10),
        |bgr AS (SELECT DISTINCT unnest(${sqlGram5List("toks")}) AS gram
        |        FROM tdocs WHERE source = 'src0'),

@@ -490,6 +490,27 @@ class PlanSpec extends SparkSpec {
       s"the probe join must keep the index exchange-free:\n$probePlan")
     assert(probePlan.contains("BroadcastHashJoin"),
       s"probes must broadcast:\n$probePlan")
+    // the full probe-session operator (p135's path): topKIndexed over the
+    // assembled index — probes broadcast into the cell join, the index
+    // side reaches that join as a plain scan, and the only shuffles are
+    // the query-sized probe-shortlist window and the candidate-sized
+    // rerank window (never index-sized), both rank-bounded BEFORE their
+    // exchange by WindowGroupLimit partials
+    val topPlan = planString(IvfRelational.topKIndexed(
+      emb.filter(col("vec_id") < 3),
+      IvfStream.readIndex(spark, s"$root/idx"), bank, k = 3, nProbe = 2))
+    assert(topPlan.contains("BroadcastHashJoin"),
+      s"topKIndexed probes must broadcast:\n$topPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(topPlan).length <= 2,
+      s"only the shortlist and rerank window exchanges are allowed:\n$topPlan")
+    assert(topPlan.contains("WindowGroupLimit") &&
+        topPlan.contains("Partial"),
+      s"rerank rows must bound before the exchange:\n$topPlan")
+    val idxBranch = topPlan.substring(topPlan.indexOf("BroadcastHashJoin"),
+      topPlan.indexOf("BroadcastQueryStage"))
+    assert(idxBranch.contains("FileScan parquet") &&
+        !idxBranch.contains("Exchange"),
+      s"the index must feed the cell join as a plain scan:\n$topPlan")
   }
 
   test("p106 sampled training: the Lloyd scan reads ONLY the sample — " +

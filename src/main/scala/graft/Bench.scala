@@ -223,13 +223,24 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap)
       } catch { case _: Throwable => None }
     }.getOrElse(Map.empty)
-    val isolated = results
+    // Round-15 widening (VERDICT r14 wrong #3): EVERY named query whose
+    // suite median reads > 1.5× of the prior artifact gets the isolated
+    // re-run — a fixed top-5 stops meaning anything once a 185-query
+    // streaming-heavy suite in one shared JVM inflates broadly. Queries in
+    // the 1.25–1.5× band still pad the appendix to at least 5 entries; a
+    // hard cap of 25 bounds a pathological all-inflated run (the cap, if
+    // hit, is itself the signal the whole suite is contaminated).
+    val inflated = results
       .collect { case (name, r) if r.ok.nonEmpty =>
         (name, r.ok(r.ok.size / 2)) }
       .flatMap { case (name, med) => prior.get(name).filter(_ > 0.0)
         .map(pm => (name, med, med / pm)) }
       .filter { case (_, med, ratio) => med > 0.5 && ratio > 1.25 }
-      .sortBy(-_._3).take(5)
+      .sortBy(-_._3)
+    val mandatory = inflated.filter(_._3 > 1.5)
+    val isolated = (mandatory ++
+      inflated.filter(_._3 <= 1.5).take(math.max(0, 5 - mandatory.size)))
+      .take(25)
       .map { case (name, med, _) =>
         val passes3 = (1 to 3).flatMap { _ =>
           barrier(); runOnce(SparkEntry.queries(name)) }.sorted

@@ -134,7 +134,11 @@ object Versions {
     require(list(spark, root).exists(_._1 == 0L),
       s"tombstone refused: $root/v0 missing — the store must exist before " +
         "ids can be retracted from it")
+    // ids that cast to null (a wrong-typed sweep column) would survive
+    // distinct() and satisfy the non-empty guard while masking nothing —
+    // the exact forever-read waste the empty-set refusal exists to prevent
     val rel = ids.toDF("id").select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull)
       .distinct().localCheckpoint(true)
     require(rel.limit(1).count() > 0, "tombstone of an empty id set")
     rel.coalesce(1).write.mode("overwrite").parquet(s"$root/d$batchId")

@@ -22,6 +22,27 @@ class PlanSpec extends SparkSpec {
     executedPlan(df).toString
   }
 
+  /** The plan slice between the first occurrence of `from` and of `to`,
+    * asserting both exist in order (ADVICE r14 #3: a raw
+    * `substring(indexOf(...))` on a plan where AQE didn't materialize the
+    * marker node is -1 → StringIndexOutOfBoundsException, masking the real
+    * plan regression behind an opaque throw). */
+  private def branchBetween(plan: String, from: String, to: String): String = {
+    val i = plan.indexOf(from)
+    assert(i >= 0, s"expected '$from' in plan:\n$plan")
+    val j = plan.indexOf(to, i)
+    assert(j > i, s"expected '$to' after '$from' in plan:\n$plan")
+    plan.substring(i, j)
+  }
+
+  /** The plan tail from the first occurrence of `from`, asserted present
+    * (same -1 trap as [[branchBetween]]). */
+  private def branchFrom(plan: String, from: String): String = {
+    val i = plan.indexOf(from)
+    assert(i >= 0, s"expected '$from' in plan:\n$plan")
+    plan.substring(i)
+  }
+
   test("q02: filter is pushed down to the parquet scan, columns pruned") {
     val df = Relational.q02FilterProject(spark, sfDir)
     val scan = planString(df)
@@ -506,8 +527,8 @@ class PlanSpec extends SparkSpec {
     assert(topPlan.contains("WindowGroupLimit") &&
         topPlan.contains("Partial"),
       s"rerank rows must bound before the exchange:\n$topPlan")
-    val idxBranch = topPlan.substring(topPlan.indexOf("BroadcastHashJoin"),
-      topPlan.indexOf("BroadcastQueryStage"))
+    val idxBranch = branchBetween(topPlan,
+      "BroadcastHashJoin", "BroadcastQueryStage")
     assert(idxBranch.contains("FileScan parquet") &&
         !idxBranch.contains("Exchange"),
       s"the index must feed the cell join as a plain scan:\n$topPlan")
@@ -720,8 +741,8 @@ class PlanSpec extends SparkSpec {
     val dfEx = "Exchange hashpartitioning".r.findAllIn(dfPlan).length
     assert(dfEx <= 2,
       s"expected only the two batch-sized exchanges, got $dfEx:\n$dfPlan")
-    val dfBranch = dfPlan.substring(dfPlan.indexOf("BroadcastHashJoin"),
-      dfPlan.indexOf("BroadcastQueryStage"))
+    val dfBranch = branchBetween(dfPlan,
+      "BroadcastHashJoin", "BroadcastQueryStage")
     assert(dfBranch.contains("FileScan parquet") &&
         !dfBranch.contains("Exchange"),
       s"the standing set relation must feed the df restriction as a " +
@@ -762,8 +783,8 @@ class PlanSpec extends SparkSpec {
     // the STANDING branch (between the anti-join node and its broadcast
     // build side) must be a plain scan — the only exchange anywhere is
     // the marker set's own takedown-sized distinct inside the build
-    val standingBranch = plan.substring(plan.indexOf("BroadcastHashJoin"),
-      plan.indexOf("BroadcastQueryStage"))
+    val standingBranch = branchBetween(plan,
+      "BroadcastHashJoin", "BroadcastQueryStage")
     assert(standingBranch.contains("FileScan parquet") &&
         !standingBranch.contains("Exchange"),
       s"masking must never shuffle the standing relation:\n$plan")
@@ -774,7 +795,7 @@ class PlanSpec extends SparkSpec {
     // pruning on a compactStore-clustered base keys off)
     val pushed = planString(ContainmentStream.readIndex(spark, root)
       .filter(col("g").isin("a b c", "d e f")))
-    val scanPart = pushed.substring(pushed.indexOf("FileScan parquet"))
+    val scanPart = branchFrom(pushed, "FileScan parquet")
     assert(scanPart.contains("PushedFilters: [") &&
         scanPart.contains("In(g"),
       s"the gram IN must push into the standing scan:\n$pushed")
@@ -793,7 +814,7 @@ class PlanSpec extends SparkSpec {
     Versions.tombstone(spark, fpRoot, Seq(3L), 0L)
     val fpPlan = planString(MediaFpStream.readIndex(spark, fpRoot)
       .filter(col("fp").isin(11L, 22L)))
-    val fpScan = fpPlan.substring(fpPlan.indexOf("FileScan parquet"))
+    val fpScan = branchFrom(fpPlan, "FileScan parquet")
     assert(fpScan.contains("PushedFilters: [") && fpScan.contains("In(fp"),
       s"the fp IN must push into the standing scan:\n$fpPlan")
 
@@ -806,7 +827,7 @@ class PlanSpec extends SparkSpec {
     val ndPlan = planString(Versions.maskTombstones(spark, ndRoot,
         spark.read.parquet(s"$ndRoot/v0"), "id")
       .filter(col("bucket").isin(5L, 6L)))
-    val ndScan = ndPlan.substring(ndPlan.indexOf("FileScan parquet"))
+    val ndScan = branchFrom(ndPlan, "FileScan parquet")
     assert(ndScan.contains("PushedFilters: [") &&
         ndScan.contains("In(bucket"),
       s"the bucket IN must push into the standing scan:\n$ndPlan")

@@ -352,5 +352,20 @@ class TombstoneSpec extends SparkSpec {
         docs.filter(col("doc_id") < 0).select(col("doc_id")), 2L)
     }
     assert(e2.getMessage.contains("empty id set"))
+    // ADVICE r14 #1: null ids must not satisfy the non-empty guard — an
+    // all-null sweep is an empty sweep (a marker that masks nothing would
+    // be broadcast on every read forever). Wrong-typed MALFORMED sweeps
+    // fail loud under ANSI cast — also fine; the silent case is nulls.
+    val e3 = intercept[IllegalArgumentException] {
+      Versions.tombstoneFrom(spark, root,
+        Seq[Option[Long]](None, None).toDF("id"), 2L)
+    }
+    assert(e3.getMessage.contains("empty id set"))
+    // mixed sweep: null rows drop, real ids still mark
+    Versions.tombstoneFrom(spark, root,
+      Seq[Option[Long]](Some(7L), None).toDF("id"), 2L)
+    val after = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!after.contains(7L) && after.contains(8L))
   }
 }

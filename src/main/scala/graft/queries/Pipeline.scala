@@ -8200,6 +8200,282 @@ object Pipeline {
        |  ${sqlMediaTombstoneCut("a", "b2")}
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p139 — CROSS-STORE TAKEDOWN CAPSTONE (VERDICT r14 next #1): ONE
+  // predicate-driven sweep (quality < 0.6 over the standing corpus ∪ a
+  // licensing id list 0-9), resolved EXACTLY ONCE into a journal and
+  // fanned out under ONE batch id (Takedown.takedownAll) to the raw
+  // corpus snapshot store AND every derived store one ingest stream
+  // feeds: the near-dup band index + docs store, the BM25 postings (+
+  // exact stats/doclen retraction), the containment set index, and the
+  // IVF assignment index. The p114/p128 capstone treatment applied to
+  // deletion: p132–p136 proved each store's verb in isolation; this
+  // proves the production shape — one GDPR event, five stores, one
+  // marker batch, crash-consistent (the journal + commit-flag protocol
+  // is matrix-tested in TombstoneSpec).
+  //
+  // One stream ingests originals [250, 2250) + near-dup copy plants
+  // (+10000000 of docs 0-4) + containment excerpt plants (+20000000,
+  // 12-token prefixes of docs 1-3) into ALL stores per batch; the sweep
+  // lands before batch 1's probes. Takedown-visible effects, one per
+  // store, each non-vacuous by a plant: nd — batch-1 copies of deleted
+  // docs 1/3 pair with nothing while batch-0 copies' jaccard-1.0 pairs
+  // stand; ct — batch-1 excerpts of deleted sources 1/3 stop flagging
+  // while the batch-0 excerpt of deleted doc 2 stands; bm — top-40
+  // scores bit-match a from-scratch index over the retained corpus
+  // (corpus-drawn vocabulary, the p133 rule); ivf — probes carrying the
+  // deleted originals' own embeddings (+10000 query ids, never appended)
+  // must not return them; corpus — the post-delete snapshot is exactly
+  // standing minus the sweep. The quality plant ("zq zq zq", 30000000)
+  // sits only in the BM25 standing store and guarantees the sweep is
+  // non-empty at every scale (p136's rule; its exact (1, dl) stats
+  // retraction needs no oracle mirror). Incoming is bounded to
+  // [250, 2250) for DuckDB spot-gate feasibility (the p132/p135 bound).
+  //
+  // The oracle re-derives the sweep from the shared quality fragment,
+  // then replays EVERY store from the retained corpus: the p132 minhash
+  // cross-arm chain with the deleted set excluded from the prior side,
+  // the p134 exploded containment equi-join with the vnt-scoped del cut,
+  // the unchanged BM25 chain over the retained union, and the p135
+  // bank/assign/shortlist/rerank chain over the retained vectors — five
+  // arms, one result, ordered (store, a, b).
+  // =========================================================================
+  def p139TakedownCapstone(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.{ContainmentStream, CorpusMaintenance, IvfStream,
+      NearDupStream, RetrievalStream, Takedown}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+    val standing = docs.filter(col("doc_id") < 250)
+    val standingVecs = emb.filter(col("vec_id") < 250)
+    val qPlant = spark.range(1)
+      .select(lit(30000000L).as("doc_id"), lit("zq zq zq").as("text"))
+    val copies = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 10000000).as("doc_id"), col("text"))
+    val excerpts = docs.filter(col("doc_id").between(1, 3))
+      .select((col("doc_id") + 20000000).as("doc_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 12), " ").as("text"))
+    val incoming = docs.filter(col("doc_id") >= 250 && col("doc_id") < 2250)
+      .unionAll(copies).unionAll(excerpts)
+      .withColumn("batch", pmod(col("doc_id"), lit(2)))
+    val root = Files.createTempDirectory("p139_").toString
+    val in = s"$root/in"
+    val ndIdx = s"$root/nd_idx"; val ndDocs = s"$root/nd_docs"
+    val ndOut = s"$root/nd_out"; val bmRoot = s"$root/bm"
+    val ctRoot = s"$root/ct"; val ctOut = s"$root/ct_out"
+    val bankRoot = s"$root/bank"; val ivfIdx = s"$root/ivf_idx"
+    val ivfOut = s"$root/ivf_out"; val corpusRoot = s"$root/corpus"
+    val setsOf = (df: DataFrame) =>
+      Dedup.jaccardShingleSets(df, "doc_id", "text")
+    Dedup.minhashBandIndex(standing, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+      .write.parquet(s"$ndIdx/v0")
+    standing.write.parquet(s"$ndDocs/v0")
+    RetrievalStream.writeStanding(spark, bmRoot, standing.unionAll(qPlant))
+    ContainmentStream.writeStanding(spark, ctRoot, standing, setsOf)
+    IvfStream.writeStanding(spark, bankRoot, ivfIdx, standingVecs,
+      IvfRelational.trainBank(standingVecs, nCells = 16, iters = 3,
+        stride = 15))
+    standing.write.parquet(s"$corpusRoot/v0")
+    writeDailyFilesBy(incoming, "batch", in, 2)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L) {
+          // the ONE sweep: a distributed quality scan over standing data
+          // (strictly earlier than the marker's batch) ∪ a licensing id
+          // list — resolved once by takedownAll, fanned out from the
+          // journal to all five stores + the corpus under batch id 1
+          val sweep = standing.unionAll(qPlant)
+            .select(col("doc_id"), TF.qualityScoreFromTokens(col("text"),
+              TF.tokens(col("text"))).as("q"))
+            .filter(col("q") < 0.6).select(col("doc_id"))
+            .unionAll(spark.range(10).select(col("id").as("doc_id")))
+          Takedown.takedownAll(spark, s"$root/journal", sweep, id,
+            targets = Seq(
+              Takedown.Target("band index", ndIdx),
+              Takedown.Target("docs store", ndDocs),
+              Takedown.Target("bm25 postings",
+                RetrievalStream.markerRoot(bmRoot)),
+              Takedown.Target("containment sets", ctRoot),
+              Takedown.Target("ivf assignments", ivfIdx)),
+            corpus = Some((corpusRoot, "doc_id")))
+          ()
+        }
+        NearDupStream.filterBatch(spark, ndIdx, ndDocs, ndOut,
+          "doc_id", "text", threshold = 0.4)(b, id)
+        RetrievalStream.appendBatch(spark, bmRoot)(b, id)
+        ContainmentStream.filterBatch(spark, ctRoot, ctOut, setsOf,
+          threshold = 0.6)(b, id)
+        IvfStream.appendBatch(spark, bankRoot, ivfIdx, ivfOut,
+          "vec_id", "embedding")(
+          emb.join(broadcast(b.select(col("doc_id").as("vec_id"))),
+            "vec_id"), id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val qTerms = docs.filter(col("doc_id") === 251)
+      .select(explode(TF.tokens(col("text"))).as("term"))
+      .distinct().orderBy("term").limit(4)
+      .collect().map(_.getString(0)).toSeq
+    val ivfQueries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val nd = spark.read.parquet(s"$ndOut/b*")
+      .select(lit("nd").as("store"), col("id_a").as("a"),
+        col("id_b").as("b"), col("batch"), col("jaccard").as("v"))
+    val ct = spark.read.parquet(s"$ctOut/b*")
+      .select(lit("ct").as("store"), col("id_a").as("a"),
+        col("id_b").as("b"), col("batch"), col("containment").as("v"))
+    val bm = RetrievalStream.bm25TopK(spark, bmRoot, qTerms, k = 40)
+      .select(lit("bm").as("store"), col("doc_id").as("a"),
+        lit(-1L).as("b"), lit(-1L).as("batch"), col("score").as("v"))
+    val ivf = IvfRelational.topKIndexed(ivfQueries,
+        IvfStream.readIndexFor(spark, ivfIdx, bankRoot),
+        spark.read.parquet(s"$bankRoot/v0"), k = 5, nProbe = 4)
+      .select(lit("ivf").as("store"), col("query_id").as("a"),
+        col("neighbor_id").as("b"), lit(-1L).as("batch"), col("sim").as("v"))
+    val corpus = spark.read
+      .parquet(CorpusMaintenance.latest(spark, corpusRoot).get)
+      .select(lit("corpus").as("store"), col("doc_id").as("a"),
+        lit(-1L).as("b"), lit(-1L).as("batch"), lit(0.0).as("v"))
+    nd.unionAll(ct).unionAll(bm).unionAll(ivf).unionAll(corpus)
+      .orderBy("store", "a", "b")
+  }
+
+  val p139Sql: String = {
+    import OracleHash._
+    val (bankCtes, bank) = ivfBankCtes(nCells = 16, iters = 3, stride = 15)
+    def crossArm(b: Int): String =
+      sqlCrossArmCtes(b,
+        excludeOld =
+          if (b >= 1) Some("id IN (SELECT doc_id FROM del139)") else None)
+    s"""WITH tk139 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |t139s AS (SELECT doc_id, text, $sqlToks AS toks FROM documents
+       |  WHERE doc_id < 250),
+       |${sqlQualityCtes("139s", "t139s", "doc_id")},
+       |del139 AS (SELECT doc_id FROM q139s WHERE quality < 0.6
+       |           UNION SELECT unnest(range(10)) AS doc_id),
+       |ex AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |       WHERE doc_id < 250),
+       |inc AS (
+       |  SELECT doc_id, $sqlToks AS toks, doc_id % 2 AS b FROM documents
+       |  WHERE doc_id >= 250 AND doc_id < 2250
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, $sqlToks, (doc_id + 10000000) % 2
+       |  FROM documents WHERE doc_id < 5
+       |  UNION ALL
+       |  SELECT doc_id + 20000000, toks[1:12], (doc_id + 20000000) % 2
+       |  FROM tk139 WHERE doc_id BETWEEN 1 AND 3),
+       |i0 AS (SELECT doc_id, toks FROM inc WHERE b = 0),
+       |i1 AS (SELECT doc_id, toks FROM inc WHERE b = 1),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("x", "ex")},
+       |${sqlMinhashChain("g0", "i0")},
+       |${sqlMinhashChain("g1", "i1")},
+       |${sqlMinhashPairCtes("g0")},
+       |${sqlMinhashPairCtes("g1")},
+       |${crossArm(0)},
+       |${crossArm(1)},
+       |ctall AS (SELECT doc_id AS id, text, 0 AS vnt FROM documents
+       |    WHERE doc_id < 2250
+       |  UNION ALL SELECT doc_id + 10000000, text, 1 FROM documents
+       |    WHERE doc_id < 5
+       |  UNION ALL SELECT doc_id + 20000000,
+       |    array_to_string(toks[1:12], ' '), 1
+       |  FROM tk139 WHERE doc_id BETWEEN 1 AND 3),
+       |cttks AS (SELECT id, vnt, $sqlToks AS toks FROM ctall),
+       |ctshs AS (SELECT id, vnt, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+       |  FROM cttks),
+       |ctne AS (SELECT id, vnt, s FROM ctshs WHERE len(s) > 0),
+       |ctna AS (SELECT id, len(s) AS n FROM ctne),
+       |ctex AS (SELECT id, unnest(s) AS g FROM ctne),
+       |ctov AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+       |  FROM ctex a JOIN ctex b ON a.g = b.g AND a.id != b.id
+       |  GROUP BY a.id, b.id),
+       |ctbasg AS (SELECT id,
+       |    CASE WHEN vnt = 0 AND id < 250 THEN -1
+       |         ELSE CAST(id % 2 AS INT) END AS b,
+       |    CASE WHEN vnt = 0 AND id < 250
+       |           AND id IN (SELECT doc_id FROM del139)
+       |         THEN 1 ELSE 0 END AS del
+       |  FROM ctne),
+       |qt139 AS (SELECT term FROM (
+       |    SELECT DISTINCT unnest($sqlToks) AS term FROM documents
+       |    WHERE doc_id = 251)
+       |  ORDER BY term LIMIT 4),
+       |bmall AS (SELECT doc_id, text FROM documents WHERE doc_id < 2250
+       |  UNION ALL SELECT doc_id + 10000000, text FROM documents
+       |    WHERE doc_id < 5
+       |  UNION ALL SELECT doc_id + 20000000, array_to_string(toks[1:12], ' ')
+       |  FROM tk139 WHERE doc_id BETWEEN 1 AND 3),
+       |bmlive AS (SELECT doc_id, text FROM bmall
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM del139)),
+       |${sqlBm25CtesWhere("139", "SELECT term FROM qt139", "bmlive")},
+       |emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 250),
+       |$bankCtes,
+       |qs AS (SELECT vec_id + 10000 AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 5),
+       |ret AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 2250
+       |    AND vec_id NOT IN (SELECT doc_id FROM del139)),
+       |${nearestCellCte("qa0", bank, keep = 4, source = "qs")},
+       |qa AS (SELECT id AS query_id, cell FROM qa0),
+       |${nearestCellCte("ca0", bank, keep = 1, source = "ret")},
+       |ca AS (SELECT id AS neighbor_id, v AS cv, cell FROM ca0),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cv
+       |  FROM qa JOIN ca USING (cell)
+       |  WHERE query_id != neighbor_id),
+       |qv AS (SELECT id AS query_id, v AS qv FROM qs),
+       |sx AS (SELECT query_id, neighbor_id,
+       |    ${seqDot("qv", "cv")} AS dt,
+       |    sqrt(${seqDot("qv", "qv")}) AS nq,
+       |    sqrt(${seqDot("cv", "cv")}) AS nc
+       |  FROM cand JOIN qv USING (query_id)),
+       |ivfr AS (SELECT query_id, neighbor_id,
+       |    ${sqlCosine("dt", "nq", "nc")} AS sim FROM sx),
+       |ivft AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |  FROM ivfr)
+       |SELECT store, a, b, batch, v FROM (
+       |  SELECT 'nd' AS store, id_a AS a, id_b AS b,
+       |    CAST(0 AS BIGINT) AS batch, jaccard AS v
+       |  FROM (SELECT * FROM mhg0 UNION ALL SELECT * FROM mx0)
+       |  UNION ALL
+       |  SELECT 'nd', id_a, id_b, CAST(1 AS BIGINT), jaccard
+       |  FROM (SELECT * FROM mhg1 UNION ALL SELECT * FROM mx1)
+       |  UNION ALL
+       |  SELECT 'ct', id_a, id_b, CAST(aa.b AS BIGINT), i / ctna.n
+       |  FROM ctov JOIN ctna ON ctov.id_a = ctna.id
+       |  JOIN ctbasg aa ON ctov.id_a = aa.id
+       |  JOIN ctbasg bb ON ctov.id_b = bb.id
+       |  WHERE i / ctna.n >= 0.6 AND aa.b >= 0 AND bb.b <= aa.b
+       |    AND NOT (aa.b >= 1 AND bb.del = 1)
+       |  UNION ALL
+       |  SELECT 'bm', doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), s
+       |  FROM (SELECT doc_id, CAST(ROUND(SUM(sct), 6) AS DOUBLE) AS s
+       |        FROM x139 GROUP BY doc_id
+       |        ORDER BY s DESC, doc_id LIMIT 40)
+       |  UNION ALL
+       |  SELECT 'ivf', query_id, neighbor_id, CAST(-1 AS BIGINT), sim
+       |  FROM ivft WHERE rk <= 5
+       |  UNION ALL
+       |  SELECT 'corpus', doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0
+       |  FROM documents WHERE doc_id < 250
+       |    AND doc_id NOT IN (SELECT doc_id FROM del139))
+       |ORDER BY store, a, b""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -8339,7 +8615,8 @@ object Pipeline {
     "p135_tombstone_ivf" -> (p135TombstoneIvf _),
     "p136_tombstone_sweep" -> (p136TombstoneSweep _),
     "p137_tombstone_ahash" -> (p137TombstoneAHash _),
-    "p138_tombstone_mediafp" -> (p138TombstoneMediaFp _))
+    "p138_tombstone_mediafp" -> (p138TombstoneMediaFp _),
+    "p139_takedown_capstone" -> (p139TakedownCapstone _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -8477,5 +8754,6 @@ object Pipeline {
     "p135_tombstone_ivf" -> p135Sql,
     "p136_tombstone_sweep" -> p136Sql,
     "p137_tombstone_ahash" -> p137Sql,
-    "p138_tombstone_mediafp" -> p138Sql)
+    "p138_tombstone_mediafp" -> p138Sql,
+    "p139_takedown_capstone" -> p139Sql)
 }

@@ -133,6 +133,11 @@ object RetrievalStream {
       batchId: Long): Unit =
     Versions.tombstoneFrom(spark, postRoot(root), ids, batchId)
 
+  /** The root this store's takedown markers live under (the posting
+    * root) — what a cross-store sweep ([[Takedown.takedownAll]]) targets
+    * without knowing the three-root layout. */
+  def markerRoot(root: String): String = postRoot(root)
+
   /** The assembled posting relation: plain union, zero exchanges (rows
     * disjoint across deltas by construction), minus tombstoned docs
     * ([[Versions.maskTombstones]] — broadcast anti-join; plan untouched

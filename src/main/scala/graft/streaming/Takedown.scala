@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Cross-store takedown orchestration (VERDICT r14 next #1): ONE
+  * predicate-driven sweep, resolved EXACTLY ONCE, fanned out under ONE
+  * batch id to the raw corpus ([[CorpusMaintenance.deleteBatch]]) and
+  * every derived row-level store it feeds ([[Versions.tombstoneFrom]] per
+  * marker root) — the production GDPR/licensing shape the per-store verbs
+  * (p132–p138) compose into.
+  *
+  * Why an orchestrator instead of calling the per-store verbs by hand:
+  *
+  *   - '''Single sweep resolution.''' A predicate sweep ("every doc whose
+  *     quality < bar", "every doc matching this PII pattern") is a
+  *     distributed scan whose result can CHANGE between evaluations — not
+  *     least because the first marker written starts masking the very
+  *     rows the predicate reads. Hand-fanning the predicate into N store
+  *     verbs can therefore delete DIFFERENT id sets per store. Here the
+  *     sweep is resolved once into a journal (`journalRoot/t<batchId>/
+  *     ids`, takedown-sized by the marker contract) and every store's
+  *     marker is written FROM THE JOURNAL, never from the predicate.
+  *   - '''Crash consistency.''' The fan-out is N+1 independent writes; a
+  *     crash between any two leaves stores disagreeing about whether a
+  *     document exists. Every step is idempotent-by-name (markers
+  *     `d<batchId>` and the corpus version `v<batchId+1>` are
+  *     deterministic overwrites; the journal is re-read, not re-derived),
+  *     so recovery is "re-run the same call": the journal + the
+  *     `_committed` flag make the protocol a write-ahead intent log —
+  *        journal absent            → nothing happened, resolve + run all
+  *        journal present, no flag  → partial fan-out, re-run all FROM
+  *                                    THE JOURNAL (the sweep predicate is
+  *                                    NOT re-evaluated)
+  *        flag present              → complete, no-op
+  *     [[incomplete]] enumerates journaled-but-uncommitted batch ids so
+  *     an operator (or the next trigger) can find pending recovery.
+  *   - '''One batch id.''' All markers and the corpus version carry the
+  *     same id, so every store's read masks the set from the same point
+  *     in its delta history, and a redelivered stream batch re-issues the
+  *     whole fan-out deterministically (call it from inside
+  *     `foreachBatch` BEFORE the stores' appends, like the per-store
+  *     verbs — the [[Versions.tombstone]] placement contract).
+  *
+  * Everything [[Versions.tombstone]] specifies carries over per target:
+  * swept content must be strictly earlier than `batchId`, marker
+  * relations are takedown-sized (they broadcast on every read), monotone
+  * sketch stores cannot participate (route them to their rebuild
+  * lifecycle — they refuse the verb themselves), and delete-aware
+  * compaction later makes each store's retraction physical.
+  *
+  * Corpus versioning note: [[CorpusMaintenance.deleteBatch]] writes the
+  * snapshot `v<batchId+1>`, so the takedown occupies the corpus's version
+  * slot for `batchId` — if the corpus also ingests via
+  * [[CorpusMaintenance.upsertBatch]], the sweep must run under a batch id
+  * whose slot is free (its own trigger, or a maintenance id after the
+  * stream), exactly like any other single-writer snapshot store.
+  *
+  * Reference analogue: none — the reference (a 449-line actor MapReduce,
+  * `/root/reference/Orchestrator.fs`) has no persistent state to retract
+  * from; this is the engine's own 100 TB lifecycle surface. */
+object Takedown {
+
+  /** One derived row-level store in the fan-out: `markerRoot` is the root
+    * its read path masks from (the same root its own tombstone verb
+    * writes under — e.g. `RetrievalStream.markerRoot(root)` for a BM25
+    * store, the index/docs roots for a near-dup filter, the store root
+    * itself for containment/aHash/media-fp/IVF/PQ). `what` labels
+    * errors. */
+  final case class Target(what: String, markerRoot: String)
+
+  private def journalDir(journalRoot: String, batchId: Long): String =
+    s"$journalRoot/t$batchId"
+
+  /** Journaled-but-uncommitted takedown batch ids under `journalRoot` —
+    * each needs [[takedownAll]] re-run with the same arguments to finish
+    * its fan-out (any sweep may be passed; it is ignored in favor of the
+    * journal). */
+  def incomplete(spark: SparkSession, journalRoot: String): Seq[Long] = {
+    val p = new Path(journalRoot)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("t\\d+"))
+      .filter { s =>
+        fs.exists(new Path(s.getPath, "ids/_SUCCESS")) &&
+          !fs.exists(new Path(s.getPath, "_committed"))
+      }
+      .map(_.getPath.getName.drop(1).toLong).sorted
+  }
+
+  /** Resolve `sweep` (single long-castable id column; nulls dropped,
+    * empty refused — [[Versions.tombstoneFrom]]'s hygiene) into the
+    * journal, then fan markers out to every target and delete the keys
+    * from the optional raw corpus `(root, keyCol)`, all under `batchId`.
+    * Idempotent: re-running with the same journalRoot/batchId resumes
+    * from the journal (partial fan-out) or no-ops (committed). Returns
+    * the journaled id relation (column `id`). */
+  def takedownAll(spark: SparkSession, journalRoot: String, sweep: DataFrame,
+      batchId: Long, targets: Seq[Target],
+      corpus: Option[(String, String)] = None): DataFrame = {
+    require(targets.nonEmpty || corpus.nonEmpty,
+      "takedownAll with no targets and no corpus — nothing to sweep")
+    val dir = journalDir(journalRoot, batchId)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = new Path(dir, "_committed")
+    val idsPath = new Path(dir, "ids")
+    if (!fs.exists(committed)) {
+      // a journal is complete iff its parquet commit marker exists —
+      // Spark writes _SUCCESS last, so its presence implies full data
+      if (!fs.exists(new Path(idsPath, "_SUCCESS"))) {
+        require(sweep.schema.fields.length == 1,
+          s"takedownAll takes a single id column, got " +
+            s"${sweep.schema.fieldNames.mkString(", ")}")
+        val rel = sweep.toDF("id").select(col("id").cast("long").as("id"))
+          .filter(col("id").isNotNull)
+          .distinct().localCheckpoint(true)
+        require(rel.limit(1).count() > 0, "takedown of an empty id set")
+        rel.coalesce(1).write.mode("overwrite").parquet(idsPath.toString)
+      }
+      // every step below reads the JOURNAL, never the sweep: a re-run
+      // after a crash must mark the set the first run resolved, not
+      // whatever the predicate evaluates to over half-masked stores
+      val ids = spark.read.parquet(idsPath.toString)
+      targets.foreach { t =>
+        Versions.tombstoneFrom(spark, t.markerRoot, ids, batchId)
+      }
+      corpus.foreach { case (root, keyCol) =>
+        CorpusMaintenance.deleteBatch(spark, root, Seq(keyCol))(
+          ids.select(col("id").as(keyCol)), batchId)
+      }
+      require(fs.createNewFile(committed) || fs.exists(committed),
+        s"could not write the commit flag $committed — the fan-out is " +
+          "complete but will re-run (harmlessly, idempotent) on recovery")
+    }
+    spark.read.parquet(idsPath.toString)
+  }
+}

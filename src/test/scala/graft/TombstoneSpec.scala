@@ -368,4 +368,120 @@ class TombstoneSpec extends SparkSpec {
       .select("id").distinct().collect().map(_.getLong(0)).toSet
     assert(!after.contains(7L) && after.contains(8L))
   }
+
+  test("takedownAll crash matrix: the journal + commit flag make every " +
+      "partial fan-out recoverable, idempotent, and immune to sweep " +
+      "re-evaluation") {
+    import graft.streaming.{CorpusMaintenance, Takedown}
+    import graft.streaming.Takedown.Target
+    def mkCorpus(): String = {
+      val r = java.nio.file.Files.createTempDirectory("tomb_corp_").toString
+      docs.filter(col("doc_id") < 30).write.parquet(s"$r/v0"); r
+    }
+    def mkJournal(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"tomb_j${tag}_").toString
+    def idsOf(ct: String): Set[Long] = ContainmentStream.readIndex(spark, ct)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    def corpusIds(root: String): Set[Long] = spark.read
+      .parquet(CorpusMaintenance.latest(spark, root).get)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sweep = docs.filter(col("doc_id") < 3).select(col("doc_id"))
+    val biggerSweep = docs.filter(col("doc_id") < 20).select(col("doc_id"))
+
+    // reference: the uninterrupted run
+    val (ctA1, ctA2, corpA) = (freshContainmentStore(),
+      freshContainmentStore(), mkCorpus())
+    val jA = mkJournal("A")
+    Takedown.takedownAll(spark, jA, sweep, 1L,
+      Seq(Target("ct1", ctA1), Target("ct2", ctA2)),
+      Some((corpA, "doc_id")))
+    assert(Takedown.incomplete(spark, jA).isEmpty)
+    assert(idsOf(ctA1).intersect(Set(0L, 1L, 2L)).isEmpty)
+    assert(corpusIds(corpA) === (3L until 30L).toSet)
+
+    // crash 1 — after the journal, before ANY marker (first target's root
+    // has no v0, so its tombstoneFrom throws). Recovery passes a BIGGER
+    // sweep: the journal must win — the predicate is never re-evaluated.
+    val (ctB1, ctB2, corpB) = (freshContainmentStore(),
+      freshContainmentStore(), mkCorpus())
+    val jB = mkJournal("B")
+    intercept[IllegalArgumentException] {
+      Takedown.takedownAll(spark, jB, sweep, 1L,
+        Seq(Target("missing", s"$jB/no_such_store"),
+          Target("ct1", ctB1), Target("ct2", ctB2)),
+        Some((corpB, "doc_id")))
+    }
+    assert(Takedown.incomplete(spark, jB) === Seq(1L),
+      "a journaled, uncommitted takedown must be enumerable for recovery")
+    assert(Versions.listTombstones(spark, ctB1).isEmpty)
+    Takedown.takedownAll(spark, jB, biggerSweep, 1L,
+      Seq(Target("ct1", ctB1), Target("ct2", ctB2)),
+      Some((corpB, "doc_id")))
+    assert(Takedown.incomplete(spark, jB).isEmpty)
+    assert(idsOf(ctB1) === idsOf(ctA1) && idsOf(ctB2) === idsOf(ctA2),
+      "recovery must mark the JOURNALED set, not the re-evaluated sweep")
+    assert(corpusIds(corpB) === corpusIds(corpA))
+
+    // crash 2 — mid-fan-out (second target bad): stores DISAGREE until
+    // recovery re-runs the whole fan-out from the journal
+    val (ctC1, ctC2, corpC) = (freshContainmentStore(),
+      freshContainmentStore(), mkCorpus())
+    val jC = mkJournal("C")
+    intercept[IllegalArgumentException] {
+      Takedown.takedownAll(spark, jC, sweep, 1L,
+        Seq(Target("ct1", ctC1), Target("missing", s"$jC/no_such_store"),
+          Target("ct2", ctC2)),
+        Some((corpC, "doc_id")))
+    }
+    assert(Versions.listTombstones(spark, ctC1).map(_._1) === Seq(1L),
+      "the first target was marked before the crash")
+    assert(Versions.listTombstones(spark, ctC2).isEmpty,
+      "the store after the crash point was not — the disagreement " +
+        "recovery exists to heal")
+    Takedown.takedownAll(spark, jC, biggerSweep, 1L,
+      Seq(Target("ct1", ctC1), Target("ct2", ctC2)),
+      Some((corpC, "doc_id")))
+    assert(idsOf(ctC1) === idsOf(ctA1) && idsOf(ctC2) === idsOf(ctA2))
+    assert(corpusIds(corpC) === corpusIds(corpA))
+
+    // crash 3 — after every marker, before the corpus delete (corpus root
+    // empty → deleteBatch refuses)
+    val ctD = freshContainmentStore()
+    val corpD = java.nio.file.Files.createTempDirectory("tomb_corpD_")
+      .toString
+    val jD = mkJournal("D")
+    intercept[IllegalArgumentException] {
+      Takedown.takedownAll(spark, jD, sweep, 1L, Seq(Target("ct", ctD)),
+        Some((corpD, "doc_id")))
+    }
+    assert(Versions.listTombstones(spark, ctD).map(_._1) === Seq(1L))
+    assert(Takedown.incomplete(spark, jD) === Seq(1L))
+    docs.filter(col("doc_id") < 30).write.parquet(s"$corpD/v0")
+    Takedown.takedownAll(spark, jD, sweep, 1L, Seq(Target("ct", ctD)),
+      Some((corpD, "doc_id")))
+    assert(idsOf(ctD) === idsOf(ctA1))
+    assert(corpusIds(corpD) === corpusIds(corpA))
+
+    // committed — a re-run is a pure no-op, whatever sweep it carries
+    Takedown.takedownAll(spark, jA, biggerSweep, 1L,
+      Seq(Target("ct1", ctA1), Target("ct2", ctA2)),
+      Some((corpA, "doc_id")))
+    assert(idsOf(ctA1).contains(10L),
+      "a committed takedown must not re-run with a new sweep")
+    assert(corpusIds(corpA) === (3L until 30L).toSet)
+
+    // hygiene: empty and multi-column sweeps refuse before journaling
+    val jE = mkJournal("E")
+    val e1 = intercept[IllegalArgumentException] {
+      Takedown.takedownAll(spark, jE,
+        docs.filter(col("doc_id") < 0).select(col("doc_id")), 1L,
+        Seq(Target("ct1", ctA1)))
+    }
+    assert(e1.getMessage.contains("empty id set"))
+    val e2 = intercept[IllegalArgumentException] {
+      Takedown.takedownAll(spark, jE, docs, 1L, Seq(Target("ct1", ctA1)))
+    }
+    assert(e2.getMessage.contains("single id column"))
+    assert(Takedown.incomplete(spark, jE).isEmpty)
+  }
 }

@@ -48,6 +48,6 @@ object SparkEntry {
     "p133_tombstone_bm25", "p134_tombstone_containment",
     "p135_tombstone_ivf", "p136_tombstone_sweep",
     "p137_tombstone_ahash", "p138_tombstone_mediafp",
-    "p139_takedown_capstone",
+    "p139_takedown_capstone", "p140_stream_clusters",
     "q47_paged_source")
 }

@@ -8476,6 +8476,149 @@ object Pipeline {
        |ORDER BY store, a, b""".stripMargin
   }
 
+  // =========================================================================
+  // p140 — STREAMING CLUSTER-ID + CANONICAL MAINTENANCE (VERDICT r14 next
+  // #4, the remaining dedup lifecycle gap): near-dup pairs fold into
+  // standing cluster state (ClusterStream) batch by batch — merges across
+  // batches, canonical election per cluster — and a mid-stream takedown
+  // retracts docs INCLUDING cluster labels and canonicals, forcing
+  // component SPLITS, min-id relabels, and canonical re-election, all
+  // repaired component-locally (never corpus-wide). The pair relation is
+  // the p07/p24 adjacent-id Jaccard edge set (2-token shingles, 0.05)
+  // so the oracle can re-derive the identical components with a
+  // completely different formulation (gaps-and-islands over retained-id
+  // runs — the p24 precedent) and the identical election with the shared
+  // quality fragment (p44's proof); the same store fed by
+  // NearDupStream's minhash pairs is equivalence-gated engine-vs-batch
+  // in ClusterStreamSpec. A PLANTED run of ten identical docs
+  // (40000000-40000009, arrival spread over all batches) guarantees the
+  // split/re-election structure at every corpus scale: deleting
+  // 40000000 (the run's min label) and 40000003 splits it into
+  // {...1,...2} and {...4...9} with two fresh labels — non-vacuous by
+  // construction. Batch plan: arrivals by id mod 3 (residue 2 arrives
+  // LAST, as batch 3), batch 2 is the takedown's own maintenance
+  // trigger (single-writer version slots); post-takedown pairs touching
+  // the deleted set never arrive (the production mask's position).
+  // =========================================================================
+  def p140StreamClusters(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.ClusterStream
+    import spark.implicits._
+    val del = Seq(99L, 100L, 102L, 40000000L, 40000003L)
+    val plant = spark.range(10)
+      .select((col("id") + 40000000L).as("doc_id"),
+        lit("pl run pl run pl").as("text"))
+    val allDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).unionAll(plant)
+      .withColumn("b0", pmod(col("doc_id"), lit(3)))
+      .withColumn("arr", when(col("doc_id") < 250, lit(-1))
+        .otherwise(when(col("b0") === 2, lit(3)).otherwise(col("b0"))))
+      .localCheckpoint(true)
+    val sh = Dedup.jaccardShingleSets(allDocs, "doc_id", "text",
+      shingleSize = 2)
+    val arrOf = allDocs.select(col("doc_id"), col("arr"))
+    val pairsAll = sh.select(col("id").as("id_a"), col("sh").as("sha"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")),
+        col("id_b") === col("id_a") + 1)
+      .filter((size(array_intersect(col("sha"), col("shb"))) /
+        size(array_union(col("sha"), col("shb")))) >= 0.05)
+      .join(arrOf.select(col("doc_id").as("id_a"), col("arr").as("aa")),
+        "id_a")
+      .join(arrOf.select(col("doc_id").as("id_b"), col("arr").as("ab")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        greatest(col("aa"), col("ab")).as("pb"))
+      // the production mask's position: pairs probed AFTER the takedown
+      // cannot touch the deleted set
+      .filter(!(col("pb") === 3 &&
+        (col("id_a").isin(del: _*) || col("id_b").isin(del: _*))))
+      .localCheckpoint(true)
+    def scored(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"),
+        TF.qualityScoreFromTokens(col("text"),
+          TF.tokens(col("text"))).as("score"))
+    val root = Files.createTempDirectory("p140_").toString
+    val in = s"$root/in"
+    ClusterStream.writeStanding(spark, s"$root/cs",
+      scored(allDocs.filter(col("arr") === -1)),
+      pairsAll.filter(col("pb") === -1))
+    writeDailyFilesBy(allDocs.filter(col("arr") >= 0)
+      .select(col("doc_id"), col("text"), col("arr").as("batch")),
+      "batch", in, 4)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 2L)
+          // the takedown's own maintenance trigger (batch 2 stages an
+          // empty file): markers + component-local split/re-election
+          // repair occupy the v3 slot alone
+          ClusterStream.retract(spark, s"$root/cs", del.toDF("id"), id)
+        else
+          ClusterStream.foldBatch(spark, s"$root/cs")(scored(b),
+            pairsAll.filter(col("pb") === id)
+              .select(col("id_a"), col("id_b")), id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ClusterStream.readAssignments(spark, s"$root/cs")
+      .select(lit("assign").as("part"), col("id").as("a"),
+        col("cid").as("b"), lit(-1L).as("n"), lit(0.0).as("v"))
+      .unionAll(ClusterStream.readCanonicals(spark, s"$root/cs")
+        .select(lit("canon").as("part"), col("cid").as("a"),
+          col("keep_id").as("b"), col("n_members").cast("long").as("n"),
+          col("score").as("v")))
+      .orderBy("part", "a", "b")
+  }
+
+  val p140Sql: String =
+    s"""WITH pr AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT CAST(40000000 + i.x AS BIGINT),
+       |    'pl run pl run pl' FROM (SELECT unnest(range(10)) AS x) i),
+       |del140 AS (SELECT CAST(x AS BIGINT) AS doc_id FROM (VALUES
+       |  (99),(100),(102),(40000000),(40000003)) t(x)),
+       |ret140 AS (SELECT doc_id, text FROM pr
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM del140)),
+       |t140 AS (SELECT doc_id, text, $sqlToks AS toks FROM ret140),
+       |${sqlQualityCtes("140", "t140", "doc_id")},
+       |sh140 AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i+1]) END) AS sh
+       |  FROM t140),
+       |e140 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh140 a JOIN sh140 b ON b.doc_id = a.doc_id + 1
+       |  WHERE (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+       |         THEN 0.0
+       |         ELSE len(list_intersect(a.sh, b.sh))
+       |           / len(list_distinct(list_concat(a.sh, b.sh))) END)
+       |    >= 0.05),
+       |st140 AS (SELECT doc_id,
+       |    CASE WHEN EXISTS (SELECT 1 FROM e140 WHERE e140.doc_b = t140.doc_id)
+       |         THEN 0 ELSE 1 END AS is_start
+       |  FROM t140),
+       |c140 AS (SELECT doc_id,
+       |    SUM(is_start) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM st140),
+       |mem140 AS (SELECT doc_id, grp,
+       |    MIN(doc_id) OVER (PARTITION BY grp) AS cid FROM c140),
+       |r140 AS (SELECT mem140.cid, mem140.doc_id, q140.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY mem140.grp
+       |      ORDER BY q140.quality DESC, mem140.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY mem140.grp) AS n_members
+       |  FROM mem140 JOIN q140 USING (doc_id))
+       |SELECT part, a, b, n, v FROM (
+       |  SELECT 'assign' AS part, doc_id AS a, cid AS b,
+       |    CAST(-1 AS BIGINT) AS n, 0.0 AS v FROM mem140
+       |  UNION ALL
+       |  SELECT 'canon', cid, doc_id, CAST(n_members AS BIGINT), quality
+       |  FROM r140 WHERE rn = 1)
+       |ORDER BY part, a, b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -8616,7 +8759,8 @@ object Pipeline {
     "p136_tombstone_sweep" -> (p136TombstoneSweep _),
     "p137_tombstone_ahash" -> (p137TombstoneAHash _),
     "p138_tombstone_mediafp" -> (p138TombstoneMediaFp _),
-    "p139_takedown_capstone" -> (p139TakedownCapstone _))
+    "p139_takedown_capstone" -> (p139TakedownCapstone _),
+    "p140_stream_clusters" -> (p140StreamClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -8755,5 +8899,6 @@ object Pipeline {
     "p136_tombstone_sweep" -> p136Sql,
     "p137_tombstone_ahash" -> p137Sql,
     "p138_tombstone_mediafp" -> p138Sql,
-    "p139_takedown_capstone" -> p139Sql)
+    "p139_takedown_capstone" -> p139Sql,
+    "p140_stream_clusters" -> p140Sql)
 }

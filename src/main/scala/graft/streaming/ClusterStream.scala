@@ -1,0 +1,365 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Incremental cluster-identity + canonical-election maintenance at ingest
+  * (VERDICT r14 next #4 — the remaining dedup lifecycle gap): near-dup
+  * PAIRS without cluster identity can't answer "which copy do we keep"
+  * across batches, and a takedown can delete a canonical (or a whole
+  * cluster's minimum-id label). This store folds a pair-delta stream
+  * ([[NearDupStream.filterBatch]]'s returned pairs, or any pair relation)
+  * into standing cluster state whose READ always equals the from-scratch
+  * batch answer: labels = [[Dedup.connectedComponentsStar]] min-id
+  * components over all retained pairs (singletons label themselves), and
+  * canonicals = [[Dedup.canonicalPerCluster]]'s argmax-score (tie → min
+  * id) election, generalized to cover singleton clusters.
+  *
+  * Three versioned roots under one `root` (batch-id-named deltas, the
+  * [[Versions]] lineage/idempotence contract):
+  *
+  *   - `root/assign/v*` — (id, cid, score, __v) assignment rows. The base
+  *     `v0` holds EXACTLY one row per doc; deltas hold new arrivals plus
+  *     RELABELS (cluster merges/splits rewrite whole clusters — the min-id
+  *     invariant `cid = min member id` is maintained inductively, which is
+  *     what makes merge labels computable from cids alone). Read = base
+  *     minus delta-superseded ids (broadcast anti-join — delta ids are
+  *     recent-batch-sized) plus newest-per-id over the DELTAS only, so the
+  *     per-batch fold never runs a store-wide window; compaction folds
+  *     back to one row per id, clustered by `cid` so the fold's
+  *     cluster-membership reads prune the base scan by a pushed `cid IN`
+  *     (the trickle-probe posture of the other stores).
+  *   - `root/canon/v*` — (cid, keep_id, score, n_members, __v) election
+  *     rows, newest-per-cid; a label that merges away or loses all
+  *     retained members gets a DEAD row (n_members = 0) so reads stay
+  *     append-only.
+  *   - `root/pairs/v*` — the folded pair deltas, kept because takedown
+  *     repair must re-run connectivity INSIDE affected components over the
+  *     retained pairs (deletion can SPLIT a component — decremental
+  *     connectivity is recomputed component-locally, never corpus-wide).
+  *
+  * Takedown ([[retract]]): markers land on the assign + pairs roots
+  * ([[Versions.tombstone]] contract — deleted docs vanish from every
+  * read), then the affected components — and only those — are re-solved
+  * over their retained pairs: new min-id labels (splits included),
+  * re-elected canonicals (the deleted-canonical case), dead rows for
+  * labels that no longer exist. Work is component-sized; the sweep that
+  * FINDS the ids is the caller's ([[Takedown.takedownAll]] composes).
+  *
+  * Reference analogue: none (the reference has no persistent state); the
+  * batch kernels this must agree with are `Dedup.scala`'s
+  * connectedComponentsStar / canonicalPerCluster. */
+object ClusterStream {
+
+  private def assignRoot(root: String) = s"$root/assign"
+  private def canonRoot(root: String) = s"$root/canon"
+  private def pairsRoot(root: String) = s"$root/pairs"
+
+  /** Bootstrap: batch-solve the standing corpus with the batch kernels and
+    * write the three `v0`s. `standingDocs` is (idCol, scoreCol); every doc
+    * gets an assignment row (pair-graph members via star contraction,
+    * everything else a singleton labeled by itself). */
+  def writeStanding(spark: SparkSession, root: String,
+      standingDocs: DataFrame, standingPairs: DataFrame,
+      idCol: String = "id", scoreCol: String = "score"): Unit = {
+    Seq(assignRoot(root), canonRoot(root), pairsRoot(root))
+      .foreach(Versions.guardStandingWrite(spark, _))
+    val pairs = standingPairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val labels =
+      if (pairs.isEmpty) spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("component")).limit(0)
+      else Dedup.connectedComponentsStar(pairs)
+    val assign = standingDocs
+      .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cid"),
+        col("score"), lit(0L).as("__v"))
+    assign.write.mode("overwrite").parquet(s"${assignRoot(root)}/v0")
+    electCanon(spark.read.parquet(s"${assignRoot(root)}/v0"), 0L)
+      .write.mode("overwrite").parquet(s"${canonRoot(root)}/v0")
+    pairs.write.mode("overwrite").parquet(s"${pairsRoot(root)}/v0")
+  }
+
+  /** Argmax-score (tie → min id) election + member count per cid — the
+    * [[Dedup.canonicalPerCluster]] rule over an assignment slice; one
+    * window exchange keyed by the cluster id. */
+  private def electCanon(members: DataFrame, v: Long): DataFrame = {
+    val byC = Window.partitionBy(col("cid"))
+    val best = byC.orderBy(col("score").desc, col("id").asc)
+    members.select(col("id"), col("cid"), col("score"))
+      .withColumn("__rn", row_number().over(best))
+      .withColumn("n_members", count(lit(1)).over(byC))
+      .filter(col("__rn") === 1)
+      .select(col("cid"), col("id").as("keep_id"), col("score"),
+        col("n_members"), lit(v).as("__v"))
+  }
+
+  /** Current assignments: base v0 (one row per id) superseded by the
+    * newest delta row per id, tombstoned ids masked. The newest-per-id
+    * window runs over DELTAS only — recent-batch-sized until compaction
+    * folds them into the base. */
+  def readAssignments(spark: SparkSession, root: String,
+      upTo: Long = Long.MaxValue): DataFrame =
+    readAssignmentsMasked(spark, root, upTo, upTo)
+
+  /** [[readAssignments]] with the tombstone mask bounded separately from
+    * the version fold — [[retract]]'s affected-component resolution must
+    * see the rows ITS OWN marker hides (mask `< batchId`, versions
+    * `<= batchId`), or a redelivered retract would resolve an empty
+    * affected set and overwrite its first delivery's repair with nothing
+    * (caught by ClusterStreamSpec's idempotence gate). */
+  private def readAssignmentsMasked(spark: SparkSession, root: String,
+      upTo: Long, maskUpTo: Long): DataFrame = {
+    val ar = assignRoot(root)
+    val versions = Versions.list(spark, ar).filter(_._1 <= upTo)
+    require(versions.exists(_._1 == 0L), s"no assignment base at $ar/v0")
+    val base = spark.read.parquet(
+      versions.filter(_._1 == 0L).map(_._2.toString): _*)
+    val deltaDirs = versions.filter(_._1 > 0L).map(_._2.toString)
+    val current =
+      if (deltaDirs.isEmpty) base
+      else {
+        val w = Window.partitionBy(col("id")).orderBy(col("__v").desc)
+        val newest = spark.read.parquet(deltaDirs: _*)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint(true)
+        base.join(broadcast(newest.select(col("id"))), Seq("id"),
+            "left_anti")
+          .unionByName(newest)
+      }
+    Versions.maskTombstones(spark, ar,
+      current.select(col("id"), col("cid"), col("score"), col("__v")),
+      "id", maskUpTo)
+  }
+
+  /** Current elections: newest row per cid, dead labels (n_members = 0)
+    * dropped. */
+  def readCanonicals(spark: SparkSession, root: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val cr = canonRoot(root)
+    val versions = Versions.list(spark, cr).filter(_._1 <= upTo)
+    require(versions.nonEmpty, s"no canonical versions at $cr")
+    val w = Window.partitionBy(col("cid")).orderBy(col("__v").desc)
+    spark.read.parquet(versions.map(_._2.toString): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("n_members") > 0)
+      .select(col("cid"), col("keep_id"), col("score"), col("n_members"))
+  }
+
+  /** The folded pair relation, pairs touching a tombstoned id masked on
+    * BOTH endpoints. */
+  def readPairs(spark: SparkSession, root: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val pr = pairsRoot(root)
+    val versions = Versions.list(spark, pr).filter(_._1 <= upTo)
+    require(versions.nonEmpty, s"no pair versions at $pr")
+    val raw = spark.read.parquet(versions.map(_._2.toString): _*)
+    Versions.maskTombstones(spark, pr,
+      Versions.maskTombstones(spark, pr, raw, "id_a", upTo), "id_b", upTo)
+  }
+
+  /** Assignment slice for a (takedown/batch-sized) cid set: pushed
+    * `cid IN` literal when the set is small enough for parquet row-group
+    * pruning on a compacted cid-clustered base (the
+    * [[NearDupStream.filterBatch]] pushBucketLimit pattern), broadcast
+    * join fallback otherwise. `cids` must be materialized (it is read up
+    * to `limit + 1` rows). */
+  private def membersOf(assigns: DataFrame, cids: DataFrame,
+      pushCidLimit: Int = 1024): DataFrame = {
+    val some = cids.select(col("cid")).distinct()
+      .limit(pushCidLimit + 1).collect().map(_.getLong(0)).toSeq
+    if (some.size <= pushCidLimit) assigns.filter(col("cid").isin(some: _*))
+    else assigns.join(broadcast(cids.select(col("cid")).distinct()), "cid")
+  }
+
+  /** The `foreachBatch` fold: merge one batch of docs (idCol, scoreCol)
+    * and its pair delta into the standing state. Per-batch work is
+    * batch-sized plus the touched clusters' membership read: endpoints
+    * resolve to their cids (cid = min member id, so the merged label is
+    * the min over batch ids and touched cids), star contraction runs on
+    * the BATCH-LOCAL contracted graph, and only clusters whose label
+    * changes are rewritten. The standing corpus never re-clusters. */
+  def foldBatch(spark: SparkSession, root: String, idCol: String = "id",
+      scoreCol: String = "score", pushCidLimit: Int = 1024)(
+      batchDocs: DataFrame, batchPairs: DataFrame, batchId: Long): Unit = {
+    val ar = assignRoot(root); val cr = canonRoot(root)
+    val pr = pairsRoot(root)
+    Versions.guardAppend(spark, ar, "cluster assignments", batchId,
+      "ClusterStream.writeStanding before starting the stream")
+    Versions.guardAppend(spark, cr, "cluster canonicals", batchId)
+    Versions.guardAppend(spark, pr, "cluster pairs", batchId)
+    val bd = batchDocs
+      .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
+      .localCheckpoint(true)
+    val bp = batchPairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val v = batchId + 1
+    if (bp.isEmpty) {
+      // no connectivity: every batch doc is a fresh singleton
+      bd.select(col("id"), col("id").as("cid"), col("score"),
+          lit(v).as("__v"))
+        .write.mode("overwrite").parquet(s"$ar/v$v")
+      bd.select(col("id").as("cid"), col("id").as("keep_id"), col("score"),
+          lit(1L).as("n_members"), lit(v).as("__v"))
+        .write.mode("overwrite").parquet(s"$cr/v$v")
+      bp.write.mode("overwrite").parquet(s"$pr/v$v")
+      return
+    }
+    val assigns = readAssignments(spark, root, upTo = batchId)
+    // old endpoints (not in this batch) resolve to their cluster ids;
+    // a doc the store has never seen (pair against a not-yet-folded
+    // singleton) falls back to labeling itself
+    val pairDocs = bp.select(col("id_a").as("id"))
+      .unionAll(bp.select(col("id_b").as("id"))).distinct()
+    val oldCids = pairDocs
+      .join(bd.select(col("id")), Seq("id"), "left_anti")
+      .join(assigns.select(col("id"), col("cid")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cid"), col("id")).as("cid"))
+      .localCheckpoint(true)
+    // contract the batch graph: new ids stay nodes, old ids become their
+    // cluster's node — the batch-local graph is batch-sized
+    val mapped = bp
+      .join(oldCids.select(col("id").as("id_a"), col("cid").as("__ca")),
+        Seq("id_a"), "left")
+      .join(oldCids.select(col("id").as("id_b"), col("cid").as("__cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
+        coalesce(col("__cb"), col("id_b")).as("id_b"))
+    val comp = Dedup.connectedComponentsStar(mapped).localCheckpoint(true)
+    // touched clusters → their merged label: min over member doc ids ==
+    // min over (batch ids, touched cids) because cid = min member id
+    val touched = comp
+      .join(oldCids.select(col("cid").as("id")).distinct(), Seq("id"),
+        "left_semi")
+      .select(col("id").as("cid"), col("component").as("__nl"))
+      .localCheckpoint(true)
+    val oldMembers = membersOf(assigns, touched, pushCidLimit)
+      .join(broadcast(touched), Seq("cid"))
+      .select(col("id"), col("cid"), col("score"), col("__nl"))
+      .localCheckpoint(true)
+    val newInPairs = bd.join(pairDocs, Seq("id"), "left_semi")
+      .join(comp.select(col("id"), col("component").as("__nl")), Seq("id"))
+      .select(col("id"), col("score"), col("__nl"))
+    val newSingles = bd.join(pairDocs, Seq("id"), "left_anti")
+      .select(col("id"), col("score"), col("id").as("__nl"))
+    val allMembers = oldMembers.select(col("id"), col("score"), col("__nl"))
+      .unionAll(newInPairs).unionAll(newSingles)
+      .localCheckpoint(true)
+    // assignment delta: every new doc + every relabeled old member
+    oldMembers.filter(col("cid") =!= col("__nl"))
+      .select(col("id"), col("__nl").as("cid"), col("score"),
+        lit(v).as("__v"))
+      .unionAll(newInPairs.unionAll(newSingles)
+        .select(col("id"), col("__nl").as("cid"), col("score"),
+          lit(v).as("__v")))
+      .write.mode("overwrite").parquet(s"$ar/v$v")
+    // canonical delta: re-elect every touched label, kill merged-away ones
+    electCanon(allMembers.select(col("id"), col("__nl").as("cid"),
+        col("score")), v)
+      .unionByName(touched.filter(col("cid") =!= col("__nl"))
+        .select(col("cid"), lit(-1L).as("keep_id"), lit(0.0).as("score"),
+          lit(0L).as("n_members"), lit(v).as("__v")))
+      .write.mode("overwrite").parquet(s"$cr/v$v")
+    bp.write.mode("overwrite").parquet(s"$pr/v$v")
+  }
+
+  /** Takedown + component-local repair (the [[Versions.tombstone]]
+    * contract, plus the cluster-specific consequences the generic marker
+    * cannot express): markers land on the assign + pairs roots, then the
+    * AFFECTED components — and only those — are re-solved over their
+    * retained pairs. Splits produce new min-id labels; members isolated
+    * by the deletion become singletons; canonicals re-elect (the deleted-
+    * canonical case); labels with no retained members die. Occupies the
+    * `batchId + 1` version slot on the assign/canon roots — run it inside
+    * a trigger that does not also fold (its own maintenance batch), like
+    * every single-writer snapshot step. */
+  def retract(spark: SparkSession, root: String, ids: DataFrame,
+      batchId: Long, pushCidLimit: Int = 1024): Unit = {
+    val ar = assignRoot(root); val cr = canonRoot(root)
+    val v = batchId + 1
+    val del = ids.toDF("id").select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct().localCheckpoint(true)
+    // affected components: the deleted docs' rows must stay visible to
+    // THIS resolution even on redelivery (this batch's own marker may
+    // already exist), so the mask stops strictly before batchId
+    val affected = readAssignmentsMasked(spark, root, upTo = batchId,
+        maskUpTo = batchId - 1)
+      .join(broadcast(del), Seq("id"), "left_semi")
+      .select(col("cid")).distinct().localCheckpoint(true)
+    Versions.tombstoneFrom(spark, ar, del, batchId)
+    Versions.tombstoneFrom(spark, pairsRoot(root), del, batchId)
+    // retained members and retained intra-component pairs (both reads are
+    // masked now); connectivity re-solves component-locally
+    val members = membersOf(readAssignments(spark, root, upTo = batchId),
+        affected, pushCidLimit)
+      .localCheckpoint(true)
+    val memberIds = broadcast(members.select(col("id")))
+    val keptPairs = readPairs(spark, root, upTo = batchId)
+      .join(memberIds.withColumnRenamed("id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(memberIds.withColumnRenamed("id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .localCheckpoint(true)
+    val labels =
+      if (keptPairs.isEmpty) spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("component")).limit(0)
+      else Dedup.connectedComponentsStar(keptPairs)
+    val resolved = members
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("component"), col("id")).as("__nl"), col("score"))
+      .localCheckpoint(true)
+    resolved.filter(col("cid") =!= col("__nl"))
+      .select(col("id"), col("__nl").as("cid"), col("score"),
+        lit(v).as("__v"))
+      .write.mode("overwrite").parquet(s"$ar/v$v")
+    val newLabels = resolved.select(col("__nl").as("cid")).distinct()
+    electCanon(resolved.select(col("id"), col("__nl").as("cid"),
+        col("score")), v)
+      .unionByName(affected.join(newLabels, Seq("cid"), "left_anti")
+        .select(col("cid"), lit(-1L).as("keep_id"), lit(0.0).as("score"),
+          lit(0L).as("n_members"), lit(v).as("__v")))
+      .write.mode("overwrite").parquet(s"$cr/v$v")
+  }
+
+  /** Fold all three roots' deltas into fresh bases: assignments back to
+    * one row per id (newest wins), tombstoned docs dropped physically and
+    * the base CLUSTERED by `cid` (the fold's membership reads prune by a
+    * pushed cid predicate); canonicals to one live row per cid; pairs with
+    * both-endpoint tombstone drops (the marker set is applied to BOTH
+    * columns before the id_a-keyed consumption — a one-column drop would
+    * resurrect the id_b rows once the markers are consumed). */
+  def compactStore(spark: SparkSession, root: String, upTo: Long): Unit = {
+    val newestPerId: DataFrame => DataFrame = { df =>
+      val w = Window.partitionBy(col("id")).orderBy(col("__v").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    Versions.compact(spark, assignRoot(root), upTo, newestPerId,
+      tombstoneIdCol = Some("id"), clusterBy = Seq("cid"))
+    val newestPerCid: DataFrame => DataFrame = { df =>
+      val w = Window.partitionBy(col("cid")).orderBy(col("__v").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("n_members") > 0).drop("__rn")
+    }
+    Versions.compact(spark, canonRoot(root), upTo, newestPerCid,
+      clusterBy = Seq("cid"))
+    val pr = pairsRoot(root)
+    val delIds = Versions.listTombstones(spark, pr)
+      .filter(_._1 <= upTo) match {
+      case Seq() => None
+      case ms => Some(spark.read.parquet(ms.map(_._2.toString): _*)
+        .select(col("id")).distinct())
+    }
+    Versions.compact(spark, pr, upTo,
+      df => delIds.fold(df)(d =>
+        df.join(broadcast(d.withColumnRenamed("id", "id_b")), Seq("id_b"),
+          "left_anti")),
+      tombstoneIdCol = Some("id_a"))
+  }
+}

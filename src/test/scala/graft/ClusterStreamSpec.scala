@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.{ClusterStream, Versions}
+
+/** Incremental cluster-identity maintenance (VERDICT r14 next #4): every
+  * fold/retract sequence must leave the store equal to the from-scratch
+  * batch answer — connectedComponentsStar min-id labels over the retained
+  * pair set (singletons labeling themselves) and the canonicalPerCluster
+  * argmax-score (tie → min id) election — whatever the arrival order,
+  * merge history, or deletion pattern. */
+class ClusterStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def score(i: Long): Double = ((i * 7) % 13).toDouble
+
+  private def docsDF(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, score(i))).toDF("id", "score")
+
+  private def pairsDF(ps: Seq[(Long, Long)]): DataFrame =
+    ps.toDF("id_a", "id_b")
+
+  /** The from-scratch batch answer over retained docs + retained pairs:
+    * (assignments (id, cid), canonicals (cid, keep_id, score,
+    * n_members)). */
+  private def batchAnswer(docs: DataFrame, pairs: DataFrame)
+      : (Set[(Long, Long)], Set[(Long, Long, Double, Long)]) = {
+    val labels =
+      if (pairs.isEmpty) Seq.empty[(Long, Long)].toDF("id", "component")
+      else Dedup.connectedComponentsStar(pairs)
+    val assign = docs.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cid"),
+        col("score"))
+    val byC = Window.partitionBy(col("cid"))
+    val canon = assign
+      .withColumn("__rn", row_number().over(
+        byC.orderBy(col("score").desc, col("id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byC))
+      .filter(col("__rn") === 1)
+    (assign.select("id", "cid").collect()
+       .map(r => (r.getLong(0), r.getLong(1))).toSet,
+     canon.select("cid", "id", "score", "n_members").collect()
+       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+         r.getLong(3))).toSet)
+  }
+
+  private def readState(root: String)
+      : (Set[(Long, Long)], Set[(Long, Long, Double, Long)]) =
+    (ClusterStream.readAssignments(spark, root).select("id", "cid")
+       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+     ClusterStream.readCanonicals(spark, root)
+       .select("cid", "keep_id", "score", "n_members").collect()
+       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+         r.getLong(3))).toSet)
+
+  test("fold/retract sequence equals the batch kernels at every step: " +
+      "merges, small-id relabel, singleton capture, splits, canonical " +
+      "re-election, label death, compaction") {
+    val root = java.nio.file.Files.createTempDirectory("cs_").toString
+    // standing: cluster {1,2,3}, cluster {5,6}, singletons 4,7..10
+    val standingDocs: Seq[Long] = (1L to 10L).toSeq
+    val standingPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+    ClusterStream.writeStanding(spark, root, docsDF(standingDocs),
+      pairsDF(standingPairs))
+    var fedDocs = standingDocs
+    var fedPairs = standingPairs
+    def check(deleted: Set[Long] = Set.empty): Unit = {
+      val retainedDocs = fedDocs.filterNot(deleted)
+      val retainedPairs = fedPairs.filterNot(p =>
+        deleted(p._1) || deleted(p._2))
+      val expected = batchAnswer(docsDF(retainedDocs),
+        pairsDF(retainedPairs))
+      assert(readState(root) === expected)
+    }
+    check()
+
+    // batch 0: in-batch pair (11,12); doc 0 relabels cluster {1,2,3} to 0
+    // (new id SMALLER than the standing label); (12,5) merges the new
+    // in-batch cluster into standing {5,6}
+    val d0 = Seq(11L, 12L, 0L); val p0 = Seq((11L, 12L), (0L, 1L), (12L, 5L))
+    ClusterStream.foldBatch(spark, root)(docsDF(d0), pairsDF(p0), 0L)
+    fedDocs ++= d0; fedPairs ++= p0
+    check()
+    // the small-id relabel really happened (label 1 died, 0 lives)
+    val canon0 = ClusterStream.readCanonicals(spark, root)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(canon0.contains(0L) && !canon0.contains(1L))
+
+    // batch 1: doc 13 captures standing singletons 4 and 7 into one
+    // cluster (label 4)
+    val d1 = Seq(13L); val p1 = Seq((13L, 4L), (13L, 7L))
+    ClusterStream.foldBatch(spark, root)(docsDF(d1), pairsDF(p1), 1L)
+    fedDocs ++= d1; fedPairs ++= p1
+    check()
+
+    // retract {2, 5, 4}: splits {0,1,2,3} (3 isolated), splits {5,6,11,12}
+    // (6 isolated, label moves to 11), re-elects {4,7,13} minus its label
+    // doc — broadcast-membership path exercised via pushCidLimit = 0
+    ClusterStream.retract(spark, root, Seq(2L, 5L, 4L).toDF("id"), 2L,
+      pushCidLimit = 0)
+    val deleted = Set(2L, 5L, 4L)
+    check(deleted)
+    val (_, canonAfter) = readState(root)
+    assert(canonAfter.exists(_._1 == 11L), "split half {11,12} relabels")
+    assert(canonAfter.exists(c => c._1 == 3L && c._4 == 1L),
+      "isolated member becomes a singleton")
+    assert(!canonAfter.exists(c => Set(4L, 5L).contains(c._1)),
+      "deleted labels die")
+
+    // batch 3: doc 14 re-merges post-split singletons 3 and 6
+    val d3 = Seq(14L); val p3 = Seq((14L, 3L), (14L, 6L))
+    ClusterStream.foldBatch(spark, root)(docsDF(d3), pairsDF(p3), 3L)
+    fedDocs ++= d3; fedPairs ++= p3
+    check(deleted)
+
+    // compaction: reads identical, markers consumed, base one-row-per-id
+    val before = readState(root)
+    ClusterStream.compactStore(spark, root, upTo = 4L)
+    assert(readState(root) === before)
+    assert(Versions.listTombstones(spark, s"$root/assign").isEmpty)
+    assert(Versions.listTombstones(spark, s"$root/pairs").isEmpty)
+    val base = spark.read.parquet(s"$root/assign/v0")
+    assert(base.groupBy("id").count().filter(col("count") > 1).isEmpty,
+      "compacted base must hold one row per id")
+    // post-compaction folds keep agreeing
+    val d5 = Seq(15L); val p5 = Seq((15L, 9L), (15L, 11L))
+    ClusterStream.foldBatch(spark, root)(docsDF(d5), pairsDF(p5), 5L)
+    fedDocs ++= d5; fedPairs ++= p5
+    check(deleted)
+  }
+
+  test("composed with NearDupStream: the cluster store folded over the " +
+      "near-dup filter's emitted pair deltas equals the batch kernels " +
+      "over those pairs") {
+    import graft.functions.TextFunctions
+    import graft.sources.Tables
+    import graft.streaming.NearDupStream
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    def scoredOf(df: DataFrame): DataFrame = df.select(
+      col("doc_id").as("id"),
+      TextFunctions.qualityScoreFromTokens(col("text"),
+        TextFunctions.tokens(col("text"))).as("score"))
+    val standing = docs.filter(col("doc_id") < 20)
+    // byte-identical +10000000 copies of standing docs guarantee pairs
+    val incoming = docs.filter(col("doc_id") >= 20)
+      .unionAll(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
+      .withColumn("b", pmod(col("doc_id"), lit(2)))
+      .localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("cs3_").toString
+    val idxRoot = s"$root/idx"; val docsRoot = s"$root/docs"
+    Dedup.minhashBandIndex(standing, "doc_id", "text")
+      .write.parquet(s"$idxRoot/v0")
+    standing.write.parquet(s"$docsRoot/v0")
+    // bootstrap the cluster store over the standing corpus's own pairs
+    val standingPairs = Dedup.minhashPairs(standing, "doc_id", "text",
+      threshold = 0.4).select(col("id_a"), col("id_b"))
+    ClusterStream.writeStanding(spark, s"$root/cs", scoredOf(standing),
+      standingPairs)
+    var allPairs = standingPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    (0L to 1L).foreach { b =>
+      val batch = incoming.filter(col("b") === b)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val pairs = NearDupStream.filterBatch(spark, idxRoot, docsRoot,
+        s"$root/out", "doc_id", "text", threshold = 0.4,
+        materializePairs = true)(batch, b)
+      ClusterStream.foldBatch(spark, s"$root/cs")(scoredOf(batch),
+        pairs.select(col("id_a"), col("id_b")), b)
+      allPairs ++= pairs.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val arrived = standing.unionAll(
+      incoming.select(col("doc_id"), col("text")))
+    val expected = batchAnswer(scoredOf(arrived)
+      .toDF("id", "score"), pairsDF(allPairs))
+    assert(readState(s"$root/cs") === expected)
+    // the copies really paired (non-vacuous composition)
+    assert(allPairs.exists(_._2 >= 10000000L))
+  }
+
+  test("fold with an empty pair delta appends fresh singletons; " +
+      "redelivered fold and retract are idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("cs2_").toString
+    ClusterStream.writeStanding(spark, root, docsDF(Seq(1L, 2L)),
+      pairsDF(Seq((1L, 2L))))
+    ClusterStream.foldBatch(spark, root)(docsDF(Seq(3L, 4L)),
+      pairsDF(Seq.empty), 0L)
+    val s1 = readState(root)
+    assert(s1._1 === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)))
+    // redelivered batch 0 (same inputs) rewrites v1 deterministically
+    ClusterStream.foldBatch(spark, root)(docsDF(Seq(3L, 4L)),
+      pairsDF(Seq.empty), 0L)
+    assert(readState(root) === s1)
+    ClusterStream.retract(spark, root, Seq(1L).toDF("id"), 1L)
+    val s2 = readState(root)
+    assert(s2._1 === Set((2L, 2L), (3L, 3L), (4L, 4L)),
+      "deleting the label doc of a 2-cluster leaves its partner a " +
+        "relabeled singleton")
+    ClusterStream.retract(spark, root, Seq(1L).toDF("id"), 1L)
+    assert(readState(root) === s2)
+  }
+}

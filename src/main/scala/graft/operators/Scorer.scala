@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality scorer (VERDICT r14 next #6 — the last common
+  * curation-operator gap): a ridge regression fit by decimal-staged
+  * normal equations over one corpus scan, scored back in one codegen'd
+  * scan. The heuristic quality family (p03 bar, p98 Gopher stats) is
+  * rule-based; modern pipelines also run a TRAINED classifier/regressor
+  * (fastText/logreg-style) — this is that operator in the engine's
+  * exact-replay discipline:
+  *
+  *   - '''One scan, model-sized exchange.''' The Gram matrix XᵀX and
+  *     moment vector Xᵀy accumulate through [[graft.functions
+  *     .CovMomentsAgg]] over the packed vector [x₀..x_{d-1}, y] — each
+  *     partition fuses its rows into one exact-decimal buffer and only
+  *     d(d+3)/2-sized buffers cross the exchange (the
+  *     [[Decomp.pcaFit]] / PcaStream machinery, reused verbatim). Exact
+  *     decimal addition makes the moments associative: the fit is
+  *     bit-identical under any partitioning, and an oracle replays each
+  *     term with the same `Double.toString` staging.
+  *   - '''Driver-side d×d solve.''' (XᵀX + λI) w = Xᵀy, solved by the
+  *     explicit 3×3 adjugate for the fixed 3-feature form ([[ridgeFit3]])
+  *     — a deterministic double expression tree a SQL oracle mirrors
+  *     term for term (the reason the solve is closed-form, not an
+  *     iterative factorization).
+  *   - '''Codegen'd scoring.''' [[score3]] embeds the weights as
+  *     literals: a pure projection, no shuffle, no UDF — the scan shape
+  *     every 100 TB scoring pass needs.
+  *
+  * λ is plain Tikhonov on the WHOLE diagonal (intercept included) —
+  * documented contract, chosen so the oracle's solve stays one
+  * expression. Features are the caller's; the registry pairs the
+  * heuristic quality sub-scores as features with the full heuristic as
+  * the training label (a distillation-shaped fit whose residual is
+  * nonzero because the label carries a component the features omit). */
+object Scorer {
+
+  /** Fitted ridge model for [[ridgeFit3]]: weights for
+    * [1, f1, f2]. */
+  final case class Ridge3(w0: Double, w1: Double, w2: Double)
+
+  /** Normal-equation moments of ([1, f1, f2], y): the
+    * [[Decomp.moments]] relation over the packed 4-vector. Rows
+    * (i, j>=i) carry Σ staged(vᵢ·vⱼ); index 3 is the label, so
+    * G(i,j) = s(i,j) for i,j<3 and b(i) = s(i,3). */
+  def ridgeMoments3(df: DataFrame, f1: Column, f2: Column,
+      label: Column): DataFrame =
+    Decomp.moments(df.select(array(lit(1.0), f1.cast("double"),
+      f2.cast("double"), label.cast("double")).as("__xv")), "__xv")
+
+  /** Fit (XᵀX + λI) w = Xᵀy for x = [1, f1, f2] by the explicit 3×3
+    * adjugate. The collected relation is d(d+3)/2 = 14 rows — model-sized
+    * at any corpus scale. Every double expression below is mirrored
+    * PARENTHESIS-FOR-PARENTHESIS by the p141 oracle; change one side only
+    * with the other. */
+  def ridgeFit3(df: DataFrame, f1: Column, f2: Column, label: Column,
+      lambda: Double): Ridge3 = {
+    val rows = ridgeMoments3(df, f1, f2, label).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+    def g(i: Int, j: Int): Double = rows((i, j)).doubleValue
+    // symmetric M = G + λI (upper triangle read once, mirrored by name)
+    val maa = g(0, 0) + lambda
+    val mab = g(0, 1)
+    val mac = g(0, 2)
+    val mbb = g(1, 1) + lambda
+    val mbc = g(1, 2)
+    val mcc = g(2, 2) + lambda
+    val b0 = g(0, 3); val b1 = g(1, 3); val b2 = g(2, 3)
+    val cof00 = mbb * mcc - mbc * mbc
+    val cof01 = mbc * mac - mab * mcc
+    val cof02 = mab * mbc - mac * mbb
+    val cof11 = maa * mcc - mac * mac
+    val cof12 = mab * mac - maa * mbc
+    val cof22 = maa * mbb - mab * mab
+    val det = maa * cof00 + mab * cof01 + mac * cof02
+    require(det != 0.0, "ridgeFit3: singular normal equations (det = 0) " +
+      "— raise lambda or drop a collinear feature")
+    Ridge3(
+      ((cof00 * b0 + cof01 * b1) + cof02 * b2) / det,
+      ((cof01 * b0 + cof11 * b1) + cof12 * b2) / det,
+      ((cof02 * b0 + cof12 * b1) + cof22 * b2) / det)
+  }
+
+  /** Score x = [1, f1, f2] under a fitted model: weights as literals,
+    * left-associated sum — one codegen'd projection. */
+  def score3(model: Ridge3, f1: Column, f2: Column): Column =
+    lit(model.w0) + lit(model.w1) * f1.cast("double") +
+      lit(model.w2) * f2.cast("double")
+}

@@ -8619,6 +8619,88 @@ object Pipeline {
        |  FROM r140 WHERE rn = 1)
        |ORDER BY part, a, b""".stripMargin
 
+  // =========================================================================
+  // p141 — TRAINED QUALITY SCORER (VERDICT r14 next #6, the last common
+  // curation-operator gap): ridge regression fit by decimal-staged normal
+  // equations (Scorer.ridgeFit3 on the CovMomentsAgg machinery — one
+  // corpus scan, a d(d+3)/2 model-sized exchange, a driver-side 3×3
+  // adjugate solve), then scored back over the corpus in one codegen'd
+  // projection with the weights as literals. Features are two heuristic
+  // quality sub-scores (len_score, alpha_ratio); the training label is
+  // the FULL p03 heuristic, so the fit is a distillation with nonzero
+  // residual (the label carries stop/word-length components the features
+  // omit). λ = 1.0 Tikhonov on the whole diagonal (the documented
+  // contract). The oracle replays EVERYTHING from raw text: the shared
+  // quality fragments produce features and label bit-identically
+  // (p03/p44's proof), each Gram/moment term stages through the
+  // Double.toString decimal bridge and sums exactly (the PcaStream
+  // associativity property), BigDecimal.doubleValue crosses back via the
+  // VARCHAR bridge, and the adjugate solve + per-doc scoring mirror the
+  // Scala expression tree parenthesis for parenthesis — the weights
+  // themselves are emitted as rows, so a drifted solve fails the hash on
+  // 3 rows even if every score happens to round alike.
+  // =========================================================================
+  def p141RidgeQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scorer
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        least(size(col("toks")) / lit(100.0), lit(1.0)).as("f1"),
+        TF.alphaRatio(col("text")).as("f2"),
+        TF.qualityScoreFromTokens(col("text"), col("toks")).as("y"))
+      .localCheckpoint(true)
+    val m = Scorer.ridgeFit3(feats, col("f1"), col("f2"), col("y"),
+      lambda = 1.0)
+    feats.select(lit("doc").as("part"), col("doc_id").as("k"),
+        Scorer.score3(m, col("f1"), col("f2")).as("v"))
+      .unionAll(spark.range(1).select(lit("w").as("part"),
+        lit(0L).as("k"), lit(m.w0).as("v")))
+      .unionAll(spark.range(1).select(lit("w").as("part"),
+        lit(1L).as("k"), lit(m.w1).as("v")))
+      .unionAll(spark.range(1).select(lit("w").as("part"),
+        lit(2L).as("k"), lit(m.w2).as("v")))
+      .orderBy("part", "k")
+  }
+
+  val p141Sql: String = {
+    import OracleHash.{decimalStage => ds, decimalToDouble => dd}
+    def mom(x: String) = dd(s"SUM(${ds(x)})")
+    s"""WITH tq AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+       |${sqlQualityCtes("141", "tq", "doc_id")},
+       |ft AS (SELECT m141.doc_id, m141.len_score AS f1,
+       |    m141.alpha_ratio AS f2, q141.quality AS y
+       |  FROM m141 JOIN q141 USING (doc_id)),
+       |mom AS (SELECT
+       |    ${mom("1.0")} AS g00, ${mom("f1")} AS g01, ${mom("f2")} AS g02,
+       |    ${mom("f1 * f1")} AS g11, ${mom("f1 * f2")} AS g12,
+       |    ${mom("f2 * f2")} AS g22,
+       |    ${mom("y")} AS b0, ${mom("f1 * y")} AS b1, ${mom("f2 * y")} AS b2
+       |  FROM ft),
+       |mm AS (SELECT g00 + CAST(1.0 AS DOUBLE) AS maa, g01 AS mab,
+       |    g02 AS mac, g11 + CAST(1.0 AS DOUBLE) AS mbb, g12 AS mbc,
+       |    g22 + CAST(1.0 AS DOUBLE) AS mcc, b0, b1, b2 FROM mom),
+       |cf AS (SELECT *,
+       |    mbb * mcc - mbc * mbc AS cof00,
+       |    mbc * mac - mab * mcc AS cof01,
+       |    mab * mbc - mac * mbb AS cof02,
+       |    maa * mcc - mac * mac AS cof11,
+       |    mab * mac - maa * mbc AS cof12,
+       |    maa * mbb - mab * mab AS cof22 FROM mm),
+       |dt AS (SELECT *, maa * cof00 + mab * cof01 + mac * cof02 AS det
+       |  FROM cf),
+       |wts AS (SELECT
+       |    ((cof00 * b0 + cof01 * b1) + cof02 * b2) / det AS w0,
+       |    ((cof01 * b0 + cof11 * b1) + cof12 * b2) / det AS w1,
+       |    ((cof02 * b0 + cof12 * b1) + cof22 * b2) / det AS w2 FROM dt)
+       |SELECT part, k, v FROM (
+       |  SELECT 'doc' AS part, doc_id AS k, (w0 + w1 * f1) + w2 * f2 AS v
+       |  FROM ft CROSS JOIN wts
+       |  UNION ALL SELECT 'w', CAST(0 AS BIGINT), w0 FROM wts
+       |  UNION ALL SELECT 'w', CAST(1 AS BIGINT), w1 FROM wts
+       |  UNION ALL SELECT 'w', CAST(2 AS BIGINT), w2 FROM wts)
+       |ORDER BY part, k""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -8760,7 +8842,8 @@ object Pipeline {
     "p137_tombstone_ahash" -> (p137TombstoneAHash _),
     "p138_tombstone_mediafp" -> (p138TombstoneMediaFp _),
     "p139_takedown_capstone" -> (p139TakedownCapstone _),
-    "p140_stream_clusters" -> (p140StreamClusters _))
+    "p140_stream_clusters" -> (p140StreamClusters _),
+    "p141_ridge_quality" -> (p141RidgeQuality _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -8900,5 +8983,6 @@ object Pipeline {
     "p137_tombstone_ahash" -> p137Sql,
     "p138_tombstone_mediafp" -> p138Sql,
     "p139_takedown_capstone" -> p139Sql,
-    "p140_stream_clusters" -> p140Sql)
+    "p140_stream_clusters" -> p140Sql,
+    "p141_ridge_quality" -> p141Sql)
 }

@@ -832,4 +832,38 @@ class PlanSpec extends SparkSpec {
         ndScan.contains("In(bucket"),
       s"the bucket IN must push into the standing scan:\n$ndPlan")
   }
+
+  test("p141 ridge: normal-equation moments aggregate PARTIALLY before " +
+      "one model-sized exchange; the scoring pass is a shuffle-free " +
+      "codegen'd projection") {
+    import graft.operators.Scorer
+    import graft.sources.Tables
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.functions.{col, least, lit, size}
+    val feats = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        least(size(col("toks")) / lit(100.0), lit(1.0)).as("f1"),
+        TF.alphaRatio(col("text")).as("f2"),
+        TF.qualityScoreFromTokens(col("text"), col("toks")).as("y"))
+    val momPlan = planString(
+      Scorer.ridgeMoments3(feats, col("f1"), col("f2"), col("y")))
+    // partial buffers fuse per partition; only the d(d+3)/2-sized
+    // decimal buffer crosses the (single-partition) exchange
+    assert(momPlan.contains("partial_cov_moments") &&
+        "(?<!partial_)cov_moments".r.findFirstIn(momPlan).isDefined,
+      s"expected partial+final cov_moments aggregation:\n$momPlan")
+    assert(momPlan.contains("SinglePartition"),
+      s"the moments exchange must carry one model-sized buffer:\n$momPlan")
+    assert(!momPlan.contains("hashpartitioning"),
+      s"no data-sized exchange in the fit:\n$momPlan")
+    val model = Scorer.Ridge3(0.1, 0.2, 0.3)
+    val scorePlan = planString(feats.select(col("doc_id"),
+      Scorer.score3(model, col("f1"), col("f2")).as("pred")))
+    assert(!scorePlan.contains("Exchange"),
+      s"scoring must be a pure scan projection:\n$scorePlan")
+    // the `*(n)` star prefix is toString's whole-stage-codegen marker
+    assert(scorePlan.contains("*(") && scorePlan.contains("Project"),
+      s"scoring must stay inside codegen:\n$scorePlan")
+  }
 }

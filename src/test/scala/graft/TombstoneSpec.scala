@@ -109,6 +109,38 @@ class TombstoneSpec extends SparkSpec {
     assert(Versions.listTombstones(spark, s"$root/post").isEmpty)
   }
 
+  test("BM25 auto-compaction is takedown-aware: a long-running stream " +
+      "that only ever auto-compacts consumes its markers at the cadence " +
+      "(the fan-in never grows unboundedly) and keeps scoring the " +
+      "retained corpus exactly") {
+    val root = java.nio.file.Files.createTempDirectory("tomb_bmac_")
+      .toString
+    val terms = Seq("data", "merge", "hash", "scan")
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40))
+    RetrievalStream.appendBatch(spark, root,
+      autoCompactVersions = Some(2))(
+      docs.filter(col("doc_id").between(40, 44)), 0L)
+    RetrievalStream.tombstone(spark, root, Seq(0L, 3L, 41L), 1L)
+    // keep ingesting with ONLY the auto path: the threshold trips on a
+    // later batch and must run the full three-root orchestration,
+    // consuming the markers instead of preserving them forever
+    (1L to 3L).foreach { b =>
+      RetrievalStream.appendBatch(spark, root,
+        autoCompactVersions = Some(2))(
+        docs.filter(col("doc_id").between(40L + b * 5, 44L + b * 5)), b)
+    }
+    assert(Versions.listTombstones(spark, s"$root/post").isEmpty,
+      "auto-compaction must consume accumulated markers at its cadence")
+    val retained = docs.filter(col("doc_id") < 60 &&
+      !col("doc_id").isin(0L, 3L, 41L))
+    val oneShot = Retrieval.bm25TopK(retained, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val streamed = RetrievalStream.bm25TopK(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === oneShot)
+  }
+
   test("media and vector stores mask tombstoned ids: aHash pairs, fp " +
       "pairs, IVF assignments (PqStream.readCodes shares the identical " +
       "mask line)") {
@@ -270,8 +302,8 @@ class TombstoneSpec extends SparkSpec {
   }
 
   test("auto-compaction folds like compactStore: IVF markers consumed " +
-      "and rows dropped physically; BM25 postings keep their markers " +
-      "(the three-root orchestration is compactStore's)") {
+      "and rows dropped physically; BM25 auto-compaction runs the " +
+      "three-root orchestration (markers consumed, reads exact)") {
     import graft.operators.IvfRelational
     import graft.streaming.{IvfStream, RetrievalStream}
     val emb = Tables.embeddings(spark, sfDir)
@@ -297,9 +329,9 @@ class TombstoneSpec extends SparkSpec {
       "tombstoned vectors must be gone from the folded base")
     assert(ids.contains(1L) && ids.contains(120L))
 
-    // BM25: the bare posting auto-compaction must PRESERVE markers (the
-    // stats/doclen-correcting fold is compactStore's orchestration) and
-    // reads stay corrected through the mask
+    // BM25: auto-compaction is takedown-aware since r15 (VERDICT r14
+    // wrong #2) — the threshold trip runs the full three-root
+    // orchestration, consuming markers AND keeping reads exact
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val bmRoot = java.nio.file.Files.createTempDirectory("tomb_ac_bm_")
@@ -313,8 +345,9 @@ class TombstoneSpec extends SparkSpec {
     RetrievalStream.appendBatch(spark, bmRoot,
       autoCompactVersions = Some(1))(
       docs.filter(col("doc_id").between(80, 99)), 1L)
-    assert(Versions.listTombstones(spark, s"$bmRoot/post").nonEmpty,
-      "posting auto-compaction must not consume markers")
+    assert(Versions.listTombstones(spark, s"$bmRoot/post").isEmpty,
+      "posting auto-compaction must consume markers via the three-root " +
+        "orchestration")
     val streamed = RetrievalStream.bm25TopK(spark, bmRoot,
         Seq("data", "merge", "hash", "scan"), 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -323,7 +356,7 @@ class TombstoneSpec extends SparkSpec {
         "doc_id", "text", Seq("data", "merge", "hash", "scan"), 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(streamed === oneShot,
-      "auto-compacted reads must stay takedown-corrected through the mask")
+      "auto-compacted reads must stay takedown-corrected")
   }
 
   test("tombstoneFrom: the relation form masks like the Seq form; " +

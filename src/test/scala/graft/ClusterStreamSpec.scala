@@ -184,6 +184,44 @@ class ClusterStreamSpec extends SparkSpec {
     assert(allPairs.exists(_._2 >= 10000000L))
   }
 
+  test("read posture: newest-per-id resolves over DELTAS only (one " +
+      "Window, never over the base), the base joins back via a " +
+      "broadcast anti-join, and a membership cid IN pushes into the " +
+      "compacted base scan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def planOf(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("cs4_").toString
+    ClusterStream.writeStanding(spark, root,
+      docsDF((1L to 50L).toSeq), pairsDF(Seq((1L, 2L), (5L, 6L))))
+    ClusterStream.foldBatch(spark, root)(docsDF(Seq(60L, 61L)),
+      pairsDF(Seq((60L, 61L))), 0L)
+    val plan = planOf(ClusterStream.readAssignments(spark, root))
+    // the newest-per-id window runs inside the DELTA materialization
+    // (batch-sized, localCheckpointed); the assembled read itself must
+    // never window or exchange the store
+    assert(!plan.contains("Window"),
+      s"no window over the assembled store:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the base must anti-join the broadcast delta-id set:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the base read must not shuffle:\n$plan")
+    // compaction restores one-row-per-id and clusters by cid: a
+    // membership restriction must reach the base scan as a pushed IN
+    ClusterStream.compactStore(spark, root, upTo = 1L)
+    val pushed = planOf(ClusterStream.readAssignments(spark, root)
+      .filter(col("cid").isin(1L, 5L)))
+    val scan = pushed.substring(pushed.indexOf("FileScan parquet"))
+    assert(pushed.contains("FileScan parquet") &&
+        scan.contains("PushedFilters: [") && scan.contains("In(cid"),
+      s"the cid IN must push into the compacted base scan:\n$pushed")
+  }
+
   test("fold with an empty pair delta appends fresh singletons; " +
       "redelivered fold and retract are idempotent") {
     val root = java.nio.file.Files.createTempDirectory("cs2_").toString

@@ -138,16 +138,31 @@ object ClusterStream {
   }
 
   /** Current elections: newest row per cid, dead labels (n_members = 0)
-    * dropped. */
+    * dropped. Same read posture as [[readAssignments]]: the base holds
+    * one row per cid (writeStanding/compact invariant), so the
+    * newest-per-cid window runs over the DELTAS only and the base joins
+    * back through a broadcast anti-join — never a store-wide window. */
   def readCanonicals(spark: SparkSession, root: String,
       upTo: Long = Long.MaxValue): DataFrame = {
     val cr = canonRoot(root)
     val versions = Versions.list(spark, cr).filter(_._1 <= upTo)
-    require(versions.nonEmpty, s"no canonical versions at $cr")
-    val w = Window.partitionBy(col("cid")).orderBy(col("__v").desc)
-    spark.read.parquet(versions.map(_._2.toString): _*)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("n_members") > 0)
+    require(versions.exists(_._1 == 0L), s"no canonical base at $cr/v0")
+    val base = spark.read.parquet(
+      versions.filter(_._1 == 0L).map(_._2.toString): _*)
+    val deltaDirs = versions.filter(_._1 > 0L).map(_._2.toString)
+    val current =
+      if (deltaDirs.isEmpty) base
+      else {
+        val w = Window.partitionBy(col("cid")).orderBy(col("__v").desc)
+        val newest = spark.read.parquet(deltaDirs: _*)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint(true)
+        base.join(broadcast(newest.select(col("cid"))), Seq("cid"),
+            "left_anti")
+          .unionByName(newest)
+      }
+    current.filter(col("n_members") > 0)
       .select(col("cid"), col("keep_id"), col("score"), col("n_members"))
   }
 
@@ -282,6 +297,11 @@ object ClusterStream {
       batchId: Long, pushCidLimit: Int = 1024): Unit = {
     val ar = assignRoot(root); val cr = canonRoot(root)
     val v = batchId + 1
+    // same lineage guards as the fold: a fresh checkpoint replaying an
+    // old batch over newer deltas would fork the repair's lineage
+    Versions.guardAppend(spark, ar, "cluster assignments", batchId,
+      "ClusterStream.writeStanding before retracting")
+    Versions.guardAppend(spark, cr, "cluster canonicals", batchId)
     val del = ids.toDF("id").select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull).distinct().localCheckpoint(true)
     // affected components: the deleted docs' rows must stay visible to

@@ -184,6 +184,40 @@ class ClusterStreamSpec extends SparkSpec {
     assert(allPairs.exists(_._2 >= 10000000L))
   }
 
+  test("composed with Takedown.takedownAll: the journaled sweep feeds " +
+      "retract's repair, and the orchestrator's markers are " +
+      "re-overwritten idempotently — end state equals a plain retract") {
+    import graft.streaming.Takedown
+    import graft.streaming.Takedown.Target
+    def build(): String = {
+      val root = java.nio.file.Files.createTempDirectory("cs5_").toString
+      ClusterStream.writeStanding(spark, root,
+        docsDF((1L to 12L).toSeq),
+        pairsDF(Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L))))
+      ClusterStream.foldBatch(spark, root)(docsDF(Seq(20L)),
+        pairsDF(Seq((20L, 3L))), 0L)
+      root
+    }
+    val plain = build()
+    ClusterStream.retract(spark, plain,
+      Seq(2L, 6L).toDF("id"), 1L)
+    // orchestrated: the GDPR sweep fans markers to the cluster roots
+    // (among others) under one batch id, then the cluster store's
+    // repair consumes the JOURNALED set — the one derived store whose
+    // takedown needs more than a marker
+    val orch = build()
+    val j = java.nio.file.Files.createTempDirectory("cs5j_").toString
+    val journaled = Takedown.takedownAll(spark, j,
+      Seq(2L, 6L).toDF("id"), 1L,
+      Seq(Target("cluster assignments", s"$orch/assign"),
+        Target("cluster pairs", s"$orch/pairs")))
+    ClusterStream.retract(spark, orch, journaled, 1L)
+    assert(readState(orch) === readState(plain))
+    // the split really happened (1-2-3-20 loses 2 → {1}, {3,20})
+    assert(readState(orch)._1.contains((20L, 3L)) &&
+      readState(orch)._1.contains((1L, 1L)))
+  }
+
   test("read posture: newest-per-id resolves over DELTAS only (one " +
       "Window, never over the base), the base joins back via a " +
       "broadcast anti-join, and a membership cid IN pushes into the " +

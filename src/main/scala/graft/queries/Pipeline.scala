@@ -8299,7 +8299,8 @@ object Pipeline {
               Takedown.Target("band index", ndIdx),
               Takedown.Target("docs store", ndDocs),
               Takedown.Target("bm25 postings",
-                RetrievalStream.markerRoot(bmRoot)),
+                (s: SparkSession, ids: DataFrame, b: Long) =>
+                  RetrievalStream.tombstoneFrom(s, bmRoot, ids, b)),
               Takedown.Target("containment sets", ctRoot),
               Takedown.Target("ivf assignments", ivfIdx)),
             corpus = Some((corpusRoot, "doc_id")))

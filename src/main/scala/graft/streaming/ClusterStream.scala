@@ -211,7 +211,16 @@ object ClusterStream {
     val bd = batchDocs
       .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
       .localCheckpoint(true)
-    val bp = batchPairs.select(col("id_a"), col("id_b"))
+    // pairs touching a tombstoned id are masked on BOTH endpoints
+    // (broadcast, takedown-sized) — an upstream pair generator that has
+    // not seen the takedown yet could otherwise make a deleted doc look
+    // never-seen: it would label itself, become a graph node, and merge
+    // two live clusters through a deleted doc (ADVICE r15 #2). The
+    // masked fold equals the fold over the retained-pair stream.
+    val bp = Versions.maskTombstones(spark, ar,
+        Versions.maskTombstones(spark, ar,
+          batchPairs.select(col("id_a"), col("id_b")), "id_a", batchId),
+        "id_b", batchId)
       .localCheckpoint(true)
     val v = batchId + 1
     if (bp.isEmpty) {

@@ -94,14 +94,12 @@ object RetrievalStream {
       // stream that only ever auto-compacted paid the marker fan-in —
       // one listStatus + one broadcast read per marker dir per read —
       // FOREVER): when the version count trips the threshold, run the
-      // full three-root orchestration (stats subtract the deleted docs'
-      // exact contribution and doclens drop their rows BEFORE the
-      // posting compaction consumes the markers — [[compactStore]]'s
-      // ordering), bounding both the version fan-in AND the accumulated
-      // marker count by the compaction cadence. `upTo = batchId` is
-      // inside the compact safety bound for [[Versions.autoCompact]]'s
-      // reason: the executing batch is uncommitted, so every committed
-      // batch is < batchId.
+      // full three-root orchestration, bounding both the version fan-in
+      // AND the accumulated marker count by the compaction cadence.
+      // `upTo = batchId` is inside the compact safety bound for
+      // [[Versions.autoCompact]]'s reason: the executing batch is
+      // uncommitted, so every committed batch is < batchId.
+      require(k >= 1, s"autoCompactVersions must be >= 1: $k")
       val visible = Versions.list(spark, postRoot(root))
         .filter(_._1 <= batchId)
       if (visible.size > k) compactStore(spark, root, upTo = batchId)
@@ -119,28 +117,72 @@ object RetrievalStream {
     df.agg(sum(col("n_docs")).cast("long").as("n_docs"),
       sum(col("total_dl")).cast("long").as("total_dl"))
 
-  /** Retract doc ids from the index ([[Versions.tombstone]] contract —
-    * the marker lives under the posting root; [[readPostings]] masks the
-    * docs' posting rows and [[readStats]] retracts their exact (1, dl)
-    * stats contribution via the doclen relation, so post-takedown probes
-    * score bit-identically to [[Retrieval.bm25TopK]] over the corpus
-    * minus the deleted docs). [[compactStore]] makes the retraction
-    * physical. */
+  /** Retract doc ids from the index. Two batch-id-named writes, both
+    * deterministic under redelivery:
+    *
+    *   1. `stats/c<batchId>` — the deleted docs' exact aggregate
+    *      contribution, NEGATED, as an IN-BAND stats correction row
+    *      (computed once here from the doclen relation — dl per doc,
+    *      zero-token docs included). [[readStats]] is then a pure exact
+    *      integer fold over `v* ∪ c*`: no live marker-join at read time,
+    *      and — the ADVICE r15 #1 point — no compaction step ever has to
+    *      bake a subtraction it cannot re-derive, so [[compactStore]] is
+    *      idempotent across any partial completion.
+    *   2. `post/d<batchId>` — the [[Versions.tombstone]] marker;
+    *      [[readPostings]] masks the docs' posting rows.
+    *
+    * The correction lands first: a crash between the writes leaves stats
+    * already correct for the post-takedown corpus and the posting mask
+    * pending — exactly the torn window the checkpointed redelivery heals
+    * (the appendBatch precedent). Post-takedown probes score
+    * bit-identically to [[Retrieval.bm25TopK]] over the corpus minus the
+    * deleted docs; [[compactStore]] makes the retraction physical.
+    *
+    * This pair IS the store's takedown verb — a cross-store sweep must
+    * fan out through it ([[Takedown.Target]]'s verb form), not through a
+    * bare [[Versions.tombstoneFrom]] on the posting root ([[readStats]]
+    * fails loud on a marker with no matching correction). */
   def tombstone(spark: SparkSession, root: String, ids: Seq[Long],
-      batchId: Long): Unit =
-    Versions.tombstone(spark, postRoot(root), ids, batchId)
+      batchId: Long): Unit = {
+    import spark.implicits._
+    tombstoneFrom(spark, root, ids.toDF("id"), batchId)
+  }
 
-  /** [[tombstone]] with the retracted ids as a relation
-    * ([[Versions.tombstoneFrom]]) — the predicate-driven sweep shape: the
-    * id set is computed distributively (a quality/PII/licensing pass over
-    * the corpus) and never touches the driver. */
+  /** [[tombstone]] with the retracted ids as a relation — the
+    * predicate-driven sweep shape: the id set is computed distributively
+    * (a quality/PII/licensing pass over the corpus) and never touches
+    * the driver. Id hygiene (single long-castable column, nulls dropped,
+    * empty refused) is [[Versions.tombstoneFrom]]'s contract. */
   def tombstoneFrom(spark: SparkSession, root: String, ids: DataFrame,
-      batchId: Long): Unit =
-    Versions.tombstoneFrom(spark, postRoot(root), ids, batchId)
+      batchId: Long): Unit = {
+    require(ids.schema.fields.length == 1,
+      s"tombstoneFrom takes a single id column, got ${ids.schema.fieldNames
+        .mkString(", ")}")
+    require(Versions.list(spark, postRoot(root)).exists(_._1 == 0L),
+      s"tombstone refused: ${postRoot(root)}/v0 missing — the store must " +
+        "exist before ids can be retracted from it")
+    val rel = ids.toDF("id").select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull)
+      .distinct().localCheckpoint(true)
+    require(rel.limit(1).count() > 0, "tombstone of an empty id set")
+    val dlen = Versions.list(spark, dlenRoot(root))
+    require(dlen.nonEmpty,
+      s"takedown refused: ${dlenRoot(root)} is empty — the store predates " +
+        "the takedown-capable layout; rebuild via writeStanding")
+    spark.read.parquet(dlen.map(_._2.toString): _*)
+      .join(broadcast(rel.select(col("id").as("doc_id"))), "doc_id")
+      .agg((-count(lit(1))).cast("long").as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("total_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${statsRoot(root)}/c$batchId")
+    rel.coalesce(1).write.mode("overwrite")
+      .parquet(s"${postRoot(root)}/d$batchId")
+  }
 
   /** The root this store's takedown markers live under (the posting
-    * root) — what a cross-store sweep ([[Takedown.takedownAll]]) targets
-    * without knowing the three-root layout. */
+    * root). A cross-store sweep must fan out through [[tombstoneFrom]]
+    * (the verb form of [[Takedown.Target]]) — a bare marker write here
+    * would skip the stats correction and [[readStats]] fails loud. */
   def markerRoot(root: String): String = postRoot(root)
 
   /** The assembled posting relation: plain union, zero exchanges (rows
@@ -155,44 +197,30 @@ object RetrievalStream {
       spark.read.parquet(versions.map(_._2.toString): _*), "doc_id", upTo)
   }
 
-  /** The tombstoned docs' exact aggregate stats contribution
-    * (__nd docs, __dd total dl) as a 1-row frame, derived from the
-    * doclen relation — None when no markers are visible. */
-  private def tombstoneStats(spark: SparkSession, root: String,
-      upTo: Long): Option[DataFrame] = {
-    val markers = Versions.listTombstones(spark, postRoot(root))
-      .filter(_._1 <= upTo)
-    if (markers.isEmpty) None
-    else {
-      val ids = spark.read.parquet(markers.map(_._2.toString): _*)
-        .select(col("id").as("doc_id")).distinct()
-      val dlen = Versions.list(spark, dlenRoot(root)).filter(_._1 <= upTo)
-      require(dlen.nonEmpty,
-        s"takedown markers exist but ${dlenRoot(root)} is empty — the " +
-          "store predates the takedown-capable layout; rebuild via " +
-          "writeStanding")
-      Some(spark.read.parquet(dlen.map(_._2.toString): _*)
-        .join(broadcast(ids), "doc_id")
-        .agg(count(lit(1)).as("__nd"),
-          coalesce(sum(col("dl")), lit(0L)).cast("long").as("__dd")))
-    }
-  }
-
-  /** The assembled 1-row stats: exact integer fold of the deltas, minus
-    * the tombstoned docs' exact contribution (each deleted doc retracts
-    * its (1, dl) — dl from the doclen relation, so zero-token docs
-    * retract correctly too). */
+  /** The assembled 1-row stats: exact integer fold of the version deltas
+    * AND the in-band takedown corrections (`c*` rows, [[tombstoneFrom]] —
+    * each deleted doc already retracted its exact (1, dl), zero-token
+    * docs included). Integer addition is associative, so the fold equals
+    * the one-shot stats over the retained corpus regardless of delta or
+    * correction order. Fails loud on a posting marker with no matching
+    * correction — a bare [[Versions.tombstoneFrom]] on the posting root
+    * is not this store's takedown verb. */
   def readStats(spark: SparkSession, root: String,
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, statsRoot(root)).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no stats versions at ${statsRoot(root)}")
-    val raw = foldStats(spark.read.parquet(versions.map(_._2.toString): _*))
-    tombstoneStats(spark, root, upTo) match {
-      case None => raw
-      case Some(del) => raw.crossJoin(broadcast(del))
-        .select((col("n_docs") - col("__nd")).cast("long").as("n_docs"),
-          (col("total_dl") - col("__dd")).cast("long").as("total_dl"))
-    }
+    val corrections = Versions.listPrefixed(spark, statsRoot(root), 'c')
+      .filter(_._1 <= upTo)
+    val orphaned = Versions.listTombstones(spark, postRoot(root))
+      .filter(_._1 <= upTo).map(_._1)
+      .filterNot(corrections.map(_._1).toSet)
+    require(orphaned.isEmpty,
+      s"posting markers d${orphaned.mkString(", d")} have no stats " +
+        s"correction under ${statsRoot(root)} — retract through " +
+        "RetrievalStream.tombstoneFrom (the store's takedown verb), not " +
+        "a bare marker write")
+    foldStats(spark.read.parquet(
+      (versions ++ corrections).map(_._2.toString): _*))
   }
 
   /** BM25 top-k over the assembled index — bit-identical to
@@ -204,42 +232,46 @@ object RetrievalStream {
       readStats(spark, root, upTo), queryTerms, k, k1, b)
 
   /** Fold all three stores' deltas `v0..v<upTo>` into new bases
-    * (postings by identity — rows disjoint; stats by the integer fold;
-    * doclens by identity), making any takedown PHYSICAL: the stats base
-    * folds with the tombstoned docs' contribution already subtracted and
-    * the deleted docs' posting/doclen rows dropped, then the consumed
-    * markers are deleted — reads before and after are identical. The
-    * posting base CLUSTERS by its probe key `term` (the probe's
-    * query-vocabulary filter pushes into the parquet scan, so a sorted
-    * base prunes standing row groups per probe — VERDICT r13 #2).
+    * (postings by identity — rows disjoint; stats by the integer fold of
+    * versions AND in-band corrections; doclens by identity), making any
+    * takedown PHYSICAL: deleted docs' doclen and posting rows drop, the
+    * consumed markers and corrections are deleted — reads before and
+    * after are identical. The posting base CLUSTERS by its probe key
+    * `term` (the probe's query-vocabulary filter pushes into the parquet
+    * scan, so a sorted base prunes standing row groups per probe —
+    * VERDICT r13 #2).
     *
-    * Ordering note: the stats fold must run BEFORE the posting
-    * compaction consumes the markers — both happen here, in order. A
-    * tombstone's doc must have arrived in a batch strictly before the
-    * marker's (the [[Versions.tombstone]] contract), so every corrected
-    * doc's doclen row is inside the `<= upTo` fold. */
+    * Idempotent across partial completion (ADVICE r15 #1): each root's
+    * rewrite is independently read-equivalent — the stats fold never
+    * bakes a subtraction it could double-apply (the correction rows are
+    * in-band until the same atomic-per-root rewrite that consumes them),
+    * the doclen drop is an anti-join (re-running drops nothing new), and
+    * the posting mask of already-dropped rows is a no-op. A crash
+    * between any two steps leaves every read correct and the re-run
+    * finishing the remaining roots ([[Versions.compact]]'s `allowSingle`
+    * — a root a previous run already folded to one version no longer
+    * wedges the orchestration). Ordering (doclens → postings → stats)
+    * keeps the marker/correction pair consistent at every boundary: a
+    * posting marker never outlives its stats correction. */
   def compactStore(spark: SparkSession, root: String, upTo: Long): Unit = {
-    val del = tombstoneStats(spark, root, upTo)
-    val statsFold: DataFrame => DataFrame = del match {
-      case None => foldStats
-      case Some(d) => df => foldStats(df).crossJoin(broadcast(d))
-        .select((col("n_docs") - col("__nd")).cast("long").as("n_docs"),
-          (col("total_dl") - col("__dd")).cast("long").as("total_dl"))
-    }
-    Versions.compact(spark, statsRoot(root), upTo, statsFold)
-    // the dlen markers live under the posting root: drop the deleted
-    // docs' doclen rows with the marker set directly (the posting
-    // compaction below is what consumes the markers)
+    // resolve the deleted ids BEFORE the posting compaction consumes the
+    // markers (eager checkpoint — the relation must survive the delete)
     val delIds = Versions.listTombstones(spark, postRoot(root))
       .filter(_._1 <= upTo) match {
       case Seq() => None
       case ms => Some(spark.read.parquet(ms.map(_._2.toString): _*)
-        .select(col("id").as("doc_id")).distinct())
+        .select(col("id").as("doc_id")).distinct().localCheckpoint(true))
     }
     Versions.compact(spark, dlenRoot(root), upTo,
       df => delIds.fold(df)(ids =>
-        df.join(broadcast(ids), Seq("doc_id"), "left_anti")))
+        df.join(broadcast(ids), Seq("doc_id"), "left_anti")),
+      allowSingle = true)
     Versions.compact(spark, postRoot(root), upTo,
-      tombstoneIdCol = Some("doc_id"), clusterBy = Seq("term"))
+      tombstoneIdCol = Some("doc_id"), clusterBy = Seq("term"),
+      allowSingle = true)
+    Versions.compact(spark, statsRoot(root), upTo, foldStats,
+      allowSingle = true,
+      extraDirs = Versions.listPrefixed(spark, statsRoot(root), 'c')
+        .filter(_._1 <= upTo).map(_._2))
   }
 }

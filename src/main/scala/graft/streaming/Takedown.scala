@@ -62,13 +62,26 @@ import org.apache.spark.sql.functions.col
   * from; this is the engine's own 100 TB lifecycle surface. */
 object Takedown {
 
-  /** One derived row-level store in the fan-out: `markerRoot` is the root
-    * its read path masks from (the same root its own tombstone verb
-    * writes under — e.g. `RetrievalStream.markerRoot(root)` for a BM25
-    * store, the index/docs roots for a near-dup filter, the store root
-    * itself for containment/aHash/media-fp/IVF/PQ). `what` labels
+  /** One derived store in the fan-out: `retract` is the store's OWN
+    * takedown verb, invoked with the journaled id relation and the sweep
+    * batch id. The `(what, markerRoot)` constructor covers the stores
+    * whose verb IS a bare [[Versions.tombstoneFrom]] marker (the
+    * index/docs roots of a near-dup filter, the store root of a
+    * containment/aHash/media-fp/IVF/PQ index); stores with richer verbs
+    * pass them directly — [[RetrievalStream.tombstoneFrom]] (marker + an
+    * in-band stats correction), [[ClusterStream.retract]] (marker +
+    * component-local split/re-election repair). Every verb must keep the
+    * idempotent-by-name discipline (batch-id-named writes, deterministic
+    * overwrites) so a journal-driven re-run converges. `what` labels
     * errors. */
-  final case class Target(what: String, markerRoot: String)
+  final case class Target(what: String,
+      retract: (SparkSession, DataFrame, Long) => Unit)
+
+  object Target {
+    def apply(what: String, markerRoot: String): Target =
+      Target(what, (s: SparkSession, ids: DataFrame, b: Long) =>
+        Versions.tombstoneFrom(s, markerRoot, ids, b))
+  }
 
   private def journalDir(journalRoot: String, batchId: Long): String =
     s"$journalRoot/t$batchId"
@@ -123,9 +136,7 @@ object Takedown {
       // after a crash must mark the set the first run resolved, not
       // whatever the predicate evaluates to over half-masked stores
       val ids = spark.read.parquet(idsPath.toString)
-      targets.foreach { t =>
-        Versions.tombstoneFrom(spark, t.markerRoot, ids, batchId)
-      }
+      targets.foreach(t => t.retract(spark, ids, batchId))
       corpus.foreach { case (root, keyCol) =>
         CorpusMaintenance.deleteBatch(spark, root, Seq(keyCol))(
           ids.select(col("id").as(keyCol)), batchId)

@@ -56,12 +56,19 @@ object Versions {
     versions
   }
 
-  def list(spark: SparkSession, root: String): Seq[(Long, Path)] = {
+  def list(spark: SparkSession, root: String): Seq[(Long, Path)] =
+    listPrefixed(spark, root, 'v')
+
+  /** Batch-id-named sibling dirs `root/<prefix><batchId>` — the shared
+    * lister behind version (`v`), tombstone-marker (`d`), and in-band
+    * correction (`c`, [[RetrievalStream]]) namespaces. */
+  def listPrefixed(spark: SparkSession, root: String,
+      prefix: Char): Seq[(Long, Path)] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .filter(s => s.isDirectory && s.getPath.getName.matches(s"$prefix\\d+"))
       .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
       .sortBy(_._1)
   }
@@ -145,15 +152,8 @@ object Versions {
   }
 
   /** Marker deltas under `root` (`d<batchId>` dirs), sorted by batch. */
-  def listTombstones(spark: SparkSession, root: String): Seq[(Long, Path)] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("d\\d+"))
-      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
-      .sortBy(_._1)
-  }
+  def listTombstones(spark: SparkSession, root: String): Seq[(Long, Path)] =
+    listPrefixed(spark, root, 'd')
 
   /** Mask tombstoned ids (markers `<= upTo`) out of a store read: a
     * broadcast anti-join on `idCol` — the standing relation still never
@@ -246,21 +246,42 @@ object Versions {
     *     probe whose key predicate pushes down (query-vocabulary terms, a
     *     small batch's gram/fp set) skips most of the standing base
     *     instead of scanning it every trigger. Read-equivalent: row order
-    *     within a version carries no meaning in any store. */
+    *     within a version carries no meaning in any store.
+    *
+    * Resumability extensions (ADVICE r15 #1 — a crash between a
+    * multi-root compaction's steps must leave every re-run convergent,
+    * never wedged on this function's own requires):
+    *
+    *   - `allowSingle`: accept a single visible version and still perform
+    *     the full rewrite (apply transform/mask/clustering, consume
+    *     markers). A partial multi-root compaction leaves some roots
+    *     already folded to one version; the old `>= 2` require made the
+    *     re-run throw 'nothing to compact' instead of finishing the other
+    *     roots. The single-version rewrite is read-equivalent like any
+    *     other (and reached only on resume or marker-only accumulation).
+    *   - `extraDirs`: sibling delta dirs outside the `v*` namespace
+    *     (same schema) folded WITH the versions and deleted with them —
+    *     the in-band-correction consumption path ([[RetrievalStream]]'s
+    *     `stats/c*` rows). Deleting them inside this call's delete list
+    *     (after v0, before the rename) inherits the loud-guard crash
+    *     story: any partially-deleted state is behind a missing v0. */
   def compact(spark: SparkSession, root: String, upTo: Long,
       transform: DataFrame => DataFrame = identity,
       tombstoneIdCol: Option[String] = None,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil,
+      allowSingle: Boolean = false,
+      extraDirs: Seq[Path] = Nil): Unit = {
     val versions = list(spark, root)
     require(versions.exists(_._1 == 0L),
       s"nothing to compact: $root/v0 missing")
     val merged = versions.filter(_._1 <= upTo)
-    require(merged.size >= 2,
+    require(merged.size >= 2 || (allowSingle && merged.nonEmpty),
       s"nothing to compact at $root: ${merged.size} version(s) <= v$upTo")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(rootPath, ".compact_tmp")
-    val folded = spark.read.parquet(merged.map(_._2.toString): _*)
+    val folded = spark.read.parquet(
+      (merged.map(_._2.toString) ++ extraDirs.map(_.toString)): _*)
     val masked = tombstoneIdCol match {
       case Some(idCol) => maskTombstones(spark, root, folded, idCol, upTo)
       case None        => folded
@@ -272,6 +293,7 @@ object Versions {
         .sortWithinPartitions(clusterBy.map(col): _*)
     clustered.write.mode("overwrite").parquet(tmp.toString)
     merged.foreach { case (_, p) => fs.delete(p, true) }
+    extraDirs.foreach(p => fs.delete(p, true))
     require(fs.rename(tmp, new Path(rootPath, "v0")),
       s"compaction swap failed: could not rename $tmp to $root/v0 — " +
         "recover the merge from the tmp dir before restarting the stream")

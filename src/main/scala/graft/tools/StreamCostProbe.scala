@@ -418,9 +418,16 @@ object StreamCostProbe {
           tiny.withColumn("media_id", col("media_id") + b * 10L), b)
       }
       // standing audio ids are the kind stripe (media_id % 3 picks the
-      // modality) — tombstone real standing clip ids
-      val standingIds = clips.select(col("media_id")).limit(200)
-        .collect().map(_.getLong(0)).toSeq
+      // modality) — tombstone real standing clip ids. Ordered pull so the
+      // tombstoned set is reproducible across runs, and sized up front:
+      // the slices below consume indices up to (65-2)*2+2 = 128
+      // (ADVICE r15 #4 — a bare limit() could come back short AND
+      // nondeterministic at a small scale).
+      val standingIds = clips.select(col("media_id")).orderBy("media_id")
+        .limit(200).collect().map(_.getLong(0)).toSeq
+      require(standingIds.size >= 128,
+        s"mfTombArm needs >= 128 standing clips at $label, " +
+          s"got ${standingIds.size}")
       val m0 = probe(1L)
       (2L to 9L).foreach(m => graft.streaming.Versions.tombstone(spark,
         s"$root/idx", standingIds.slice((m.toInt - 2) * 2,

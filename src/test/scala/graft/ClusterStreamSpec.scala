@@ -277,4 +277,30 @@ class ClusterStreamSpec extends SparkSpec {
     ClusterStream.retract(spark, root, Seq(1L).toDF("id"), 1L)
     assert(readState(root) === s2)
   }
+
+  test("foldBatch masks pair deltas touching tombstoned ids: a deleted " +
+      "doc can neither re-enter as a graph node nor bridge two live " +
+      "clusters (ADVICE r15 #2)") {
+    val root = java.nio.file.Files.createTempDirectory("cs3_").toString
+    // standing: {1,2} and {4,5} with doc 3 bridging nothing yet
+    ClusterStream.writeStanding(spark, root,
+      docsDF(Seq(1L, 2L, 3L, 4L, 5L)), pairsDF(Seq((1L, 2L), (4L, 5L))))
+    ClusterStream.retract(spark, root, Seq(3L).toDF("id"), 0L)
+    // an upstream pair generator that has not seen the takedown emits
+    // pairs THROUGH the deleted doc (2-3, 3-4 would merge {1,2} with
+    // {4,5} via 3) plus one legitimate pair for the new arrival
+    ClusterStream.foldBatch(spark, root)(docsDF(Seq(6L)),
+      pairsDF(Seq((2L, 3L), (3L, 4L), (5L, 6L))), 1L)
+    val (assign, canon) = readState(root)
+    val (wantAssign, wantCanon) = batchAnswer(
+      docsDF(Seq(1L, 2L, 4L, 5L, 6L)), pairsDF(Seq((1L, 2L), (4L, 5L),
+        (5L, 6L))))
+    assert(assign === wantAssign,
+      s"masked fold must equal the retained-pair batch answer: $assign")
+    assert(canon === wantCanon)
+    assert(!assign.exists(_._1 == 3L), "the deleted doc must stay dead")
+    assert(assign.filter(a => Set(1L, 2L).contains(a._1)).map(_._2) !==
+      assign.filter(a => Set(4L, 5L).contains(a._1)).map(_._2),
+      "live clusters must not merge through a deleted doc")
+  }
 }

@@ -517,4 +517,97 @@ class TombstoneSpec extends SparkSpec {
     assert(e2.getMessage.contains("single id column"))
     assert(Takedown.incomplete(spark, jE).isEmpty)
   }
+
+  test("BM25 compactStore is idempotent across partial completion: a crash " +
+      "after any step leaves reads exact and the re-run converges " +
+      "(ADVICE r15 #1)") {
+    val bmDocs = docs.filter(col("doc_id") < 100)
+    val terms = Seq("data", "merge", "hash", "scan")
+    def expected(excluded: Seq[Long]): Seq[(Long, Double)] =
+      Retrieval.bm25TopK(
+          bmDocs.filter(!col("doc_id").isin(excluded: _*)),
+          "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def got(root: String): Seq[(Long, Double)] =
+      RetrievalStream.bm25TopK(spark, root, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def mkStore(): String = {
+      val root = java.nio.file.Files.createTempDirectory("tomb_resume_")
+        .toString
+      RetrievalStream.writeStanding(spark, root,
+        bmDocs.filter(col("doc_id") < 60))
+      RetrievalStream.appendBatch(spark, root)(
+        bmDocs.filter(col("doc_id") >= 60), 0L)
+      RetrievalStream.tombstone(spark, root, Seq(1L, 2L, 61L), 1L)
+      root
+    }
+    val want = expected(Seq(1L, 2L, 61L))
+
+    // crash after step 1 (doclens compacted, markers + corrections live):
+    // reads stay exact, and the re-run finishes the other two roots even
+    // though the doclen root is down to a single version
+    val r1 = mkStore()
+    val del1 = spark.read.parquet(s"$r1/post/d1")
+      .select(col("id").as("doc_id")).distinct().localCheckpoint(true)
+    Versions.compact(spark, s"$r1/dlen", 1L,
+      df => df.join(broadcast(del1), Seq("doc_id"), "left_anti"),
+      allowSingle = true)
+    assert(got(r1) === want, "reads must stay exact after a partial run")
+    RetrievalStream.compactStore(spark, r1, upTo = 1L)
+    assert(got(r1) === want)
+    assert(Versions.listTombstones(spark, s"$r1/post").isEmpty)
+    assert(Versions.listPrefixed(spark, s"$r1/stats", 'c').isEmpty)
+
+    // crash after step 2 (postings compacted, markers CONSUMED, stats
+    // corrections still in-band): the correction fold keeps stats exact
+    // with no marker left to derive it from — the double-subtraction
+    // shape the old fold-plus-subtract design could not survive
+    val r2 = mkStore()
+    val del2 = spark.read.parquet(s"$r2/post/d1")
+      .select(col("id").as("doc_id")).distinct().localCheckpoint(true)
+    Versions.compact(spark, s"$r2/dlen", 1L,
+      df => df.join(broadcast(del2), Seq("doc_id"), "left_anti"),
+      allowSingle = true)
+    Versions.compact(spark, s"$r2/post", 1L,
+      tombstoneIdCol = Some("doc_id"), clusterBy = Seq("term"),
+      allowSingle = true)
+    assert(got(r2) === want,
+      "consumed markers + in-band corrections must still read exact")
+    RetrievalStream.compactStore(spark, r2, upTo = 1L)
+    assert(got(r2) === want)
+    assert(Versions.listPrefixed(spark, s"$r2/stats", 'c').isEmpty,
+      "the re-run must consume the corrections")
+
+    // the old wedge: a store already compacted to single versions that
+    // then takes a takedown — compactStore must fold it (consuming the
+    // marker and correction) instead of throwing 'nothing to compact'
+    val r3 = mkStore()
+    RetrievalStream.compactStore(spark, r3, upTo = 1L)
+    RetrievalStream.tombstone(spark, r3, Seq(62L), 2L)
+    RetrievalStream.compactStore(spark, r3, upTo = 2L)
+    assert(got(r3) === expected(Seq(1L, 2L, 61L, 62L)))
+    assert(Versions.listTombstones(spark, s"$r3/post").isEmpty)
+    assert(Versions.listPrefixed(spark, s"$r3/stats", 'c').isEmpty)
+  }
+
+  test("a bare marker on the posting root (no stats correction) fails " +
+      "readStats loud; autoCompactVersions below 1 is refused up front") {
+    val root = java.nio.file.Files.createTempDirectory("tomb_bare_").toString
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40))
+    Versions.tombstone(spark, s"$root/post", Seq(3L), 1L)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalStream.readStats(spark, root).collect()
+    }
+    assert(e.getMessage.contains("no stats correction"),
+      s"silently over-counted stats instead of refusing: ${e.getMessage}")
+
+    val e2 = intercept[IllegalArgumentException] {
+      RetrievalStream.appendBatch(spark, root,
+        autoCompactVersions = Some(0))(
+        docs.filter(col("doc_id").between(40, 49)), 5L)
+    }
+    assert(e2.getMessage.contains("autoCompactVersions must be >= 1"),
+      s"ADVICE r15 #3: ${e2.getMessage}")
+  }
 }

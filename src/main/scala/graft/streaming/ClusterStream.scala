@@ -85,18 +85,25 @@ object ClusterStream {
   }
 
   /** Argmax-score (tie → min id) election + member count per cid — the
-    * [[Dedup.canonicalPerCluster]] rule over an assignment slice; one
-    * window exchange keyed by the cluster id. */
-  private def electCanon(members: DataFrame, v: Long): DataFrame = {
-    val byC = Window.partitionBy(col("cid"))
-    val best = byC.orderBy(col("score").desc, col("id").asc)
+    * [[Dedup.canonicalPerCluster]] rule over an assignment slice, in AGG
+    * shape (VERDICT r15 next #1): `max_by` over the composite ordering
+    * key (score, −id) is a declarative aggregate with MAP-SIDE partial
+    * combine, so a planted mega-cluster (10⁴+ members under one cid)
+    * contributes at most one partial row per map partition to the
+    * exchange — the window form sorted every member row inside one
+    * reducer task, a task-skew cliff exactly where clusters are biggest.
+    * The ordering key is total (ids unique within a cluster), so the
+    * election is deterministic and equal to the window form row-for-row
+    * (ClusterStreamSpec pins the tie case; ids are non-negative by the
+    * store's contract, so −id cannot overflow). */
+  private[graft] def electCanon(members: DataFrame, v: Long): DataFrame =
     members.select(col("id"), col("cid"), col("score"))
-      .withColumn("__rn", row_number().over(best))
-      .withColumn("n_members", count(lit(1)).over(byC))
-      .filter(col("__rn") === 1)
-      .select(col("cid"), col("id").as("keep_id"), col("score"),
-        col("n_members"), lit(v).as("__v"))
-  }
+      .groupBy(col("cid"))
+      .agg(max_by(struct(col("id"), col("score")),
+          struct(col("score"), (-col("id")).as("nid"))).as("__b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cid"), col("__b.id").as("keep_id"),
+        col("__b.score").as("score"), col("n_members"), lit(v).as("__v"))
 
   /** Current assignments: base v0 (one row per id) superseded by the
     * newest delta row per id, tombstoned ids masked. The newest-per-id

@@ -445,6 +445,87 @@ object StreamCostProbe {
 
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+    // ---- cluster-identity arm (r16 — VERDICT r15 next #1): the one
+    // incremental store whose cost story had no number. Synthetic standing
+    // state (quad clusters via chained pairs + one planted 10⁴-member
+    // hub-spoke mega-cluster) at 1× and 10×; the SAME fixed batch folds
+    // against both, then three retract shapes: component-local (2 quad
+    // clusters), the mega-cluster relabel (touch its label with a smaller
+    // batch id — the whole 10⁴-row cluster rewrites + re-elects), and the
+    // mega-cluster takedown (delete the hub — 10⁴ spokes resolve to
+    // singletons). electCanon's agg shape keeps the mega rows partial-
+    // aggregated map-side (the skew fix this arm gates by measurement).
+    def csArm(nStanding: Long, label: String): Unit = {
+      import graft.streaming.ClusterStream
+      val root = Files.createTempDirectory(s"scp_cs_$label").toString
+      val mega = 900000000L
+      def scoreOf(c: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(c), lit(1000L)) / 1000.0)
+      val docs = spark.range(nStanding)
+        .select(col("id"), scoreOf(col("id")).as("score"))
+        .unionAll(spark.range(10000)
+          .select((col("id") + mega).as("id"),
+            scoreOf(col("id") + mega).as("score")))
+      val pairs = spark.range(nStanding)
+        .filter(pmod(col("id"), lit(4L)) =!= 3L)
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        .unionAll(spark.range(1, 10000)
+          .select(lit(mega).as("id_a"), (col("id") + mega).as("id_b")))
+      val standing = timed {
+        ClusterStream.writeStanding(spark, root, docs, pairs)
+      }
+      // the fixed batch: 2000 fresh docs, 1000 pairing with standing ids
+      // spread across distinct quad clusters — identical at every scale
+      val fresh = 950000000L
+      val bDocs = spark.range(2000)
+        .select((col("id") + fresh).as("id"),
+          scoreOf(col("id") + fresh).as("score")).localCheckpoint(true)
+      val bPairs = spark.range(1000)
+        .select((col("id") * 4L).as("id_a"),
+          (col("id") + fresh).as("id_b")).localCheckpoint(true)
+      val folds = (0L until nAppends.toLong).map { b =>
+        timed {
+          ClusterStream.foldBatch(spark, root)(
+            bDocs.withColumn("id", col("id") + b * 10000L),
+            bPairs.withColumn("id_b", col("id_b") + b * 10000L), b)
+        }
+      }
+      val nextB = nAppends.toLong
+      // component-local retract: 2 docs from distinct quad clusters
+      // (ids untouched by the folds, which pair only with id_a <= 3996)
+      val tSmall = timed {
+        ClusterStream.retract(spark, root,
+          spark.range(2).select((col("id") * 8L + 500001L).as("id")),
+          nextB)
+      }
+      // mega relabel: a fresh id SMALLER than the mega label pairs into
+      // the cluster — min-id labeling rewrites all 10⁴ member rows
+      val tRelabel = timed {
+        ClusterStream.foldBatch(spark, root)(
+          spark.range(1).select((col("id") + 899999999L).as("id"),
+            scoreOf(col("id")).as("score")),
+          spark.range(1).select(lit(899999999L).as("id_a"),
+            (lit(mega) + 5L).as("id_b")), nextB + 1L)
+      }
+      // mega takedown: delete the (new) label + hub — every spoke
+      // resolves to a singleton, 10⁴ assignment rows + elections rewrite
+      val tMega = timed {
+        ClusterStream.retract(spark, root,
+          spark.range(899999999L, mega + 1L).select(col("id")),
+          nextB + 2L)
+      }
+      println(f"| CLUSTER $label | standing $standing%.2f s | fold med " +
+        f"${med(folds)}%.2f s | retract(2-doc) $tSmall%.2f s | mega " +
+        f"relabel $tRelabel%.2f s | mega takedown $tMega%.2f s |")
+    }
+
+    val only = if (args.length > 2) Some(args(2)) else None
+    if (only.contains("cluster")) {
+      csArm(1000000L, "1e6")
+      csArm(10000000L, "1e7")
+      spark.stop(); return
+    }
+
     val i01 = ivfAppends("/root/testdata/sf0.1", "sf0.1")
     val i1 = ivfAppends(sf1, "sf1")
     val b01 = bm25Appends("/root/testdata/sf0.1", "sf0.1")

@@ -303,4 +303,31 @@ class ClusterStreamSpec extends SparkSpec {
       assign.filter(a => Set(4L, 5L).contains(a._1)).map(_._2),
       "live clusters must not merge through a deleted doc")
   }
+
+  test("agg-shaped election equals the window form (ties → min id) and " +
+      "plans as a partial-combine aggregate, never a per-cluster window") {
+    // tied top scores inside one cluster: the composite (score, -id)
+    // max_by must pick the min id, exactly like the window's
+    // (score DESC, id ASC) row_number
+    val members = Seq(
+      (10L, 1L, 5.0), (11L, 1L, 5.0), (12L, 1L, 3.0), // tie 10 vs 11
+      (20L, 2L, 0.0), (21L, 2L, 7.0),
+      (30L, 3L, 4.0))
+      .toDF("id", "cid", "score")
+    val got = ClusterStream.electCanon(members, 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got === Set((1L, 10L, 5.0, 3L), (2L, 21L, 7.0, 2L),
+      (3L, 30L, 4.0, 1L)))
+    // skew shape: a mega-cluster's members must partial-aggregate
+    // map-side (one row per partition crosses the exchange), so the
+    // plan is an Aggregate pair, not a Window sorting the cluster in
+    // one task
+    val plan = ClusterStream.electCanon(members, 9L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"election must not window-sort per cluster:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("partial"),
+      s"election must partial-aggregate map-side:\n$plan")
+  }
 }

@@ -88,4 +88,84 @@ object Scorer {
   def score3(model: Ridge3, f1: Column, f2: Column): Column =
     lit(model.w0) + lit(model.w1) * f1.cast("double") +
       lit(model.w2) * f2.cast("double")
+
+  // ---- d-feature generalization (VERDICT r15 next #2) --------------------
+
+  /** Normal-equation moments of ([1, features…], label): the
+    * [[Decomp.moments]] relation over the packed (d+1)-vector — one
+    * corpus scan, a d(d+3)/2-row exact-decimal buffer through the
+    * exchange, exactly [[ridgeMoments3]] at any width. */
+  def ridgeMoments(df: DataFrame, features: Seq[Column],
+      label: Column): DataFrame =
+    Decomp.moments(df.select(array(
+      (lit(1.0) +: features.map(_.cast("double"))) :+
+        label.cast("double"): _*).as("__xv")), "__xv")
+
+  /** Fit (XᵀX + λI) w = Xᵀy for x = [1, features…] — the d-feature form
+    * of [[ridgeFit3]] (a 3-feature ridge proves the machinery; the
+    * operator a real curation pipeline runs is a 10–50-feature model).
+    * The closed-form adjugate does not scale past 3×3, so the driver
+    * solve is a fixed-order CHOLESKY over the collected d(d+3)/2
+    * moments: sqrt/mul/sub/div are all correctly rounded under IEEE 754
+    * on both engines, so the unrolled recurrence is a deterministic
+    * double expression tree an oracle mirrors index for index
+    * ([[graft.queries.OracleHash.choleskySolveSql]] generates the SQL
+    * from THE SAME loop structure — change only together). Returns the
+    * d+1 weights (intercept first). */
+  def ridgeFit(df: DataFrame, features: Seq[Column], label: Column,
+      lambda: Double): Array[Double] = {
+    val d = features.size + 1
+    val rows = ridgeMoments(df, features, label).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+    def g(i: Int, j: Int): Double =
+      rows((math.min(i, j), math.max(i, j))).doubleValue
+    choleskySolve(d,
+      (i, j) => if (i == j) g(i, j) + lambda else g(i, j),
+      i => g(i, d))
+  }
+
+  /** Fixed-order Cholesky solve of the SPD system M w = b: factor
+    * M = L Lᵀ column by column, forward-substitute L y = b, back-
+    * substitute Lᵀ w = y. Subtraction chains run in ascending k order
+    * (the association the SQL mirror reproduces parenthesis for
+    * parenthesis). Fails loud on a non-positive pivot — the λ ridge
+    * keeps M positive definite for any feature matrix, so a
+    * non-positive pivot means λ = 0 with collinear features. */
+  def choleskySolve(d: Int, m: (Int, Int) => Double,
+      b: Int => Double): Array[Double] = {
+    val l = Array.ofDim[Double](d, d)
+    for (j <- 0 until d) {
+      var a = m(j, j)
+      for (k <- 0 until j) a -= l(j)(k) * l(j)(k)
+      require(a > 0.0, s"choleskySolve: non-positive pivot at column $j " +
+        "— raise lambda or drop a collinear feature")
+      l(j)(j) = math.sqrt(a)
+      for (i <- j + 1 until d) {
+        var s = m(i, j)
+        for (k <- 0 until j) s -= l(i)(k) * l(j)(k)
+        l(i)(j) = s / l(j)(j)
+      }
+    }
+    val y = new Array[Double](d)
+    for (i <- 0 until d) {
+      var s = b(i)
+      for (k <- 0 until i) s -= l(i)(k) * y(k)
+      y(i) = s / l(i)(i)
+    }
+    val w = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var s = y(i)
+      for (k <- i + 1 until d) s -= l(k)(i) * w(k)
+      w(i) = s / l(i)(i)
+    }
+    w
+  }
+
+  /** Score x = [1, features…] under fitted weights (intercept first):
+    * weights as literals, left-associated sum — one codegen'd
+    * projection, the [[score3]] shape at any width. */
+  def score(w: Seq[Double], features: Seq[Column]): Column =
+    features.zip(w.tail).foldLeft(lit(w.head): Column) {
+      case (acc, (f, wi)) => acc + lit(wi) * f.cast("double")
+    }
 }

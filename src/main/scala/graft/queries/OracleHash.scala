@@ -271,6 +271,62 @@ private[queries] object OracleHash {
        |                        THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM emb CROSS JOIN planes GROUP BY id, t)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Linear-algebra replay fragments: the trained-scorer solves
+  // (Scorer.choleskySolve, the IRLS steps) are fixed-order double
+  // recurrences over sqrt/mul/sub/div — every op correctly rounded
+  // under IEEE 754 on both engines — so the unrolled solve replays
+  // bit-exactly as a chained-CTE expression tree.
+  // ------------------------------------------------------------------
+
+  /** One column per CTE, each referencing its predecessors — the linear
+    * chain shape the solve fragments need (every CTE is consumed exactly
+    * once, so DuckDB's inlining stays linear). Returns (ctes,
+    * finalName). */
+  def chainedCtes(cols: Seq[(String, String)], from: String,
+      prefix: String): (String, String) = {
+    val ctes = cols.zipWithIndex.map { case ((name, expr), idx) =>
+      val src = if (idx == 0) from else s"$prefix${idx - 1}"
+      s"$prefix$idx AS (SELECT *, $expr AS $name FROM $src)"
+    }.mkString(",\n")
+    (ctes, s"$prefix${cols.size - 1}")
+  }
+
+  /** Ascending-k subtraction chain `((init - t0) - t1) - …` — the exact
+    * association of the Scala solve's `var a = init; for k: a -= t(k)`
+    * loops. */
+  private def subChain(init: String, terms: Seq[String]): String =
+    terms.foldLeft(init)((a, t) => s"($a - $t)")
+
+  /** Unrolled Cholesky solve of M w = b, mirroring
+    * [[graft.operators.Scorer.choleskySolve]] index loop for index loop
+    * (change only together): columns `${p}l_i_j`, `${p}y_i`, `${p}w_i`
+    * chained over the 1-row CTE `from`, whose columns `mCol(i, j)`
+    * (i <= j; the solve symmetrizes) and `bCol(i)` hold the staged
+    * moments. Returns (ctes, finalName) — read the weights as
+    * `${p}w_0 … ${p}w_{d-1}` off the final CTE. */
+  def choleskySolveSql(d: Int, from: String, mCol: (Int, Int) => String,
+      bCol: Int => String, p: String): (String, String) = {
+    def m(i: Int, j: Int): String = mCol(math.min(i, j), math.max(i, j))
+    val cols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (j <- 0 until d) {
+      cols += (s"${p}l_${j}_$j" -> s"sqrt(${subChain(m(j, j),
+        (0 until j).map(k => s"${p}l_${j}_$k * ${p}l_${j}_$k"))})")
+      for (i <- j + 1 until d)
+        cols += (s"${p}l_${i}_$j" -> (s"${subChain(m(i, j),
+          (0 until j).map(k => s"${p}l_${i}_$k * ${p}l_${j}_$k"))} " +
+          s"/ ${p}l_${j}_$j"))
+    }
+    for (i <- 0 until d)
+      cols += (s"${p}y_$i" -> s"${subChain(bCol(i),
+        (0 until i).map(k => s"${p}l_${i}_$k * ${p}y_$k"))} / ${p}l_${i}_$i")
+    for (i <- d - 1 to 0 by -1)
+      cols += (s"${p}w_$i" -> (s"${subChain(s"${p}y_$i",
+        (i + 1 until d).map(k => s"${p}l_${k}_$i * ${p}w_$k"))} " +
+        s"/ ${p}l_${i}_$i"))
+    chainedCtes(cols.toSeq, from, p)
+  }
+
   /** Shared CTE chain computing per-doc simhash (unsigned `u` HUGEINT +
     * signed `s` BIGINT) from a base CTE `t(doc_id, toks)` — used by both
     * p09 (pairs) and p12 (per-doc hashes). Produces CTE `sim$tag(id, u, s)`

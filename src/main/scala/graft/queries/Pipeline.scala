@@ -8702,6 +8702,109 @@ object Pipeline {
        |ORDER BY part, k""".stripMargin
   }
 
+  // =========================================================================
+  // p142 — WIDE TRAINED SCORER (VERDICT r15 next #2): the d-feature
+  // generalization of p141's machinery. Nine-dimensional ridge (intercept
+  // + 8 replayable text features: the four heuristic quality sub-scores
+  // plus type-token ratio, digit/whitespace/uppercase ratios) fit by one
+  // decimal-staged moments scan (d(d+3)/2 = 54 exact-decimal cells
+  // through a SinglePartition exchange) and a driver-side CHOLESKY solve
+  // — sqrt/mul/sub/div are all IEEE-correctly-rounded on both engines, so
+  // the unrolled recurrence replays bit-exactly: the oracle's solve CTEs
+  // are GENERATED from the same index loops as Scorer.choleskySolve
+  // (OracleHash.choleskySolveSql — mirrored by construction, not by
+  // hand). Scoring is one codegen'd projection with the 9 weights as
+  // literals; the weights are also emitted as rows, so a drifted solve
+  // fails the hash on 9 rows even if every score rounds alike.
+  // =========================================================================
+  def p142RidgeWide(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scorer
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        least(size(col("toks")) / lit(100.0), lit(1.0)).as("f1"),
+        TF.alphaRatio(col("text")).as("f2"),
+        least(TF.stopwordCount(col("toks"), "en") /
+          greatest(size(col("toks")), lit(1)) * 5.0, lit(1.0)).as("f3"),
+        TF.meanTokenLen(col("toks")).as("f4"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(array_distinct(col("toks"))) /
+            size(col("toks"))).as("f5"),
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(col("text"), "[^0-9]", "")) /
+            length(col("text"))).as("f6"),
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise((length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))) /
+            length(col("text"))).as("f7"),
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(col("text"), "[^A-Z]", "")) /
+            length(col("text"))).as("f8"),
+        TF.qualityScoreFromTokens(col("text"), col("toks")).as("y"))
+      .localCheckpoint(true)
+    val fcols = (1 to 8).map(i => col(s"f$i"))
+    val w = Scorer.ridgeFit(feats, fcols, col("y"), lambda = 1.0)
+    feats.select(lit("doc").as("part"), col("doc_id").as("k"),
+        Scorer.score(w.toSeq, fcols).as("v"))
+      .unionAll(w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) }
+        .toDF("k", "v")
+        .select(lit("w").as("part"), col("k"), col("v")))
+      .orderBy("part", "k")
+  }
+
+  val p142Sql: String = {
+    import OracleHash.{decimalStage => ds, decimalToDouble => dd}
+    val d = 9
+    def mom(x: String) = dd(s"SUM(${ds(x)})")
+    def xPart(i: Int): String = if (i == 0) "1.0" else s"f$i"
+    def cell(i: Int, j: Int): String =
+      if (i == 0 && j == 0) "1.0"
+      else if (i == 0) xPart(j)
+      else s"${xPart(i)} * ${xPart(j)}"
+    val gCols = (for { i <- 0 until d; j <- i until d }
+      yield s"${mom(cell(i, j))} AS g_${i}_$j").mkString(",\n|    ")
+    val bCols = (0 until d)
+      .map(i => s"${mom(if (i == 0) "y" else s"f$i * y")} AS b_$i")
+      .mkString(", ")
+    val (solveCtes, fin) = OracleHash.choleskySolveSql(d, "mom142",
+      (i, j) => if (i == j) s"(g_${i}_$i + CAST(1.0 AS DOUBLE))"
+        else s"g_${i}_$j",
+      i => s"b_$i", "s142_")
+    val scoreExpr = (1 until d).foldLeft("s142_w_0")((acc, i) =>
+      s"($acc + (s142_w_$i * f$i))")
+    val wRows = (0 until d).map(i =>
+      s"UNION ALL SELECT 'w', CAST($i AS BIGINT), s142_w_$i FROM $fin")
+      .mkString("\n|  ")
+    s"""WITH tq AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+       |${sqlQualityCtes("142", "tq", "doc_id")},
+       |x142 AS (SELECT t.doc_id, m.len_score AS f1, m.alpha_ratio AS f2,
+       |    m.stop_score AS f3, m.wl AS f4,
+       |    CASE WHEN len(t.toks) = 0 THEN 0.0
+       |      ELSE len(list_distinct(t.toks)) / len(t.toks) END AS f5,
+       |    CASE WHEN length(t.text) = 0 THEN 0.0
+       |      ELSE length(regexp_replace(t.text, '[^0-9]', '', 'g'))
+       |        / length(t.text) END AS f6,
+       |    CASE WHEN length(t.text) = 0 THEN 0.0
+       |      ELSE (length(t.text) - length(replace(t.text, ' ', '')))
+       |        / length(t.text) END AS f7,
+       |    CASE WHEN length(t.text) = 0 THEN 0.0
+       |      ELSE length(regexp_replace(t.text, '[^A-Z]', '', 'g'))
+       |        / length(t.text) END AS f8,
+       |    q.quality AS y
+       |  FROM tq t JOIN m142 m USING (doc_id) JOIN q142 q USING (doc_id)),
+       |mom142 AS (SELECT
+       |    $gCols,
+       |    $bCols
+       |  FROM x142),
+       |$solveCtes
+       |SELECT part, k, v FROM (
+       |  SELECT 'doc' AS part, doc_id AS k, $scoreExpr AS v
+       |  FROM x142 CROSS JOIN $fin
+       |  $wRows)
+       |ORDER BY part, k""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -8844,7 +8947,8 @@ object Pipeline {
     "p138_tombstone_mediafp" -> (p138TombstoneMediaFp _),
     "p139_takedown_capstone" -> (p139TakedownCapstone _),
     "p140_stream_clusters" -> (p140StreamClusters _),
-    "p141_ridge_quality" -> (p141RidgeQuality _))
+    "p141_ridge_quality" -> (p141RidgeQuality _),
+    "p142_ridge_wide" -> (p142RidgeWide _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -8985,5 +9089,6 @@ object Pipeline {
     "p138_tombstone_mediafp" -> p138Sql,
     "p139_takedown_capstone" -> p139Sql,
     "p140_stream_clusters" -> p140Sql,
-    "p141_ridge_quality" -> p141Sql)
+    "p141_ridge_quality" -> p141Sql,
+    "p142_ridge_wide" -> p142Sql)
 }

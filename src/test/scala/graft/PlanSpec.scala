@@ -865,5 +865,21 @@ class PlanSpec extends SparkSpec {
     // the `*(n)` star prefix is toString's whole-stage-codegen marker
     assert(scorePlan.contains("*(") && scorePlan.contains("Project"),
       s"scoring must stay inside codegen:\n$scorePlan")
+
+    // p142's d-feature generalization keeps both shapes at width 9:
+    // one SinglePartition moments exchange, shuffle-free codegen scoring
+    val wide = (3 to 8).foldLeft(feats)((df, i) =>
+      df.withColumn(s"f$i", col("f1") * lit(i)))
+    val wideCols = (1 to 8).map(i => col(s"f$i"))
+    val wideMom = planString(Scorer.ridgeMoments(wide, wideCols, col("y")))
+    assert(wideMom.contains("partial_cov_moments") &&
+        wideMom.contains("SinglePartition") &&
+        !wideMom.contains("hashpartitioning"),
+      s"d-feature moments must keep the model-sized exchange:\n$wideMom")
+    val wideScore = planString(wide.select(col("doc_id"),
+      Scorer.score(Seq.fill(9)(0.5), wideCols).as("pred")))
+    assert(!wideScore.contains("Exchange") && wideScore.contains("*(") &&
+        wideScore.contains("Project"),
+      s"wide scoring must stay one codegen'd projection:\n$wideScore")
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scorer
+
+/** The trained-scorer solves: the d-feature Cholesky path must agree with
+  * the closed-form 3×3 adjugate (p141's oracle-pinned machinery), solve
+  * hand-checkable systems exactly, and fail loud on non-PD input. The
+  * bit-exact oracle mirror of the unrolled recurrence is gated by p142;
+  * these are the kernel-level contracts. */
+class ScorerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("choleskySolve: identity system returns b; a hand-solvable SPD " +
+      "system solves exactly") {
+    val w1 = Scorer.choleskySolve(3,
+      (i, j) => if (i == j) 1.0 else 0.0, i => Seq(2.0, -3.0, 0.5)(i))
+    assert(w1.toSeq === Seq(2.0, -3.0, 0.5))
+    // M = [[4,2],[2,2]], b = [6,4] → L = [[2,0],[1,1]], y = [3,1],
+    // w = [1,1] — every intermediate is exact in binary
+    val w2 = Scorer.choleskySolve(2,
+      (i, j) => Seq(Seq(4.0, 2.0), Seq(2.0, 2.0))(i)(j),
+      i => Seq(6.0, 4.0)(i))
+    assert(w2.toSeq === Seq(1.0, 1.0))
+  }
+
+  test("choleskySolve refuses a non-positive-definite system loud") {
+    val e = intercept[IllegalArgumentException] {
+      // column 1 pivot: 1 - 1*1 = 0 (perfectly collinear, no ridge)
+      Scorer.choleskySolve(2, (_, _) => 1.0, _ => 1.0)
+    }
+    assert(e.getMessage.contains("non-positive pivot"))
+  }
+
+  test("ridgeFit on 2 features agrees with the adjugate-form ridgeFit3 " +
+      "to solver precision, from the same staged moments") {
+    val df = Seq(
+      (0L, 0.1, 0.9, 0.35), (1L, 0.5, 0.4, 0.47), (2L, 0.9, 0.2, 0.55),
+      (3L, 0.3, 0.3, 0.30), (4L, 0.7, 0.8, 0.80), (5L, 0.2, 0.6, 0.44))
+      .toDF("id", "f1", "f2", "y")
+    val a = Scorer.ridgeFit3(df, col("f1"), col("f2"), col("y"), 0.5)
+    val c = Scorer.ridgeFit(df, Seq(col("f1"), col("f2")), col("y"), 0.5)
+    assert(c.length === 3)
+    Seq(a.w0, a.w1, a.w2).zip(c).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-12 * math.max(1.0, math.abs(x)),
+        s"adjugate $x vs cholesky $y")
+    }
+    // the scoring projections agree on the fitted weights they share
+    val s3 = df.select(Scorer.score3(a, col("f1"), col("f2")).as("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    val sN = df.select(Scorer.score(
+        Seq(a.w0, a.w1, a.w2), Seq(col("f1"), col("f2"))).as("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(s3 === sN, "score() must be score3's expression shape exactly")
+  }
+}

@@ -168,4 +168,110 @@ object Scorer {
     features.zip(w.tail).foldLeft(lit(w.head): Column) {
       case (acc, (f, wi)) => acc + lit(wi) * f.cast("double")
     }
+
+  // ---- deterministic transcendental kernel (the logistic link) -----------
+
+  /** Range-reduction constants, shared with the oracle fragment via
+    * `Double.toString` (round-trip exact both ways). ln 2 is split
+    * Cody–Waite style (the classic fdlibm values): `Ln2Hi` has its low
+    * mantissa bits zero, so k·Ln2Hi is EXACT for |k| ≤ 44 and the
+    * reduction r = (t − k·Ln2Hi) − k·Ln2Lo loses no accuracy at the
+    * clamp edges (a single-constant reduction smears ~12 ulp into
+    * exp(−30) — caught by ScorerSpec's ulp gate). */
+  val Ln2Hi: Double = 6.93147180369123816490e-01
+  val Ln2Lo: Double = 1.90821492927058770002e-10
+  val InvLn2: Double = 1.4426950408889634
+
+  /** Taylor coefficients 1/n! for n = 0..13 — 13! is exact in a double
+    * and each coefficient is one correctly-rounded division, so the
+    * sequence is identical wherever it is recomputed. Degree 13 leaves
+    * the truncation error below one ulp of exp(r) on |r| ≤ ln2/2. */
+  val ExpCoef: Seq[Double] = {
+    var f = 1.0
+    (0 to 13).map { n => if (n > 0) f *= n; 1.0 / f }
+  }
+
+  /** The engine's REPRODUCIBLE exp. Libm `exp` is not correctly rounded
+    * and diverges between engines (the reason the oracle discipline bans
+    * it — see p92's scaladoc on ln); this kernel is pure IEEE-specified
+    * arithmetic, so DuckDB replays it bit-exactly
+    * ([[graft.queries.OracleHash.detExpCols]] generates the mirror from
+    * THE SAME constants — change only together):
+    *
+    *   1. clamp t to [-30, 30] (sigmoid saturates below 1e-13 outside —
+    *      and the clamp bounds the IRLS weight terms (y−p)/√s);
+    *   2. k = floor(t·(1/ln2) + 0.5), r = (t − k·Ln2Hi) − k·Ln2Lo
+    *      (|r| ≤ ln2/2 + ulp, Cody–Waite exact-product reduction);
+    *   3. 2^k EXACTLY via an integer shift (k ∈ [-44, 44], both the
+    *      shifted long and its double conversion are exact; negative k
+    *      divides — powers of two divide exactly);
+    *   4. exp(r) by a fixed-association degree-13 Horner over [[ExpCoef]].
+    *
+    * Every step is floor/mul/add/sub/div/shift — each exactly specified
+    * by IEEE 754 — so the result is a deterministic function of the bits
+    * of t. It is the CONTRACT exp (within 1 ulp of true exp on the
+    * clamped range), not libm's. */
+  def detExp(t: Column): Column = {
+    val tc = greatest(least(t.cast("double"), lit(30.0)), lit(-30.0))
+    val k = floor(tc * lit(InvLn2) + lit(0.5))
+    val r = (tc - k * lit(Ln2Hi)) - k * lit(Ln2Lo)
+    val poly = ExpCoef.init.reverse.foldLeft(lit(ExpCoef.last): Column)(
+      (acc, c) => acc * r + lit(c))
+    // functions.shiftleft takes only a literal shift — the SQL function
+    // accepts a column; both are exact on these magnitudes
+    def shl(bits: Column): Column = call_function("shiftleft", lit(1L), bits)
+    val p2 = when(k >= 0, shl(k.cast("int")).cast("double"))
+      .otherwise(lit(1.0) / shl((-k).cast("int")).cast("double"))
+    p2 * poly
+  }
+
+  /** Logistic link under [[detExp]]: 1 / (1 + exp(−t)). */
+  def sigmoid(t: Column): Column = lit(1.0) / (lit(1.0) + detExp(-t))
+
+  // ---- IRLS logistic regression -------------------------------------------
+
+  /** L2-regularized logistic regression fit by `iters` Newton/IRLS
+    * steps, each ONE decimal-staged weighted-moments scan (VERDICT r15
+    * next #2 — the operator a real curation pipeline runs is a trained
+    * quality CLASSIFIER, not just a ridge):
+    *
+    * Per iteration, with p = [[sigmoid]](w·x) and s = p(1−p), the packed
+    * per-row vector v = [√s·x₀ … √s·x_{d-1}, (y−p)/√s] runs through the
+    * SAME [[graft.functions.CovMomentsAgg]] machinery as the ridge —
+    * v_i·v_j accumulates XᵀSX exactly and v_i·v_d accumulates the
+    * gradient Xᵀ(y−p), all in exact decimal, so the iteration is
+    * bit-deterministic under any partitioning. The driver then solves
+    * (XᵀSX + λI) δ = Xᵀ(y−p) − λw by [[choleskySolve]] and steps
+    * w ← w + δ. A FIXED iteration count (no convergence test — a
+    * data-dependent stop would make the replay's unroll depth dynamic)
+    * is the pcaFit unrolled-chain precedent; 3 Newton steps reach ~1e-6
+    * of the optimum on separable-ish quality labels.
+    *
+    * Every per-row double (the clamped link, √s, the ratios) and every
+    * driver double (the solve, the step) is mirrored expression-for-
+    * expression by the p143 oracle. Weights return intercept-first;
+    * score probabilities with `sigmoid(score(w, features))`. */
+  def logisticFitIrls(df: DataFrame, features: Seq[Column], label: Column,
+      lambda: Double, iters: Int = 3): Array[Double] = {
+    val dim = features.size + 1
+    var w = Array.fill(dim)(0.0)
+    for (_ <- 1 to iters) {
+      val p = sigmoid(score(w.toSeq, features))
+      val s = p * (lit(1.0) - p)
+      val sq = sqrt(s)
+      val packed = array(
+        (sq +: features.map(f => sq * f.cast("double"))) :+
+          ((label.cast("double") - p) / sq): _*)
+      val rows = Decomp.moments(df.select(packed.as("__xv")), "__xv")
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+      def g(i: Int, j: Int): Double =
+        rows((math.min(i, j), math.max(i, j))).doubleValue
+      val delta = choleskySolve(dim,
+        (i, j) => if (i == j) g(i, j) + lambda else g(i, j),
+        i => g(i, dim) - lambda * w(i))
+      w = w.zip(delta).map { case (wi, di) => wi + di }
+    }
+    w
+  }
 }

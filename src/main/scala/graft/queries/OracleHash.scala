@@ -327,6 +327,37 @@ private[queries] object OracleHash {
     chainedCtes(cols.toSeq, from, p)
   }
 
+  /** [[graft.operators.Scorer.detExp]]'s mirror as chained columns over
+    * an input column ref `x` (pass a COLUMN REF — the clamp references it
+    * twice): emits `${p}tc/k/r/pe/ex`, where `${p}ex` is the kernel's
+    * result. Constants and Taylor coefficients are read from the Scala
+    * kernel itself (`Double.toString` round-trip), so the two sides
+    * cannot drift. Spark's `floor` returns LONG while DuckDB's returns
+    * DOUBLE — both are exact integrals in [-44, 44], so every downstream
+    * use (multiply, compare, shift cast) agrees. */
+  def detExpCols(x: String, p: String): Seq[(String, String)] = {
+    import graft.operators.Scorer
+    // force the string-parse path: a bare 17-digit literal is a DuckDB
+    // DECIMAL whose int64-scaled double conversion can land 1 ulp off;
+    // CAST(VARCHAR AS DOUBLE) is correctly rounded (the established
+    // decimal-bridge rule)
+    def dl(d: Double): String =
+      s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+    val horner = Scorer.ExpCoef.init.reverse
+      .foldLeft(dl(Scorer.ExpCoef.last))(
+        (acc, c) => s"($acc * ${p}r + ${dl(c)})")
+    Seq(
+      s"${p}tc" -> s"greatest(least($x, 30.0), -30.0)",
+      s"${p}k" -> s"floor(${p}tc * ${dl(Scorer.InvLn2)} + 0.5)",
+      s"${p}r" -> (s"((${p}tc - ${p}k * ${dl(Scorer.Ln2Hi)}) " +
+        s"- ${p}k * ${dl(Scorer.Ln2Lo)})"),
+      s"${p}pe" -> horner,
+      (s"${p}ex" -> (s"(CASE WHEN ${p}k >= 0 THEN " +
+        s"CAST((1::BIGINT << CAST(${p}k AS INT)) AS DOUBLE) " +
+        s"ELSE 1.0 / CAST((1::BIGINT << CAST(-${p}k AS INT)) AS DOUBLE) " +
+        s"END) * ${p}pe")))
+  }
+
   /** Shared CTE chain computing per-doc simhash (unsigned `u` HUGEINT +
     * signed `s` BIGINT) from a base CTE `t(doc_id, toks)` — used by both
     * p09 (pairs) and p12 (per-doc hashes). Produces CTE `sim$tag(id, u, s)`

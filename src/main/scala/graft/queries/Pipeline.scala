@@ -8805,6 +8805,153 @@ object Pipeline {
        |ORDER BY part, k""".stripMargin
   }
 
+  // =========================================================================
+  // p143 — IRLS LOGISTIC QUALITY CLASSIFIER (VERDICT r15 next #2, second
+  // half): a trained binary classifier (label: full heuristic quality
+  // >= 0.6) fit by 3 Newton/IRLS steps, each ONE decimal-staged
+  // weighted-moments scan over the p142 feature set (Scorer
+  // .logisticFitIrls). The logistic link runs through the engine's
+  // DETERMINISTIC exp kernel (Scorer.detExp — libm exp is not correctly
+  // rounded and diverges between engines, the same reason the oracle
+  // discipline bans ln): clamp, exact power-of-two range reduction, and
+  // a fixed-association degree-13 Horner — every op IEEE-specified, so
+  // DuckDB replays the link bit-exactly (OracleHash.detExpCols, built
+  // from the SAME constants). The oracle unrolls all three iterations —
+  // per-row link chain, 65-cell staged moments, generated Cholesky
+  // solve, weight step — iteration by iteration (the pcaFit unrolled-
+  // chain precedent), then replays the final scoring pass; the 9 weights
+  // are emitted as rows, so any drifted iteration fails the hash.
+  // =========================================================================
+  def p143LogisticQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scorer
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        least(size(col("toks")) / lit(100.0), lit(1.0)).as("f1"),
+        TF.alphaRatio(col("text")).as("f2"),
+        least(TF.stopwordCount(col("toks"), "en") /
+          greatest(size(col("toks")), lit(1)) * 5.0, lit(1.0)).as("f3"),
+        TF.meanTokenLen(col("toks")).as("f4"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(array_distinct(col("toks"))) /
+            size(col("toks"))).as("f5"),
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(col("text"), "[^0-9]", "")) /
+            length(col("text"))).as("f6"),
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise((length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))) /
+            length(col("text"))).as("f7"),
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(col("text"), "[^A-Z]", "")) /
+            length(col("text"))).as("f8"),
+        when(TF.qualityScoreFromTokens(col("text"), col("toks")) >= 0.6,
+          lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .localCheckpoint(true)
+    val fcols = (1 to 8).map(i => col(s"f$i"))
+    val w = Scorer.logisticFitIrls(feats, fcols, col("y"), lambda = 1.0,
+      iters = 3)
+    feats.select(lit("doc").as("part"), col("doc_id").as("k"),
+        Scorer.sigmoid(Scorer.score(w.toSeq, fcols)).as("v"))
+      .unionAll(w.toSeq.zipWithIndex.map { case (wi, i) => (i.toLong, wi) }
+        .toDF("k", "v")
+        .select(lit("w").as("part"), col("k"), col("v")))
+      .orderBy("part", "k")
+  }
+
+  val p143Sql: String = {
+    import OracleHash.{decimalStage => ds, decimalToDouble => dd}
+    val D = 9
+    def mom(x: String) = dd(s"SUM(${ds(x)})")
+    def scoreExpr(w: Int => String): String =
+      (1 until D).foldLeft(w(0))((acc, j) => s"($acc + (${w(j)} * f$j))")
+    // one IRLS iteration: per-row link chain → staged weighted moments →
+    // generated Cholesky solve → weight step, all over the previous
+    // iteration's 1-row weight CTE (literal zeros for iteration 1)
+    def iter(i: Int): String = {
+      val q = s"i${i}_"
+      val prevW: Int => String =
+        if (i == 1) _ => "0.0" else a => s"i${i - 1}w_$a"
+      val base =
+        if (i == 1) s"${q}b AS (SELECT * FROM x143)"
+        else s"${q}b AS (SELECT x.*, w.* FROM x143 x " +
+          s"CROSS JOIN i${i - 1}w w)"
+      val rowCols = Seq(
+        s"${q}t" -> scoreExpr(prevW),
+        s"${q}nt" -> s"(-${q}t)") ++
+        OracleHash.detExpCols(s"${q}nt", s"${q}e") ++ Seq(
+        s"${q}p" -> s"1.0 / (1.0 + ${q}eex)",
+        s"${q}s" -> s"(${q}p * (1.0 - ${q}p))",
+        s"${q}sq" -> s"sqrt(${q}s)")
+      val (rowCtes, rowFin) = OracleHash.chainedCtes(rowCols, s"${q}b",
+        s"${q}c")
+      def v(a: Int): String =
+        if (a == 0) s"${q}sq"
+        else if (a < D) s"(${q}sq * f$a)"
+        else s"((y - ${q}p) / ${q}sq)"
+      val gCols = (for { a <- 0 until D; b <- a until D }
+        yield s"${mom(s"${v(a)} * ${v(b)}")} AS ${q}g_${a}_$b")
+        .mkString(",\n    ")
+      val rCols = (0 until D)
+        .map(a => s"${mom(s"${v(a)} * ${v(D)}")} AS ${q}r_$a")
+        .mkString(",\n    ")
+      val momCte = s"${q}mom AS (SELECT\n    $gCols,\n    $rCols\n" +
+        s"  FROM $rowFin)"
+      val momw =
+        if (i == 1) s"${q}momw AS (SELECT * FROM ${q}mom)"
+        else s"${q}momw AS (SELECT m.*, w.* FROM ${q}mom m " +
+          s"CROSS JOIN i${i - 1}w w)"
+      val (solveCtes, solveFin) = OracleHash.choleskySolveSql(D,
+        s"${q}momw",
+        (a, b) => if (a == b) s"(${q}g_${a}_$a + 1.0)" else s"${q}g_${a}_$b",
+        a => s"(${q}r_$a - (1.0 * ${prevW(a)}))", s"${q}s_")
+      val (stepCtes, stepFin) = OracleHash.chainedCtes(
+        (0 until D).map(a => s"${q}nw_$a" -> s"(${prevW(a)} + ${q}s_w_$a)"),
+        solveFin, s"${q}u")
+      val wCte = s"i${i}w AS MATERIALIZED (SELECT " +
+        (0 until D).map(a => s"${q}nw_$a AS i${i}w_$a").mkString(", ") +
+        s" FROM $stepFin)"
+      Seq(base, rowCtes, momCte, momw, solveCtes, stepCtes, wCte)
+        .mkString(",\n")
+    }
+    val fw: Int => String = a => s"i3w_$a"
+    val (finCtes, finFin) = OracleHash.chainedCtes(Seq(
+      "fs_t" -> scoreExpr(fw),
+      "fs_nt" -> "(-fs_t)") ++
+      OracleHash.detExpCols("fs_nt", "fs_e") ++ Seq(
+      "fs_p" -> "1.0 / (1.0 + fs_eex)"), "fsb", "fs_c")
+    val wRows = (0 until D).map(a =>
+      s"UNION ALL SELECT 'w', CAST($a AS BIGINT), i3w_$a FROM i3w")
+      .mkString("\n  ")
+    s"""WITH tq AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+       |${sqlQualityCtes("143", "tq", "doc_id")},
+       |x143 AS (SELECT t.doc_id, m.len_score AS f1, m.alpha_ratio AS f2,
+       |    m.stop_score AS f3, m.wl AS f4,
+       |    CASE WHEN len(t.toks) = 0 THEN 0.0
+       |      ELSE len(list_distinct(t.toks)) / len(t.toks) END AS f5,
+       |    CASE WHEN length(t.text) = 0 THEN 0.0
+       |      ELSE length(regexp_replace(t.text, '[^0-9]', '', 'g'))
+       |        / length(t.text) END AS f6,
+       |    CASE WHEN length(t.text) = 0 THEN 0.0
+       |      ELSE (length(t.text) - length(replace(t.text, ' ', '')))
+       |        / length(t.text) END AS f7,
+       |    CASE WHEN length(t.text) = 0 THEN 0.0
+       |      ELSE length(regexp_replace(t.text, '[^A-Z]', '', 'g'))
+       |        / length(t.text) END AS f8,
+       |    CASE WHEN q.quality >= 0.6 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM tq t JOIN m143 m USING (doc_id) JOIN q143 q USING (doc_id)),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |fsb AS (SELECT x.*, w.* FROM x143 x CROSS JOIN i3w w),
+       |$finCtes
+       |SELECT part, k, v FROM (
+       |  SELECT 'doc' AS part, doc_id AS k, fs_p AS v FROM $finFin
+       |  $wRows)
+       |ORDER BY part, k""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -8948,7 +9095,8 @@ object Pipeline {
     "p139_takedown_capstone" -> (p139TakedownCapstone _),
     "p140_stream_clusters" -> (p140StreamClusters _),
     "p141_ridge_quality" -> (p141RidgeQuality _),
-    "p142_ridge_wide" -> (p142RidgeWide _))
+    "p142_ridge_wide" -> (p142RidgeWide _),
+    "p143_logistic_quality" -> (p143LogisticQuality _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -9090,5 +9238,6 @@ object Pipeline {
     "p139_takedown_capstone" -> p139Sql,
     "p140_stream_clusters" -> p140Sql,
     "p141_ridge_quality" -> p141Sql,
-    "p142_ridge_wide" -> p142Sql)
+    "p142_ridge_wide" -> p142Sql,
+    "p143_logistic_quality" -> p143Sql)
 }

@@ -54,4 +54,43 @@ class ScorerSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq
     assert(s3 === sN, "score() must be score3's expression shape exactly")
   }
+
+  test("detExp: within 4 ulp of libm exp across the clamp range, exact " +
+      "at 0, saturating outside [-30, 30]") {
+    val ts = (-300 to 300).map(_ / 10.0) ++ Seq(-30.0, 30.0, -35.0, 40.0,
+      0.0, 1e-12, -1e-12)
+    val got = ts.toDF("t").select(col("t"), Scorer.detExp(col("t")).as("e"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    got.foreach { case (t, e) =>
+      val want = math.exp(math.max(-30.0, math.min(30.0, t)))
+      val tol = 4 * math.ulp(want)
+      assert(math.abs(e - want) <= tol, s"detExp($t) = $e vs libm $want")
+    }
+    val z = Seq(0.0).toDF("t").select(Scorer.detExp(col("t"))).head
+      .getDouble(0)
+    assert(z === 1.0, "detExp(0) must be exactly 1")
+    val s0 = Seq(0.0).toDF("t").select(Scorer.sigmoid(col("t"))).head
+      .getDouble(0)
+    assert(s0 === 0.5, "sigmoid(0) must be exactly 0.5")
+  }
+
+  test("logisticFitIrls separates a noisy threshold label and orders " +
+      "probabilities by the signal feature") {
+    // y = 1 iff f > 0.5, with a weak second feature as noise
+    val df = (0 until 400).map { i =>
+      val f = (i % 100) / 100.0
+      (i.toLong, f, ((i * 7) % 13) / 13.0, if (f > 0.5) 1.0 else 0.0)
+    }.toDF("id", "f", "g", "y")
+    val w = Scorer.logisticFitIrls(df, Seq(col("f"), col("g")), col("y"),
+      lambda = 0.1, iters = 3)
+    assert(w(1) > 2.0, s"signal weight must dominate: ${w.toSeq}")
+    val probs = df.select(col("f"),
+        Scorer.sigmoid(Scorer.score(w.toSeq, Seq(col("f"), col("g"))))
+          .as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val lo = probs.filter(_._1 <= 0.2).map(_._2).max
+    val hi = probs.filter(_._1 >= 0.8).map(_._2).min
+    assert(lo < 0.5 && hi > 0.5 && hi > lo,
+      s"probabilities must separate the classes: lo=$lo hi=$hi")
+  }
 }

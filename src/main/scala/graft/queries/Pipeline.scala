@@ -8952,6 +8952,87 @@ object Pipeline {
        |ORDER BY part, k""".stripMargin
   }
 
+  // =========================================================================
+  // p144 — ID-REVIVAL through the streaming perceptual image index
+  // (VERDICT r15 next #4): p137's takedown fixture with the lifecycle's
+  // third verb. Standing originals (image ids < 30) are retracted before
+  // batch 1's probe, then the ids < 15 SUBSET is revived (claim
+  // withdrawn — Versions.revive, newest-verb-wins marker resolution)
+  // before batch 2's probe: batch-2 plant variants of revived originals
+  // find their Hamming-0 standing rows again, while variants of the
+  // still-dead [15, 30) originals find nothing — both arms non-vacuous
+  // by the plant parity split (odd originals 3, 9 revive and pair at
+  // batch 2; odd 15, 21, 27 stay dead). The oracle replays the aHash
+  // kernel over ALL content with a batch-dependent cut: dead set {<30}
+  // at probe batch 1, {[15,30)} at probe batch 2 — exactly the masked
+  // read's resolution of the d1/r2 marker pair. Variant rows are
+  // discriminated by their kind-stripe residue (id % 3 = 1), never by
+  // magnitude (the zipf1 id-collision lesson).
+  // =========================================================================
+  def p144ReviveAHash(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.multimodal.Multimodal
+    import graft.streaming.AHashStream
+    val images = Multimodal.fromDocuments(spark, Tables.documents(spark, dir),
+      onlyKind = Some("image"))
+    val standing = images.filter(_.media_id < 250).toDF()
+      .select(col("media_id"), col("payload"))
+    val plants = Multimodal.plantImageVariants(images.filter(_.media_id < 30))
+    val incoming = images.filter(_.media_id >= 250).toDF()
+      .select(col("media_id"), col("payload"))
+      .withColumn("batch", pmod(expr("media_id div 3"), lit(3)))
+      .unionAll(plants.toDF().select(col("media_id"), col("payload"))
+        .withColumn("batch", pmod(col("media_id"), lit(2)) * 2))
+    val root = Files.createTempDirectory("p144_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val outRoot = s"$root/out"
+    AHashStream.writeStanding(spark, idxRoot, standing)
+    writeDailyFilesBy(incoming, "batch", in, 3)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L)
+          graft.streaming.Versions.tombstoneFrom(spark, idxRoot,
+            standing.filter(col("media_id") < 30).select("media_id"), id)
+        if (id == 2L)
+          graft.streaming.Versions.revive(spark, idxRoot,
+            standing.filter(col("media_id") < 15).select("media_id"), id)
+        AHashStream.appendBatch(spark, idxRoot, outRoot,
+          "media_id", "payload")(b, id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("hamming"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p144Sql: String =
+    s"""WITH $sqlImageVariantsCte,
+       |$sqlAHashCtes,
+       |asg AS (SELECT id, ahash,
+       |    CASE WHEN id % 3 = 1 THEN CAST((id % 2) * 2 AS INT)
+       |         WHEN id < 250 THEN -1
+       |         ELSE CAST((id // 3) % 3 AS INT) END AS b
+       |  FROM ah)
+       |SELECT a.id AS id_a, b2.id AS id_b,
+       |  CAST(bit_count(xor(a.ahash, b2.ahash)) AS INT) AS hamming,
+       |  CAST(greatest(a.b, b2.b) AS BIGINT) AS batch
+       |FROM asg a JOIN asg b2 ON a.id < b2.id
+       |WHERE bit_count(xor(a.ahash, b2.ahash)) <= 6
+       |  AND greatest(a.b, b2.b) >= 0
+       |  AND NOT (greatest(a.b, b2.b) = 1 AND
+       |    ((a.b = -1 AND a.id < 30) OR (b2.b = -1 AND b2.id < 30)))
+       |  AND NOT (greatest(a.b, b2.b) = 2 AND
+       |    ((a.b = -1 AND a.id >= 15 AND a.id < 30) OR
+       |     (b2.b = -1 AND b2.id >= 15 AND b2.id < 30)))
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -9096,7 +9177,8 @@ object Pipeline {
     "p140_stream_clusters" -> (p140StreamClusters _),
     "p141_ridge_quality" -> (p141RidgeQuality _),
     "p142_ridge_wide" -> (p142RidgeWide _),
-    "p143_logistic_quality" -> (p143LogisticQuality _))
+    "p143_logistic_quality" -> (p143LogisticQuality _),
+    "p144_revive_ahash" -> (p144ReviveAHash _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -9239,5 +9321,6 @@ object Pipeline {
     "p140_stream_clusters" -> p140Sql,
     "p141_ridge_quality" -> p141Sql,
     "p142_ridge_wide" -> p142Sql,
-    "p143_logistic_quality" -> p143Sql)
+    "p143_logistic_quality" -> p143Sql,
+    "p144_revive_ahash" -> p144Sql)
 }

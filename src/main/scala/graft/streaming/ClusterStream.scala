@@ -124,6 +124,10 @@ object ClusterStream {
     val ar = assignRoot(root)
     val versions = Versions.list(spark, ar).filter(_._1 <= upTo)
     require(versions.exists(_._1 == 0L), s"no assignment base at $ar/v0")
+    require(Versions.listRevives(spark, ar).isEmpty,
+      s"revive markers found under $ar — [[retract]] pairs its markers " +
+        "with component-local relabel/re-election repair that a generic " +
+        "revive does not invert; re-ingest under fresh ids instead")
     val base = spark.read.parquet(
       versions.filter(_._1 == 0L).map(_._2.toString): _*)
     val deltaDirs = versions.filter(_._1 > 0L).map(_._2.toString)

@@ -193,6 +193,11 @@ object RetrievalStream {
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, postRoot(root)).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no posting versions at ${postRoot(root)}")
+    require(Versions.listRevives(spark, postRoot(root)).isEmpty,
+      s"revive markers found under ${postRoot(root)} — this store pairs " +
+        "every tombstone with an in-band stats correction, so a generic " +
+        "revive would resurrect postings while the stats stay corrected; " +
+        "rebuild via writeStanding or re-ingest under a fresh id")
     Versions.maskTombstones(spark, postRoot(root),
       spark.read.parquet(versions.map(_._2.toString): _*), "doc_id", upTo)
   }

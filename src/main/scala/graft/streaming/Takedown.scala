@@ -86,6 +86,56 @@ object Takedown {
   private def journalDir(journalRoot: String, batchId: Long): String =
     s"$journalRoot/t$batchId"
 
+  /** Drop COMMITTED takedown journals with batch id <= `retainUpTo`
+    * (VERDICT r15 next #3): journals are the recovery log, and a
+    * committed batch needs no recovery — but [[incomplete]] and every
+    * recovery path list the whole journal root, so an unbounded journal
+    * history is a listStatus tax that grows with deployment lifetime.
+    * Uncommitted journals are NEVER vacuumed (they are pending recovery,
+    * whatever their age — a vacuum that raced a crash must not erase the
+    * intent log the re-run needs). `retainUpTo` must be below any batch
+    * id a redelivery can replay (the [[Versions.compact]] safety-bound
+    * discipline): re-running a vacuumed batch would re-resolve its sweep
+    * from scratch instead of from the journal. */
+  def vacuumJournal(spark: SparkSession, journalRoot: String,
+      retainUpTo: Long): Unit = {
+    val p = new Path(journalRoot)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("t\\d+"))
+      .filter(_.getPath.getName.drop(1).toLong <= retainUpTo)
+      .filter(s => fs.exists(new Path(s.getPath, "_committed")))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** The end-to-end refusal on the NAIVE revival path (VERDICT r15 next
+    * #4): after a takedown, re-ingesting content under the SAME id would
+    * silently diverge — the corpus snapshot shows the doc again while
+    * every derived store's marker keeps masking it forever (the
+    * ids-never-re-arrive contract). Call this on an ingest batch's keys
+    * before the corpus upsert: it fails loud if any key is still DEAD in
+    * any derived store's marker state. The two legitimate paths it
+    * points at: [[Versions.revive]] (the content is the retained rows,
+    * returning) or a fresh ingest id (the content is new under an old
+    * external key — thread the key mapping app-side). Cost: one
+    * takedown-sized broadcast anti-join per store root. */
+  def guardReingest(spark: SparkSession, markerRoots: Seq[String],
+      ids: DataFrame, upTo: Long = Long.MaxValue): Unit = {
+    val keys = ids.toDF("id").select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct().localCheckpoint(true)
+    markerRoots.foreach { root =>
+      Versions.deadSet(spark, root, upTo).foreach { dead =>
+        val hit = keys.join(dead, Seq("id"), "left_semi")
+          .limit(5).collect().map(_.getLong(0))
+        require(hit.isEmpty,
+          s"re-ingest refused: ids ${hit.mkString(", ")} are taken down " +
+            s"at $root — revive them (Versions.revive) if the retained " +
+            "content is returning, or ingest under a fresh id if the " +
+            "content is new")
+      }
+    }
+  }
+
   /** Journaled-but-uncommitted takedown batch ids under `journalRoot` —
     * each needs [[takedownAll]] re-run with the same arguments to finish
     * its fan-out (any sweep may be passed; it is ignored in favor of the

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit, max}
 
 /** Listing and maintenance for `root/v<N>` versioned-parquet layouts — the
   * shared convention of the streaming maintenance loops
@@ -155,21 +155,104 @@ object Versions {
   def listTombstones(spark: SparkSession, root: String): Seq[(Long, Path)] =
     listPrefixed(spark, root, 'd')
 
+  /** Revive markers under `root` (`r<batchId>` dirs), sorted by batch. */
+  def listRevives(spark: SparkSession, root: String): Seq[(Long, Path)] =
+    listPrefixed(spark, root, 'r')
+
+  /** Un-delete (VERDICT r15 next #4 — the id-revival lifecycle): write a
+    * revive marker `root/r<batchId>` superseding earlier tombstones of
+    * `ids`, so the ids' ORIGINAL rows come back into every read (per id,
+    * the newest verb wins: a later `d` marker re-retracts a revived id).
+    * The production shape: content taken down on a claim that is then
+    * withdrawn — the data never left the store, only the mask did.
+    *
+    * Contract, on top of [[tombstone]]'s (batch-id naming, deterministic
+    * redelivery overwrite, takedown-sized relations):
+    *
+    *   - Revive restores the RETAINED rows; it is NOT re-ingest. New
+    *     content under the same external key must arrive under a fresh
+    *     ingest id (the rows-unique-across-deltas discipline) — the
+    *     naive path is refused end-to-end by [[Takedown.guardReingest]].
+    *   - Every revived id must be DEAD as of the markers strictly before
+    *     `batchId` (checked here; redelivery-stable because the check
+    *     ignores this batch's own markers). Reviving a live id would
+    *     plant a no-op marker that every read pays for forever.
+    *   - Physical deletion is final: [[compact]] refuses to consume a
+    *     tombstone whose revive is newer than the compaction bound
+    *     (the revive would become a permanent no-op), and a tombstone
+    *     already consumed by compaction cannot be revived (its rows are
+    *     gone — the check above fails loud because the id is no longer
+    *     masked).
+    *   - Mask-only stores (containment, aHash, media-fp, IVF, PQ,
+    *     near-dup band/docs) support this verb as-is. Stores whose
+    *     takedown has PAIRED side effects refuse it on read:
+    *     [[RetrievalStream]] (in-band stats corrections) and
+    *     [[ClusterStream]] (component repair) — route those through
+    *     their own lifecycles. */
+  def revive(spark: SparkSession, root: String, ids: DataFrame,
+      batchId: Long): Unit = {
+    require(ids.schema.fields.length == 1,
+      s"revive takes a single id column, got ${ids.schema.fieldNames
+        .mkString(", ")}")
+    val rel = ids.toDF("id").select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull)
+      .distinct().localCheckpoint(true)
+    require(rel.limit(1).count() > 0, "revive of an empty id set")
+    val dead = deadSet(spark, root, upTo = batchId - 1)
+    require(dead.isDefined,
+      s"revive refused: no tombstones at $root — nothing to revive")
+    val notDead = rel.join(dead.get, Seq("id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(notDead.isEmpty,
+      s"revive refused: ids ${notDead.mkString(", ")} are not taken down " +
+        s"at $root as of batch ${batchId - 1} (already live, never " +
+        "retracted, or physically compacted away)")
+    rel.coalesce(1).write.mode("overwrite").parquet(s"$root/r$batchId")
+  }
+
+  /** The ids dead at `upTo` — tombstoned and not since revived (per id,
+    * newest verb ≤ upTo wins; a same-batch d/r pair is out of contract).
+    * None when no tombstone marker is visible. The no-revive fast path
+    * returns the plain single-read distinct union, so stores that never
+    * revive keep their exact pre-revive read plans. */
+  def deadSet(spark: SparkSession, root: String,
+      upTo: Long = Long.MaxValue): Option[DataFrame] = {
+    val ds = listTombstones(spark, root).filter(_._1 <= upTo)
+    if (ds.isEmpty) None
+    else {
+      val rs = listRevives(spark, root).filter(_._1 <= upTo)
+      if (rs.isEmpty)
+        Some(spark.read.parquet(ds.map(_._2.toString): _*)
+          .select(col("id")).distinct())
+      else {
+        def newest(dirs: Seq[(Long, Path)]): DataFrame = dirs
+          .map { case (b, p) => spark.read.parquet(p.toString)
+            .select(col("id"), lit(b).as("__b")) }
+          .reduce(_ unionByName _)
+          .groupBy(col("id"))
+          .agg(max(col("__b")).as("__b"))
+        val d = newest(ds)
+        val r = newest(rs).withColumnRenamed("__b", "__rb")
+        Some(d.join(r, Seq("id"), "left")
+          .filter(col("__rb").isNull || col("__b") > col("__rb"))
+          .select(col("id")))
+      }
+    }
+  }
+
   /** Mask tombstoned ids (markers `<= upTo`) out of a store read: a
     * broadcast anti-join on `idCol` — the standing relation still never
     * crosses an exchange (markers are takedown-sized by contract). The
     * no-marker case returns `df` untouched, so stores that never retract
     * keep their exact pre-tombstone plans. */
   def maskTombstones(spark: SparkSession, root: String, df: DataFrame,
-      idCol: String, upTo: Long = Long.MaxValue): DataFrame = {
-    val markers = listTombstones(spark, root).filter(_._1 <= upTo)
-    if (markers.isEmpty) df
-    else {
-      val ids = spark.read.parquet(markers.map(_._2.toString): _*)
-        .select(col("id").as(idCol)).distinct()
-      df.join(broadcast(ids), Seq(idCol), "left_anti")
+      idCol: String, upTo: Long = Long.MaxValue): DataFrame =
+    deadSet(spark, root, upTo) match {
+      case None => df
+      case Some(dead) =>
+        df.join(broadcast(dead.withColumnRenamed("id", idCol)),
+          Seq(idCol), "left_anti")
     }
-  }
 
   /** Merge deltas `v0..v<upTo>` into one new base snapshot named `v0`,
     * leaving newer deltas untouched — the maintenance operation that keeps
@@ -277,6 +360,23 @@ object Versions {
     val merged = versions.filter(_._1 <= upTo)
     require(merged.size >= 2 || (allowSingle && merged.nonEmpty),
       s"nothing to compact at $root: ${merged.size} version(s) <= v$upTo")
+    if (tombstoneIdCol.isDefined) {
+      // physical deletion is final: a revive marker newer than the bound
+      // whose tombstone this fold would consume becomes a permanent
+      // no-op (its rows are about to be dropped) — refuse loud
+      val pending = listRevives(spark, root).filter(_._1 > upTo)
+      if (pending.nonEmpty) deadSet(spark, root, upTo).foreach { dead =>
+        val orphaned = spark.read
+          .parquet(pending.map(_._2.toString): _*).select(col("id"))
+          .join(dead, Seq("id"), "left_semi")
+          .limit(5).collect().map(_.getLong(0))
+        require(orphaned.isEmpty,
+          s"compact($root, upTo=$upTo) refused: ids " +
+            s"${orphaned.mkString(", ")} have a revive marker newer than " +
+            "the bound but would be physically dropped here — raise upTo " +
+            "past the revive or withdraw it")
+      }
+    }
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(rootPath, ".compact_tmp")
@@ -298,7 +398,8 @@ object Versions {
       s"compaction swap failed: could not rename $tmp to $root/v0 — " +
         "recover the merge from the tmp dir before restarting the stream")
     if (tombstoneIdCol.isDefined)
-      listTombstones(spark, root).filter(_._1 <= upTo)
+      (listTombstones(spark, root) ++ listRevives(spark, root))
+        .filter(_._1 <= upTo)
         .foreach { case (_, p) => fs.delete(p, true) }
   }
 }

@@ -518,6 +518,147 @@ class TombstoneSpec extends SparkSpec {
     assert(Takedown.incomplete(spark, jE).isEmpty)
   }
 
+  test("revive lifecycle: restores masked reads, newest verb wins, " +
+      "redelivery idempotent, compaction consumes the pair and keeps " +
+      "revived rows physically") {
+    import spark.implicits._
+    val root = freshContainmentStore()
+    val all = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    def ids(): Set[Long] = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+
+    ContainmentStream.tombstone(spark, root, Seq(0L, 5L, 35L), 1L)
+    Versions.revive(spark, root, Seq(5L).toDF("id"), 2L)
+    assert(ids() === all -- Set(0L, 35L),
+      "a revived id's retained rows must come back; others stay dead")
+    // redelivered revive (same batch id) overwrites deterministically
+    Versions.revive(spark, root, Seq(5L).toDF("id"), 2L)
+    assert(ids() === all -- Set(0L, 35L))
+    // newest verb wins: re-tombstone after the revive
+    Versions.tombstone(spark, root, Seq(5L), 3L)
+    assert(ids() === all -- Set(0L, 5L, 35L))
+    // and revive again — the d3 < r4 pair resolves live
+    Versions.revive(spark, root, Seq(5L).toDF("id"), 4L)
+    assert(ids() === all -- Set(0L, 35L))
+
+    // compaction consumes both marker kinds and keeps the revived rows:
+    // reads identical before and after, marker dirs gone
+    val before = ContainmentStream.readIndex(spark, root)
+      .collect().map(_.toString).sorted
+    ContainmentStream.compactStore(spark, root, upTo = 4L)
+    val after = ContainmentStream.readIndex(spark, root)
+      .collect().map(_.toString).sorted
+    assert(after === before)
+    assert(Versions.listTombstones(spark, root).isEmpty &&
+      Versions.listRevives(spark, root).isEmpty)
+    // physically final: the compacted-away id can no longer be revived
+    // (all markers were consumed here, so the store has nothing to
+    // revive at all; with other markers live the per-id check fires)
+    val eFinal = intercept[IllegalArgumentException] {
+      Versions.revive(spark, root, Seq(0L).toDF("id"), 5L)
+    }
+    assert(eFinal.getMessage.contains("nothing to revive") ||
+      eFinal.getMessage.contains("not taken down"))
+  }
+
+  test("revive guards: non-dead ids, empty sets, and pending-revive " +
+      "compaction are refused; paired-side-effect stores refuse the verb " +
+      "on read") {
+    import spark.implicits._
+    val root = freshContainmentStore()
+    // no tombstones at all
+    val e0 = intercept[IllegalArgumentException] {
+      Versions.revive(spark, root, Seq(1L).toDF("id"), 1L)
+    }
+    assert(e0.getMessage.contains("nothing to revive"))
+    ContainmentStream.tombstone(spark, root, Seq(2L, 3L), 1L)
+    // a live id inside the set
+    val e1 = intercept[IllegalArgumentException] {
+      Versions.revive(spark, root, Seq(2L, 7L).toDF("id"), 2L)
+    }
+    assert(e1.getMessage.contains("not taken down"))
+    val e2 = intercept[IllegalArgumentException] {
+      Versions.revive(spark, root,
+        Seq[Option[Long]](None).toDF("id"), 2L)
+    }
+    assert(e2.getMessage.contains("empty id set"))
+    // compacting past a tombstone whose revive is NEWER than the bound
+    // would make the revive a permanent no-op — refused loud
+    Versions.revive(spark, root, Seq(2L).toDF("id"), 3L)
+    val e3 = intercept[IllegalArgumentException] {
+      ContainmentStream.compactStore(spark, root, upTo = 2L)
+    }
+    assert(e3.getMessage.contains("revive marker newer than the bound"),
+      e3.getMessage)
+    // raising the bound past the revive compacts fine
+    ContainmentStream.compactStore(spark, root, upTo = 3L)
+
+    // BM25: generic revive on the posting root refuses on read (the
+    // store's tombstone pairs with an in-band stats correction)
+    val bmRoot = java.nio.file.Files.createTempDirectory("tomb_rv_bm_")
+      .toString
+    RetrievalStream.writeStanding(spark, bmRoot,
+      docs.filter(col("doc_id") < 40))
+    RetrievalStream.tombstone(spark, bmRoot, Seq(1L), 1L)
+    Versions.revive(spark, s"$bmRoot/post", Seq(1L).toDF("id"), 2L)
+    val e4 = intercept[IllegalArgumentException] {
+      RetrievalStream.bm25TopK(spark, bmRoot, Seq("data"), 5).collect()
+    }
+    assert(e4.getMessage.contains("revive"), e4.getMessage)
+  }
+
+  test("guardReingest refuses the naive revival path end-to-end and " +
+      "passes once the ids are revived; vacuumJournal drops only " +
+      "committed journals") {
+    import spark.implicits._
+    import graft.streaming.Takedown
+    import graft.streaming.Takedown.Target
+    val ct = freshContainmentStore()
+    val journal = java.nio.file.Files.createTempDirectory("tomb_gj_")
+      .toString
+    Takedown.takedownAll(spark, journal, Seq(3L, 4L).toDF("id"), 1L,
+      Seq(Target("ct", ct)))
+    // the naive path: re-ingesting the taken-down id under the SAME id
+    val e = intercept[IllegalArgumentException] {
+      Takedown.guardReingest(spark, Seq(ct),
+        docs.filter(col("doc_id").isin(3L, 50L)).select("doc_id"))
+    }
+    assert(e.getMessage.contains("re-ingest refused") &&
+      e.getMessage.contains("revive"), e.getMessage)
+    // fresh ids pass; revived ids pass
+    Takedown.guardReingest(spark, Seq(ct),
+      docs.filter(col("doc_id") === 50L).select("doc_id"))
+    Versions.revive(spark, ct, Seq(3L, 4L).toDF("id"), 2L)
+    Takedown.guardReingest(spark, Seq(ct),
+      docs.filter(col("doc_id").isin(3L, 4L)).select("doc_id"))
+
+    // vacuum: committed journals <= retainUpTo drop; uncommitted stay
+    // (pending recovery), and their recovery still works afterwards
+    val fs = new org.apache.hadoop.fs.Path(journal)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Takedown.takedownAll(spark, journal, Seq(6L).toDF("id"), 3L,
+      Seq(Target("ct", ct)))
+    // stage an UNCOMMITTED journal (ids written, no flag) for batch 5
+    Seq(7L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(s"$journal/t5/ids")
+    assert(Takedown.incomplete(spark, journal) === Seq(5L))
+    Takedown.vacuumJournal(spark, journal, retainUpTo = 5L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$journal/t1")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$journal/t3")),
+      "committed journals inside the retention bound must drop")
+    assert(Takedown.incomplete(spark, journal) === Seq(5L),
+      "uncommitted journals must survive any vacuum")
+    // the pending batch's recovery resumes from its surviving journal
+    Takedown.takedownAll(spark, journal,
+      docs.filter(col("doc_id") < 0).select("doc_id").limit(0), 5L,
+      Seq(Target("ct", ct)))
+    assert(Takedown.incomplete(spark, journal).isEmpty)
+    val live = ContainmentStream.readIndex(spark, ct)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!live.contains(7L) && !live.contains(6L) && live.contains(3L))
+  }
+
   test("BM25 compactStore is idempotent across partial completion: a crash " +
       "after any step leaves reads exact and the re-run converges " +
       "(ADVICE r15 #1)") {

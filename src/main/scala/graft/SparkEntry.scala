@@ -49,5 +49,6 @@ object SparkEntry {
     "p135_tombstone_ivf", "p136_tombstone_sweep",
     "p137_tombstone_ahash", "p138_tombstone_mediafp",
     "p139_takedown_capstone", "p140_stream_clusters",
+    "p144_revive_ahash", "p145_production_loop",
     "q47_paged_source")
 }

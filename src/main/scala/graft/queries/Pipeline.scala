@@ -9033,6 +9033,207 @@ object Pipeline {
        |     (b2.b = -1 AND b2.id >= 15 AND b2.id < 30)))
        |ORDER BY id_a, id_b""".stripMargin
 
+  // =========================================================================
+  // p145 — THE PRODUCTION DEDUP LOOP IN ONE STREAM (VERDICT r15 next #5):
+  // p114 flags per-batch verdicts and p140 maintains cluster identity;
+  // this runs the full loop END TO END in one foreachBatch — ingest →
+  // NearDupStream.filterBatch's REAL banded minhash pair deltas →
+  // ClusterStream.foldBatch → a duplicate-of-canonical verdict per batch
+  // doc (keep iff the doc IS its cluster's elected canonical at fold
+  // time) → a journaled cross-store takedown (Takedown.takedownAll
+  // fanning ONE sweep to the band index, the docs store, and
+  // ClusterStream.retract's component-local repair — the Target verb
+  // form) → post-takedown folds whose verdicts see the re-elected
+  // canonicals. A planted run of ten identical docs spread over all
+  // three content batches guarantees structure at every scale: its
+  // batch-0 canonical (40000000) is taken down at batch 2, so batch-3
+  // plant arrivals elect (and lose to) the re-elected 40000001. The
+  // oracle recomposes the p114 + p140 fragments: per-arm minhash chains
+  // with the takedown-visible exclusion (the p132 excludeOld shape),
+  // per-VIEW connected components by recursive min-label closure (the
+  // pair graph is arbitrary here — no gaps-and-islands shortcut), the
+  // shared quality election, and the final retained-state snapshot.
+  // =========================================================================
+  def p145ProductionLoop(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.{ClusterStream, NearDupStream, Takedown}
+    import graft.streaming.Takedown.Target
+    import spark.implicits._
+    val del = Seq(99L, 100L, 40000000L, 40000003L)
+    val plant = spark.range(10)
+      .select((col("id") + 40000000L).as("doc_id"),
+        lit("pl run pl run pl").as("text"),
+        pmod(col("id"), lit(3)).as("b0"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") < 250).localCheckpoint(true)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .withColumn("b0", pmod(col("doc_id"), lit(3)))
+      .unionAll(plant)
+      .withColumn("batch", when(col("b0") === 2, lit(3)).otherwise(col("b0")))
+      .select(col("doc_id"), col("text"), col("batch"))
+    def scored(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"),
+        TF.qualityScoreFromTokens(col("text"),
+          TF.tokens(col("text"))).as("score"))
+    val root = Files.createTempDirectory("p145_").toString
+    val in = s"$root/in"; val ndIdx = s"$root/ndidx"
+    val ndDocs = s"$root/nddocs"; val ndOut = s"$root/ndout"
+    val csRoot = s"$root/cs"; val outRoot = s"$root/out"
+    Dedup.minhashBandIndex(standing, "doc_id", "text")
+      .write.parquet(s"$ndIdx/v0")
+    standing.write.parquet(s"$ndDocs/v0")
+    ClusterStream.writeStanding(spark, csRoot, scored(standing),
+      Dedup.minhashPairs(standing, "doc_id", "text", threshold = 0.4))
+    writeDailyFilesBy(incoming, "batch", in, 4)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 2L) {
+          // the takedown's own maintenance trigger: ONE journaled sweep
+          // fans to both near-dup stores AND the cluster store's
+          // component-local repair verb, all under batch id 2
+          Takedown.takedownAll(spark, s"$root/journal", del.toDF("id"), id,
+            targets = Seq(
+              Target("band index", ndIdx),
+              Target("docs store", ndDocs),
+              Target("cluster store",
+                (s: SparkSession, ids: DataFrame, bi: Long) =>
+                  ClusterStream.retract(s, csRoot, ids, bi))))
+          ()
+        } else {
+          val pairs = NearDupStream.filterBatch(spark, ndIdx, ndDocs,
+            ndOut, "doc_id", "text", threshold = 0.4,
+            materializePairs = true)(
+            b.select(col("doc_id"), col("text")), id)
+          ClusterStream.foldBatch(spark, csRoot)(scored(b),
+            pairs.select(col("id_a"), col("id_b")), id)
+          // the verdict: keep iff the doc IS its cluster's canonical at
+          // fold time — the store's reads resolve the fold this batch
+          // just wrote (versions <= id + 1)
+          ClusterStream.readAssignments(spark, csRoot, upTo = id + 1)
+            .join(broadcast(b.select(col("doc_id").as("id"))), Seq("id"),
+              "left_semi")
+            .join(ClusterStream.readCanonicals(spark, csRoot,
+              upTo = id + 1).select(col("cid"), col("keep_id")),
+              Seq("cid"))
+            .select(col("id").as("doc_id"), col("keep_id"),
+              lit(id).as("batch"),
+              when(col("keep_id") === col("id"), 1.0).otherwise(0.0)
+                .as("keep"))
+            .write.mode("overwrite").parquet(s"$outRoot/b$id")
+        }
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(lit("v").as("part"), col("doc_id").as("a"),
+        col("keep_id").as("b"), col("batch").cast("long").as("n"),
+        col("keep").as("v"))
+      .unionAll(ClusterStream.readAssignments(spark, csRoot)
+        .select(lit("assign").as("part"), col("id").as("a"),
+          col("cid").as("b"), lit(-1L).as("n"), lit(0.0).as("v")))
+      .unionAll(ClusterStream.readCanonicals(spark, csRoot)
+        .select(lit("canon").as("part"), col("cid").as("a"),
+          col("keep_id").as("b"), col("n_members").cast("long").as("n"),
+          col("score").as("v")))
+      .orderBy("part", "a", "b")
+  }
+
+  val p145Sql: String = {
+    val delList = "99, 100, 40000000, 40000003"
+    // per-view pieces: pv{k} pair sets, dv{k} doc sets, rc{k} recursive
+    // min-label closures, m{k} memberships, cn{k} elections. EVERYTHING
+    // feeding or consumed by a recursive term is AS MATERIALIZED — the
+    // p71 lesson at its worst: an inlined e$k would re-derive the whole
+    // minhash chain on EVERY closure iteration, times three views
+    def closure(k: Int): String =
+      s"""e$k AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pv$k
+         |  UNION ALL SELECT id_b, id_a FROM pv$k),
+         |rc$k AS (SELECT doc_id AS id, doc_id AS l FROM dv$k
+         |  UNION SELECT e$k.a, rc$k.l FROM rc$k JOIN e$k ON e$k.b = rc$k.id),
+         |m$k AS MATERIALIZED (
+         |  SELECT r.id, MIN(r.l) AS cid FROM rc$k r GROUP BY r.id),
+         |cn$k AS MATERIALIZED (
+         |  SELECT m$k.cid, m$k.id AS keep_id, q145m.quality,
+         |    COUNT(*) OVER (PARTITION BY m$k.cid) AS nm,
+         |    ROW_NUMBER() OVER (PARTITION BY m$k.cid
+         |      ORDER BY q145m.quality DESC, m$k.id ASC) AS rn
+         |  FROM m$k JOIN q145m ON q145m.doc_id = m$k.id)""".stripMargin
+    def verdictArm(k: Int, batch: Int): String =
+      s"""SELECT 'v' AS part, a.doc_id AS a, c.keep_id AS b,
+         |    CAST($batch AS BIGINT) AS n,
+         |    CASE WHEN c.keep_id = a.doc_id THEN 1.0 ELSE 0.0 END AS v
+         |  FROM armm a JOIN m$k ON m$k.id = a.doc_id
+         |  JOIN cn$k c ON c.cid = m$k.cid AND c.rn = 1
+         |  WHERE a.k = $k""".stripMargin
+    s"""WITH RECURSIVE
+       |pr AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT CAST(40000000 + i.x AS BIGINT),
+       |    'pl run pl run pl' FROM (SELECT unnest(range(10)) AS x) i),
+       |t145 AS (SELECT doc_id, text, $sqlToks AS toks FROM pr),
+       |${sqlQualityCtes("145", "t145", "doc_id")},
+       |arm AS (SELECT doc_id, toks,
+       |    CASE WHEN doc_id >= 40000000 THEN
+       |      (CASE WHEN (doc_id - 40000000) % 3 = 2 THEN 2
+       |            ELSE CAST((doc_id - 40000000) % 3 AS INT) END)
+       |      WHEN doc_id < 250 THEN -1
+       |      WHEN doc_id % 3 = 2 THEN 2
+       |      ELSE CAST(doc_id % 3 AS INT) END AS k
+       |  FROM t145),
+       |ex AS (SELECT doc_id, toks FROM arm WHERE k = -1),
+       |i0 AS (SELECT doc_id, toks FROM arm WHERE k = 0),
+       |i1 AS (SELECT doc_id, toks FROM arm WHERE k = 1),
+       |i2 AS (SELECT doc_id, toks FROM arm WHERE k = 2),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("x", "ex")},
+       |${sqlMinhashPairCtes("x")},
+       |${sqlMinhashChain("g0", "i0")},
+       |${sqlMinhashPairCtes("g0")},
+       |${sqlMinhashChain("g1", "i1")},
+       |${sqlMinhashPairCtes("g1")},
+       |${sqlMinhashChain("g2", "i2")},
+       |${sqlMinhashPairCtes("g2")},
+       |${sqlCrossArmCtes(0)},
+       |${sqlCrossArmCtes(1)},
+       |${sqlCrossArmCtes(2, excludeOld = Some(s"id IN ($delList)"))},
+       |q145m AS MATERIALIZED (SELECT doc_id, quality FROM q145),
+       |armm AS MATERIALIZED (SELECT doc_id, k FROM arm),
+       |pv0 AS MATERIALIZED (SELECT id_a, id_b FROM mhx
+       |  UNION SELECT id_a, id_b FROM mhg0
+       |  UNION SELECT id_a, id_b FROM mx0),
+       |pv1 AS MATERIALIZED (SELECT id_a, id_b FROM pv0
+       |  UNION SELECT id_a, id_b FROM mhg1
+       |  UNION SELECT id_a, id_b FROM mx1),
+       |pv2 AS MATERIALIZED (SELECT id_a, id_b FROM pv1
+       |    WHERE id_a NOT IN ($delList) AND id_b NOT IN ($delList)
+       |  UNION SELECT id_a, id_b FROM mhg2
+       |  UNION SELECT id_a, id_b FROM mx2),
+       |dv0 AS MATERIALIZED (SELECT doc_id FROM armm WHERE k <= 0),
+       |dv1 AS MATERIALIZED (SELECT doc_id FROM armm WHERE k <= 1),
+       |dv2 AS MATERIALIZED (
+       |  SELECT doc_id FROM armm WHERE doc_id NOT IN ($delList)),
+       |${closure(0)},
+       |${closure(1)},
+       |${closure(2)}
+       |SELECT part, a, b, n, v FROM (
+       |  ${verdictArm(0, 0)}
+       |  UNION ALL
+       |  ${verdictArm(1, 1)}
+       |  UNION ALL
+       |  ${verdictArm(2, 3)}
+       |  UNION ALL
+       |  SELECT 'assign', id, cid, CAST(-1 AS BIGINT), 0.0 FROM m2
+       |  UNION ALL
+       |  SELECT 'canon', cid, keep_id, CAST(nm AS BIGINT), quality
+       |  FROM cn2 WHERE rn = 1)
+       |ORDER BY part, a, b""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (p01DedupExact _),
@@ -9178,7 +9379,8 @@ object Pipeline {
     "p141_ridge_quality" -> (p141RidgeQuality _),
     "p142_ridge_wide" -> (p142RidgeWide _),
     "p143_logistic_quality" -> (p143LogisticQuality _),
-    "p144_revive_ahash" -> (p144ReviveAHash _))
+    "p144_revive_ahash" -> (p144ReviveAHash _),
+    "p145_production_loop" -> (p145ProductionLoop _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -9322,5 +9524,6 @@ object Pipeline {
     "p141_ridge_quality" -> p141Sql,
     "p142_ridge_wide" -> p142Sql,
     "p143_logistic_quality" -> p143Sql,
-    "p144_revive_ahash" -> p144Sql)
+    "p144_revive_ahash" -> p144Sql,
+    "p145_production_loop" -> p145Sql)
 }

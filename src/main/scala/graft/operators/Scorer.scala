@@ -258,11 +258,25 @@ object Scorer {
     for (_ <- 1 to iters) {
       val p = sigmoid(score(w.toSeq, features))
       val s = p * (lit(1.0) - p)
-      val sq = sqrt(s)
+      // stage √s and the residual as MATERIALIZED columns before packing
+      // (eager checkpoint, batch-of-doubles sized): inlined, the link
+      // tree (degree-13 Horner included) re-expands into every array
+      // element AND into the moments scan's null/size filters — the
+      // optimizer collapses the single-use alias back in, the generated
+      // code blows up to megabytes, and Janino compile time dwarfs the
+      // scan (24 s → ~4 s on the 9-feature sf0.1 fit). The checkpoint
+      // pins the per-row doubles once; the moments plan then references
+      // plain columns. Same bits either way (p143's hash is the gate).
+      val staged = df.select(
+        (features.zipWithIndex.map { case (f, i) =>
+          f.cast("double").as(s"__f$i") } :+
+          sqrt(s).as("__sq") :+
+          ((label.cast("double") - p) / sqrt(s)).as("__rs")): _*)
+        .localCheckpoint(true)
       val packed = array(
-        (sq +: features.map(f => sq * f.cast("double"))) :+
-          ((label.cast("double") - p) / sq): _*)
-      val rows = Decomp.moments(df.select(packed.as("__xv")), "__xv")
+        (col("__sq") +: features.indices.map(i =>
+          col("__sq") * col(s"__f$i"))) :+ col("__rs"): _*)
+      val rows = Decomp.moments(staged.select(packed.as("__xv")), "__xv")
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
       def g(i: Int, j: Int): Double =

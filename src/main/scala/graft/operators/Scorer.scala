@@ -161,6 +161,79 @@ object Scorer {
     w
   }
 
+  // ---- standardized (condition-robust) ridge (VERDICT r16 next #6) -------
+
+  /** [[ridgeFit]] over Z-SCORED features — the conditioning story for
+    * the 10–50-feature mixed-scale fits the wide operator is pitched
+    * at. Raw-moment Gram matrices square the feature scales: one
+    * feature in [0, 1e8] against one in [0, 1e-8] puts ~32 decimal
+    * orders between pivots, and κ(G), not λ, then decides how many
+    * digits the double Cholesky keeps; λ is also asymmetric on raw
+    * scales (it crushes the small-scale feature's naturally-large
+    * coefficient while barely touching the big-scale one — ScorerSpec
+    * measures the resulting fit going wrong by orders of magnitude).
+    * Standardization fixes both at ZERO extra passes: the z-score
+    * moments are exact fixed-order algebra over the SAME collected
+    * relation —
+    *
+    *   n = g(0,0),  μᵢ = g(0,i)/n,  σᵢ = sqrt(g(i,i)/n − μᵢ·μᵢ),
+    *   Σ zᵢzⱼ = (g(i,j) − n·μᵢ·μⱼ)/(σᵢ·σⱼ),
+    *   Σ zᵢy  = (g(i,d) − μᵢ·g(0,d))/σᵢ,  Σ zᵢ = 0 by construction
+    *
+    * — and the solved standardized weights map back to the raw scale
+    * (wᵢ = sᵢ/σᵢ; w₀ = s₀ − Σ sᵢ·μᵢ/σᵢ, subtracted in ascending i), so
+    * [[score]] stays one codegen'd raw-feature projection and the
+    * whole fit is a deterministic double expression tree an oracle
+    * mirrors index for index (the [[choleskySolve]] discipline).
+    * Determinism is per-input (same rows → same bits, any
+    * partitioning); across a power-of-two feature RESCALING the
+    * unmapped weights agree only to ~1e-8 relative — the decimal
+    * staging quantizes each per-row product to its shortest
+    * round-trip representation, and that grid does not commute with
+    * binary scaling (spec-pinned tolerance). λ lands
+    * on the whole standardized diagonal (intercept included), the
+    * [[ridgeFit3]] contract. Fails loud on a zero-variance feature —
+    * drop constants; the intercept already carries them. */
+  def ridgeFitStd(df: DataFrame, features: Seq[Column], label: Column,
+      lambda: Double): Array[Double] = {
+    val d = features.size + 1
+    val rows = ridgeMoments(df, features, label).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+    def g(i: Int, j: Int): Double =
+      rows((math.min(i, j), math.max(i, j))).doubleValue
+    val n = g(0, 0)
+    require(n > 0.0, "ridgeFitStd: empty corpus")
+    val mu = Array.tabulate(d)(i => if (i == 0) 0.0 else g(0, i) / n)
+    val sd = Array.tabulate(d) { i =>
+      if (i == 0) 1.0
+      else {
+        val v = g(i, i) / n - mu(i) * mu(i)
+        require(v > 0.0, s"ridgeFitStd: feature ${i - 1} has zero " +
+          "variance — drop it (the intercept carries constants)")
+        math.sqrt(v)
+      }
+    }
+    def ms(i: Int, j: Int): Double =
+      if (i == 0 && j == 0) n + lambda
+      else if (i == 0 || j == 0) 0.0
+      else {
+        val c = (g(i, j) - n * mu(i) * mu(j)) / (sd(i) * sd(j))
+        if (i == j) c + lambda else c
+      }
+    def bs(i: Int): Double =
+      if (i == 0) g(0, d)
+      else (g(i, d) - mu(i) * g(0, d)) / sd(i)
+    val s = choleskySolve(d, ms, bs)
+    val w = new Array[Double](d)
+    var w0 = s(0)
+    for (i <- 1 until d) {
+      w(i) = s(i) / sd(i)
+      w0 -= s(i) * mu(i) / sd(i)
+    }
+    w(0) = w0
+    w
+  }
+
   /** Score x = [1, features…] under fitted weights (intercept first):
     * weights as literals, left-associated sum — one codegen'd
     * projection, the [[score3]] shape at any width. */
@@ -279,6 +352,11 @@ object Scorer {
       val rows = Decomp.moments(staged.select(packed.as("__xv")), "__xv")
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+      // the checkpointed stage is consumed by the moments collect above;
+      // release its cached blocks now (ADVICE r16 #3 — a production
+      // scorer re-fits repeatedly, and `iters` leaked frames per fit
+      // would accumulate executor storage for the session lifetime)
+      staged.unpersist()
       def g(i: Int, j: Int): Double =
         rows((math.min(i, j), math.max(i, j))).doubleValue
       val delta = choleskySolve(dim,

@@ -64,9 +64,10 @@ object ClusterStream {
     * everything else a singleton labeled by itself). */
   def writeStanding(spark: SparkSession, root: String,
       standingDocs: DataFrame, standingPairs: DataFrame,
-      idCol: String = "id", scoreCol: String = "score"): Unit = {
+      idCol: String = "id", scoreCol: String = "score",
+      lease: Option[Versions.Lease] = None): Unit = {
     Seq(assignRoot(root), canonRoot(root), pairsRoot(root))
-      .foreach(Versions.guardStandingWrite(spark, _))
+      .foreach(Versions.guardStandingWrite(spark, _, lease))
     val pairs = standingPairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     val labels =
@@ -124,10 +125,7 @@ object ClusterStream {
     val ar = assignRoot(root)
     val versions = Versions.list(spark, ar).filter(_._1 <= upTo)
     require(versions.exists(_._1 == 0L), s"no assignment base at $ar/v0")
-    require(Versions.listRevives(spark, ar).isEmpty,
-      s"revive markers found under $ar — [[retract]] pairs its markers " +
-        "with component-local relabel/re-election repair that a generic " +
-        "revive does not invert; re-ingest under fresh ids instead")
+    requireRepairedRevives(spark, root)
     val base = spark.read.parquet(
       versions.filter(_._1 == 0L).map(_._2.toString): _*)
     val deltaDirs = versions.filter(_._1 > 0L).map(_._2.toString)
@@ -184,9 +182,40 @@ object ClusterStream {
     val pr = pairsRoot(root)
     val versions = Versions.list(spark, pr).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no pair versions at $pr")
+    requireRepairedRevives(spark, root)
     val raw = spark.read.parquet(versions.map(_._2.toString): _*)
     Versions.maskTombstones(spark, pr,
       Versions.maskTombstones(spark, pr, raw, "id_a", upTo), "id_b", upTo)
+  }
+
+  /** This store's takedown/revive verbs pair their markers with
+    * component-local repair ([[retract]]'s split/re-election,
+    * [[revive]]'s merge/re-election) — a bare [[Versions.revive]] on the
+    * assign/pairs roots would resurrect rows under stale labels with no
+    * repair delta. Every revive-marker batch `b` must therefore be
+    * followed by its repair's version `v<b+1>` on the assign root; the
+    * one exemption is the verb's own in-flight window (marker landed,
+    * repair delta not yet — `b` is the newest marker AND no later
+    * version exists), which the verb itself, or its redelivery, closes.
+    * The [[graft.streaming.RetrievalStream.readStats]] torn-window
+    * discipline, applied to repair deltas. */
+  private def requireRepairedRevives(spark: SparkSession,
+      root: String): Unit = {
+    val ar = assignRoot(root)
+    val rs = (Versions.listRevives(spark, ar) ++
+      Versions.listRevives(spark, pairsRoot(root))).map(_._1).distinct
+    if (rs.nonEmpty) {
+      val versions = Versions.list(spark, ar).map(_._1).toSet
+      val newest = rs.max
+      val inFlight = (b: Long) =>
+        b == newest && !versions.exists(_ > b)
+      val unrepaired = rs.filterNot(b => versions(b + 1) || inFlight(b))
+      require(unrepaired.isEmpty,
+        s"revive markers at batch ${unrepaired.mkString(", ")} under " +
+          s"$root have no repair delta — revive through " +
+          "ClusterStream.revive (marker + component-local merge repair), " +
+          "not a bare Versions.revive")
+    }
   }
 
   /** Assignment slice for a (takedown/batch-sized) cid set: pushed
@@ -211,14 +240,16 @@ object ClusterStream {
     * the BATCH-LOCAL contracted graph, and only clusters whose label
     * changes are rewritten. The standing corpus never re-clusters. */
   def foldBatch(spark: SparkSession, root: String, idCol: String = "id",
-      scoreCol: String = "score", pushCidLimit: Int = 1024)(
+      scoreCol: String = "score", pushCidLimit: Int = 1024,
+      lease: Option[Versions.Lease] = None)(
       batchDocs: DataFrame, batchPairs: DataFrame, batchId: Long): Unit = {
     val ar = assignRoot(root); val cr = canonRoot(root)
     val pr = pairsRoot(root)
     Versions.guardAppend(spark, ar, "cluster assignments", batchId,
-      "ClusterStream.writeStanding before starting the stream")
-    Versions.guardAppend(spark, cr, "cluster canonicals", batchId)
-    Versions.guardAppend(spark, pr, "cluster pairs", batchId)
+      "ClusterStream.writeStanding before starting the stream", lease)
+    Versions.guardAppend(spark, cr, "cluster canonicals", batchId,
+      lease = lease)
+    Versions.guardAppend(spark, pr, "cluster pairs", batchId, lease = lease)
     val bd = batchDocs
       .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
       .localCheckpoint(true)
@@ -314,14 +345,16 @@ object ClusterStream {
     * a trigger that does not also fold (its own maintenance batch), like
     * every single-writer snapshot step. */
   def retract(spark: SparkSession, root: String, ids: DataFrame,
-      batchId: Long, pushCidLimit: Int = 1024): Unit = {
+      batchId: Long, pushCidLimit: Int = 1024,
+      lease: Option[Versions.Lease] = None): Unit = {
     val ar = assignRoot(root); val cr = canonRoot(root)
     val v = batchId + 1
     // same lineage guards as the fold: a fresh checkpoint replaying an
     // old batch over newer deltas would fork the repair's lineage
     Versions.guardAppend(spark, ar, "cluster assignments", batchId,
-      "ClusterStream.writeStanding before retracting")
-    Versions.guardAppend(spark, cr, "cluster canonicals", batchId)
+      "ClusterStream.writeStanding before retracting", lease)
+    Versions.guardAppend(spark, cr, "cluster canonicals", batchId,
+      lease = lease)
     val del = ids.toDF("id").select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull).distinct().localCheckpoint(true)
     // affected components: the deleted docs' rows must stay visible to
@@ -331,10 +364,82 @@ object ClusterStream {
         maskUpTo = batchId - 1)
       .join(broadcast(del), Seq("id"), "left_semi")
       .select(col("cid")).distinct().localCheckpoint(true)
-    Versions.tombstoneFrom(spark, ar, del, batchId)
-    Versions.tombstoneFrom(spark, pairsRoot(root), del, batchId)
+    Versions.tombstoneFrom(spark, ar, del, batchId, lease)
+    Versions.tombstoneFrom(spark, pairsRoot(root), del, batchId, lease)
     // retained members and retained intra-component pairs (both reads are
     // masked now); connectivity re-solves component-locally
+    repairComponents(spark, root, affected, batchId, pushCidLimit)
+  }
+
+  /** Un-delete + component-local MERGE repair (VERDICT r16 next #4 —
+    * the store's own revive path; the generic [[Versions.revive]] is
+    * refused on read because it cannot invert [[retract]]'s paired
+    * repair): `r<batchId>` markers land on the assign + pairs roots (the
+    * ORIGINAL rows return — [[Versions.revive]]'s dead-as-of check and
+    * every other contract clause apply per root), then the AFFECTED
+    * components — the revived docs' own labels plus every component a
+    * revived pair reaches — re-solve over the now-retained pairs: the
+    * returning doc re-merges into its old neighborhood (possibly
+    * bridging components that split while it was dead), min-id labels
+    * rewrite (a small revived id can RE-FLIP its cluster's label and
+    * canonical), elections re-run, labels that merge away die. Work is
+    * component-sized, exactly [[retract]]'s repair posture.
+    *
+    * Unlike [[retract]] (whose own markers HIDE its inputs, forcing the
+    * mask bound to `batchId - 1`), the repair here reads the PLAIN
+    * post-revive view: its own markers REVEAL the rows it must re-merge,
+    * so a redelivered revive resolves the same state and overwrites the
+    * same deltas. Occupies the `batchId + 1` version slot — run it in
+    * its own maintenance trigger, like [[retract]].
+    *
+    * Revive is NOT re-ingest: pairs the doc acquired no rows for while
+    * dead (a batch probed the band index during the takedown window) do
+    * not reappear — the doc reconnects through the pairs it had when it
+    * was retracted plus anything folded against it later. New content
+    * under the same external key still routes through a fresh ingest id
+    * ([[Takedown.guardReingest]]). */
+  def revive(spark: SparkSession, root: String, ids: DataFrame,
+      batchId: Long, pushCidLimit: Int = 1024,
+      lease: Option[Versions.Lease] = None): Unit = {
+    val ar = assignRoot(root); val pr = pairsRoot(root)
+    Versions.guardAppend(spark, ar, "cluster assignments", batchId,
+      "ClusterStream.writeStanding before reviving", lease)
+    Versions.guardAppend(spark, canonRoot(root), "cluster canonicals",
+      batchId, lease = lease)
+    val rel = ids.toDF("id").select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct().localCheckpoint(true)
+    Versions.revive(spark, ar, rel, batchId, lease)
+    Versions.revive(spark, pr, rel, batchId, lease)
+    // seeds: the revived docs + every endpoint of a pair touching them
+    // (a revived pair can merge the doc's old neighborhood with whatever
+    // its partners drifted into while it was dead) — their components,
+    // and only those, re-solve
+    val pairs = readPairs(spark, root, upTo = batchId)
+    val touching = pairs
+      .join(broadcast(rel.withColumnRenamed("id", "id_a")), Seq("id_a"),
+        "left_semi")
+      .unionAll(pairs.join(broadcast(rel.withColumnRenamed("id", "id_b")),
+        Seq("id_b"), "left_semi"))
+      .localCheckpoint(true)
+    val seeds = touching.select(col("id_a").as("id"))
+      .unionAll(touching.select(col("id_b").as("id")))
+      .unionAll(rel).distinct()
+    val affected = readAssignments(spark, root, upTo = batchId)
+      .join(broadcast(seeds), Seq("id"), "left_semi")
+      .select(col("cid")).distinct().localCheckpoint(true)
+    repairComponents(spark, root, affected, batchId, pushCidLimit)
+  }
+
+  /** The shared component-local re-solve behind [[retract]] and
+    * [[revive]]: read the affected cids' members and their retained
+    * intra-member pairs from the post-marker view, re-run star
+    * contraction, rewrite relabeled members as the `batchId + 1` assign
+    * delta, re-elect every surviving label and write dead rows for
+    * labels that no longer exist. */
+  private def repairComponents(spark: SparkSession, root: String,
+      affected: DataFrame, batchId: Long, pushCidLimit: Int): Unit = {
+    val ar = assignRoot(root); val cr = canonRoot(root)
+    val v = batchId + 1
     val members = membersOf(readAssignments(spark, root, upTo = batchId),
         affected, pushCidLimit)
       .localCheckpoint(true)
@@ -374,32 +479,36 @@ object ClusterStream {
     * both-endpoint tombstone drops (the marker set is applied to BOTH
     * columns before the id_a-keyed consumption — a one-column drop would
     * resurrect the id_b rows once the markers are consumed). */
-  def compactStore(spark: SparkSession, root: String, upTo: Long): Unit = {
+  def compactStore(spark: SparkSession, root: String, upTo: Long,
+      lease: Option[Versions.Lease] = None): Unit = {
     val newestPerId: DataFrame => DataFrame = { df =>
       val w = Window.partitionBy(col("id")).orderBy(col("__v").desc)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
+    // allowSingle on all three roots: a marker-only history (retract/
+    // revive with no interleaved folds) leaves one version + markers to
+    // consume, and a crash between the per-root rewrites must leave the
+    // re-run convergent (the RetrievalStream.compactStore discipline)
     Versions.compact(spark, assignRoot(root), upTo, newestPerId,
-      tombstoneIdCol = Some("id"), clusterBy = Seq("cid"))
+      tombstoneIdCol = Some("id"), clusterBy = Seq("cid"),
+      allowSingle = true, lease = lease)
     val newestPerCid: DataFrame => DataFrame = { df =>
       val w = Window.partitionBy(col("cid")).orderBy(col("__v").desc)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && col("n_members") > 0).drop("__rn")
     }
     Versions.compact(spark, canonRoot(root), upTo, newestPerCid,
-      clusterBy = Seq("cid"))
+      clusterBy = Seq("cid"), allowSingle = true, lease = lease)
     val pr = pairsRoot(root)
-    val delIds = Versions.listTombstones(spark, pr)
-      .filter(_._1 <= upTo) match {
-      case Seq() => None
-      case ms => Some(spark.read.parquet(ms.map(_._2.toString): _*)
-        .select(col("id")).distinct())
-    }
+    // deadSet, not the raw marker union: a revived id's pair rows must
+    // survive the physical fold (newest-verb-wins, the
+    // RetrievalStream.compactStore discipline)
+    val delIds = Versions.deadSet(spark, pr, upTo).map(_.localCheckpoint(true))
     Versions.compact(spark, pr, upTo,
       df => delIds.fold(df)(d =>
         df.join(broadcast(d.withColumnRenamed("id", "id_b")), Seq("id_b"),
           "left_anti")),
-      tombstoneIdCol = Some("id_a"))
+      tombstoneIdCol = Some("id_a"), allowSingle = true, lease = lease)
   }
 }

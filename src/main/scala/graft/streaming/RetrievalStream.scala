@@ -52,10 +52,11 @@ object RetrievalStream {
     * doc's (1, dl) stats contribution EXACTLY, including zero-token docs
     * the posting relation never saw. */
   def writeStanding(spark: SparkSession, root: String, standing: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    Versions.guardStandingWrite(spark, postRoot(root))
-    Versions.guardStandingWrite(spark, statsRoot(root))
-    Versions.guardStandingWrite(spark, dlenRoot(root))
+      idCol: String = "doc_id", textCol: String = "text",
+      lease: Option[Versions.Lease] = None): Unit = {
+    Versions.guardStandingWrite(spark, postRoot(root), lease)
+    Versions.guardStandingWrite(spark, statsRoot(root), lease)
+    Versions.guardStandingWrite(spark, dlenRoot(root), lease)
     Retrieval.postingsRelation(standing, idCol, textCol)
       .write.mode("overwrite").parquet(s"${postRoot(root)}/v0")
     Retrieval.statsRelation(standing, idCol, textCol)
@@ -71,10 +72,11 @@ object RetrievalStream {
     * both deterministically. */
   def appendBatch(spark: SparkSession, root: String,
       idCol: String = "doc_id", textCol: String = "text",
-      autoCompactVersions: Option[Int] = None)(
+      autoCompactVersions: Option[Int] = None,
+      lease: Option[Versions.Lease] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     Versions.guardAppend(spark, postRoot(root), "postings", batchId,
-      "writeStanding before starting the stream")
+      "writeStanding before starting the stream", lease)
     // BOTH standing roots, like every other two-root store: a
     // writeStanding that crashed between the postings and stats writes
     // would otherwise stream over stats that exclude the standing corpus
@@ -102,7 +104,7 @@ object RetrievalStream {
       require(k >= 1, s"autoCompactVersions must be >= 1: $k")
       val visible = Versions.list(spark, postRoot(root))
         .filter(_._1 <= batchId)
-      if (visible.size > k) compactStore(spark, root, upTo = batchId)
+      if (visible.size > k) compactStore(spark, root, upTo = batchId, lease)
     }
     val b = batch.localCheckpoint(true)
     Retrieval.postingsRelation(b, idCol, textCol)
@@ -143,9 +145,9 @@ object RetrievalStream {
     * bare [[Versions.tombstoneFrom]] on the posting root ([[readStats]]
     * fails loud on a marker with no matching correction). */
   def tombstone(spark: SparkSession, root: String, ids: Seq[Long],
-      batchId: Long): Unit = {
+      batchId: Long, lease: Option[Versions.Lease] = None): Unit = {
     import spark.implicits._
-    tombstoneFrom(spark, root, ids.toDF("id"), batchId)
+    tombstoneFrom(spark, root, ids.toDF("id"), batchId, lease)
   }
 
   /** [[tombstone]] with the retracted ids as a relation — the
@@ -154,7 +156,8 @@ object RetrievalStream {
     * the driver. Id hygiene (single long-castable column, nulls dropped,
     * empty refused) is [[Versions.tombstoneFrom]]'s contract. */
   def tombstoneFrom(spark: SparkSession, root: String, ids: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long, lease: Option[Versions.Lease] = None): Unit = {
+    Versions.checkWriter(spark, postRoot(root), lease)
     require(ids.schema.fields.length == 1,
       s"tombstoneFrom takes a single id column, got ${ids.schema.fieldNames
         .mkString(", ")}")
@@ -169,8 +172,18 @@ object RetrievalStream {
     require(dlen.nonEmpty,
       s"takedown refused: ${dlenRoot(root)} is empty — the store predates " +
         "the takedown-capable layout; rebuild via writeStanding")
+    // the correction subtracts only ids ALIVE as of the markers strictly
+    // before this batch (ADVICE r16 #1): two overlapping sweeps are
+    // in-contract input (a GDPR pass re-listing a quality pass's ids),
+    // and the posting mask is distinct-idempotent, but a second (1, dl)
+    // subtraction for an already-dead id would corrupt readStats silently
+    // and compaction would bake it in. `upTo = batchId - 1` ignores this
+    // batch's own marker, so a redelivered sweep re-computes the SAME
+    // correction (redelivery-stable, the readAssignmentsMasked precedent)
+    val alive = Versions.deadSet(spark, postRoot(root), upTo = batchId - 1)
+      .fold(rel)(dead => rel.join(broadcast(dead), Seq("id"), "left_anti"))
     spark.read.parquet(dlen.map(_._2.toString): _*)
-      .join(broadcast(rel.select(col("id").as("doc_id"))), "doc_id")
+      .join(broadcast(alive.select(col("id").as("doc_id"))), "doc_id")
       .agg((-count(lit(1))).cast("long").as("n_docs"),
         (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("total_dl"))
       .coalesce(1).write.mode("overwrite")
@@ -185,6 +198,58 @@ object RetrievalStream {
     * would skip the stats correction and [[readStats]] fails loud. */
   def markerRoot(root: String): String = postRoot(root)
 
+  /** Un-delete (VERDICT r16 next #4 — the store's OWN revive path): a
+    * takedown here pairs its posting marker with an in-band stats
+    * correction, so a bare [[Versions.revive]] would resurrect the
+    * postings while the stats stay corrected — silently-wrong idf and
+    * length normalization on every probe (which is why the generic verb
+    * was refused until this existed). This verb INVERTS the pair: a
+    * POSITIVE stats correction `stats/c<batchId>` re-adding the revived
+    * docs' exact (1, dl) — the same dlen rows the takedown subtracted,
+    * still physically present because [[compactStore]]'s fold is
+    * deadSet-aware and revive-of-compacted refuses at the dead check —
+    * then the `r<batchId>` marker via [[Versions.revive]] (newest-verb-
+    * wins, every [[Versions.revive]] contract clause applies). The
+    * correction lands first (the [[tombstoneFrom]] ordering), so a crash
+    * between the writes is the same newest-batch torn window
+    * [[readStats]] documents, healed by redelivery. Post-revive probes
+    * score bit-identically to a from-scratch index over retained ∪
+    * revived. */
+  def revive(spark: SparkSession, root: String, ids: DataFrame,
+      batchId: Long, lease: Option[Versions.Lease] = None): Unit = {
+    Versions.checkWriter(spark, postRoot(root), lease)
+    require(ids.schema.fields.length == 1,
+      s"revive takes a single id column, got ${ids.schema.fieldNames
+        .mkString(", ")}")
+    val rel = ids.toDF("id").select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull)
+      .distinct().localCheckpoint(true)
+    require(rel.limit(1).count() > 0, "revive of an empty id set")
+    // the dead-as-of-(batchId-1) check runs HERE, before the correction
+    // write (Versions.revive re-checks before its marker write): a
+    // refused revive must not leave an orphan correction behind
+    val dead = Versions.deadSet(spark, postRoot(root), upTo = batchId - 1)
+    require(dead.isDefined,
+      s"revive refused: no tombstones at ${postRoot(root)} — nothing to " +
+        "revive")
+    val notDead = rel.join(dead.get, Seq("id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(notDead.isEmpty,
+      s"revive refused: ids ${notDead.mkString(", ")} are not taken down " +
+        s"at ${postRoot(root)} as of batch ${batchId - 1}")
+    val dlen = Versions.list(spark, dlenRoot(root))
+    require(dlen.nonEmpty,
+      s"revive refused: ${dlenRoot(root)} is empty — the store predates " +
+        "the takedown-capable layout")
+    spark.read.parquet(dlen.map(_._2.toString): _*)
+      .join(broadcast(rel.select(col("id").as("doc_id"))), "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${statsRoot(root)}/c$batchId")
+    Versions.revive(spark, postRoot(root), rel, batchId, lease)
+  }
+
   /** The assembled posting relation: plain union, zero exchanges (rows
     * disjoint across deltas by construction), minus tombstoned docs
     * ([[Versions.maskTombstones]] — broadcast anti-join; plan untouched
@@ -193,11 +258,10 @@ object RetrievalStream {
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, postRoot(root)).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no posting versions at ${postRoot(root)}")
-    require(Versions.listRevives(spark, postRoot(root)).isEmpty,
-      s"revive markers found under ${postRoot(root)} — this store pairs " +
-        "every tombstone with an in-band stats correction, so a generic " +
-        "revive would resurrect postings while the stats stay corrected; " +
-        "rebuild via writeStanding or re-ingest under a fresh id")
+    // revive markers are legal here since the store grew its own paired
+    // revive verb ([[revive]] — positive stats correction + r marker);
+    // [[readStats]]' orphan check still fails loud on an r marker with
+    // no correction (a generic Versions.revive bypassing the verb)
     Versions.maskTombstones(spark, postRoot(root),
       spark.read.parquet(versions.map(_._2.toString): _*), "doc_id", upTo)
   }
@@ -216,14 +280,34 @@ object RetrievalStream {
     require(versions.nonEmpty, s"no stats versions at ${statsRoot(root)}")
     val corrections = Versions.listPrefixed(spark, statsRoot(root), 'c')
       .filter(_._1 <= upTo)
-    val orphaned = Versions.listTombstones(spark, postRoot(root))
-      .filter(_._1 <= upTo).map(_._1)
-      .filterNot(corrections.map(_._1).toSet)
+    val markers = (Versions.listTombstones(spark, postRoot(root)) ++
+      Versions.listRevives(spark, postRoot(root))).map(_._1)
+      .filter(_ <= upTo)
+    val orphaned = markers.filterNot(corrections.map(_._1).toSet)
     require(orphaned.isEmpty,
-      s"posting markers d${orphaned.mkString(", d")} have no stats " +
-        s"correction under ${statsRoot(root)} — retract through " +
-        "RetrievalStream.tombstoneFrom (the store's takedown verb), not " +
-        "a bare marker write")
+      s"posting markers at batch ${orphaned.mkString(", ")} have no stats " +
+        s"correction under ${statsRoot(root)} — retract/revive through " +
+        "RetrievalStream.tombstoneFrom/revive (the store's lifecycle " +
+        "verbs), not a bare marker write")
+    // the SYMMETRIC check (ADVICE r16 #2): a correction with no matching
+    // posting marker means a tombstoneFrom/revive crashed after its
+    // correction-first write. That torn window is legal ONLY at the
+    // newest lifecycle batch (the caller's redelivery/journal re-run
+    // overwrites both deterministically); at any OLDER batch the caller
+    // moved on without redelivering, the subtraction is folded while the
+    // postings still serve the docs, and nothing will ever heal it —
+    // fail loud instead of serving silently-torn stats forever.
+    val all = markers ++ corrections.map(_._1)
+    val torn =
+      if (all.isEmpty) Nil
+      else corrections.map(_._1)
+        .filterNot(markers.toSet).filter(_ < all.max)
+    require(torn.isEmpty,
+      s"stats corrections c${torn.mkString(", c")} have no posting marker " +
+        s"under ${postRoot(root)} and newer lifecycle batches exist — a " +
+        "tombstoneFrom/revive crashed after its correction write and was " +
+        "never redelivered; the store is permanently torn (rebuild via " +
+        "writeStanding)")
     foldStats(spark.read.parquet(
       (versions ++ corrections).map(_._2.toString): _*))
   }
@@ -258,25 +342,25 @@ object RetrievalStream {
     * wedges the orchestration). Ordering (doclens → postings → stats)
     * keeps the marker/correction pair consistent at every boundary: a
     * posting marker never outlives its stats correction. */
-  def compactStore(spark: SparkSession, root: String, upTo: Long): Unit = {
+  def compactStore(spark: SparkSession, root: String, upTo: Long,
+      lease: Option[Versions.Lease] = None): Unit = {
     // resolve the deleted ids BEFORE the posting compaction consumes the
-    // markers (eager checkpoint — the relation must survive the delete)
-    val delIds = Versions.listTombstones(spark, postRoot(root))
-      .filter(_._1 <= upTo) match {
-      case Seq() => None
-      case ms => Some(spark.read.parquet(ms.map(_._2.toString): _*)
-        .select(col("id").as("doc_id")).distinct().localCheckpoint(true))
-    }
+    // markers (eager checkpoint — the relation must survive the delete).
+    // NOTE deadSet resolution: ids dead as of upTo (tombstoned, not since
+    // revived) — a revived id's rows must survive the physical fold
+    val delIds = Versions.deadSet(spark, postRoot(root), upTo)
+      .map(_.select(col("id").as("doc_id")).localCheckpoint(true))
     Versions.compact(spark, dlenRoot(root), upTo,
       df => delIds.fold(df)(ids =>
         df.join(broadcast(ids), Seq("doc_id"), "left_anti")),
-      allowSingle = true)
+      allowSingle = true, lease = lease)
     Versions.compact(spark, postRoot(root), upTo,
       tombstoneIdCol = Some("doc_id"), clusterBy = Seq("term"),
-      allowSingle = true)
+      allowSingle = true, lease = lease)
     Versions.compact(spark, statsRoot(root), upTo, foldStats,
       allowSingle = true,
       extraDirs = Versions.listPrefixed(spark, statsRoot(root), 'c')
-        .filter(_._1 <= upTo).map(_._2))
+        .filter(_._1 <= upTo).map(_._2),
+      lease = lease)
   }
 }

@@ -327,7 +327,64 @@ class ClusterStreamSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"election must not window-sort per cluster:\n$plan")
-    assert(plan.contains("partial_max_by") || plan.contains("partial"),
-      s"election must partial-aggregate map-side:\n$plan")
+    // partial_max_by specifically — a bare "partial" disjunct would match
+    // the count's partial and let a complete-mode max_by regress silently
+    // (ADVICE r16 #4)
+    assert(plan.contains("partial_max_by"),
+      s"election's max_by must partial-aggregate map-side:\n$plan")
+  }
+
+  test("revive re-merges the returning doc's components, re-flips min-id " +
+      "labels and canonicals, is redelivery-idempotent, survives " +
+      "compaction, and a bare Versions.revive fails the next fold loud") {
+    val root = java.nio.file.Files.createTempDirectory("cs_rev_").toString
+    val allDocs: Seq[Long] = (1L to 10L).toSeq
+    // {1,2,3,5,6} bridged by 3; singletons 4, 7..10
+    val allPairs = Seq((1L, 2L), (2L, 3L), (3L, 5L), (5L, 6L))
+    ClusterStream.writeStanding(spark, root, docsDF(allDocs),
+      pairsDF(allPairs))
+    def check(deleted: Set[Long]): Unit = {
+      val rd = allDocs.filterNot(deleted)
+      val rp = allPairs.filterNot(p => deleted(p._1) || deleted(p._2))
+      assert(readState(root) === batchAnswer(docsDF(rd), pairsDF(rp)))
+    }
+    // retract the bridge: {1,2} and {5,6} split
+    ClusterStream.retract(spark, root, Seq(3L).toDF("id"), 1L)
+    check(Set(3L))
+    // revive it: the split heals back into one component — the claim-
+    // withdrawn production shape (data never left, only the mask did)
+    ClusterStream.revive(spark, root, Seq(3L).toDF("id"), 2L)
+    check(Set.empty)
+    // redelivered revive (same batch id) resolves the same post-marker
+    // state and overwrites the same repair deltas
+    ClusterStream.revive(spark, root, Seq(3L).toDF("id"), 2L)
+    check(Set.empty)
+    // the min-id label carrier: deleting 1 relabels the cluster to 2;
+    // reviving 1 flips the label (and its election) back
+    ClusterStream.retract(spark, root, Seq(1L).toDF("id"), 3L)
+    check(Set(1L))
+    assert(!readState(root)._1.exists(_._2 == 1L))
+    ClusterStream.revive(spark, root, Seq(1L).toDF("id"), 4L)
+    check(Set.empty)
+    assert(readState(root)._1
+      .filter(a => Set(1L, 2L, 3L, 5L, 6L)(a._1)).forall(_._2 == 1L))
+    // compaction folds the d/r marker history physically — revived rows
+    // survive (deadSet-aware fold), reads unchanged, markers consumed
+    ClusterStream.compactStore(spark, root, upTo = 5L)
+    check(Set.empty)
+    assert(Versions.listTombstones(spark, s"$root/assign").isEmpty &&
+      Versions.listRevives(spark, s"$root/assign").isEmpty)
+    // a bare Versions.revive bypasses the merge repair: legal only in
+    // the verb's own in-flight window (indistinguishable from the verb
+    // mid-repair) — the moment a later version lands, every read fails
+    // loud instead of serving resurrected rows under stale labels
+    ClusterStream.retract(spark, root, Seq(4L).toDF("id"), 5L)
+    Versions.revive(spark, s"$root/assign", Seq(4L).toDF("id"), 6L)
+    ClusterStream.foldBatch(spark, root)(docsDF(Seq(20L)),
+      pairsDF(Seq.empty), 7L)
+    val e = intercept[IllegalArgumentException] {
+      ClusterStream.readAssignments(spark, root).collect()
+    }
+    assert(e.getMessage.contains("no repair delta"), e.getMessage)
   }
 }

@@ -93,4 +93,55 @@ class ScorerSpec extends SparkSpec {
     assert(lo < 0.5 && hi > 0.5 && hi > lo,
       s"probabilities must separate the classes: lo=$lo hi=$hi")
   }
+
+  test("ridgeFitStd: the z-scored fit survives pathologically mis-scaled " +
+      "features where the raw fit's penalty lands asymmetrically, uses " +
+      "the SAME one-scan moments, and is EXACTLY invariant under " +
+      "power-of-two feature rescaling") {
+    // two clean signals 12 decimal orders apart in scale (the exact-
+    // decimal moments buffer bounds how far a raw square can go —
+    // (1e6)²·200 rows stays far inside DECIMAL(38,18)): natural raw
+    // weights are 3e-6 and -1.5e6, so a raw λ=1 penalty crushes the
+    // small-scale feature's coefficient (λ·w² ≈ 2e12 vs hundreds of
+    // residual) while the standardized fit penalizes comparable unit-
+    // variance coefficients
+    val rows = (1 to 200).map { i =>
+      val u1 = (i % 17) / 17.0; val u2 = (i % 23) / 23.0
+      (u1 * 1e6, u2 * 1e-6, 2.0 + 3.0 * u1 - 1.5 * u2)
+    }.toDF("f1", "f2", "y")
+    val feats = Seq(col("f1"), col("f2"))
+    def maxErr(w: Array[Double]): Double = rows
+      .select(abs(Scorer.score(w.toSeq, feats) - col("y")).as("e"))
+      .agg(max(col("e"))).head.getDouble(0)
+    val wStd = Scorer.ridgeFitStd(rows, feats, col("y"), lambda = 1.0)
+    val errStd = maxErr(wStd)
+    assert(errStd < 0.05,
+      s"standardized fit must recover the mixed-scale signal: $errStd")
+    val errRaw = maxErr(Scorer.ridgeFit(rows, feats, col("y"), 1.0))
+    assert(errRaw > 10 * errStd,
+      s"the raw fit's asymmetric penalty is the hazard being fixed: " +
+        s"raw $errRaw vs std $errStd")
+    // scale-invariance under power-of-two rescaling: the standardized
+    // SYSTEM is scale-free algebra, but the decimal staging quantizes
+    // per-row products to shortest round-trip representations, and that
+    // grid does not commute with binary scaling — so the unmapped
+    // weights agree to staging precision (~1e-8 relative), not bits
+    val scaled = rows.select((col("f1") / 1024.0).as("f1"),
+      (col("f2") * 4096.0).as("f2"), col("y"))
+    val wS = Scorer.ridgeFitStd(scaled,
+      Seq(col("f1"), col("f2")), col("y"), lambda = 1.0)
+    def rel(a: Double, b: Double): Double = math.abs(a - b) /
+      math.max(math.abs(a), math.abs(b))
+    assert(rel(wS(0), wStd(0)) < 1e-6 &&
+      rel(wS(1) / 1024.0, wStd(1)) < 1e-6 &&
+      rel(wS(2) * 4096.0, wStd(2)) < 1e-6,
+      s"power-of-two rescaling must agree to staging precision: " +
+        s"${wS.toSeq} vs ${wStd.toSeq}")
+    // zero-variance feature refuses loud
+    val e = intercept[IllegalArgumentException] {
+      Scorer.ridgeFitStd(rows.withColumn("c", lit(7.0)),
+        Seq(col("f1"), col("c")), col("y"), 1.0)
+    }
+    assert(e.getMessage.contains("zero"), e.getMessage)
+  }
 }

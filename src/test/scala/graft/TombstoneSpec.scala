@@ -751,4 +751,126 @@ class TombstoneSpec extends SparkSpec {
     assert(e2.getMessage.contains("autoCompactVersions must be >= 1"),
       s"ADVICE r15 #3: ${e2.getMessage}")
   }
+
+  test("overlapping BM25 sweeps subtract each doc's stats exactly once: " +
+      "a second sweep re-listing an already-dead id is in-contract input " +
+      "and must not double-retract its (1, dl)") {
+    // ADVICE r16 #1: two sweeps (quality then GDPR, say) whose id sets
+    // overlap — masks are distinct-idempotent, but the stats correction
+    // used to re-derive each batch's subtraction from the RAW doclen
+    // relation, so the overlap ids' contribution went out twice and
+    // compaction baked the error in permanently
+    val root = java.nio.file.Files.createTempDirectory("tomb_ovl_").toString
+    val terms = Seq("data", "merge", "hash", "scan")
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40))
+    RetrievalStream.tombstone(spark, root, Seq(0L, 3L), 1L)
+    RetrievalStream.tombstone(spark, root, Seq(3L, 5L), 2L) // 3 overlaps
+
+    val retained = docs.filter(col("doc_id") < 40 &&
+      !col("doc_id").isin(0L, 3L, 5L))
+    val wantStats = Retrieval.statsRelation(retained, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gotStats = RetrievalStream.readStats(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotStats === wantStats,
+      "overlapping sweeps must retract each doc exactly once")
+    val want = Retrieval.bm25TopK(retained, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(RetrievalStream.bm25TopK(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want)
+    // a redelivered overlap sweep recomputes the SAME correction (the
+    // alive cut ignores the batch's own marker)
+    RetrievalStream.tombstone(spark, root, Seq(3L, 5L), 2L)
+    assert(RetrievalStream.readStats(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === wantStats)
+    // compaction bakes the SINGLE subtraction in, not a double one
+    RetrievalStream.compactStore(spark, root, upTo = 2L)
+    assert(RetrievalStream.bm25TopK(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want)
+  }
+
+  test("an orphan stats correction is legal only at the newest lifecycle " +
+      "batch (the in-flight torn window); older orphans fail loud") {
+    // ADVICE r16 #2: tombstoneFrom writes correction-first — a crash
+    // before the marker write leaves a c with no d. The caller's
+    // redelivery heals the NEWEST batch; an orphan any older means the
+    // caller moved on and the store is permanently torn (stats exclude
+    // docs the postings still serve)
+    val root = java.nio.file.Files.createTempDirectory("tomb_torn_").toString
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40))
+    RetrievalStream.tombstone(spark, root, Seq(1L), 1L)
+    // simulate the crash: drop the d1 marker, keep the c1 correction
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/post/d1"), true))
+    // newest lifecycle batch → torn window, reads proceed (redelivery
+    // would overwrite both writes deterministically)
+    RetrievalStream.readStats(spark, root).collect()
+    // a LATER completed sweep makes the orphan permanent → refuse
+    RetrievalStream.tombstone(spark, root, Seq(2L), 2L)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalStream.readStats(spark, root).collect()
+    }
+    assert(e.getMessage.contains("permanently torn"),
+      s"an unhealable orphan correction must fail loud: ${e.getMessage}")
+  }
+
+  test("BM25 revive inverts the takedown pair exactly: postings return, " +
+      "stats re-add the same (1, dl), probes score like a from-scratch " +
+      "index over retained ∪ revived, compaction keeps revived rows, and " +
+      "a bare Versions.revive still fails loud") {
+    val root = java.nio.file.Files.createTempDirectory("tomb_rev_").toString
+    val terms = Seq("data", "merge", "hash", "scan")
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40))
+    RetrievalStream.appendBatch(spark, root)(
+      docs.filter(col("doc_id").between(40, 49)), 0L)
+    RetrievalStream.tombstone(spark, root, Seq(0L, 3L, 41L), 1L)
+    import spark.implicits._
+    RetrievalStream.revive(spark, root, Seq(3L, 41L).toDF("id"), 2L)
+
+    def want(dead: Seq[Long]): Seq[(Long, Double)] = {
+      val retained = docs.filter(col("doc_id") < 50 &&
+        !col("doc_id").isin(dead: _*))
+      Retrieval.bm25TopK(retained, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    def got(): Seq[(Long, Double)] =
+      RetrievalStream.bm25TopK(spark, root, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got() === want(Seq(0L)),
+      "revived docs must score exactly like never-deleted ones")
+    // redelivered revive overwrites both writes deterministically
+    RetrievalStream.revive(spark, root, Seq(3L, 41L).toDF("id"), 2L)
+    assert(got() === want(Seq(0L)))
+    // re-tombstone one revived doc (newest verb wins again)
+    RetrievalStream.tombstone(spark, root, Seq(3L), 3L)
+    assert(got() === want(Seq(0L, 3L)))
+    // compaction: still-dead rows drop physically, revived rows SURVIVE
+    // the fold, markers + corrections are consumed, reads unchanged
+    RetrievalStream.compactStore(spark, root, upTo = 3L)
+    assert(got() === want(Seq(0L, 3L)))
+    assert(Versions.listTombstones(spark, s"$root/post").isEmpty &&
+      Versions.listRevives(spark, s"$root/post").isEmpty &&
+      Versions.listPrefixed(spark, s"$root/stats", 'c').isEmpty)
+    val raw = spark.read.parquet(s"$root/post/v0")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(raw.contains(41L) && !raw.contains(3L) && !raw.contains(0L))
+    // reviving a physically-compacted id refuses (deletion is final)
+    val e0 = intercept[IllegalArgumentException] {
+      RetrievalStream.revive(spark, root, Seq(3L).toDF("id"), 4L)
+    }
+    assert(e0.getMessage.contains("nothing to revive") ||
+      e0.getMessage.contains("not taken down"), e0.getMessage)
+    // a bare Versions.revive (no stats re-correction) fails readStats
+    // loud — the store's revive verb is the only legal path
+    RetrievalStream.tombstone(spark, root, Seq(5L), 4L)
+    Versions.revive(spark, s"$root/post", Seq(5L).toDF("id"), 5L)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalStream.readStats(spark, root).collect()
+    }
+    assert(e.getMessage.contains("no stats correction"), e.getMessage)
+  }
 }

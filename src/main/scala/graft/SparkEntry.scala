@@ -50,5 +50,6 @@ object SparkEntry {
     "p137_tombstone_ahash", "p138_tombstone_mediafp",
     "p139_takedown_capstone", "p140_stream_clusters",
     "p144_revive_ahash", "p145_production_loop",
+    "p146_revive_neardup", "p147_revive_loop",
     "q47_paged_source")
 }

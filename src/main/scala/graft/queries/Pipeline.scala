@@ -5775,6 +5775,12 @@ object Pipeline {
       pairsRoot: String, outRoot: String)(b: DataFrame, id: Long): Unit = {
     import graft.streaming.NearDupStream
     import graft.operators.{Profiling, Quality}
+    // stage 0 — the re-ingest guard at the pipeline's front door
+    // (VERDICT r16 next #4): a batch carrying an id any derived store
+    // still holds dead refuses loud — the legal paths are
+    // Versions.revive (retained content returning) or a fresh ingest id
+    graft.streaming.Takedown.guardReingest(spark, Seq(idxRoot, docsRoot),
+      b.select(col("doc_id")))
     // stage 1 — decontamination: literal-mask prefilter (scan-local,
     // zero joins for clean docs) + exact verify over candidates only
     val contam = gram5(b)
@@ -7116,6 +7122,11 @@ object Pipeline {
       ctOut: String, outRoot: String)(b: DataFrame, id: Long): Unit = {
     import graft.multimodal.Multimodal
     import graft.streaming.{AHashStream, ContainmentStream, MediaFpStream}
+    // stage 0 — the re-ingest guard at the pipeline's front door
+    // (VERDICT r16 next #4): a batch carrying a media id any of the
+    // three derived stores still holds dead refuses loud
+    graft.streaming.Takedown.guardReingest(spark,
+      Seq(fpRoot, ahRoot, ctRoot), b.select(col("media_id")))
     // decode the batch's payloads ONCE — the three families' profiles all
     // derive from the same checkpointed PCM frame (VERDICT r13 wrong #1:
     // each family's own profiler re-ran AudioSystem over the same batch,
@@ -9104,6 +9115,11 @@ object Pipeline {
                   ClusterStream.retract(s, csRoot, ids, bi))))
           ()
         } else {
+          // the re-ingest guard at the loop's front door (VERDICT r16
+          // next #4): a post-takedown batch carrying a dead id refuses
+          // loud — revive or a fresh ingest id, never a silent re-ingest
+          Takedown.guardReingest(spark,
+            Seq(ndIdx, ndDocs, s"$csRoot/assign"), b.select(col("doc_id")))
           val pairs = NearDupStream.filterBatch(spark, ndIdx, ndDocs,
             ndOut, "doc_id", "text", threshold = 0.4,
             materializePairs = true)(
@@ -9231,6 +9247,341 @@ object Pipeline {
        |  UNION ALL
        |  SELECT 'canon', cid, keep_id, CAST(nm AS BIGINT), quality
        |  FROM cn2 WHERE rn = 1)
+       |ORDER BY part, a, b""".stripMargin
+  }
+
+  // =========================================================================
+  // p146 — ID-REVIVAL through the streaming near-dup TEXT stores (VERDICT
+  // r16 next #4 — the p144 shape on a text store, completing the
+  // per-store revive matrix): p132's takedown fixture with the third
+  // lifecycle verb on BOTH mask-only roots (band index + docs store).
+  // Standing originals 0-9 are retracted before batch 1's probe; the
+  // 0-4 subset is revived (claim withdrawn — Versions.revive on each
+  // root, newest-verb-wins) before batch 2's probe. Byte-identical
+  // plants (+10000000 — clears the fixture's bounded id space) arrive
+  // one per original, striped by original id mod 3: batch-0 plants pair
+  // pre-takedown, batch-1 plants find nothing (all ten dead), batch-2
+  // plants of revived originals {2} re-find their standing rows while
+  // {5, 8} stay dead — both arms non-vacuous by the stripe split. The
+  // oracle is p132's chain with a batch-dependent excludeOld cut: {<10}
+  // at arm 1, {[5,10)} at arm 2 — exactly the masked read's resolution
+  // of the d1/r2 marker pair, applied to the prior bands AND docs
+  // BEFORE the bucket-occupancy cap counts (where the engine's mask
+  // sits). Incoming bounded to [250, 2250) for zipf1 replay
+  // feasibility, the p132 bound.
+  // =========================================================================
+  def p146ReviveNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 250)
+    val incoming = docs
+      .filter(col("doc_id") >= 250 && col("doc_id") < 2250)
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(3)).as("batch"))
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(3)).as("batch")))
+    val root = Files.createTempDirectory("p146_").toString
+    val in = s"$root/in"; val idxRoot = s"$root/idx"
+    val docsRoot = s"$root/docs"; val outRoot = s"$root/out"
+    Dedup.minhashBandIndex(existing, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+      .write.parquet(s"$idxRoot/v0")
+    existing.write.parquet(s"$docsRoot/v0")
+    writeDailyFilesBy(incoming, "batch", in, 3)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L)
+          graft.streaming.NearDupStream.tombstone(spark, idxRoot, docsRoot,
+            0L until 10L, id)
+        if (id == 2L) {
+          // the claim is withdrawn for 0-4: the generic verb suffices on
+          // mask-only stores — the retained rows come back into every
+          // read, no repair needed (the p144 aHash precedent, on text)
+          val rv = spark.range(5).select(col("id"))
+          graft.streaming.Versions.revive(spark, idxRoot, rv, id)
+          graft.streaming.Versions.revive(spark, docsRoot, rv, id)
+        }
+        graft.streaming.NearDupStream
+          .filterBatch(spark, idxRoot, docsRoot, outRoot, "doc_id", "text",
+            threshold = 0.4)(b, id)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("batch"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val p146Sql: String = {
+    // arm 1 sees the full takedown; arm 2 sees it minus the revived 0-4
+    // (newest verb wins). Plant ids are +10000000 and originals in the
+    // incoming stream are >= 250, so the predicates name exactly the
+    // marker ids at any corpus scale.
+    def crossArm(b: Int): String =
+      sqlCrossArmCtes(b,
+        excludeOld = b match {
+          case 1 => Some("id < 10")
+          case 2 => Some("id >= 5 AND id < 10")
+          case _ => None
+        })
+    s"""WITH ex AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |           WHERE doc_id < 250),
+       |inc AS (
+       |  SELECT doc_id, $sqlToks AS toks, doc_id % 3 AS b FROM documents
+       |  WHERE doc_id >= 250 AND doc_id < 2250
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, $sqlToks, doc_id % 3
+       |  FROM documents WHERE doc_id < 10),
+       |i0 AS (SELECT doc_id, toks FROM inc WHERE b = 0),
+       |i1 AS (SELECT doc_id, toks FROM inc WHERE b = 1),
+       |i2 AS (SELECT doc_id, toks FROM inc WHERE b = 2),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("x", "ex")},
+       |${sqlMinhashChain("g0", "i0")},
+       |${sqlMinhashChain("g1", "i1")},
+       |${sqlMinhashChain("g2", "i2")},
+       |${sqlMinhashPairCtes("g0")},
+       |${sqlMinhashPairCtes("g1")},
+       |${sqlMinhashPairCtes("g2")},
+       |${crossArm(0)},
+       |${crossArm(1)},
+       |${crossArm(2)}
+       |SELECT id_a, id_b, jaccard, batch FROM (
+       |  SELECT id_a, id_b, jaccard, CAST(0 AS BIGINT) AS batch FROM
+       |    (SELECT * FROM mhg0 UNION ALL SELECT * FROM mx0)
+       |  UNION ALL
+       |  SELECT id_a, id_b, jaccard, CAST(1 AS BIGINT) FROM
+       |    (SELECT * FROM mhg1 UNION ALL SELECT * FROM mx1)
+       |  UNION ALL
+       |  SELECT id_a, id_b, jaccard, CAST(2 AS BIGINT) FROM
+       |    (SELECT * FROM mhg2 UNION ALL SELECT * FROM mx2))
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // =========================================================================
+  // p147 — THE FULL LICENSING LIFECYCLE IN THE PRODUCTION LOOP (VERDICT
+  // r16 next #5): p145 ends at the takedown; the lifecycle a real
+  // licensing pipeline runs continues — takedown → re-license → REVIVE →
+  // the doc re-entering cluster state. Same fixture and loop as p145
+  // (ingest → banded pairs → cluster fold → duplicate-of-canonical
+  // verdict → journaled cross-store takedown at trigger 2), plus a
+  // trigger-4 re-license: the claim on the planted run's original
+  // canonical (40000000) is withdrawn, and the revive fans to every
+  // store the takedown hit — Versions.revive on the band index + docs
+  // store (mask-only), ClusterStream.revive's marker + component-local
+  // MERGE repair on the cluster store. The revived doc reconnects
+  // through the pairs it had when retracted (plus pairs folded against
+  // it later — here none: batch-3 probes ran while it was dead, which is
+  // exactly the revive-is-not-re-ingest contract), the run cluster
+  // relabels to the returning min id, and the canonical RE-FLIPS from
+  // the re-elected 40000001 back to 40000000 (identical plant scores →
+  // tie → min id). 99/100/40000003 stay dead. The ingest arms also run
+  // Takedown.guardReingest (VERDICT r16 next #4 — the capstone wiring):
+  // a post-takedown batch carrying a dead id would refuse loud instead
+  // of diverging. The oracle extends p145's fragment chain with a FOURTH
+  // closure view over retained ∪ revived: pv3 = every pair ever written
+  // (pv1 ∪ arm-2 pairs) with only the still-dead cut, dv3 = every doc
+  // not still-dead — the masked read's newest-verb-wins resolution of
+  // the d2/r4 marker pair — replaying assign/canon from scratch; the
+  // verdict arms replay the fold-time views 0/1/2 unchanged.
+  // =========================================================================
+  def p147ReviveLoop(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.streaming.{ClusterStream, NearDupStream, Takedown, Versions}
+    import graft.streaming.Takedown.Target
+    import spark.implicits._
+    val del = Seq(99L, 100L, 40000000L, 40000003L)
+    val rv = Seq(40000000L)
+    val plant = spark.range(10)
+      .select((col("id") + 40000000L).as("doc_id"),
+        lit("pl run pl run pl").as("text"),
+        pmod(col("id"), lit(3)).as("b0"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") < 250).localCheckpoint(true)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .withColumn("b0", pmod(col("doc_id"), lit(3)))
+      .unionAll(plant)
+      .withColumn("batch", when(col("b0") === 2, lit(3)).otherwise(col("b0")))
+      .select(col("doc_id"), col("text"), col("batch"))
+    def scored(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"),
+        TF.qualityScoreFromTokens(col("text"),
+          TF.tokens(col("text"))).as("score"))
+    val root = Files.createTempDirectory("p147_").toString
+    val in = s"$root/in"; val ndIdx = s"$root/ndidx"
+    val ndDocs = s"$root/nddocs"; val ndOut = s"$root/ndout"
+    val csRoot = s"$root/cs"; val outRoot = s"$root/out"
+    Dedup.minhashBandIndex(standing, "doc_id", "text")
+      .write.parquet(s"$ndIdx/v0")
+    standing.write.parquet(s"$ndDocs/v0")
+    ClusterStream.writeStanding(spark, csRoot, scored(standing),
+      Dedup.minhashPairs(standing, "doc_id", "text", threshold = 0.4))
+    writeDailyFilesBy(incoming, "batch", in, 5)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 2L) {
+          Takedown.takedownAll(spark, s"$root/journal", del.toDF("id"), id,
+            targets = Seq(
+              Target("band index", ndIdx),
+              Target("docs store", ndDocs),
+              Target("cluster store",
+                (s: SparkSession, ids: DataFrame, bi: Long) =>
+                  ClusterStream.retract(s, csRoot, ids, bi))))
+          ()
+        } else if (id == 4L) {
+          // re-license: ONE revive fanned to every store the takedown
+          // hit — generic markers on the mask-only roots, the paired
+          // merge-repair verb on the cluster store
+          val rvDf = rv.toDF("id")
+          Versions.revive(spark, ndIdx, rvDf, id)
+          Versions.revive(spark, ndDocs, rvDf, id)
+          ClusterStream.revive(spark, csRoot, rvDf, id)
+          ()
+        } else {
+          // the re-ingest guard at the loop's front door: a batch
+          // carrying a taken-down id refuses loud (revive or fresh id —
+          // never a silent same-id re-ingest)
+          Takedown.guardReingest(spark,
+            Seq(ndIdx, ndDocs, s"$csRoot/assign"), b.select(col("doc_id")))
+          val pairs = NearDupStream.filterBatch(spark, ndIdx, ndDocs,
+            ndOut, "doc_id", "text", threshold = 0.4,
+            materializePairs = true)(
+            b.select(col("doc_id"), col("text")), id)
+          ClusterStream.foldBatch(spark, csRoot)(scored(b),
+            pairs.select(col("id_a"), col("id_b")), id)
+          ClusterStream.readAssignments(spark, csRoot, upTo = id + 1)
+            .join(broadcast(b.select(col("doc_id").as("id"))), Seq("id"),
+              "left_semi")
+            .join(ClusterStream.readCanonicals(spark, csRoot,
+              upTo = id + 1).select(col("cid"), col("keep_id")),
+              Seq("cid"))
+            .select(col("id").as("doc_id"), col("keep_id"),
+              lit(id).as("batch"),
+              when(col("keep_id") === col("id"), 1.0).otherwise(0.0)
+                .as("keep"))
+            .write.mode("overwrite").parquet(s"$outRoot/b$id")
+        }
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/b*")
+      .select(lit("v").as("part"), col("doc_id").as("a"),
+        col("keep_id").as("b"), col("batch").cast("long").as("n"),
+        col("keep").as("v"))
+      .unionAll(ClusterStream.readAssignments(spark, csRoot)
+        .select(lit("assign").as("part"), col("id").as("a"),
+          col("cid").as("b"), lit(-1L).as("n"), lit(0.0).as("v")))
+      .unionAll(ClusterStream.readCanonicals(spark, csRoot)
+        .select(lit("canon").as("part"), col("cid").as("a"),
+          col("keep_id").as("b"), col("n_members").cast("long").as("n"),
+          col("score").as("v")))
+      .orderBy("part", "a", "b")
+  }
+
+  val p147Sql: String = {
+    val delList = "99, 100, 40000000, 40000003"
+    val stillDead = "99, 100, 40000003"
+    def closure(k: Int): String =
+      s"""e$k AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pv$k
+         |  UNION ALL SELECT id_b, id_a FROM pv$k),
+         |rc$k AS (SELECT doc_id AS id, doc_id AS l FROM dv$k
+         |  UNION SELECT e$k.a, rc$k.l FROM rc$k JOIN e$k ON e$k.b = rc$k.id),
+         |m$k AS MATERIALIZED (
+         |  SELECT r.id, MIN(r.l) AS cid FROM rc$k r GROUP BY r.id),
+         |cn$k AS MATERIALIZED (
+         |  SELECT m$k.cid, m$k.id AS keep_id, q147m.quality,
+         |    COUNT(*) OVER (PARTITION BY m$k.cid) AS nm,
+         |    ROW_NUMBER() OVER (PARTITION BY m$k.cid
+         |      ORDER BY q147m.quality DESC, m$k.id ASC) AS rn
+         |  FROM m$k JOIN q147m ON q147m.doc_id = m$k.id)""".stripMargin
+    def verdictArm(k: Int, batch: Int): String =
+      s"""SELECT 'v' AS part, a.doc_id AS a, c.keep_id AS b,
+         |    CAST($batch AS BIGINT) AS n,
+         |    CASE WHEN c.keep_id = a.doc_id THEN 1.0 ELSE 0.0 END AS v
+         |  FROM armm a JOIN m$k ON m$k.id = a.doc_id
+         |  JOIN cn$k c ON c.cid = m$k.cid AND c.rn = 1
+         |  WHERE a.k = $k""".stripMargin
+    s"""WITH RECURSIVE
+       |pr AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT CAST(40000000 + i.x AS BIGINT),
+       |    'pl run pl run pl' FROM (SELECT unnest(range(10)) AS x) i),
+       |t147 AS (SELECT doc_id, text, $sqlToks AS toks FROM pr),
+       |${sqlQualityCtes("147", "t147", "doc_id")},
+       |arm AS (SELECT doc_id, toks,
+       |    CASE WHEN doc_id >= 40000000 THEN
+       |      (CASE WHEN (doc_id - 40000000) % 3 = 2 THEN 2
+       |            ELSE CAST((doc_id - 40000000) % 3 AS INT) END)
+       |      WHEN doc_id < 250 THEN -1
+       |      WHEN doc_id % 3 = 2 THEN 2
+       |      ELSE CAST(doc_id % 3 AS INT) END AS k
+       |  FROM t147),
+       |ex AS (SELECT doc_id, toks FROM arm WHERE k = -1),
+       |i0 AS (SELECT doc_id, toks FROM arm WHERE k = 0),
+       |i1 AS (SELECT doc_id, toks FROM arm WHERE k = 1),
+       |i2 AS (SELECT doc_id, toks FROM arm WHERE k = 2),
+       |$sqlMinhashCoef,
+       |${sqlMinhashChain("x", "ex")},
+       |${sqlMinhashPairCtes("x")},
+       |${sqlMinhashChain("g0", "i0")},
+       |${sqlMinhashPairCtes("g0")},
+       |${sqlMinhashChain("g1", "i1")},
+       |${sqlMinhashPairCtes("g1")},
+       |${sqlMinhashChain("g2", "i2")},
+       |${sqlMinhashPairCtes("g2")},
+       |${sqlCrossArmCtes(0)},
+       |${sqlCrossArmCtes(1)},
+       |${sqlCrossArmCtes(2, excludeOld = Some(s"id IN ($delList)"))},
+       |q147m AS MATERIALIZED (SELECT doc_id, quality FROM q147),
+       |armm AS MATERIALIZED (SELECT doc_id, k FROM arm),
+       |pv0 AS MATERIALIZED (SELECT id_a, id_b FROM mhx
+       |  UNION SELECT id_a, id_b FROM mhg0
+       |  UNION SELECT id_a, id_b FROM mx0),
+       |pv1 AS MATERIALIZED (SELECT id_a, id_b FROM pv0
+       |  UNION SELECT id_a, id_b FROM mhg1
+       |  UNION SELECT id_a, id_b FROM mx1),
+       |pv2 AS MATERIALIZED (SELECT id_a, id_b FROM pv1
+       |    WHERE id_a NOT IN ($delList) AND id_b NOT IN ($delList)
+       |  UNION SELECT id_a, id_b FROM mhg2
+       |  UNION SELECT id_a, id_b FROM mx2),
+       |pv3 AS MATERIALIZED (SELECT id_a, id_b FROM pv1
+       |    WHERE id_a NOT IN ($stillDead) AND id_b NOT IN ($stillDead)
+       |  UNION SELECT id_a, id_b FROM mhg2
+       |  UNION SELECT id_a, id_b FROM mx2),
+       |dv0 AS MATERIALIZED (SELECT doc_id FROM armm WHERE k <= 0),
+       |dv1 AS MATERIALIZED (SELECT doc_id FROM armm WHERE k <= 1),
+       |dv2 AS MATERIALIZED (
+       |  SELECT doc_id FROM armm WHERE doc_id NOT IN ($delList)),
+       |dv3 AS MATERIALIZED (
+       |  SELECT doc_id FROM armm WHERE doc_id NOT IN ($stillDead)),
+       |${closure(0)},
+       |${closure(1)},
+       |${closure(2)},
+       |${closure(3)}
+       |SELECT part, a, b, n, v FROM (
+       |  ${verdictArm(0, 0)}
+       |  UNION ALL
+       |  ${verdictArm(1, 1)}
+       |  UNION ALL
+       |  ${verdictArm(2, 3)}
+       |  UNION ALL
+       |  SELECT 'assign', id, cid, CAST(-1 AS BIGINT), 0.0 FROM m3
+       |  UNION ALL
+       |  SELECT 'canon', cid, keep_id, CAST(nm AS BIGINT), quality
+       |  FROM cn3 WHERE rn = 1)
        |ORDER BY part, a, b""".stripMargin
   }
 
@@ -9380,7 +9731,9 @@ object Pipeline {
     "p142_ridge_wide" -> (p142RidgeWide _),
     "p143_logistic_quality" -> (p143LogisticQuality _),
     "p144_revive_ahash" -> (p144ReviveAHash _),
-    "p145_production_loop" -> (p145ProductionLoop _))
+    "p145_production_loop" -> (p145ProductionLoop _),
+    "p146_revive_neardup" -> (p146ReviveNearDup _),
+    "p147_revive_loop" -> (p147ReviveLoop _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
@@ -9525,5 +9878,7 @@ object Pipeline {
     "p142_ridge_wide" -> p142Sql,
     "p143_logistic_quality" -> p143Sql,
     "p144_revive_ahash" -> p144Sql,
-    "p145_production_loop" -> p145Sql)
+    "p145_production_loop" -> p145Sql,
+    "p146_revive_neardup" -> p146Sql,
+    "p147_revive_loop" -> p147Sql)
 }

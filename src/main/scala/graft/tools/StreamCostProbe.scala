@@ -519,10 +519,95 @@ object StreamCostProbe {
         f"relabel $tRelabel%.2f s | mega takedown $tMega%.2f s |")
     }
 
+    // ---- production-loop arm (r17 — VERDICT r16 next #3): the p145
+    // composition measured PER PHASE against 1× and 10× standing stores —
+    // probe (banded near-dup filterBatch), fold (ClusterStream), verdict
+    // (duplicate-of-canonical join), and one journaled cross-store
+    // takedown fan-out — plus the read-path tax the loop accrues when it
+    // never compacts: a 20-trigger run whose first/last per-phase costs
+    // expose the version fan-in growth (every trigger adds one delta to
+    // the band index, the docs store, and the three cluster roots; reads
+    // list + union them all). Batches land under fresh ids per trigger
+    // (the rows-unique contract); scores are a hash stripe — the probe
+    // measures plan cost, not quality semantics.
+    def loopArm(dir: String, label: String, triggers: Int): Unit = {
+      import graft.streaming.{ClusterStream, NearDupStream, Takedown}
+      import graft.streaming.Takedown.Target
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val root = Files.createTempDirectory(s"scp_loop_$label").toString
+      val ndIdx = s"$root/ndidx"; val ndDocs = s"$root/nddocs"
+      val csRoot = s"$root/cs"
+      def scored(df: DataFrame): DataFrame = df
+        .select(col("doc_id").as("id"),
+          (pmod(xxhash64(col("doc_id")), lit(1000L)) / 1000.0).as("score"))
+      val standing = timed {
+        Dedup.minhashBandIndex(docs, "doc_id", "text")
+          .write.parquet(s"$ndIdx/v0")
+        docs.write.parquet(s"$ndDocs/v0")
+        ClusterStream.writeStanding(spark, csRoot, scored(docs),
+          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4))
+      }
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val folds = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val verdicts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until triggers).foreach { t =>
+        val b = batchDocs.withColumn("doc_id",
+            col("doc_id") + lit(910000000L + t * 10000L))
+          .localCheckpoint(true)
+        val bi = t.toLong
+        var pairs: DataFrame = null
+        probes += timed {
+          pairs = NearDupStream.filterBatch(spark, ndIdx, ndDocs,
+            s"$root/ndout", "doc_id", "text", threshold = 0.4,
+            materializePairs = true)(b, bi)
+        }
+        folds += timed {
+          ClusterStream.foldBatch(spark, csRoot)(scored(b),
+            pairs.select(col("id_a"), col("id_b")), bi)
+        }
+        verdicts += timed {
+          ClusterStream.readAssignments(spark, csRoot, upTo = bi + 1)
+            .join(broadcast(b.select(col("doc_id").as("id"))), Seq("id"),
+              "left_semi")
+            .join(ClusterStream.readCanonicals(spark, csRoot, upTo = bi + 1)
+              .select(col("cid"), col("keep_id")), Seq("cid"))
+            .count()
+          ()
+        }
+      }
+      // one journaled cross-store takedown under the next batch id: the
+      // sweep resolution + three-store marker fan-out + component repair
+      val sweepIds = docs.select(col("doc_id")).orderBy("doc_id").limit(4)
+      val tj = timed {
+        Takedown.takedownAll(spark, s"$root/journal", sweepIds,
+          triggers.toLong, Seq(
+            Target("band index", ndIdx),
+            Target("docs store", ndDocs),
+            Target("cluster store",
+              (s: SparkSession, ids: DataFrame, bi: Long) =>
+                ClusterStream.retract(s, csRoot, ids, bi))))
+        ()
+      }
+      println(f"| LOOP $label | standing $standing%.2f s | probe med " +
+        f"${med(probes.toSeq)}%.2f s | fold med ${med(folds.toSeq)}%.2f s " +
+        f"| verdict med ${med(verdicts.toSeq)}%.2f s | journal fan-out " +
+        f"$tj%.2f s | trigger1 " +
+        f"${probes.head + folds.head + verdicts.head}%.2f s → trigger$triggers " +
+        f"${probes.last + folds.last + verdicts.last}%.2f s |")
+    }
+
     val only = if (args.length > 2) Some(args(2)) else None
     if (only.contains("cluster")) {
       csArm(1000000L, "1e6")
       csArm(10000000L, "1e7")
+      spark.stop(); return
+    }
+    if (only.contains("loop")) {
+      loopArm("/root/testdata/sf0.1", "sf0.1", nAppends)
+      loopArm(sf1, "sf1", nAppends)
+      loopArm("/root/testdata/sf0.1", "sf0.1-x20", 20)
       spark.stop(); return
     }
 

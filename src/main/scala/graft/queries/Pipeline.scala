@@ -9395,7 +9395,7 @@ object Pipeline {
   // =========================================================================
   def p147ReviveLoop(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    import graft.streaming.{ClusterStream, NearDupStream, Takedown, Versions}
+    import graft.streaming.{ClusterStream, NearDupStream, Takedown}
     import graft.streaming.Takedown.Target
     import spark.implicits._
     val del = Seq(99L, 100L, 40000000L, 40000003L)
@@ -9441,13 +9441,20 @@ object Pipeline {
                   ClusterStream.retract(s, csRoot, ids, bi))))
           ()
         } else if (id == 4L) {
-          // re-license: ONE revive fanned to every store the takedown
-          // hit — generic markers on the mask-only roots, the paired
-          // merge-repair verb on the cluster store
-          val rvDf = rv.toDF("id")
-          Versions.revive(spark, ndIdx, rvDf, id)
-          Versions.revive(spark, ndDocs, rvDf, id)
-          ClusterStream.revive(spark, csRoot, rvDf, id)
+          // re-license: ONE journaled revive fanned to every store the
+          // takedown hit (Takedown.reviveAll — the same write-ahead
+          // intent-log protocol as the takedown direction): generic
+          // markers on the mask-only roots, the paired merge-repair
+          // verb on the cluster store. Sharing the journal root also
+          // exercises the vacuum cadence — the committed t2 journal is
+          // dropped on the way in.
+          Takedown.reviveAll(spark, s"$root/journal", rv.toDF("id"), id,
+            targets = Seq(
+              Target.revive("band index", ndIdx),
+              Target.revive("docs store", ndDocs),
+              Target("cluster store",
+                (s: SparkSession, ids: DataFrame, bi: Long) =>
+                  ClusterStream.revive(s, csRoot, ids, bi))))
           ()
         } else {
           // the re-ingest guard at the loop's front door: a batch

@@ -89,10 +89,20 @@ object Takedown {
         lease: Option[Versions.Lease]): Target =
       Target(what, (s: SparkSession, ids: DataFrame, b: Long) =>
         Versions.tombstoneFrom(s, markerRoot, ids, b, lease))
+
+    /** The bare-REVIVE form for [[reviveAll]]'s fan-out to mask-only
+      * stores (band index, docs, containment, aHash, media-fp, IVF,
+      * PQ); paired-side-effect stores pass their own verbs
+      * ([[RetrievalStream.revive]], [[ClusterStream.revive]]) exactly
+      * as they do for the takedown direction. */
+    def revive(what: String, markerRoot: String,
+        lease: Option[Versions.Lease] = None): Target =
+      Target(what, (s: SparkSession, ids: DataFrame, b: Long) =>
+        Versions.revive(s, markerRoot, ids, b, lease))
   }
 
-  private def journalDir(journalRoot: String, batchId: Long): String =
-    s"$journalRoot/t$batchId"
+  private def journalDir(journalRoot: String, prefix: Char,
+      batchId: Long): String = s"$journalRoot/$prefix$batchId"
 
   /** Drop COMMITTED takedown journals with batch id <= `retainUpTo`
     * (VERDICT r15 next #3): journals are the recovery log, and a
@@ -110,7 +120,7 @@ object Takedown {
     val p = new Path(journalRoot)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("t\\d+"))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("[tr]\\d+"))
       .filter(_.getPath.getName.drop(1).toLong <= retainUpTo)
       .filter(s => fs.exists(new Path(s.getPath, "_committed")))
       .foreach(s => fs.delete(s.getPath, true))
@@ -144,16 +154,18 @@ object Takedown {
     }
   }
 
-  /** Journaled-but-uncommitted takedown batch ids under `journalRoot` —
-    * each needs [[takedownAll]] re-run with the same arguments to finish
-    * its fan-out (any sweep may be passed; it is ignored in favor of the
-    * journal). */
-  def incomplete(spark: SparkSession, journalRoot: String): Seq[Long] = {
+  /** Journaled-but-uncommitted batch ids under `journalRoot` — each
+    * needs its orchestrator ([[takedownAll]] for the default `t`
+    * prefix, [[reviveAll]] for `r`) re-run with the same arguments to
+    * finish its fan-out (any sweep may be passed; it is ignored in
+    * favor of the journal). */
+  def incomplete(spark: SparkSession, journalRoot: String,
+      prefix: Char = 't'): Seq[Long] = {
     val p = new Path(journalRoot)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("t\\d+"))
+      .filter(s => s.isDirectory && s.getPath.getName.matches(s"$prefix\\d+"))
       .filter { s =>
         fs.exists(new Path(s.getPath, "ids/_SUCCESS")) &&
           !fs.exists(new Path(s.getPath, "_committed"))
@@ -171,16 +183,61 @@ object Takedown {
   def takedownAll(spark: SparkSession, journalRoot: String, sweep: DataFrame,
       batchId: Long, targets: Seq[Target],
       corpus: Option[(String, String)] = None): DataFrame = {
-    // committed-journal vacuum runs ON THE CADENCE (VERDICT r16 next #4,
-    // r15 wrong #1): every sweep bounds the journal history it leaves
-    // behind. `batchId - 1` is inside vacuumJournal's safety bound —
-    // streaming redelivers at most the first uncommitted batch (this
-    // one), and every committed batch is < batchId; uncommitted journals
-    // are never touched regardless.
-    vacuumJournal(spark, journalRoot, retainUpTo = batchId - 1)
     require(targets.nonEmpty || corpus.nonEmpty,
       "takedownAll with no targets and no corpus — nothing to sweep")
-    val dir = journalDir(journalRoot, batchId)
+    journaledFanOut(spark, journalRoot, 't', "takedown", sweep, batchId) {
+      ids =>
+        targets.foreach(t => t.retract(spark, ids, batchId))
+        corpus.foreach { case (root, keyCol) =>
+          CorpusMaintenance.deleteBatch(spark, root, Seq(keyCol))(
+            ids.select(col("id").as(keyCol)), batchId)
+        }
+    }
+  }
+
+  /** The revive-direction orchestrator (r17): ONE re-license sweep
+    * (the ids whose claims were withdrawn), resolved EXACTLY ONCE into
+    * an `r<batchId>` journal, fanned out under ONE batch id to every
+    * store the takedown hit — [[Target.revive]]'s bare markers for the
+    * mask-only stores, the paired verbs
+    * ([[RetrievalStream.revive]]'s stats re-correction,
+    * [[ClusterStream.revive]]'s merge repair) for the rest. Every
+    * reason [[takedownAll]] is journaled applies in this direction
+    * too: a crash between two stores' revives leaves them DISAGREEING
+    * about whether a document exists (worse: a cluster store re-merged
+    * around a doc a band index still masks), and each store's revive
+    * verb is idempotent-by-name, so recovery is "re-run the same call"
+    * from the journal — [[Versions.revive]]'s dead-as-of check reads
+    * markers strictly BEFORE `batchId`, so a half-fanned re-run still
+    * sees every journaled id dead and overwrites deterministically.
+    * `[[incomplete]](…, prefix = 'r')` enumerates pending recovery;
+    * the corpus side is the caller's re-ingest of the re-licensed
+    * content via its own snapshot verbs (content RETURNING through the
+    * retained rows needs no corpus step — the snapshots never dropped
+    * it until vacuum). */
+  def reviveAll(spark: SparkSession, journalRoot: String, sweep: DataFrame,
+      batchId: Long, targets: Seq[Target]): DataFrame = {
+    require(targets.nonEmpty, "reviveAll with no targets")
+    journaledFanOut(spark, journalRoot, 'r', "revive", sweep, batchId) {
+      ids => targets.foreach(t => t.retract(spark, ids, batchId))
+    }
+  }
+
+  /** The shared write-ahead journal protocol (see [[takedownAll]]'s
+    * scaladoc): resolve `sweep` once into `journalRoot/<prefix><batchId>/
+    * ids`, run `fanOut` FROM THE JOURNAL (never the sweep — a re-run
+    * after a crash must fan the set the first run resolved, not
+    * whatever the predicate evaluates to over half-masked stores),
+    * then write the commit flag. Committed journals at most
+    * `batchId - 1` are vacuumed on the way in (the cadence: streaming
+    * redelivers at most the first uncommitted batch — this one — and
+    * every committed batch is < batchId; uncommitted journals are
+    * never touched regardless). */
+  private def journaledFanOut(spark: SparkSession, journalRoot: String,
+      prefix: Char, what: String, sweep: DataFrame, batchId: Long)(
+      fanOut: DataFrame => Unit): DataFrame = {
+    vacuumJournal(spark, journalRoot, retainUpTo = batchId - 1)
+    val dir = journalDir(journalRoot, prefix, batchId)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val committed = new Path(dir, "_committed")
     val idsPath = new Path(dir, "ids")
@@ -189,23 +246,15 @@ object Takedown {
       // Spark writes _SUCCESS last, so its presence implies full data
       if (!fs.exists(new Path(idsPath, "_SUCCESS"))) {
         require(sweep.schema.fields.length == 1,
-          s"takedownAll takes a single id column, got " +
+          s"${what}All takes a single id column, got " +
             s"${sweep.schema.fieldNames.mkString(", ")}")
         val rel = sweep.toDF("id").select(col("id").cast("long").as("id"))
           .filter(col("id").isNotNull)
           .distinct().localCheckpoint(true)
-        require(rel.limit(1).count() > 0, "takedown of an empty id set")
+        require(rel.limit(1).count() > 0, s"$what of an empty id set")
         rel.coalesce(1).write.mode("overwrite").parquet(idsPath.toString)
       }
-      // every step below reads the JOURNAL, never the sweep: a re-run
-      // after a crash must mark the set the first run resolved, not
-      // whatever the predicate evaluates to over half-masked stores
-      val ids = spark.read.parquet(idsPath.toString)
-      targets.foreach(t => t.retract(spark, ids, batchId))
-      corpus.foreach { case (root, keyCol) =>
-        CorpusMaintenance.deleteBatch(spark, root, Seq(keyCol))(
-          ids.select(col("id").as(keyCol)), batchId)
-      }
+      fanOut(spark.read.parquet(idsPath.toString))
       require(fs.createNewFile(committed) || fs.exists(committed),
         s"could not write the commit flag $committed — the fan-out is " +
           "complete but will re-run (harmlessly, idempotent) on recovery")

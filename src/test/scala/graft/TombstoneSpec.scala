@@ -873,4 +873,55 @@ class TombstoneSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no stats correction"), e.getMessage)
   }
+
+  test("reviveAll mirrors the takedown journal protocol: one resolved " +
+      "sweep, crash-mid-fan-out recoverable from the r journal with the " +
+      "re-run's sweep ignored, committed no-op, vacuum covers both " +
+      "directions") {
+    import spark.implicits._
+    import graft.streaming.Takedown
+    import graft.streaming.Takedown.Target
+    val (ct1, ct2) = (freshContainmentStore(), freshContainmentStore())
+    val journal = java.nio.file.Files.createTempDirectory("tomb_rj_")
+      .toString
+    def idsOf(ct: String): Set[Long] = ContainmentStream.readIndex(spark, ct)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    Takedown.takedownAll(spark, journal, Seq(3L, 4L, 5L).toDF("id"), 1L,
+      Seq(Target("ct1", ct1), Target("ct2", ct2)))
+    assert(!idsOf(ct1).contains(3L))
+
+    // crash mid-fan-out: ct1 revived, the bad target throws, ct2 not —
+    // the disagreement window the journal exists to close
+    intercept[IllegalArgumentException] {
+      Takedown.reviveAll(spark, journal, Seq(3L, 4L).toDF("id"), 2L, Seq(
+        Target.revive("ct1", ct1),
+        Target.revive("missing", s"$journal/no_such_store"),
+        Target.revive("ct2", ct2)))
+    }
+    assert(Takedown.incomplete(spark, journal, prefix = 'r') === Seq(2L))
+    assert(Takedown.incomplete(spark, journal).isEmpty,
+      "the t namespace must not see the r journal")
+    assert(idsOf(ct1).contains(3L) && !idsOf(ct2).contains(3L),
+      "stores disagree until recovery")
+    // recovery passes a DIFFERENT sweep: the journal wins — ids 3,4
+    // revive on both stores, 5 stays dead
+    Takedown.reviveAll(spark, journal, Seq(5L).toDF("id"), 2L, Seq(
+      Target.revive("ct1", ct1), Target.revive("ct2", ct2)))
+    assert(Takedown.incomplete(spark, journal, prefix = 'r').isEmpty)
+    assert(idsOf(ct1) === idsOf(ct2) &&
+      idsOf(ct1).contains(3L) && idsOf(ct1).contains(4L) &&
+      !idsOf(ct1).contains(5L))
+    // committed — a re-run no-ops whatever sweep it carries
+    Takedown.reviveAll(spark, journal, Seq(5L).toDF("id"), 2L,
+      Seq(Target.revive("ct1", ct1)))
+    assert(!idsOf(ct1).contains(5L))
+    // the next takedown's cadence vacuums BOTH directions' committed
+    // journals inside its retention bound
+    Takedown.takedownAll(spark, journal, Seq(6L).toDF("id"), 3L,
+      Seq(Target("ct1", ct1)))
+    val fs = new org.apache.hadoop.fs.Path(journal)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$journal/t1")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$journal/r2")))
+  }
 }

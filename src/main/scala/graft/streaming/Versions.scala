@@ -108,13 +108,35 @@ object Versions {
     ()
   }
 
-  /** The write gate every mutating verb below runs: with a lease, the
+  private val held = new ThreadLocal[List[Lease]] {
+    override def initialValue: List[Lease] = Nil
+  }
+
+  /** Run `f` with `lease` HELD: every mutating verb called inside —
+    * through ANY store's code path, no signature threading needed —
+    * presents it to [[checkWriter]] automatically when the verb's own
+    * `lease` parameter is None. This is how the dozen single-verb
+    * stores (aHash, media-fp, containment, IVF, PQ, sketches, …)
+    * operate on a leased root: the stream's `foreachBatch` body wraps
+    * its work in `withLease(l) { … }` (driver-side, so the scope is the
+    * stream's own execution thread; nested scopes stack, innermost
+    * covering lease wins). Epoch fencing still applies — a held lease
+    * that has been fenced refuses exactly like an explicit one. */
+  def withLease[T](lease: Lease)(f: => T): T = {
+    held.set(lease :: held.get)
+    try f finally held.set(held.get.tail)
+  }
+
+  /** The write gate every mutating verb below runs: with a lease
+    * (explicit, or [[withLease]]-held and covering the root), the
     * target root must be the lease's root or a child of it, and the
     * lease must still be the root's CURRENT one (epoch fencing);
     * without one, the target root and its immediate parent must be
     * unleased. Reads never call this. */
   def checkWriter(spark: SparkSession, root: String,
-      lease: Option[Lease]): Unit = lease match {
+      lease: Option[Lease]): Unit = lease.orElse(
+    held.get.find(l => root == l.root || root.startsWith(l.root + "/"))
+  ) match {
     case Some(l) =>
       require(root == l.root || root.startsWith(l.root + "/"),
         s"lease on ${l.root} does not cover $root")

@@ -146,6 +146,44 @@ class LeaseSpec extends SparkSpec {
     assert(ClusterStream.readAssignments(spark, cs).count() === 32)
   }
 
+  test("withLease covers stores that don't thread a lease parameter: a " +
+      "containment store on a leased root appends/retracts/compacts " +
+      "inside the holder's scope, refuses outside it, and a fenced held " +
+      "lease refuses too") {
+    import graft.operators.Dedup
+    import graft.streaming.ContainmentStream
+    val root = java.nio.file.Files.createTempDirectory("lease_ct_").toString
+    val setsOf = (df: DataFrame) =>
+      Dedup.jaccardShingleSets(df, "doc_id", "text")
+    ContainmentStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 30), setsOf)
+    val l = Versions.acquireLease(spark, root, "ingest-ct")
+    // outside the scope: refused (the two-streams shape)
+    val e = intercept[IllegalArgumentException] {
+      ContainmentStream.filterBatch(spark, root, s"$root.out", setsOf,
+        threshold = 0.6)(docs.filter(col("doc_id").between(30, 34)), 0L)
+    }
+    assert(e.getMessage.contains("lease-protected"), e.getMessage)
+    // inside: the full verb set works through the held lease
+    Versions.withLease(l) {
+      ContainmentStream.filterBatch(spark, root, s"$root.out", setsOf,
+        threshold = 0.6)(docs.filter(col("doc_id").between(30, 34)), 0L)
+      ContainmentStream.tombstone(spark, root, Seq(1L, 31L), 1L)
+      ContainmentStream.compactStore(spark, root, upTo = 1L)
+    }
+    val ids = ContainmentStream.readIndex(spark, root)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.contains(30L) && !ids.contains(1L) && !ids.contains(31L))
+    // a fenced held lease refuses exactly like an explicit one
+    Versions.acquireLease(spark, root, "maint-takeover")
+    val e2 = intercept[IllegalArgumentException] {
+      Versions.withLease(l) {
+        ContainmentStream.tombstone(spark, root, Seq(2L), 2L)
+      }
+    }
+    assert(e2.getMessage.contains("FENCED"), e2.getMessage)
+  }
+
   test("lease hygiene: writerId path tokens, cross-root leases, and " +
       "acquire bookkeeping") {
     val root = java.nio.file.Files.createTempDirectory("lease_h_").toString

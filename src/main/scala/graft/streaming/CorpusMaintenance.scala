@@ -38,6 +38,12 @@ object CorpusMaintenance {
     * `deltas.writeStream.foreachBatch(CorpusMaintenance.upsertBatch(spark, root, Seq("id")) _)`. */
   def upsertBatch(spark: SparkSession, root: String, keys: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
+    // the single-writer contract applies to the snapshot store exactly
+    // like the delta stores (the merge rebases on the newest earlier
+    // version — two writers interleaving would silently drop one's
+    // rows): leased roots require the holder's scope
+    // (Versions.withLease around the foreachBatch body)
+    Versions.checkWriter(spark, root, None)
     val versions = versionsIn(spark, root)
     // guard against a FRESH checkpoint over an existing multi-version
     // corpus: batch ids restart at 0, so the merge would silently rebase
@@ -76,6 +82,7 @@ object CorpusMaintenance {
   def deleteBatch(spark: SparkSession, root: String, keys: Seq[String])(
       tombstones: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.broadcast
+    Versions.checkWriter(spark, root, None)
     val versions = versionsIn(spark, root)
     versions.lastOption.foreach { case (newest, _) =>
       require(newest <= batchId + 1,
@@ -109,6 +116,7 @@ object CorpusMaintenance {
     require(keepLast >= 2,
       s"keepLast must be >= 2 (redelivery rebases on the second-newest " +
         s"version), got $keepLast")
+    Versions.checkWriter(spark, root, None)
     val versions = versionsIn(spark, root)
     val stale = versions.dropRight(keepLast)
     if (stale.nonEmpty) {

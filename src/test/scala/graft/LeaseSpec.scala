@@ -182,6 +182,31 @@ class LeaseSpec extends SparkSpec {
       }
     }
     assert(e2.getMessage.contains("FENCED"), e2.getMessage)
+
+    // the SNAPSHOT corpus store inherits the same gate (its merge
+    // rebases on the newest earlier version — interleaved writers
+    // would silently drop rows)
+    import graft.streaming.CorpusMaintenance
+    val corp = java.nio.file.Files.createTempDirectory("lease_corp_")
+      .toString
+    docs.filter(col("doc_id") < 30).write.parquet(s"$corp/v0")
+    val cl = Versions.acquireLease(spark, corp, "corpus-w")
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusMaintenance.upsertBatch(spark, corp, Seq("doc_id"))(
+        docs.filter(col("doc_id").between(30, 34)), 0L)
+    }
+    assert(e3.getMessage.contains("lease-protected"), e3.getMessage)
+    Versions.withLease(cl) {
+      CorpusMaintenance.upsertBatch(spark, corp, Seq("doc_id"))(
+        docs.filter(col("doc_id").between(30, 34)), 0L)
+      CorpusMaintenance.deleteBatch(spark, corp, Seq("doc_id"))(
+        docs.filter(col("doc_id") === 2).select("doc_id"), 1L)
+      CorpusMaintenance.vacuum(spark, corp)
+    }
+    val corpIds = spark.read
+      .parquet(CorpusMaintenance.latest(spark, corp).get)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpIds.contains(30L) && !corpIds.contains(2L))
   }
 
   test("lease hygiene: writerId path tokens, cross-root leases, and " +

@@ -71,9 +71,19 @@ object Versions {
     * newest existing one. Any PREVIOUS holder is thereby FENCED — its
     * next mutating call fails loud instead of racing (the takeover
     * path: stop the old stream, acquire, run maintenance, release or
-    * keep streaming under the new lease). The marker create is atomic
-    * (`createNewFile`); losing a same-epoch race fails loud — re-call
-    * to retry above the winner. `writerId` must not contain '/'. */
+    * keep streaming under the new lease). The marker create is
+    * `FileSystem.createNewFile` — atomic on HDFS and local
+    * filesystems; an object-store deployment needs a conditional-put
+    * (if-none-match) adapter behind the same call, or an external
+    * lock service issuing the epoch. Losing a same-epoch race fails
+    * loud — re-call to retry above the winner. The epoch check in
+    * [[checkWriter]] is check-then-write, so a writer fenced BETWEEN
+    * its check and its write can still land one in-flight
+    * batch-id-named version; the naming discipline makes that benign
+    * (the new holder's next deterministic overwrite of the same slot
+    * supersedes it, and `guardAppend`'s lineage-fork check refuses a
+    * fresh-checkpoint writer replaying old batches over it).
+    * `writerId` must not contain '/'. */
   def acquireLease(spark: SparkSession, root: String,
       writerId: String): Lease = {
     require(!writerId.contains("/") && writerId.nonEmpty,

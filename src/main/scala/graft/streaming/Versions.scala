@@ -444,6 +444,15 @@ object Versions {
     * stores' standing-v0 guard then fails loud instead of silently reading
     * a half-compacted root, and the tmp dir still holds the full merge.
     *
+    * Readers racing the swap: a read that LISTED versions before the
+    * swap and resolves its parquet files after can hit deleted paths —
+    * it fails LOUD (FileNotFound) and transiently; the retry lists the
+    * compacted base and reads the identical rows. Never silently wrong
+    * (no interleaving serves a partial fold: the tmp dir is outside the
+    * `v*` namespace until the rename), but latency-sensitive probe
+    * paths should still schedule compaction between triggers — the same
+    * placement the write-side contract already requires.
+    *
     * `transform` lets a store shrink rows where its read semantics allow
     * (e.g. [[FunnelStream]] keeps only each key's newest state row;
     * fingerprint stores may `distinct`). It must be read-equivalent: for

@@ -344,6 +344,29 @@ object RetrievalStream {
     * posting marker never outlives its stats correction. */
   def compactStore(spark: SparkSession, root: String, upTo: Long,
       lease: Option[Versions.Lease] = None): Unit = {
+    // the pending-revive refusal, HOISTED ahead of the first physical
+    // step: Versions.compact refuses a bound that would orphan a revive
+    // newer than it, but only on the marker-bearing posting root — and
+    // the dlen fold runs FIRST here. Without this check, the dlen rows
+    // of an id that is dead-as-of-upTo but has a pending revive above
+    // the bound would drop physically, the posting compaction would
+    // then refuse, and the already-revived doc would be left live with
+    // no dlen row — a FUTURE takedown of it would subtract (0, 0) and
+    // the stats would go silently wrong forever.
+    val pending = Versions.listRevives(spark, postRoot(root))
+      .filter(_._1 > upTo)
+    if (pending.nonEmpty)
+      Versions.deadSet(spark, postRoot(root), upTo).foreach { dead =>
+        val orphaned = spark.read
+          .parquet(pending.map(_._2.toString): _*).select(col("id"))
+          .join(dead, Seq("id"), "left_semi")
+          .limit(5).collect().map(_.getLong(0))
+        require(orphaned.isEmpty,
+          s"compactStore($root, upTo=$upTo) refused: ids " +
+            s"${orphaned.mkString(", ")} have a revive marker newer than " +
+            "the bound but their rows would be physically dropped here — " +
+            "raise upTo past the revive or withdraw it")
+      }
     // resolve the deleted ids BEFORE the posting compaction consumes the
     // markers (eager checkpoint — the relation must survive the delete).
     // NOTE deadSet resolution: ids dead as of upTo (tombstoned, not since

@@ -874,6 +874,38 @@ class TombstoneSpec extends SparkSpec {
     assert(e.getMessage.contains("no stats correction"), e.getMessage)
   }
 
+  test("BM25 compactStore refuses a bound that would orphan a pending " +
+      "revive BEFORE its first physical step — the dlen fold must never " +
+      "drop rows a newer revive's future corrections need") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tomb_pend_")
+      .toString
+    val terms = Seq("data", "merge", "hash", "scan")
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40))
+    RetrievalStream.tombstone(spark, root, Seq(1L, 2L), 1L)
+    RetrievalStream.revive(spark, root, Seq(1L).toDF("id"), 2L)
+    // upTo = 1 sees id 1 dead (the r2 marker is above the bound): the
+    // old orchestration dropped its dlen row, THEN the posting
+    // compaction refused — leaving a live doc whose future takedown
+    // would subtract (0, 0). The hoisted check refuses up front.
+    val e = intercept[IllegalArgumentException] {
+      RetrievalStream.compactStore(spark, root, upTo = 1L)
+    }
+    assert(e.getMessage.contains("revive marker newer"), e.getMessage)
+    // nothing was touched: the full-bound compaction then runs and
+    // probes (including a fresh takedown of the revived doc — the
+    // exact future the refusal protects) stay bit-exact
+    RetrievalStream.compactStore(spark, root, upTo = 2L)
+    RetrievalStream.tombstone(spark, root, Seq(1L), 3L)
+    val retained = docs.filter(col("doc_id") < 40 &&
+      !col("doc_id").isin(1L, 2L))
+    val want = Retrieval.bm25TopK(retained, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(RetrievalStream.bm25TopK(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want)
+  }
+
   test("reviveAll mirrors the takedown journal protocol: one resolved " +
       "sweep, crash-mid-fan-out recoverable from the r journal with the " +
       "re-run's sweep ignored, committed no-op, vacuum covers both " +

@@ -290,13 +290,20 @@ object RetrievalStream {
         "RetrievalStream.tombstoneFrom/revive (the store's lifecycle " +
         "verbs), not a bare marker write")
     // the SYMMETRIC check (ADVICE r16 #2): a correction with no matching
-    // posting marker means a tombstoneFrom/revive crashed after its
-    // correction-first write. That torn window is legal ONLY at the
-    // newest lifecycle batch (the caller's redelivery/journal re-run
-    // overwrites both deterministically); at any OLDER batch the caller
-    // moved on without redelivering, the subtraction is folded while the
-    // postings still serve the docs, and nothing will ever heal it —
-    // fail loud instead of serving silently-torn stats forever.
+    // posting marker, below the newest lifecycle batch, is one of two
+    // crash states the listings alone cannot distinguish (they differ
+    // only in whether the postings still serve the ids, and a correction
+    // row carries no id list): (a) a [[compactStore]] crashed between
+    // its posting step (markers consumed, rows dropped) and its stats
+    // step — healed by RE-RUNNING compactStore at the same bound, which
+    // consumes the corrections (the ADVICE r15 #1 resumability
+    // contract); (b) a tombstoneFrom/revive crashed after its
+    // correction-first write and was never redelivered — permanently
+    // torn, rebuild. The newest-batch orphan stays legal (the in-flight
+    // window redelivery heals). Refusing loud with both recoveries
+    // named beats the old behavior for BOTH causes: (a) previously read
+    // fine and still recovers with one call; (b) previously served
+    // silently-wrong stats forever.
     val all = markers ++ corrections.map(_._1)
     val torn =
       if (all.isEmpty) Nil
@@ -304,10 +311,11 @@ object RetrievalStream {
         .filterNot(markers.toSet).filter(_ < all.max)
     require(torn.isEmpty,
       s"stats corrections c${torn.mkString(", c")} have no posting marker " +
-        s"under ${postRoot(root)} and newer lifecycle batches exist — a " +
-        "tombstoneFrom/revive crashed after its correction write and was " +
-        "never redelivered; the store is permanently torn (rebuild via " +
-        "writeStanding)")
+        s"under ${postRoot(root)} and newer lifecycle batches exist — " +
+        "if a compactStore crashed mid-orchestration, re-run it at the " +
+        "same bound (consumes the corrections); if a tombstoneFrom/" +
+        "revive crashed and was never redelivered, the store is " +
+        "permanently torn (rebuild via writeStanding)")
     foldStats(spark.read.parquet(
       (versions ++ corrections).map(_._2.toString): _*))
   }

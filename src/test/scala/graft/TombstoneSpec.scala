@@ -906,6 +906,43 @@ class TombstoneSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want)
   }
 
+  test("a crashed MULTI-BATCH compactStore (markers consumed, corrections " +
+      "still in-band) refuses reads naming the re-run recovery, and the " +
+      "re-run heals exactly") {
+    // the state is listing-indistinguishable from a crashed
+    // tombstoneFrom (the genuinely-torn case), so readStats refuses
+    // loud with both recoveries named instead of silently folding
+    val root = java.nio.file.Files.createTempDirectory("tomb_mb_").toString
+    val terms = Seq("data", "merge", "hash", "scan")
+    RetrievalStream.writeStanding(spark, root,
+      docs.filter(col("doc_id") < 40))
+    RetrievalStream.tombstone(spark, root, Seq(1L), 1L)
+    RetrievalStream.tombstone(spark, root, Seq(2L), 2L)
+    // simulate the crash: dlen + posting steps completed (both marker
+    // batches consumed), the stats step never ran
+    val delIds = Versions.deadSet(spark, s"$root/post", 2L).get
+      .select(col("id").as("doc_id")).localCheckpoint(true)
+    Versions.compact(spark, s"$root/dlen", 2L,
+      df => df.join(broadcast(delIds), Seq("doc_id"), "left_anti"),
+      allowSingle = true)
+    Versions.compact(spark, s"$root/post", 2L,
+      tombstoneIdCol = Some("doc_id"), clusterBy = Seq("term"),
+      allowSingle = true)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalStream.readStats(spark, root).collect()
+    }
+    assert(e.getMessage.contains("re-run"), e.getMessage)
+    // recovery: re-run at the same bound — corrections consumed, probes
+    // bit-exact over the retained corpus
+    RetrievalStream.compactStore(spark, root, upTo = 2L)
+    val retained = docs.filter(col("doc_id") < 40 &&
+      !col("doc_id").isin(1L, 2L))
+    val want = Retrieval.bm25TopK(retained, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(RetrievalStream.bm25TopK(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want)
+  }
+
   test("reviveAll mirrors the takedown journal protocol: one resolved " +
       "sweep, crash-mid-fan-out recoverable from the r journal with the " +
       "re-run's sweep ignored, committed no-op, vacuum covers both " +

@@ -73,7 +73,24 @@ object Multimodal {
           (col("doc_id") % 480 + 32).cast("int").as("height"),
           lit(16000).as("sampleRateHz"),
           (col("doc_id") % 90000 + 1000).as("durationMs")).as("meta"))
-    onlyKind.fold(base)(k => base.filter(col("kind") === k))
+    val filtered = onlyKind.fold(base)(k => base.filter(col("kind") === k))
+    // Video synthesis is CPU-bound codec work (nFrames PNG encodes per
+    // row), and a small corpus arrives in one or two input splits — which
+    // serialized the whole synthesis onto one task (measured 10 s of the
+    // baseline p123/p127). Spread rows across the session's parallelism
+    // first (deterministic hash partitioning on media_id, no row depends
+    // on its neighbors); keep the scan's own partitioning when it is
+    // already wider, so a large corpus is never narrowed. Audio/image-only
+    // corpora skip the spread: their per-row encode is too cheap to
+    // amortize the extra exchange and the 32-way task fan-out it pushes
+    // into every downstream stage (measured 1.2–1.5× slower with it).
+    val widened =
+      if (onlyKind.forall(_ == "video")) {
+        val spread = math.max(filtered.rdd.getNumPartitions,
+          spark.sparkContext.defaultParallelism)
+        filtered.repartition(spread, col("media_id"))
+      } else filtered
+    widened
       .as[MediaRecord]
       .map { r =>
         r.kind match {
@@ -181,6 +198,26 @@ object Multimodal {
       javax.imageio.ImageIO.write(out, "png", bos)
       r.copy(media_id = vid, payload = bos.toByteArray)
     }
+  }
+
+  /** Spread a payload frame across the session's parallelism before a
+    * CPU-bound per-row decode (r17, guide §2.5 input skew; applied ONLY to
+    * the video decoders — per row they decode EVERY contained frame
+    * through the PNG codec, so the spread shuffle pays for itself; the
+    * audio/image decoders measured SLOWER with it, their per-row decode
+    * being too cheap to amortize an extra exchange per trigger): a streaming
+    * micro-batch arrives as ONE staged file — one scan partition at any
+    * corpus scale — so without this every `*Bytes` profiler ran its
+    * codec work on a single task. Deterministic hash partitioning on the
+    * id column (each row's decode is independent); partitioning that is
+    * already at least as wide passes through untouched, so a large
+    * multi-split scan is never narrowed or shuffled twice. The shuffle
+    * moves only the batch's own payloads — batch-sized by the streaming
+    * contract, and the decode behind it is the dominant cost. */
+  private def spreadForCodec(df: DataFrame, idCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(idCol))
   }
 
   /** 64-bit average hash (aHash) per image record, PURE INTEGER: the
@@ -554,7 +591,8 @@ object Multimodal {
       payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    spreadForCodec(df.select(col(idCol).cast("long").as(idCol),
+        col(payloadCol)), idCol)
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
         val b = MediaCodec.videoBlockBytes
@@ -581,7 +619,8 @@ object Multimodal {
       payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    spreadForCodec(df.select(col(idCol).cast("long").as(idCol),
+        col(payloadCol)), idCol)
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
         val b = MediaCodec.videoBlockBytes

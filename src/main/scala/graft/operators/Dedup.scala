@@ -864,22 +864,37 @@ object Dedup {
     // enter the loop raw.
     val preContract = localContract && base.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    var edges = (if (preContract) this.localContract(base)
-                 else base.select(col("id_a").as("src"), col("id_b").as("dst")))
+    // Single-partition fast path (r17, guide §1.2 "remove passes"): when
+    // the edge set is small enough that withLoopParallelism already runs
+    // the loop at ONE shuffle partition, the union-find pre-pass coalesced
+    // to one partition IS the answer — its (x, find(x)) output points every
+    // non-root member at its component's global minimum id, exactly the
+    // loop's fixed point — so the per-round window/checkpoint/checksum
+    // actions (the dominant cost of batch-sized folds: rounds, not rows)
+    // are skipped outright. Bounded by the same 4M-edges-per-partition
+    // budget the loop's own parallelism rule uses; larger edge sets keep
+    // the O(log n) distributed rounds unchanged.
+    val onePartition = preContract &&
+      base.sparkSession.conf.get("spark.sql.shuffle.partitions") == "1"
+    var edges =
+      (if (preContract) this.localContract(base)
+       else base.select(col("id_a").as("src"), col("id_b").as("dst")))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
-    var prev = checksum(edges)
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      val cur = checksum(edges)
-      converged = cur == prev
-      prev = cur
-      iter += 1
+    if (!onePartition) {
+      var prev = checksum(edges)
+      var converged = false
+      while (!converged && iter < maxIter) {
+        edges = smallStar(largeStar(edges)).localCheckpoint(true)
+        val cur = checksum(edges)
+        converged = cur == prev
+        prev = cur
+        iter += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds " +
+          "(expected O(log n)); the edge set is still contracting. Raise maxIter.")
     }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponentsStar did not converge in $maxIter rounds " +
-        "(expected O(log n)); the edge set is still contracting. Raise maxIter.")
     // stars: (child, root); roots and any original singleton-by-dedup nodes
     // label themselves
     (nodes.join(edges, col("id") === col("src"), "left")

@@ -2947,11 +2947,14 @@ object Pipeline {
     * order. */
   private def writeDailyFilesRange(incoming: DataFrame, in: String,
       nBatches: Int, batches: Seq[Int]): Unit = {
+    // one materialization for the per-batch filter passes (see
+    // writeDailyFilesBy — same recompute-per-batch-file trap)
+    val inc = incoming.localCheckpoint(true)
     val stamped = scala.collection.mutable.Set.empty[java.io.File]
     Option(new java.io.File(in).listFiles())
       .foreach(_.foreach(stamped += _))
     batches.foreach { b =>
-      incoming.filter(pmod(col("doc_id"), lit(nBatches)) === b).coalesce(1)
+      inc.filter(pmod(col("doc_id"), lit(nBatches)) === b).coalesce(1)
         .write.mode("append").parquet(in)
       new java.io.File(in).listFiles()
         .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))
@@ -3732,9 +3735,14 @@ object Pipeline {
   /** writeDailyFiles for an explicit batch-assignment column. */
   private def writeDailyFilesBy(incoming: DataFrame, batchCol: String,
       in: String, nBatches: Int): Unit = {
+    // one materialization: the per-batch filter passes below would each
+    // re-run the whole upstream pipeline (for the media fixtures that is a
+    // full corpus synthesis per batch file — the dominant setup cost of
+    // every media streaming query)
+    val inc = incoming.localCheckpoint(true)
     val stamped = scala.collection.mutable.Set.empty[java.io.File]
     (0 until nBatches).foreach { b =>
-      incoming.filter(col(batchCol) === b).coalesce(1)
+      inc.filter(col(batchCol) === b).coalesce(1)
         .write.mode("append").parquet(in)
       new java.io.File(in).listFiles()
         .filter(f => f.getName.startsWith("part-") && !stamped.contains(f))

@@ -296,7 +296,10 @@ object ClusterStream {
         Seq("id_b"), "left")
       .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
         coalesce(col("__cb"), col("id_b")).as("id_b"))
-    val comp = Dedup.connectedComponentsStar(mapped).localCheckpoint(true)
+    // ccStar's result is a cheap join over its own internally-checkpointed
+    // edge/node sets — re-deriving it per consumer costs less than the
+    // extra materialization job an eager checkpoint would add (r17)
+    val comp = Dedup.connectedComponentsStar(mapped)
     // touched clusters → their merged label: min over member doc ids ==
     // min over (batch ids, touched cids) because cid = min member id
     val touched = comp
@@ -313,9 +316,9 @@ object ClusterStream {
       .select(col("id"), col("score"), col("__nl"))
     val newSingles = bd.join(pairDocs, Seq("id"), "left_anti")
       .select(col("id"), col("score"), col("id").as("__nl"))
+    // single consumer (the election below) — no checkpoint needed
     val allMembers = oldMembers.select(col("id"), col("score"), col("__nl"))
       .unionAll(newInPairs).unionAll(newSingles)
-      .localCheckpoint(true)
     // assignment delta: every new doc + every relabeled old member
     oldMembers.filter(col("cid") =!= col("__nl"))
       .select(col("id"), col("__nl").as("cid"), col("score"),

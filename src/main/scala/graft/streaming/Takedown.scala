@@ -139,18 +139,27 @@ object Takedown {
     * takedown-sized broadcast anti-join per store root. */
   def guardReingest(spark: SparkSession, markerRoots: Seq[String],
       ids: DataFrame, upTo: Long = Long.MaxValue): Unit = {
-    val keys = ids.toDF("id").select(col("id").cast("long").as("id"))
-      .filter(col("id").isNotNull).distinct().localCheckpoint(true)
-    markerRoots.foreach { root =>
-      Versions.deadSet(spark, root, upTo).foreach { dead =>
-        val hit = keys.join(dead, Seq("id"), "left_semi")
-          .limit(5).collect().map(_.getLong(0))
-        require(hit.isEmpty,
-          s"re-ingest refused: ids ${hit.mkString(", ")} are taken down " +
-            s"at $root — revive them (Versions.revive) if the retained " +
-            "content is returning, or ingest under a fresh id if the " +
-            "content is new")
-      }
+    import org.apache.spark.sql.functions.lit
+    // one probe across ALL roots (r17 — this runs per ingest trigger, and
+    // a per-root collect made the guard cost scale with store count): the
+    // roots' dead sets union under a root label, so a single takedown-sized
+    // semi-join answers every root at once, and the refusal still names
+    // the store that masks the id
+    val deads = markerRoots.flatMap { root =>
+      Versions.deadSet(spark, root, upTo)
+        .map(_.withColumn("__root", lit(root)))
+    }
+    if (deads.nonEmpty) {
+      val keys = ids.toDF("id").select(col("id").cast("long").as("id"))
+        .filter(col("id").isNotNull).distinct()
+      val hit = keys.join(deads.reduce(_ unionByName _), Seq("id"),
+          "inner")
+        .limit(5).collect().map(r => (r.getLong(0), r.getString(1)))
+      require(hit.isEmpty,
+        s"re-ingest refused: ids ${hit.map(_._1).mkString(", ")} are " +
+          s"taken down at ${hit.headOption.map(_._2).getOrElse("")} — " +
+          "revive them (Versions.revive) if the retained content is " +
+          "returning, or ingest under a fresh id if the content is new")
     }
   }
 
@@ -248,11 +257,21 @@ object Takedown {
         require(sweep.schema.fields.length == 1,
           s"${what}All takes a single id column, got " +
             s"${sweep.schema.fieldNames.mkString(", ")}")
-        val rel = sweep.toDF("id").select(col("id").cast("long").as("id"))
+        // one evaluation of the sweep: the journal write IS its
+        // materialization (the old checkpoint + count + write ran it
+        // through three actions); the emptiness guard re-reads the
+        // written footer (metadata-sized). An empty sweep deletes its
+        // torn journal dir before refusing, so nothing is journaled
+        // post-refusal (`incomplete` stays empty).
+        sweep.toDF("id").select(col("id").cast("long").as("id"))
           .filter(col("id").isNotNull)
-          .distinct().localCheckpoint(true)
-        require(rel.limit(1).count() > 0, s"$what of an empty id set")
-        rel.coalesce(1).write.mode("overwrite").parquet(idsPath.toString)
+          .distinct()
+          .coalesce(1).write.mode("overwrite").parquet(idsPath.toString)
+        if (spark.read.parquet(idsPath.toString).isEmpty) {
+          fs.delete(new Path(dir), true)
+          throw new IllegalArgumentException(
+            s"requirement failed: $what of an empty id set")
+        }
       }
       fanOut(spark.read.parquet(idsPath.toString))
       require(fs.createNewFile(committed) || fs.exists(committed),

@@ -305,12 +305,27 @@ object Versions {
         "ids can be retracted from it")
     // ids that cast to null (a wrong-typed sweep column) would survive
     // distinct() and satisfy the non-empty guard while masking nothing —
-    // the exact forever-read waste the empty-set refusal exists to prevent
+    // the exact forever-read waste the empty-set refusal exists to prevent.
+    // r17: the sweep is evaluated ONCE, by the marker write itself (the
+    // old checkpoint + count + write ran it through three actions); the
+    // emptiness guard re-reads the written footer (metadata-sized). An
+    // empty marker is undone before the refusal, so the post-refusal
+    // state is unchanged, and a reader racing the short-lived empty dir
+    // sees a marker that masks nothing — the same as no marker.
+    // (NOT Dataset.observe: instantiating the session's ObservationManager
+    // makes every later closure that captures the SparkSession
+    // unserializable — it poisoned Similarity's typed top-k aggregator.)
     val rel = ids.toDF("id").select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull)
-      .distinct().localCheckpoint(true)
-    require(rel.limit(1).count() > 0, "tombstone of an empty id set")
-    rel.coalesce(1).write.mode("overwrite").parquet(s"$root/d$batchId")
+      .distinct()
+    val dir = s"$root/d$batchId"
+    rel.coalesce(1).write.mode("overwrite").parquet(dir)
+    if (spark.read.parquet(dir).isEmpty) {
+      val p = new Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      throw new IllegalArgumentException(
+        "requirement failed: tombstone of an empty id set")
+    }
   }
 
   /** Marker deltas under `root` (`d<batchId>` dirs), sorted by batch. */

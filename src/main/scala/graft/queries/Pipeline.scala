@@ -2982,9 +2982,11 @@ object Pipeline {
     val (existing, incoming) = passageStreamCorpus(spark, dir)
     val root = Files.createTempDirectory("p75_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"; val outRoot = s"$root/out"
-    Dedup.passageWindowIndex(existing, "doc_id", "text")
-      .write.parquet(s"$idxRoot/v0")
-    writeDailyFiles(incoming, in, 3)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => Dedup.passageWindowIndex(existing, "doc_id", "text")
+        .write.parquet(s"$idxRoot/v0"),
+      () => writeDailyFiles(incoming, in, 3))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -3313,11 +3315,13 @@ object Pipeline {
     val root = Files.createTempDirectory("p79_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
     val docsRoot = s"$root/docs"; val outRoot = s"$root/out"
-    Dedup.minhashBandIndex(existing, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
-      .write.parquet(s"$idxRoot/v0")
-    existing.write.parquet(s"$docsRoot/v0")
-    writeDailyFiles(incoming, in, 3)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => Dedup.minhashBandIndex(existing, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+        .write.parquet(s"$idxRoot/v0"),
+      () => existing.write.parquet(s"$docsRoot/v0"),
+      () => writeDailyFiles(incoming, in, 3))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -3760,10 +3764,12 @@ object Pipeline {
     val root = Files.createTempDirectory("p86_").toString
     val in = s"$root/in"; val stateRoot = s"$root/state"
     val outRoot = s"$root/out"
-    spark.range(0, 50).select(col("id").as("user_id"),
-        lit(1).as("stage"), lit(0L).as("__v"))
-      .write.parquet(s"$stateRoot/v0")
-    writeDailyFilesBy(ev, "batch", in, 3)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => spark.range(0, 50).select(col("id").as("user_id"),
+          lit(1).as("stage"), lit(0L).as("__v"))
+        .write.parquet(s"$stateRoot/v0"),
+      () => writeDailyFilesBy(ev, "batch", in, 3))
     val schema = StructType(Seq(StructField("event_id", LongType),
       StructField("ts", TimestampType), StructField("user_id", LongType),
       StructField("event_type", StringType)))
@@ -3975,10 +3981,12 @@ object Pipeline {
     val root = Files.createTempDirectory("p88_").toString
     val in = s"$root/in"; val stateRoot = s"$root/state"
     val outRoot = s"$root/out"
-    spark.range(0).select(col("id").as("user_id"),
-        lit(0L).as("n_events"), lit(0.0).as("ewma"), lit(0L).as("__v"))
-      .write.parquet(s"$stateRoot/v0")
-    writeDailyFilesBy(ev, "batch", in, 3)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => spark.range(0).select(col("id").as("user_id"),
+          lit(0L).as("n_events"), lit(0.0).as("ewma"), lit(0L).as("__v"))
+        .write.parquet(s"$stateRoot/v0"),
+      () => writeDailyFilesBy(ev, "batch", in, 3))
     val schema = StructType(Seq(StructField("event_id", LongType),
       StructField("ts", TimestampType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
@@ -4252,9 +4260,12 @@ object Pipeline {
     val root = Files.createTempDirectory("p93_").toString
     val in = s"$root/in"; val stateRoot = s"$root/state"
     val outRoot = s"$root/out"
-    graft.streaming.KMeansStream.writeSeedState(spark, stateRoot, seed)
-    writeDailyFilesBy(emb.select(col("vec_id"), col("embedding"))
-      .withColumn("batch", pmod(col("vec_id"), lit(3))), "batch", in, 3)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => graft.streaming.KMeansStream.writeSeedState(spark, stateRoot,
+        seed),
+      () => writeDailyFilesBy(emb.select(col("vec_id"), col("embedding"))
+        .withColumn("batch", pmod(col("vec_id"), lit(3))), "batch", in, 3))
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val q = spark.readStream.schema(schema)
@@ -5026,9 +5037,11 @@ object Pipeline {
     val indexRoot = s"$root/index"; val outRoot = s"$root/out"
     val bank = IvfRelational.trainBank(standing, nCells = 16, iters = 3,
       stride = 15)
-    graft.streaming.IvfStream.writeStanding(spark, bankRoot, indexRoot,
-      standing, bank)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => graft.streaming.IvfStream.writeStanding(spark, bankRoot,
+        indexRoot, standing, bank),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val q = spark.readStream.schema(schema)
@@ -5184,8 +5197,10 @@ object Pipeline {
       .withColumn("batch", pmod(col("vec_id"), lit(2)))
     val root = Files.createTempDirectory("p107_").toString
     val in = s"$root/in"; val momRoot = s"$root/moments"
-    PcaStream.writeStanding(spark, momRoot, standing)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => PcaStream.writeStanding(spark, momRoot, standing),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val q = spark.readStream.schema(schema)
@@ -5254,8 +5269,10 @@ object Pipeline {
       .withColumn("batch", pmod(col("doc_id"), lit(2)))
     val root = Files.createTempDirectory("p108_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
-    RetrievalStream.writeStanding(spark, idxRoot, standing)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => RetrievalStream.writeStanding(spark, idxRoot, standing),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -5300,8 +5317,11 @@ object Pipeline {
       .withColumn("batch", pmod(col("doc_id"), lit(2)))
     val root = Files.createTempDirectory("p109_").toString
     val in = s"$root/in"; val regRoot = s"$root/reg"
-    SketchStream.writeStanding(spark, regRoot, standing, Seq("lang"), "text")
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => SketchStream.writeStanding(spark, regRoot, standing,
+        Seq("lang"), "text"),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -5365,8 +5385,11 @@ object Pipeline {
       .withColumn("batch", pmod(col("doc_id"), lit(2)))
     val root = Files.createTempDirectory("p110_").toString
     val in = s"$root/in"; val cmRoot = s"$root/cm"
-    SketchStream.writeStandingCm(spark, cmRoot, toTokens(standing), "token")
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => SketchStream.writeStandingCm(spark, cmRoot, toTokens(standing),
+        "token"),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -5451,9 +5474,11 @@ object Pipeline {
     val root = Files.createTempDirectory("p111_").toString
     val in = s"$root/in"; val boundsRoot = s"$root/bounds"
     val countRoot = s"$root/counts"; val profRoot = s"$root/prof"
-    QuantileStream.writeStanding(spark, boundsRoot, countRoot, standing,
-      "n_chars", 128)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => QuantileStream.writeStanding(spark, boundsRoot, countRoot,
+        standing, "n_chars", 128),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("n_chars", LongType)))
     val q = spark.readStream.schema(schema)
@@ -5573,8 +5598,11 @@ object Pipeline {
       .withColumn("batch", pmod(col("doc_id"), lit(4)) - 2)
     val root = Files.createTempDirectory("p112_").toString
     val in = s"$root/in"; val bloomRoot = s"$root/bloom"
-    SketchStream.writeStandingBloom(spark, bloomRoot, grams(standing), "gram")
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => SketchStream.writeStandingBloom(spark, bloomRoot,
+        grams(standing), "gram"),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -5692,17 +5720,24 @@ object Pipeline {
     val root = Files.createTempDirectory("p113_").toString
     val in = s"$root/in"; val bloomRoot = s"$root/bloom"
     val outRoot = s"$root/out"
-    SketchStream.writeStandingBloom(spark, bloomRoot, grams(bench), "gram")
-    // frozen per-epoch probe artifacts: the literal masks + the standing
-    // benchmark gram relation the candidates verify against
-    val masks = Profiling.bloomMasks(
-      SketchStream.readBloomBits(spark, bloomRoot), 4, 1 << 16)
-    val benchGrams = grams(bench).select(col("gram")).distinct()
-      .localCheckpoint(true)
     val incoming = docs.filter(col("source") =!= "src0")
       .select(col("doc_id"), col("text"))
       .withColumn("batch", pmod(col("doc_id"), lit(2)))
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // frozen per-epoch probe artifacts (the bloom → literal-mask chain,
+    // the standing benchmark gram relation) and the input staging are
+    // independent setup chains — overlap them (guide §2.6)
+    val setupOut = graft.core.Par.eval(Seq[() => Any](
+      () => {
+        SketchStream.writeStandingBloom(spark, bloomRoot, grams(bench),
+          "gram")
+        Profiling.bloomMasks(
+          SketchStream.readBloomBits(spark, bloomRoot), 4, 1 << 16)
+      },
+      () => grams(bench).select(col("gram")).distinct()
+        .localCheckpoint(true),
+      () => writeDailyFilesBy(incoming, "batch", in, 2)))
+    val masks = setupOut(0).asInstanceOf[Array[Array[Long]]]
+    val benchGrams = setupOut(1).asInstanceOf[DataFrame]
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -5854,16 +5889,25 @@ object Pipeline {
     val pairsRoot = s"$root/pairs"; val outRoot = s"$root/out"
     // frozen per-epoch artifacts: blocklist bloom → literal masks, the
     // standing benchmark gram relation, the standing band index + docs
-    SketchStream.writeStandingBloom(spark, bloomRoot, grams(bench), "gram")
-    val masks = Profiling.bloomMasks(
-      SketchStream.readBloomBits(spark, bloomRoot), 4, 1 << 16)
-    val benchGrams = grams(bench).select(col("gram")).distinct()
-      .localCheckpoint(true)
-    Dedup.minhashBandIndex(standing, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
-      .write.parquet(s"$idxRoot/v0")
-    standing.write.parquet(s"$docsRoot/v0")
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // the frozen setup artifacts are independent chains (bloom → masks,
+    // the benchmark gram relation, band index, docs base, input staging)
+    // — overlap them (guide §2.6)
+    val setupOut = graft.core.Par.eval(Seq[() => Any](
+      () => {
+        SketchStream.writeStandingBloom(spark, bloomRoot, grams(bench),
+          "gram")
+        Profiling.bloomMasks(
+          SketchStream.readBloomBits(spark, bloomRoot), 4, 1 << 16)
+      },
+      () => grams(bench).select(col("gram")).distinct()
+        .localCheckpoint(true),
+      () => Dedup.minhashBandIndex(standing, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+        .write.parquet(s"$idxRoot/v0"),
+      () => standing.write.parquet(s"$docsRoot/v0"),
+      () => writeDailyFilesBy(incoming, "batch", in, 2)))
+    val masks = setupOut(0).asInstanceOf[Array[Array[Long]]]
+    val benchGrams = setupOut(1).asInstanceOf[DataFrame]
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -5961,9 +6005,12 @@ object Pipeline {
     val in = s"$root/in"
     val bank1 = s"$root/bank1"; val idx1 = s"$root/idx1"
     val bank2 = s"$root/bank2"; val idx2 = s"$root/idx2"
-    IvfStream.writeStanding(spark, bank1, idx1, standing,
-      IvfRelational.trainBank(standing, nCells = 8, iters = 3, stride = 15))
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => IvfStream.writeStanding(spark, bank1, idx1, standing,
+        IvfRelational.trainBank(standing, nCells = 8, iters = 3,
+          stride = 15)),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val q = spark.readStream.schema(schema)
@@ -6144,8 +6191,10 @@ object Pipeline {
     val root = Files.createTempDirectory("p117_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
     val outRoot = s"$root/out"
-    AHashStream.writeStanding(spark, idxRoot, standing)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => AHashStream.writeStanding(spark, idxRoot, standing),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -6438,9 +6487,11 @@ object Pipeline {
     val in = s"$root/in"
     val bounds1 = s"$root/bounds1"; val counts1 = s"$root/counts1"
     val bounds2 = s"$root/bounds2"; val counts2 = s"$root/counts2"
-    QuantileStream.writeStanding(spark, bounds1, counts1, standing,
-      "n_chars", 128)
-    writeDailyFilesBy(inc1, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => QuantileStream.writeStanding(spark, bounds1, counts1, standing,
+        "n_chars", 128),
+      () => writeDailyFilesBy(inc1, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("n_chars", LongType)))
     val q = spark.readStream.schema(schema)
@@ -6551,9 +6602,11 @@ object Pipeline {
     val in = s"$root/in"
     val bloom1 = s"$root/bloom1"; val bloom2 = s"$root/bloom2"
     val mOld = 1 << 10; val mNew = 1 << 16
-    SketchStream.writeStandingBloom(spark, bloom1, grams(standing), "gram",
-      4, mOld)
-    writeDailyFilesBy(inc1, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => SketchStream.writeStandingBloom(spark, bloom1, grams(standing),
+        "gram", 4, mOld),
+      () => writeDailyFilesBy(inc1, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -6680,8 +6733,10 @@ object Pipeline {
     val outRoot = s"$root/out"
     val profiler = (df: DataFrame) =>
       Multimodal.audioFpBytes(df, "media_id", "payload")
-    MediaFpStream.writeStanding(spark, idxRoot, standing, profiler)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => MediaFpStream.writeStanding(spark, idxRoot, standing, profiler),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -6743,8 +6798,10 @@ object Pipeline {
     val outRoot = s"$root/out"
     val profiler = (df: DataFrame) =>
       Multimodal.videoFpBytes(df, "media_id", "payload")
-    MediaFpStream.writeStanding(spark, idxRoot, standing, profiler)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => MediaFpStream.writeStanding(spark, idxRoot, standing, profiler),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -6939,9 +6996,11 @@ object Pipeline {
     val root = Files.createTempDirectory("p126_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
     val outRoot = s"$root/out"
-    AHashStream.writeStanding(spark, idxRoot, standing,
-      hasher = Multimodal.audioAHash64Bytes)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => AHashStream.writeStanding(spark, idxRoot, standing,
+        hasher = Multimodal.audioAHash64Bytes),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -7043,8 +7102,11 @@ object Pipeline {
     val outRoot = s"$root/out"
     val setsOf = (df: DataFrame) =>
       Multimodal.videoFrameSetBytes(df, "media_id", "payload")
-    ContainmentStream.writeStanding(spark, idxRoot, standing, setsOf)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => ContainmentStream.writeStanding(spark, idxRoot, standing,
+        setsOf),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -7121,10 +7183,11 @@ object Pipeline {
   // =========================================================================
   /** The p128 media-capstone `foreachBatch` body, extracted so the
     * crash-consistency spec can drive it directly. Seven stores land per
-    * batch, in order: fp pairs → fp delta → hash pairs → hash delta →
-    * containment pairs → set delta → combined verdict. Every write is
+    * batch: the three families' pairs+delta writes (overlapped — the
+    * families are independent stores probing one checkpointed PCM frame,
+    * guide §2.6), then the combined verdict. Every write is
     * batch-id-named deterministic overwrite, so redelivery after a crash
-    * between ANY two converges byte-identically. */
+    * leaving ANY completion subset converges byte-identically. */
   def mediaCapstoneBatch(spark: SparkSession, fpRoot: String,
       ahRoot: String, ctRoot: String, fpOut: String, ahOut: String,
       ctOut: String, outRoot: String)(b: DataFrame, id: Long): Unit = {
@@ -7144,16 +7207,24 @@ object Pipeline {
     // result-identical.
     val bs = Multimodal.audioSamples(b, "media_id", "payload")
       .localCheckpoint(true)
-    val fpPairs = MediaFpStream.filterBatch(spark, fpRoot, fpOut,
-      _ => Multimodal.audioFpFromSamples(bs),
-      materializePairs = true)(b, id)
-    val ahPairs = AHashStream.filterBatch(spark, ahRoot, ahOut,
-      "media_id", "payload",
-      hasher = (_, _, _) => Multimodal.audioAHash64FromSamples(bs),
-      materializePairs = true)(b, id)
-    val ctPairs = ContainmentStream.filterBatch(spark, ctRoot, ctOut,
-      _ => Multimodal.audioWindowHashSetsFromSamples(bs),
-      threshold = 0.9, materializePairs = true)(b, id)
+    // the three families are INDEPENDENT stores probing the same
+    // checkpointed PCM frame — overlap their filterBatch bodies
+    // (guide §2.6): the trigger pays the slowest family's wall, not the
+    // sum of three probe+write chains
+    val famPairs = graft.core.Par.eval(Seq[() => DataFrame](
+      () => MediaFpStream.filterBatch(spark, fpRoot, fpOut,
+        _ => Multimodal.audioFpFromSamples(bs),
+        materializePairs = true)(b, id),
+      () => AHashStream.filterBatch(spark, ahRoot, ahOut,
+        "media_id", "payload",
+        hasher = (_, _, _) => Multimodal.audioAHash64FromSamples(bs),
+        materializePairs = true)(b, id),
+      () => ContainmentStream.filterBatch(spark, ctRoot, ctOut,
+        _ => Multimodal.audioWindowHashSetsFromSamples(bs),
+        threshold = 0.9, materializePairs = true)(b, id)))
+    val fpPairs = famPairs(0)
+    val ahPairs = famPairs(1)
+    val ctPairs = famPairs(2)
     // flag the INGEST side of each undirected pair (p114's rule: id_b
     // when it is this batch's — in-batch pairs flag the greater id, a
     // cross pair's standing side is never in the batch); containment
@@ -7213,13 +7284,17 @@ object Pipeline {
     // decode-once treatment applied to setup)
     val ssamples = Multimodal.audioSamples(standing, "media_id", "payload")
       .localCheckpoint(true)
-    MediaFpStream.writeStanding(spark, fpIdx, standing,
-      _ => Multimodal.audioFpFromSamples(ssamples))
-    AHashStream.writeStanding(spark, ahIdx, standing,
-      hasher = (_, _, _) => Multimodal.audioAHash64FromSamples(ssamples))
-    ContainmentStream.writeStanding(spark, ctIdx, standing,
-      _ => Multimodal.audioWindowHashSetsFromSamples(ssamples))
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // the three standing stores derive from the one checkpointed decode
+    // and write to independent roots, and the input staging is
+    // independent of all of them — overlap the four (guide §2.6)
+    graft.core.Par.run(
+      () => MediaFpStream.writeStanding(spark, fpIdx, standing,
+        _ => Multimodal.audioFpFromSamples(ssamples)),
+      () => AHashStream.writeStanding(spark, ahIdx, standing,
+        hasher = (_, _, _) => Multimodal.audioAHash64FromSamples(ssamples)),
+      () => ContainmentStream.writeStanding(spark, ctIdx, standing,
+        _ => Multimodal.audioWindowHashSetsFromSamples(ssamples)),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -7366,9 +7441,11 @@ object Pipeline {
     val in = s"$root/in"
     val book1 = s"$root/book1"; val codes1 = s"$root/codes1"
     val book2 = s"$root/book2"; val codes2 = s"$root/codes2"
-    PqStream.writeStanding(spark, book1, codes1, standing,
-      Similarity.pqTrain(standing, m = 16, nCodes = 6))
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => PqStream.writeStanding(spark, book1, codes1, standing,
+        Similarity.pqTrain(standing, m = 16, nCodes = 6)),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val q = spark.readStream.schema(schema)
@@ -7559,8 +7636,11 @@ object Pipeline {
     val outRoot = s"$root/out"
     val setsOf = (df: DataFrame) =>
       Dedup.jaccardShingleSets(df, "doc_id", "text")
-    ContainmentStream.writeStanding(spark, idxRoot, standing, setsOf)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => ContainmentStream.writeStanding(spark, idxRoot, standing,
+        setsOf),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -7645,11 +7725,13 @@ object Pipeline {
     val root = Files.createTempDirectory("p132_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
     val docsRoot = s"$root/docs"; val outRoot = s"$root/out"
-    Dedup.minhashBandIndex(existing, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
-      .write.parquet(s"$idxRoot/v0")
-    existing.write.parquet(s"$docsRoot/v0")
-    writeDailyFiles(incoming, in, 3)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => Dedup.minhashBandIndex(existing, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+        .write.parquet(s"$idxRoot/v0"),
+      () => existing.write.parquet(s"$docsRoot/v0"),
+      () => writeDailyFiles(incoming, in, 3))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -7760,8 +7842,10 @@ object Pipeline {
       .withColumn("batch", pmod(col("doc_id"), lit(2)))
     val root = Files.createTempDirectory("p133_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
-    RetrievalStream.writeStanding(spark, idxRoot, standing)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => RetrievalStream.writeStanding(spark, idxRoot, standing),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -7824,8 +7908,11 @@ object Pipeline {
     val outRoot = s"$root/out"
     val setsOf = (df: DataFrame) =>
       Dedup.jaccardShingleSets(df, "doc_id", "text")
-    ContainmentStream.writeStanding(spark, idxRoot, standing, setsOf)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => ContainmentStream.writeStanding(spark, idxRoot, standing,
+        setsOf),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -7922,9 +8009,11 @@ object Pipeline {
     val indexRoot = s"$root/index"; val outRoot = s"$root/out"
     val bank = IvfRelational.trainBank(standing, nCells = 16, iters = 3,
       stride = 15)
-    graft.streaming.IvfStream.writeStanding(spark, bankRoot, indexRoot,
-      standing, bank)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => graft.streaming.IvfStream.writeStanding(spark, bankRoot,
+        indexRoot, standing, bank),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val q = spark.readStream.schema(schema)
@@ -8025,8 +8114,10 @@ object Pipeline {
       .withColumn("batch", pmod(col("doc_id"), lit(2)))
     val root = Files.createTempDirectory("p136_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
-    RetrievalStream.writeStanding(spark, idxRoot, standing)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => RetrievalStream.writeStanding(spark, idxRoot, standing),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -8111,8 +8202,10 @@ object Pipeline {
     val root = Files.createTempDirectory("p137_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
     val outRoot = s"$root/out"
-    AHashStream.writeStanding(spark, idxRoot, standing)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => AHashStream.writeStanding(spark, idxRoot, standing),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -8180,8 +8273,10 @@ object Pipeline {
     val outRoot = s"$root/out"
     val profiler = (df: DataFrame) =>
       Multimodal.audioFpBytes(df, "media_id", "payload")
-    MediaFpStream.writeStanding(spark, idxRoot, standing, profiler)
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => MediaFpStream.writeStanding(spark, idxRoot, standing, profiler),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -8286,17 +8381,23 @@ object Pipeline {
     val ivfOut = s"$root/ivf_out"; val corpusRoot = s"$root/corpus"
     val setsOf = (df: DataFrame) =>
       Dedup.jaccardShingleSets(df, "doc_id", "text")
-    Dedup.minhashBandIndex(standing, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
-      .write.parquet(s"$ndIdx/v0")
-    standing.write.parquet(s"$ndDocs/v0")
-    RetrievalStream.writeStanding(spark, bmRoot, standing.unionAll(qPlant))
-    ContainmentStream.writeStanding(spark, ctRoot, standing, setsOf)
-    IvfStream.writeStanding(spark, bankRoot, ivfIdx, standingVecs,
-      IvfRelational.trainBank(standingVecs, nCells = 16, iters = 3,
-        stride = 15))
-    standing.write.parquet(s"$corpusRoot/v0")
-    writeDailyFilesBy(incoming, "batch", in, 2)
+    // the five standing stores, the corpus base, and the input staging
+    // are all independent setup writes — overlap them (guide §2.6): the
+    // setup pays the slowest store's wall (the IVF Lloyd training), not
+    // the sum of seven chains
+    graft.core.Par.run(
+      () => Dedup.minhashBandIndex(standing, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+        .write.parquet(s"$ndIdx/v0"),
+      () => standing.write.parquet(s"$ndDocs/v0"),
+      () => RetrievalStream.writeStanding(spark, bmRoot,
+        standing.unionAll(qPlant)),
+      () => ContainmentStream.writeStanding(spark, ctRoot, standing, setsOf),
+      () => IvfStream.writeStanding(spark, bankRoot, ivfIdx, standingVecs,
+        IvfRelational.trainBank(standingVecs, nCells = 16, iters = 3,
+          stride = 15)),
+      () => standing.write.parquet(s"$corpusRoot/v0"),
+      () => writeDailyFilesBy(incoming, "batch", in, 2))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -8325,15 +8426,18 @@ object Pipeline {
             corpus = Some((corpusRoot, "doc_id")))
           ()
         }
-        NearDupStream.filterBatch(spark, ndIdx, ndDocs, ndOut,
-          "doc_id", "text", threshold = 0.4)(b, id)
-        RetrievalStream.appendBatch(spark, bmRoot)(b, id)
-        ContainmentStream.filterBatch(spark, ctRoot, ctOut, setsOf,
-          threshold = 0.6)(b, id)
-        IvfStream.appendBatch(spark, bankRoot, ivfIdx, ivfOut,
-          "vec_id", "embedding")(
-          emb.join(broadcast(b.select(col("doc_id").as("vec_id"))),
-            "vec_id"), id)
+        // the four stores are independent (disjoint roots, one shared
+        // batch input) — overlap their per-trigger bodies (guide §2.6)
+        graft.core.Par.run(
+          () => { NearDupStream.filterBatch(spark, ndIdx, ndDocs, ndOut,
+            "doc_id", "text", threshold = 0.4)(b, id); () },
+          () => RetrievalStream.appendBatch(spark, bmRoot)(b, id),
+          () => { ContainmentStream.filterBatch(spark, ctRoot, ctOut,
+            setsOf, threshold = 0.6)(b, id); () },
+          () => IvfStream.appendBatch(spark, bankRoot, ivfIdx, ivfOut,
+            "vec_id", "embedding")(
+            emb.join(broadcast(b.select(col("doc_id").as("vec_id"))),
+              "vec_id"), id))
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -8559,12 +8663,15 @@ object Pipeline {
           TF.tokens(col("text"))).as("score"))
     val root = Files.createTempDirectory("p140_").toString
     val in = s"$root/in"
-    ClusterStream.writeStanding(spark, s"$root/cs",
-      scored(allDocs.filter(col("arr") === -1)),
-      pairsAll.filter(col("pb") === -1))
-    writeDailyFilesBy(allDocs.filter(col("arr") >= 0)
-      .select(col("doc_id"), col("text"), col("arr").as("batch")),
-      "batch", in, 4)
+    // independent setup chains over the checkpointed fixture — overlap
+    // them (guide §2.6)
+    graft.core.Par.run(
+      () => ClusterStream.writeStanding(spark, s"$root/cs",
+        scored(allDocs.filter(col("arr") === -1)),
+        pairsAll.filter(col("pb") === -1)),
+      () => writeDailyFilesBy(allDocs.filter(col("arr") >= 0)
+        .select(col("doc_id"), col("text"), col("arr").as("batch")),
+        "batch", in, 4))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -9005,8 +9112,10 @@ object Pipeline {
     val root = Files.createTempDirectory("p144_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
     val outRoot = s"$root/out"
-    AHashStream.writeStanding(spark, idxRoot, standing)
-    writeDailyFilesBy(incoming, "batch", in, 3)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => AHashStream.writeStanding(spark, idxRoot, standing),
+      () => writeDailyFilesBy(incoming, "batch", in, 3))
     val schema = StructType(Seq(StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val q = spark.readStream.schema(schema)
@@ -9098,12 +9207,16 @@ object Pipeline {
     val in = s"$root/in"; val ndIdx = s"$root/ndidx"
     val ndDocs = s"$root/nddocs"; val ndOut = s"$root/ndout"
     val csRoot = s"$root/cs"; val outRoot = s"$root/out"
-    Dedup.minhashBandIndex(standing, "doc_id", "text")
-      .write.parquet(s"$ndIdx/v0")
-    standing.write.parquet(s"$ndDocs/v0")
-    ClusterStream.writeStanding(spark, csRoot, scored(standing),
-      Dedup.minhashPairs(standing, "doc_id", "text", threshold = 0.4))
-    writeDailyFilesBy(incoming, "batch", in, 4)
+    // independent setup writes over the checkpointed standing corpus —
+    // overlap them (guide §2.6); the cluster bootstrap's star
+    // contraction is the slowest chain and hides the rest
+    graft.core.Par.run(
+      () => Dedup.minhashBandIndex(standing, "doc_id", "text")
+        .write.parquet(s"$ndIdx/v0"),
+      () => standing.write.parquet(s"$ndDocs/v0"),
+      () => ClusterStream.writeStanding(spark, csRoot, scored(standing),
+        Dedup.minhashPairs(standing, "doc_id", "text", threshold = 0.4)),
+      () => writeDailyFilesBy(incoming, "batch", in, 4))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -9292,11 +9405,13 @@ object Pipeline {
     val root = Files.createTempDirectory("p146_").toString
     val in = s"$root/in"; val idxRoot = s"$root/idx"
     val docsRoot = s"$root/docs"; val outRoot = s"$root/out"
-    Dedup.minhashBandIndex(existing, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
-      .write.parquet(s"$idxRoot/v0")
-    existing.write.parquet(s"$docsRoot/v0")
-    writeDailyFilesBy(incoming, "batch", in, 3)
+    // independent setup chains — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => Dedup.minhashBandIndex(existing, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, seed = 42L)
+        .write.parquet(s"$idxRoot/v0"),
+      () => existing.write.parquet(s"$docsRoot/v0"),
+      () => writeDailyFilesBy(incoming, "batch", in, 3))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)
@@ -9311,8 +9426,10 @@ object Pipeline {
           // mask-only stores — the retained rows come back into every
           // read, no repair needed (the p144 aHash precedent, on text)
           val rv = spark.range(5).select(col("id"))
-          graft.streaming.Versions.revive(spark, idxRoot, rv, id)
-          graft.streaming.Versions.revive(spark, docsRoot, rv, id)
+          // independent marker roots — overlap the two revives (§2.6)
+          graft.core.Par.run(
+            () => graft.streaming.Versions.revive(spark, idxRoot, rv, id),
+            () => graft.streaming.Versions.revive(spark, docsRoot, rv, id))
         }
         graft.streaming.NearDupStream
           .filterBatch(spark, idxRoot, docsRoot, outRoot, "doc_id", "text",
@@ -9427,12 +9544,15 @@ object Pipeline {
     val in = s"$root/in"; val ndIdx = s"$root/ndidx"
     val ndDocs = s"$root/nddocs"; val ndOut = s"$root/ndout"
     val csRoot = s"$root/cs"; val outRoot = s"$root/out"
-    Dedup.minhashBandIndex(standing, "doc_id", "text")
-      .write.parquet(s"$ndIdx/v0")
-    standing.write.parquet(s"$ndDocs/v0")
-    ClusterStream.writeStanding(spark, csRoot, scored(standing),
-      Dedup.minhashPairs(standing, "doc_id", "text", threshold = 0.4))
-    writeDailyFilesBy(incoming, "batch", in, 5)
+    // independent setup writes over the checkpointed standing corpus —
+    // overlap them (guide §2.6, the p145 shape)
+    graft.core.Par.run(
+      () => Dedup.minhashBandIndex(standing, "doc_id", "text")
+        .write.parquet(s"$ndIdx/v0"),
+      () => standing.write.parquet(s"$ndDocs/v0"),
+      () => ClusterStream.writeStanding(spark, csRoot, scored(standing),
+        Dedup.minhashPairs(standing, "doc_id", "text", threshold = 0.4)),
+      () => writeDailyFilesBy(incoming, "batch", in, 5))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val q = spark.readStream.schema(schema)

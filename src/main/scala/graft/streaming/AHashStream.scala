@@ -142,8 +142,11 @@ object AHashStream {
       .unionAll(cross)
       .withColumn("batch", lit(batchId))
     val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
-    pairs.write.mode("overwrite").parquet(s"$outRoot/b$batchId")
-    bh.write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+    // independent per-trigger writes (distinct batch-id-named paths, any
+    // completion subset redelivery-recoverable) — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => pairs.write.mode("overwrite").parquet(s"$outRoot/b$batchId"),
+      () => bh.write.mode("overwrite").parquet(s"$root/v${batchId + 1}"))
     pairs
   }
 

@@ -79,10 +79,16 @@ object ClusterStream {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("cid"),
         col("score"), lit(0L).as("__v"))
-    assign.write.mode("overwrite").parquet(s"${assignRoot(root)}/v0")
-    electCanon(spark.read.parquet(s"${assignRoot(root)}/v0"), 0L)
-      .write.mode("overwrite").parquet(s"${canonRoot(root)}/v0")
-    pairs.write.mode("overwrite").parquet(s"${pairsRoot(root)}/v0")
+    // the canon base derives from the WRITTEN assign base (sequential
+    // pair); the pairs base is independent of both — overlap it with
+    // that pair (guide §2.6)
+    graft.core.Par.run(
+      () => {
+        assign.write.mode("overwrite").parquet(s"${assignRoot(root)}/v0")
+        electCanon(spark.read.parquet(s"${assignRoot(root)}/v0"), 0L)
+          .write.mode("overwrite").parquet(s"${canonRoot(root)}/v0")
+      },
+      () => pairs.write.mode("overwrite").parquet(s"${pairsRoot(root)}/v0"))
   }
 
   /** Argmax-score (tie → min id) election + member count per cid — the
@@ -250,30 +256,39 @@ object ClusterStream {
     Versions.guardAppend(spark, cr, "cluster canonicals", batchId,
       lease = lease)
     Versions.guardAppend(spark, pr, "cluster pairs", batchId, lease = lease)
-    val bd = batchDocs
-      .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
-      .localCheckpoint(true)
     // pairs touching a tombstoned id are masked on BOTH endpoints
     // (broadcast, takedown-sized) — an upstream pair generator that has
     // not seen the takedown yet could otherwise make a deleted doc look
     // never-seen: it would label itself, become a graph node, and merge
     // two live clusters through a deleted doc (ADVICE r15 #2). The
     // masked fold equals the fold over the retained-pair stream.
-    val bp = Versions.maskTombstones(spark, ar,
-        Versions.maskTombstones(spark, ar,
-          batchPairs.select(col("id_a"), col("id_b")), "id_a", batchId),
-        "id_b", batchId)
-      .localCheckpoint(true)
+    // The two batch-sized materializations are independent — overlap
+    // them (guide §2.6) so the trigger pays one action's wall, not two.
+    val staged = graft.core.Par.eval(Seq[() => DataFrame](
+      () => batchDocs
+        .select(col(idCol).as("id"),
+          col(scoreCol).cast("double").as("score"))
+        .localCheckpoint(true),
+      () => Versions.maskTombstones(spark, ar,
+          Versions.maskTombstones(spark, ar,
+            batchPairs.select(col("id_a"), col("id_b")), "id_a", batchId),
+          "id_b", batchId)
+        .localCheckpoint(true)))
+    val bd = staged(0)
+    val bp = staged(1)
     val v = batchId + 1
     if (bp.isEmpty) {
-      // no connectivity: every batch doc is a fresh singleton
-      bd.select(col("id"), col("id").as("cid"), col("score"),
-          lit(v).as("__v"))
-        .write.mode("overwrite").parquet(s"$ar/v$v")
-      bd.select(col("id").as("cid"), col("id").as("keep_id"), col("score"),
-          lit(1L).as("n_members"), lit(v).as("__v"))
-        .write.mode("overwrite").parquet(s"$cr/v$v")
-      bp.write.mode("overwrite").parquet(s"$pr/v$v")
+      // no connectivity: every batch doc is a fresh singleton. The three
+      // delta writes are independent (distinct roots, redelivery
+      // overwrites any completion subset) — overlap them (guide §2.6).
+      graft.core.Par.run(
+        () => bd.select(col("id"), col("id").as("cid"), col("score"),
+            lit(v).as("__v"))
+          .write.mode("overwrite").parquet(s"$ar/v$v"),
+        () => bd.select(col("id").as("cid"), col("id").as("keep_id"),
+            col("score"), lit(1L).as("n_members"), lit(v).as("__v"))
+          .write.mode("overwrite").parquet(s"$cr/v$v"),
+        () => bp.write.mode("overwrite").parquet(s"$pr/v$v"))
       return
     }
     val assigns = readAssignments(spark, root, upTo = batchId)
@@ -319,22 +334,29 @@ object ClusterStream {
     // single consumer (the election below) — no checkpoint needed
     val allMembers = oldMembers.select(col("id"), col("score"), col("__nl"))
       .unionAll(newInPairs).unionAll(newSingles)
-    // assignment delta: every new doc + every relabeled old member
-    oldMembers.filter(col("cid") =!= col("__nl"))
-      .select(col("id"), col("__nl").as("cid"), col("score"),
-        lit(v).as("__v"))
-      .unionAll(newInPairs.unionAll(newSingles)
+    // the three delta writes are independent (distinct roots, redelivery
+    // overwrites any completion subset) — overlap them (guide §2.6);
+    // their shared inputs (bd/bp/oldCids/touched/oldMembers) are all
+    // eagerly checkpointed above, so the concurrent plans re-derive only
+    // the cheap final joins
+    graft.core.Par.run(
+      // assignment delta: every new doc + every relabeled old member
+      () => oldMembers.filter(col("cid") =!= col("__nl"))
         .select(col("id"), col("__nl").as("cid"), col("score"),
-          lit(v).as("__v")))
-      .write.mode("overwrite").parquet(s"$ar/v$v")
-    // canonical delta: re-elect every touched label, kill merged-away ones
-    electCanon(allMembers.select(col("id"), col("__nl").as("cid"),
-        col("score")), v)
-      .unionByName(touched.filter(col("cid") =!= col("__nl"))
-        .select(col("cid"), lit(-1L).as("keep_id"), lit(0.0).as("score"),
-          lit(0L).as("n_members"), lit(v).as("__v")))
-      .write.mode("overwrite").parquet(s"$cr/v$v")
-    bp.write.mode("overwrite").parquet(s"$pr/v$v")
+          lit(v).as("__v"))
+        .unionAll(newInPairs.unionAll(newSingles)
+          .select(col("id"), col("__nl").as("cid"), col("score"),
+            lit(v).as("__v")))
+        .write.mode("overwrite").parquet(s"$ar/v$v"),
+      // canonical delta: re-elect every touched label, kill merged-away
+      // ones
+      () => electCanon(allMembers.select(col("id"), col("__nl").as("cid"),
+          col("score")), v)
+        .unionByName(touched.filter(col("cid") =!= col("__nl"))
+          .select(col("cid"), lit(-1L).as("keep_id"), lit(0.0).as("score"),
+            lit(0L).as("n_members"), lit(v).as("__v")))
+        .write.mode("overwrite").parquet(s"$cr/v$v"),
+      () => bp.write.mode("overwrite").parquet(s"$pr/v$v"))
   }
 
   /** Takedown + component-local repair (the [[Versions.tombstone]]
@@ -367,8 +389,12 @@ object ClusterStream {
         maskUpTo = batchId - 1)
       .join(broadcast(del), Seq("id"), "left_semi")
       .select(col("cid")).distinct().localCheckpoint(true)
-    Versions.tombstoneFrom(spark, ar, del, batchId, lease)
-    Versions.tombstoneFrom(spark, pairsRoot(root), del, batchId, lease)
+    // independent marker roots (the repair below reads both post-marker
+    // views) — overlap the two marker writes (guide §2.6)
+    graft.core.Par.run(
+      () => Versions.tombstoneFrom(spark, ar, del, batchId, lease),
+      () => Versions.tombstoneFrom(spark, pairsRoot(root), del, batchId,
+        lease))
     // retained members and retained intra-component pairs (both reads are
     // masked now); connectivity re-solves component-locally
     repairComponents(spark, root, affected, batchId, pushCidLimit)
@@ -411,8 +437,11 @@ object ClusterStream {
       batchId, lease = lease)
     val rel = ids.toDF("id").select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull).distinct().localCheckpoint(true)
-    Versions.revive(spark, ar, rel, batchId, lease)
-    Versions.revive(spark, pr, rel, batchId, lease)
+    // independent marker roots — overlap the two revive-marker writes
+    // (guide §2.6); the repair below reads both post-marker views
+    graft.core.Par.run(
+      () => Versions.revive(spark, ar, rel, batchId, lease),
+      () => Versions.revive(spark, pr, rel, batchId, lease))
     // seeds: the revived docs + every endpoint of a pair touching them
     // (a revived pair can merge the doc's old neighborhood with whatever
     // its partners drifted into while it was dead) — their components,
@@ -462,17 +491,21 @@ object ClusterStream {
       .select(col("id"), col("cid"),
         coalesce(col("component"), col("id")).as("__nl"), col("score"))
       .localCheckpoint(true)
-    resolved.filter(col("cid") =!= col("__nl"))
-      .select(col("id"), col("__nl").as("cid"), col("score"),
-        lit(v).as("__v"))
-      .write.mode("overwrite").parquet(s"$ar/v$v")
     val newLabels = resolved.select(col("__nl").as("cid")).distinct()
-    electCanon(resolved.select(col("id"), col("__nl").as("cid"),
-        col("score")), v)
-      .unionByName(affected.join(newLabels, Seq("cid"), "left_anti")
-        .select(col("cid"), lit(-1L).as("keep_id"), lit(0.0).as("score"),
-          lit(0L).as("n_members"), lit(v).as("__v")))
-      .write.mode("overwrite").parquet(s"$cr/v$v")
+    // the two repair-delta writes are independent (distinct roots,
+    // redelivery re-resolves and overwrites both) — overlap them
+    // (guide §2.6); `resolved` is checkpointed above
+    graft.core.Par.run(
+      () => resolved.filter(col("cid") =!= col("__nl"))
+        .select(col("id"), col("__nl").as("cid"), col("score"),
+          lit(v).as("__v"))
+        .write.mode("overwrite").parquet(s"$ar/v$v"),
+      () => electCanon(resolved.select(col("id"), col("__nl").as("cid"),
+          col("score")), v)
+        .unionByName(affected.join(newLabels, Seq("cid"), "left_anti")
+          .select(col("cid"), lit(-1L).as("keep_id"), lit(0.0).as("score"),
+            lit(0L).as("n_members"), lit(v).as("__v")))
+        .write.mode("overwrite").parquet(s"$cr/v$v"))
   }
 
   /** Fold all three roots' deltas into fresh bases: assignments back to
@@ -489,29 +522,35 @@ object ClusterStream {
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
-    // allowSingle on all three roots: a marker-only history (retract/
-    // revive with no interleaved folds) leaves one version + markers to
-    // consume, and a crash between the per-root rewrites must leave the
-    // re-run convergent (the RetrievalStream.compactStore discipline)
-    Versions.compact(spark, assignRoot(root), upTo, newestPerId,
-      tombstoneIdCol = Some("id"), clusterBy = Seq("cid"),
-      allowSingle = true, lease = lease)
     val newestPerCid: DataFrame => DataFrame = { df =>
       val w = Window.partitionBy(col("cid")).orderBy(col("__v").desc)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && col("n_members") > 0).drop("__rn")
     }
-    Versions.compact(spark, canonRoot(root), upTo, newestPerCid,
-      clusterBy = Seq("cid"), allowSingle = true, lease = lease)
     val pr = pairsRoot(root)
-    // deadSet, not the raw marker union: a revived id's pair rows must
-    // survive the physical fold (newest-verb-wins, the
-    // RetrievalStream.compactStore discipline)
-    val delIds = Versions.deadSet(spark, pr, upTo).map(_.localCheckpoint(true))
-    Versions.compact(spark, pr, upTo,
-      df => delIds.fold(df)(d =>
-        df.join(broadcast(d.withColumnRenamed("id", "id_b")), Seq("id_b"),
-          "left_anti")),
-      tombstoneIdCol = Some("id_a"), allowSingle = true, lease = lease)
+    // allowSingle on all three roots: a marker-only history (retract/
+    // revive with no interleaved folds) leaves one version + markers to
+    // consume, and a crash between the per-root rewrites must leave the
+    // re-run convergent (the RetrievalStream.compactStore discipline).
+    // The three per-root rewrites are independent (crash recovery is
+    // already "re-run converges per root") — overlap them (guide §2.6).
+    graft.core.Par.run(
+      () => Versions.compact(spark, assignRoot(root), upTo, newestPerId,
+        tombstoneIdCol = Some("id"), clusterBy = Seq("cid"),
+        allowSingle = true, lease = lease),
+      () => Versions.compact(spark, canonRoot(root), upTo, newestPerCid,
+        clusterBy = Seq("cid"), allowSingle = true, lease = lease),
+      () => {
+        // deadSet, not the raw marker union: a revived id's pair rows must
+        // survive the physical fold (newest-verb-wins, the
+        // RetrievalStream.compactStore discipline)
+        val delIds = Versions.deadSet(spark, pr, upTo)
+          .map(_.localCheckpoint(true))
+        Versions.compact(spark, pr, upTo,
+          df => delIds.fold(df)(d =>
+            df.join(broadcast(d.withColumnRenamed("id", "id_b")),
+              Seq("id_b"), "left_anti")),
+          tombstoneIdCol = Some("id_a"), allowSingle = true, lease = lease)
+      })
   }
 }

@@ -67,14 +67,17 @@ object EwmaStream {
                  THEN ${TimeSeries.ewmaFoldSql(alpha)}
                  ELSE ${TimeSeries.ewmaFoldSql(alpha,
                    seedSql = Some("__pe"))} END""").as("ewma"))
-    updated
-      .select(col(keyCol), col("n_events"), col("ewma"),
-        lit(batchId).as("batch"))
-      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
-    updated
-      .select(col(keyCol), col("n_events"), col("ewma"),
-        lit(batchId + 1).as("__v"))
-      .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}")
+    // independent per-trigger writes (distinct batch-id-named paths, any
+    // completion subset redelivery-recoverable) — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => updated
+        .select(col(keyCol), col("n_events"), col("ewma"),
+          lit(batchId).as("batch"))
+        .write.mode("overwrite").parquet(s"$outRoot/b$batchId"),
+      () => updated
+        .select(col(keyCol), col("n_events"), col("ewma"),
+          lit(batchId + 1).as("__v"))
+        .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}"))
   }
 
   /** Merge state deltas `v0..v<upTo>` into a new base snapshot (see

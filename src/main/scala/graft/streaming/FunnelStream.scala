@@ -61,12 +61,15 @@ object FunnelStream {
         expr(TimeSeries.funnelFoldSql(steps, seedSql = "__seed"))
           .as("stage"))
       .filter(col("stage") =!= col("stage_before"))
-    advanced
-      .select(col(keyCol), col("stage"), lit(batchId).as("batch"))
-      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
-    advanced
-      .select(col(keyCol), col("stage"), lit(batchId + 1).as("__v"))
-      .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}")
+    // independent per-trigger writes (distinct batch-id-named paths, any
+    // completion subset redelivery-recoverable) — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => advanced
+        .select(col(keyCol), col("stage"), lit(batchId).as("batch"))
+        .write.mode("overwrite").parquet(s"$outRoot/b$batchId"),
+      () => advanced
+        .select(col(keyCol), col("stage"), lit(batchId + 1).as("__v"))
+        .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}"))
   }
 
   /** Merge state deltas `v0..v<upTo>` into a new base snapshot (see

@@ -148,16 +148,19 @@ object KMeansStream {
       pos <- 0 until dim
     } yield Row(batchId, cell, counts(cell), pos,
       sums((cell, pos)).doubleValue() / counts(cell))
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(outRows, 1), outSchema)
-      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
     val deltaRows = for {
       cell <- touched.toSeq.sorted
       pos <- 0 until dim
     } yield Row(cell, pos, sums((cell, pos)), counts(cell), batchId + 1)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(deltaRows, 1), stateSchema)
-      .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}")
+    // independent per-trigger writes of driver-built rows — overlap them
+    // (guide §2.6)
+    graft.core.Par.run(
+      () => spark.createDataFrame(
+          spark.sparkContext.parallelize(outRows, 1), outSchema)
+        .write.mode("overwrite").parquet(s"$outRoot/b$batchId"),
+      () => spark.createDataFrame(
+          spark.sparkContext.parallelize(deltaRows, 1), stateSchema)
+        .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}"))
   }
 
   /** Merge state deltas `v0..v<upTo>` into a new base (see

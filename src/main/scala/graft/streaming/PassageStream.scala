@@ -76,12 +76,15 @@ object PassageStream {
     }
     val deltas = current.filter(_._1 <= batchId).map(_._2.toString)
     val idx = spark.read.parquet(deltas: _*)
-    Dedup.duplicatePassageStatsIncremental(batch, idCol, textCol, idx,
-        windowTokens)
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
-    Dedup.passageWindowIndex(batch, idCol, textCol, windowTokens)
-      .write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
+    // independent per-trigger writes (distinct batch-id-named paths, any
+    // completion subset redelivery-recoverable) — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => Dedup.duplicatePassageStatsIncremental(batch, idCol, textCol,
+          idx, windowTokens)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$outRoot/b$batchId"),
+      () => Dedup.passageWindowIndex(batch, idCol, textCol, windowTokens)
+        .write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}"))
   }
 
   /** Merge index deltas `v0..v<upTo>` into a new base snapshot (see

@@ -57,19 +57,23 @@ object RetrievalStream {
     Versions.guardStandingWrite(spark, postRoot(root), lease)
     Versions.guardStandingWrite(spark, statsRoot(root), lease)
     Versions.guardStandingWrite(spark, dlenRoot(root), lease)
-    Retrieval.postingsRelation(standing, idCol, textCol)
-      .write.mode("overwrite").parquet(s"${postRoot(root)}/v0")
-    Retrieval.statsRelation(standing, idCol, textCol)
-      .write.mode("overwrite").parquet(s"${statsRoot(root)}/v0")
-    Retrieval.doclenRelation(standing, idCol, textCol)
-      .write.mode("overwrite").parquet(s"${dlenRoot(root)}/v0")
+    // independent standing writes (a torn subset fails loud at
+    // appendBatch's both-roots guard, whichever write crashed) — overlap
+    // them (guide §2.6)
+    graft.core.Par.run(
+      () => Retrieval.postingsRelation(standing, idCol, textCol)
+        .write.mode("overwrite").parquet(s"${postRoot(root)}/v0"),
+      () => Retrieval.statsRelation(standing, idCol, textCol)
+        .write.mode("overwrite").parquet(s"${statsRoot(root)}/v0"),
+      () => Retrieval.doclenRelation(standing, idCol, textCol)
+        .write.mode("overwrite").parquet(s"${dlenRoot(root)}/v0"))
   }
 
   /** The `foreachBatch` callback: tokenize batch `batchId`'s docs only,
-    * append posting + stats deltas as `v{batchId+1}`. Postings land
-    * first (the larger correctness-bearing artifact); a crash between
-    * the writes is healed by the checkpointed redelivery overwriting
-    * both deterministically. */
+    * append posting + stats + doclen deltas as `v{batchId+1}`
+    * (overlapped — independent batch-id-named writes, guide §2.6); a
+    * crash leaving any completion subset is healed by the checkpointed
+    * redelivery overwriting all three deterministically. */
   def appendBatch(spark: SparkSession, root: String,
       idCol: String = "doc_id", textCol: String = "text",
       autoCompactVersions: Option[Int] = None,
@@ -107,12 +111,20 @@ object RetrievalStream {
       if (visible.size > k) compactStore(spark, root, upTo = batchId, lease)
     }
     val b = batch.localCheckpoint(true)
-    Retrieval.postingsRelation(b, idCol, textCol)
-      .write.mode("overwrite").parquet(s"${postRoot(root)}/v${batchId + 1}")
-    Retrieval.statsRelation(b, idCol, textCol)
-      .write.mode("overwrite").parquet(s"${statsRoot(root)}/v${batchId + 1}")
-    Retrieval.doclenRelation(b, idCol, textCol)
-      .write.mode("overwrite").parquet(s"${dlenRoot(root)}/v${batchId + 1}")
+    // the three per-batch delta writes are independent (distinct
+    // batch-id-named paths; a crash leaving any completion subset is the
+    // documented torn window the checkpointed redelivery heals, whichever
+    // side landed) — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => Retrieval.postingsRelation(b, idCol, textCol)
+        .write.mode("overwrite")
+        .parquet(s"${postRoot(root)}/v${batchId + 1}"),
+      () => Retrieval.statsRelation(b, idCol, textCol)
+        .write.mode("overwrite")
+        .parquet(s"${statsRoot(root)}/v${batchId + 1}"),
+      () => Retrieval.doclenRelation(b, idCol, textCol)
+        .write.mode("overwrite")
+        .parquet(s"${dlenRoot(root)}/v${batchId + 1}"))
   }
 
   private def foldStats(df: DataFrame): DataFrame =

@@ -196,11 +196,19 @@ object Takedown {
       "takedownAll with no targets and no corpus — nothing to sweep")
     journaledFanOut(spark, journalRoot, 't', "takedown", sweep, batchId) {
       ids =>
-        targets.foreach(t => t.retract(spark, ids, batchId))
-        corpus.foreach { case (root, keyCol) =>
-          CorpusMaintenance.deleteBatch(spark, root, Seq(keyCol))(
-            ids.select(col("id").as(keyCol)), batchId)
-        }
+        // the fan-out is N+1 INDEPENDENT writes to distinct roots, each
+        // idempotent-by-name, and the journal protocol already recovers
+        // ANY completion subset — so overlap them (guide §2.6): one sweep
+        // pays the slowest store's wall, not the sum. A failing store no
+        // longer stops its siblings (they complete; the journal stays
+        // uncommitted and recovery re-runs everything idempotently).
+        graft.core.Par.run(
+          (targets.map(t => () => t.retract(spark, ids, batchId)) ++
+            corpus.map { case (root, keyCol) =>
+              () =>
+                CorpusMaintenance.deleteBatch(spark, root, Seq(keyCol))(
+                  ids.select(col("id").as(keyCol)), batchId)
+            }): _*)
     }
   }
 
@@ -228,7 +236,11 @@ object Takedown {
       batchId: Long, targets: Seq[Target]): DataFrame = {
     require(targets.nonEmpty, "reviveAll with no targets")
     journaledFanOut(spark, journalRoot, 'r', "revive", sweep, batchId) {
-      ids => targets.foreach(t => t.retract(spark, ids, batchId))
+      ids =>
+        // same overlap as the takedown direction: independent idempotent
+        // per-store verbs, any completion subset journal-recoverable
+        graft.core.Par.run(
+          targets.map(t => () => t.retract(spark, ids, batchId)): _*)
     }
   }
 

@@ -122,6 +122,20 @@ object Versions {
     override def initialValue: List[Lease] = Nil
   }
 
+  /** The calling thread's [[withLease]] stack — captured by
+    * [[graft.core.Par]] so actions it overlaps on worker threads keep
+    * presenting the caller's leases to [[checkWriter]] (the scope is
+    * logically the caller's, whatever thread runs the write). */
+  private[graft] def capturedHeld: List[Lease] = held.get
+
+  /** Run `f` under a captured [[withLease]] stack (worker-thread side of
+    * [[capturedHeld]]); restores the thread's previous stack on exit. */
+  private[graft] def withHeld[T](leases: List[Lease])(f: => T): T = {
+    val old = held.get
+    held.set(leases)
+    try f finally held.set(old)
+  }
+
   /** Run `f` with `lease` HELD: every mutating verb called inside —
     * through ANY store's code path, no signature threading needed —
     * presents it to [[checkWriter]] automatically when the verb's own

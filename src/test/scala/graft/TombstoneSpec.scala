@@ -432,17 +432,18 @@ class TombstoneSpec extends SparkSpec {
     assert(idsOf(ctA1).intersect(Set(0L, 1L, 2L)).isEmpty)
     assert(corpusIds(corpA) === (3L until 30L).toSet)
 
-    // crash 1 — after the journal, before ANY marker (first target's root
-    // has no v0, so its tombstoneFrom throws). Recovery passes a BIGGER
-    // sweep: the journal must win — the predicate is never re-evaluated.
+    // crash 1 — after the journal, before ANY marker (every target's
+    // root is missing, so the whole concurrent fan-out throws — the
+    // r17 overlap runs siblings to completion, so "nothing happened yet"
+    // needs every verb to fail). Recovery passes a BIGGER sweep: the
+    // journal must win — the predicate is never re-evaluated.
     val (ctB1, ctB2, corpB) = (freshContainmentStore(),
       freshContainmentStore(), mkCorpus())
     val jB = mkJournal("B")
     intercept[IllegalArgumentException] {
       Takedown.takedownAll(spark, jB, sweep, 1L,
         Seq(Target("missing", s"$jB/no_such_store"),
-          Target("ct1", ctB1), Target("ct2", ctB2)),
-        Some((corpB, "doc_id")))
+          Target("missing2", s"$jB/no_such_store2")))
     }
     assert(Takedown.incomplete(spark, jB) === Seq(1L),
       "a journaled, uncommitted takedown must be enumerable for recovery")
@@ -455,8 +456,13 @@ class TombstoneSpec extends SparkSpec {
       "recovery must mark the JOURNALED set, not the re-evaluated sweep")
     assert(corpusIds(corpB) === corpusIds(corpA))
 
-    // crash 2 — mid-fan-out (second target bad): stores DISAGREE until
-    // recovery re-runs the whole fan-out from the journal
+    // crash 2 — mid-fan-out (one target bad): stores DISAGREE — the
+    // failed store vs its siblings — until recovery re-runs the whole
+    // fan-out from the journal. The r17 overlap runs the healthy
+    // siblings to completion (they are independent idempotent writes a
+    // re-run redoes identically), so the disagreement is "journal
+    // uncommitted + one store unmarked", not "everything after the
+    // failure unmarked".
     val (ctC1, ctC2, corpC) = (freshContainmentStore(),
       freshContainmentStore(), mkCorpus())
     val jC = mkJournal("C")
@@ -467,10 +473,11 @@ class TombstoneSpec extends SparkSpec {
         Some((corpC, "doc_id")))
     }
     assert(Versions.listTombstones(spark, ctC1).map(_._1) === Seq(1L),
-      "the first target was marked before the crash")
-    assert(Versions.listTombstones(spark, ctC2).isEmpty,
-      "the store after the crash point was not — the disagreement " +
-        "recovery exists to heal")
+      "healthy siblings complete even when one store's verb fails")
+    assert(Versions.listTombstones(spark, ctC2).map(_._1) === Seq(1L))
+    assert(Takedown.incomplete(spark, jC) === Seq(1L),
+      "the failed store leaves the journal uncommitted — the " +
+        "disagreement recovery exists to heal")
     Takedown.takedownAll(spark, jC, biggerSweep, 1L,
       Seq(Target("ct1", ctC1), Target("ct2", ctC2)),
       Some((corpC, "doc_id")))
@@ -959,8 +966,10 @@ class TombstoneSpec extends SparkSpec {
       Seq(Target("ct1", ct1), Target("ct2", ct2)))
     assert(!idsOf(ct1).contains(3L))
 
-    // crash mid-fan-out: ct1 revived, the bad target throws, ct2 not —
-    // the disagreement window the journal exists to close
+    // crash mid-fan-out: the bad target throws while its healthy
+    // siblings complete (the r17 overlap) — the failed store vs the
+    // revived ones is the disagreement window the journal exists to
+    // close
     intercept[IllegalArgumentException] {
       Takedown.reviveAll(spark, journal, Seq(3L, 4L).toDF("id"), 2L, Seq(
         Target.revive("ct1", ct1),
@@ -970,8 +979,9 @@ class TombstoneSpec extends SparkSpec {
     assert(Takedown.incomplete(spark, journal, prefix = 'r') === Seq(2L))
     assert(Takedown.incomplete(spark, journal).isEmpty,
       "the t namespace must not see the r journal")
-    assert(idsOf(ct1).contains(3L) && !idsOf(ct2).contains(3L),
-      "stores disagree until recovery")
+    assert(idsOf(ct1).contains(3L) && idsOf(ct2).contains(3L),
+      "healthy siblings complete; the journal stays uncommitted until " +
+        "recovery re-runs the failed store")
     // recovery passes a DIFFERENT sweep: the journal wins — ids 3,4
     // revive on both stores, 5 stays dead
     Takedown.reviveAll(spark, journal, Seq(5L).toDF("id"), 2L, Seq(

@@ -81,6 +81,58 @@ class ParSpec extends SparkSpec {
     Versions.releaseLease(spark, lease)
   }
 
+  test("nested eval completes under an exhausted thread budget (r18: the " +
+      "global cap degrades nesting to sequential, never deadlocks)") {
+    // depth-3 nesting, fan-out 3 at each level = 27 leaf thunks, far
+    // past the global permit budget; tryAcquire (never a blocking
+    // acquire) is what makes this terminate — a blocking bounded pool
+    // would deadlock with every permit held by a waiting parent
+    def nest(depth: Int): Int =
+      if (depth == 0) 1
+      else Par.eval((1 to 3).map(_ => () => nest(depth - 1))).sum
+    assert(nest(3) === 27)
+  }
+
+  test("sibling failures are suppressed onto the rethrown error; a fatal " +
+      "sibling takes precedence over an earlier benign one (r18)") {
+    val e = intercept[IllegalStateException] {
+      Par.run(
+        () => throw new IllegalStateException("benign 0"),
+        () => throw new IllegalArgumentException("benign 1"))
+    }
+    assert(e.getMessage === "benign 0")
+    assert(e.getSuppressed.map(_.getMessage).toSeq === Seq("benign 1"))
+    val f = intercept[OutOfMemoryError] {
+      Par.run(
+        () => throw new IllegalStateException("benign first"),
+        () => throw new OutOfMemoryError("fatal second"))
+    }
+    assert(f.getMessage === "fatal second")
+    assert(f.getSuppressed.map(_.getMessage).toSeq === Seq("benign first"))
+  }
+
+  test("an interrupt during the join is deferred until every worker " +
+      "completed, then re-asserted on the caller (r18)") {
+    val workerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var sawInterrupt = false
+    @volatile var doneAtReturn = false
+    val t = new Thread(() => {
+      try {
+        Par.run(
+          () => (), // caller-run thunk
+          () => { Thread.sleep(800); workerDone.set(true) })
+        doneAtReturn = workerDone.get
+        sawInterrupt = Thread.currentThread().isInterrupted
+      } catch { case _: InterruptedException => () }
+    })
+    t.start()
+    Thread.sleep(200)
+    t.interrupt()
+    t.join(10000)
+    assert(doneAtReturn, "Par returned while a worker write was in flight")
+    assert(sawInterrupt, "the caller's interrupt flag was not re-asserted")
+  }
+
   test("overlapped independent writes land byte-identically to the " +
       "sequential order") {
     val base = java.nio.file.Files.createTempDirectory("par_eq_").toString

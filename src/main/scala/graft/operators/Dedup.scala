@@ -423,12 +423,13 @@ object Dedup {
     * order).
     *
     * Scan posture (the streaming probe discipline): the standing
-    * relation is touched twice, both times WITHOUT a full exchange — the
-    * df aggregation first semi-restricts to the batch's own grams (a
-    * broadcast of the batch gram set; df of grams absent from the batch
-    * orders nothing, so the restriction is result-identical) and the
-    * candidate join broadcasts the batch prefix. Only matched,
-    * candidate-sized rows ever reach a shuffle.
+    * relation is touched ONCE per trigger (r18) — one scan restricted to
+    * the batch's own grams (a broadcast semi-restriction; df of grams
+    * absent from the batch orders nothing, and every other standing
+    * access joins on a batch gram, so the restriction is result-
+    * identical), staged, and reused by the df aggregation, the candidate
+    * join (batch prefix broadcasts into it) and the overlap verify. Only
+    * matched, candidate-sized rows ever reach a shuffle.
     *
     * Batch-size bound: BOTH broadcasts are of batch-derived relations
     * (the batch's distinct grams; the batch's prefix rows, ≤ the gram
@@ -439,14 +440,31 @@ object Dedup {
     * [[containmentJoinExact]] instead, whose shuffle-based plan degrades
     * gracefully past the broadcast threshold. */
   def containmentIncrementalFromSets(bsets: DataFrame,
-      corpusIndex: DataFrame, threshold: Double): DataFrame = {
+      corpusIndex: DataFrame, threshold: Double,
+      stageHits: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
     val bex = bsets.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("g"))
-    val cdf = corpusIndex
+    // r18 (guide §8: touch the store once, reuse the proxy): ONE
+    // restricted scan of the standing relation — the corpus rows whose
+    // gram appears in the batch — feeds all three standing-side
+    // consumers below (df aggregation, candidate join, overlap verify),
+    // which previously each re-scanned the store per trigger. Result-
+    // identical either way: every standing access joins on a batch
+    // gram, so rows outside `hits` can never match. Staging bound:
+    // |hits| = Σ_{g ∈ batch} df(g) — exactly the rows the candidate
+    // join already streamed, staged once (MEMORY_AND_DISK) instead of
+    // scanned three times. `stageHits = false` keeps the three LAZY
+    // pruned scans — the right shape for trickle-sized triggers whose
+    // pushed `g IN` already skips most row groups (the staging action
+    // there costs more than the two scans it saves; measured on
+    // p127/p131/p134).
+    val restricted = corpusIndex
       .join(broadcast(bex.select(col("g")).distinct()), "g")
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val hits =
+      if (stageHits) restricted.localCheckpoint(true) else restricted
+    val cdf = hits.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val plen = (col("n") - ceil(col("n").cast("double") * lit(threshold))
       + 1).cast("int")
     val prefix = bex.join(cdf, Seq("g"), "left")
@@ -460,7 +478,7 @@ object Dedup {
     val alpha = lit(threshold) * col("__na").cast("double") - lit(1e-9)
     val cand = broadcast(prefix.select(col("g"), col("id").as("id_a"),
         col("n").as("__na")))
-      .join(corpusIndex.select(col("g"), col("id").as("id_b"),
+      .join(hits.select(col("g"), col("id").as("id_b"),
         col("n").as("__nb")), "g")
       // a batch id that already exists in the corpus (redelivery, re-crawl)
       // must not emit a (a, a) self-pair — same contract as the one-shot
@@ -471,7 +489,7 @@ object Dedup {
       .distinct()
     val cross = cand
       .join(bex.select(col("id").as("id_a"), col("g")), "id_a")
-      .join(corpusIndex.select(col("id").as("id_b"), col("g")),
+      .join(hits.select(col("id").as("id_b"), col("g")),
         Seq("id_b", "g"))
       .groupBy(col("id_a"), col("id_b"), col("__na"))
       .agg(count(lit(1)).as("__i"))
@@ -815,7 +833,13 @@ object Dedup {
     // one materialization of the (possibly expensive) pair pipeline; the
     // node set, the initial edge set, and every loop round derive from it
     val base = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    withLoopParallelism(base, base.count()) {
+    val edgeRows = base.count()
+    withLoopParallelism(base, edgeRows) {
+    // eager on purpose: the returned labels frame is consumed several
+    // times by the fold callers (touched resolution + two delta writes),
+    // and each consumer would re-run this distinct at session width if it
+    // were lazy — measured 2 s SLOWER on p147 when r18 tried dropping it
+    // (the r17 readAssignments lazy-fold dead end, repeated)
     val nodes = base.select(col("id_a").as("id"))
       .unionAll(base.select(col("id_b").as("id"))).distinct()
       .localCheckpoint(true)
@@ -873,8 +897,12 @@ object Dedup {
     // actions (the dominant cost of batch-sized folds: rounds, not rows)
     // are skipped outright. Bounded by the same 4M-edges-per-partition
     // budget the loop's own parallelism rule uses; larger edge sets keep
-    // the O(log n) distributed rounds unchanged.
-    val onePartition = preContract &&
+    // the O(log n) distributed rounds unchanged. The edge-budget check is
+    // asserted IN-PATH (r18, VERDICT r17 #5): the conf string alone would
+    // reroute every consumer through the fast path under a caller-set
+    // global partitions=1 — correct only because the pre-pass fixed point
+    // needs all edges in ONE partition, which the budget is what ensures.
+    val onePartition = preContract && edgeRows <= 4000000L &&
       base.sparkSession.conf.get("spark.sql.shuffle.partitions") == "1"
     var edges =
       (if (preContract) this.localContract(base)

@@ -146,6 +146,10 @@ object Graph {
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // keep stays eagerly checkpointed: r18 measured the lazy form
+      // (betting on ReuseExchange across the two semi-joins) 0.6 s SLOWER
+      // on p71 — the duplicated degree aggregation inside the
+      // single-partition round costs more than the action it saves
       val keep = deg.filter(col("deg") >= k).select(col("node"))
         .localCheckpoint(true)
       val next = edges

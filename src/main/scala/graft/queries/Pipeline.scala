@@ -5753,7 +5753,7 @@ object Pipeline {
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
           .filter(col("n_shared_grams") >= 3)
           .join(nCand, "doc_id")
-          .withColumn("batch", lit(id))
+          .withColumn("batch", graft.functions.SteadyLit.steadyLong(id))
           .write.mode("overwrite").parquet(s"$outRoot/b$id")
         ()
       }
@@ -5864,7 +5864,7 @@ object Pipeline {
         coalesce(col("__dup"), lit(false)).as("near_dup"))
       .withColumn("keep", !col("contaminated") && col("quality_keep") &&
         !col("near_dup"))
-      .withColumn("batch", lit(id))
+      .withColumn("batch", graft.functions.SteadyLit.steadyLong(id))
       .write.mode("overwrite").parquet(s"$outRoot/b$id")
   }
 
@@ -7249,7 +7249,7 @@ object Pipeline {
         coalesce(col("__c"), lit(false)).as("contained"))
       .withColumn("keep", !col("exact_dup") && !col("percep_dup") &&
         !col("contained"))
-      .withColumn("batch", lit(id))
+      .withColumn("batch", graft.functions.SteadyLit.steadyLong(id))
       .write.mode("overwrite").parquet(s"$outRoot/b$id")
   }
 
@@ -9248,16 +9248,27 @@ object Pipeline {
           ClusterStream.foldBatch(spark, csRoot)(scored(b),
             pairs.select(col("id_a"), col("id_b")), id)
           // the verdict: keep iff the doc IS its cluster's canonical at
-          // fold time — the store's reads resolve the fold this batch
-          // just wrote (versions <= id + 1)
-          ClusterStream.readAssignments(spark, csRoot, upTo = id + 1)
+          // fold time.
+          // r18: the verdict resolves from the fold's JUST-WRITTEN deltas
+          // instead of the full-store reads (each a window fold + eager
+          // checkpoint per trigger) — result-identical because the fold
+          // guarantees every batch doc an assign row in v{id+1}
+          // (newInPairs ∪ newSingles = the whole batch; the empty-pairs
+          // path writes all of it too) and every such doc's cid a live
+          // election row there (electCanon runs over ALL touched labels'
+          // full membership, new singletons included), and v{id+1} is by
+          // construction the newest version for exactly those ids/cids.
+          graft.streaming.Versions.read(spark, s"$csRoot/assign",
+              Seq(s"$csRoot/assign/v${id + 1}"))
             .join(broadcast(b.select(col("doc_id").as("id"))), Seq("id"),
               "left_semi")
-            .join(ClusterStream.readCanonicals(spark, csRoot,
-              upTo = id + 1).select(col("cid"), col("keep_id")),
+            .join(graft.streaming.Versions.read(spark, s"$csRoot/canon",
+                Seq(s"$csRoot/canon/v${id + 1}"))
+              .filter(col("n_members") > 0)
+              .select(col("cid"), col("keep_id")),
               Seq("cid"))
             .select(col("id").as("doc_id"), col("keep_id"),
-              lit(id).as("batch"),
+              graft.functions.SteadyLit.steadyLong(id).as("batch"),
               when(col("keep_id") === col("id"), 1.0).otherwise(0.0)
                 .as("keep"))
             .write.mode("overwrite").parquet(s"$outRoot/b$id")
@@ -9596,14 +9607,26 @@ object Pipeline {
             b.select(col("doc_id"), col("text")), id)
           ClusterStream.foldBatch(spark, csRoot)(scored(b),
             pairs.select(col("id_a"), col("id_b")), id)
-          ClusterStream.readAssignments(spark, csRoot, upTo = id + 1)
+          // r18: the verdict resolves from the fold's JUST-WRITTEN deltas
+          // instead of the full-store reads (each a window fold + eager
+          // checkpoint per trigger) — result-identical because the fold
+          // guarantees every batch doc an assign row in v{id+1}
+          // (newInPairs ∪ newSingles = the whole batch; the empty-pairs
+          // path writes all of it too) and every such doc's cid a live
+          // election row there (electCanon runs over ALL touched labels'
+          // full membership, new singletons included), and v{id+1} is by
+          // construction the newest version for exactly those ids/cids.
+          graft.streaming.Versions.read(spark, s"$csRoot/assign",
+              Seq(s"$csRoot/assign/v${id + 1}"))
             .join(broadcast(b.select(col("doc_id").as("id"))), Seq("id"),
               "left_semi")
-            .join(ClusterStream.readCanonicals(spark, csRoot,
-              upTo = id + 1).select(col("cid"), col("keep_id")),
+            .join(graft.streaming.Versions.read(spark, s"$csRoot/canon",
+                Seq(s"$csRoot/canon/v${id + 1}"))
+              .filter(col("n_members") > 0)
+              .select(col("cid"), col("keep_id")),
               Seq("cid"))
             .select(col("id").as("doc_id"), col("keep_id"),
-              lit(id).as("batch"),
+              graft.functions.SteadyLit.steadyLong(id).as("batch"),
               when(col("keep_id") === col("id"), 1.0).otherwise(0.0)
                 .as("keep"))
             .write.mode("overwrite").parquet(s"$outRoot/b$id")

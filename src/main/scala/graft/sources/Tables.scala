@@ -33,11 +33,30 @@ object Tables {
     *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
     *    TIMESTAMP_NTZ; cast to TIMESTAMP under the session's UTC zone —
     *    the identical wall-clock instants DuckDB reads natively. */
+  // r18 (guide §1.2, per-action cost): footer-based schema inference is
+  // ~60 ms of driver work per read call (tools/PlanTax), and a bench/
+  // verify session re-reads the SAME immutable testdata files hundreds of
+  // times. Cache the inferred schema per (dir, table) — metadata only,
+  // every call still plans and scans the parquet files themselves. The
+  // events.ts layout adaptivity is preserved: the branch keys off the
+  // (cached) physical schema, which is per-dir.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    if (name == "events") {
+    val path = s"$dir/$name.parquet"
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val cached = schemaCache.get(path)
+    val raw =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val df = spark.read.parquet(path)
+        schemaCache.put(path, df.schema)
+        df
+      }
+    if (name == "events") {
       raw.schema("ts").dataType match {
         case LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -45,7 +64,7 @@ object Tables {
           raw.withColumn("ts", col("ts").cast(TimestampType))
         case _ => raw
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else raw
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.operators.Dedup
 import graft.multimodal.Multimodal
 
@@ -61,7 +62,8 @@ object AHashStream {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no index versions at $root")
     Versions.maskTombstones(spark, root,
-      spark.read.parquet(versions.map(_._2.toString): _*), "media_id", upTo)
+      Versions.read(spark, root, versions.map(_._2.toString)), "media_id",
+      upTo)
   }
 
   /** Retract ids from the hash index ([[Versions.tombstone]] contract):
@@ -140,7 +142,7 @@ object AHashStream {
     val probe = inBatch.select(col("id_a"), col("id_b"),
         col("hamming").cast("int").as("hamming"))
       .unionAll(cross)
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", SteadyLit.steadyLong(batchId))
     val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
     // independent per-trigger writes (distinct batch-id-named paths, any
     // completion subset redelivery-recoverable) — overlap them (guide §2.6)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 
 import graft.operators.Dedup
 
@@ -85,7 +86,8 @@ object ClusterStream {
     graft.core.Par.run(
       () => {
         assign.write.mode("overwrite").parquet(s"${assignRoot(root)}/v0")
-        electCanon(spark.read.parquet(s"${assignRoot(root)}/v0"), 0L)
+        electCanon(Versions.read(spark, assignRoot(root),
+            Seq(s"${assignRoot(root)}/v0")), 0L)
           .write.mode("overwrite").parquet(s"${canonRoot(root)}/v0")
       },
       () => pairs.write.mode("overwrite").parquet(s"${pairsRoot(root)}/v0"))
@@ -110,7 +112,7 @@ object ClusterStream {
           struct(col("score"), (-col("id")).as("nid"))).as("__b"),
         count(lit(1)).as("n_members"))
       .select(col("cid"), col("__b.id").as("keep_id"),
-        col("__b.score").as("score"), col("n_members"), lit(v).as("__v"))
+        col("__b.score").as("score"), col("n_members"), SteadyLit.steadyLong(v).as("__v"))
 
   /** Current assignments: base v0 (one row per id) superseded by the
     * newest delta row per id, tombstoned ids masked. The newest-per-id
@@ -132,14 +134,14 @@ object ClusterStream {
     val versions = Versions.list(spark, ar).filter(_._1 <= upTo)
     require(versions.exists(_._1 == 0L), s"no assignment base at $ar/v0")
     requireRepairedRevives(spark, root)
-    val base = spark.read.parquet(
-      versions.filter(_._1 == 0L).map(_._2.toString): _*)
+    val base = Versions.read(spark, ar,
+      versions.filter(_._1 == 0L).map(_._2.toString))
     val deltaDirs = versions.filter(_._1 > 0L).map(_._2.toString)
     val current =
       if (deltaDirs.isEmpty) base
       else {
         val w = Window.partitionBy(col("id")).orderBy(col("__v").desc)
-        val newest = spark.read.parquet(deltaDirs: _*)
+        val newest = Versions.read(spark, ar, deltaDirs)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .localCheckpoint(true)
@@ -162,14 +164,14 @@ object ClusterStream {
     val cr = canonRoot(root)
     val versions = Versions.list(spark, cr).filter(_._1 <= upTo)
     require(versions.exists(_._1 == 0L), s"no canonical base at $cr/v0")
-    val base = spark.read.parquet(
-      versions.filter(_._1 == 0L).map(_._2.toString): _*)
+    val base = Versions.read(spark, cr,
+      versions.filter(_._1 == 0L).map(_._2.toString))
     val deltaDirs = versions.filter(_._1 > 0L).map(_._2.toString)
     val current =
       if (deltaDirs.isEmpty) base
       else {
         val w = Window.partitionBy(col("cid")).orderBy(col("__v").desc)
-        val newest = spark.read.parquet(deltaDirs: _*)
+        val newest = Versions.read(spark, cr, deltaDirs)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .localCheckpoint(true)
@@ -189,7 +191,7 @@ object ClusterStream {
     val versions = Versions.list(spark, pr).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no pair versions at $pr")
     requireRepairedRevives(spark, root)
-    val raw = spark.read.parquet(versions.map(_._2.toString): _*)
+    val raw = Versions.read(spark, pr, versions.map(_._2.toString))
     Versions.maskTombstones(spark, pr,
       Versions.maskTombstones(spark, pr, raw, "id_a", upTo), "id_b", upTo)
   }
@@ -264,29 +266,39 @@ object ClusterStream {
     // masked fold equals the fold over the retained-pair stream.
     // The two batch-sized materializations are independent — overlap
     // them (guide §2.6) so the trigger pays one action's wall, not two.
-    val staged = graft.core.Par.eval(Seq[() => DataFrame](
-      () => batchDocs
-        .select(col(idCol).as("id"),
-          col(scoreCol).cast("double").as("score"))
-        .localCheckpoint(true),
-      () => Versions.maskTombstones(spark, ar,
-          Versions.maskTombstones(spark, ar,
-            batchPairs.select(col("id_a"), col("id_b")), "id_a", batchId),
-          "id_b", batchId)
-        .localCheckpoint(true)))
-    val bd = staged(0)
-    val bp = staged(1)
+    // bp's emptiness probe rides INSIDE its own thunk (r18): it is one
+    // more cheap action over the just-checkpointed frame, and running it
+    // under bd's overlapped wall removes a serialized driver action from
+    // every fold trigger.
+    val staged = graft.core.Par.eval(Seq[() => (DataFrame, Boolean)](
+      () => {
+        val d = batchDocs
+          .select(col(idCol).as("id"),
+            col(scoreCol).cast("double").as("score"))
+          .localCheckpoint(true)
+        (d, false)
+      },
+      () => {
+        val d = Versions.maskTombstones(spark, ar,
+            Versions.maskTombstones(spark, ar,
+              batchPairs.select(col("id_a"), col("id_b")), "id_a", batchId),
+            "id_b", batchId)
+          .localCheckpoint(true)
+        (d, d.isEmpty)
+      }))
+    val bd = staged(0)._1
+    val bp = staged(1)._1
     val v = batchId + 1
-    if (bp.isEmpty) {
+    if (staged(1)._2) {
       // no connectivity: every batch doc is a fresh singleton. The three
       // delta writes are independent (distinct roots, redelivery
       // overwrites any completion subset) — overlap them (guide §2.6).
       graft.core.Par.run(
         () => bd.select(col("id"), col("id").as("cid"), col("score"),
-            lit(v).as("__v"))
+            SteadyLit.steadyLong(v).as("__v"))
           .write.mode("overwrite").parquet(s"$ar/v$v"),
         () => bd.select(col("id").as("cid"), col("id").as("keep_id"),
-            col("score"), lit(1L).as("n_members"), lit(v).as("__v"))
+            col("score"), lit(1L).as("n_members"), SteadyLit.steadyLong(v).as("__v"))
           .write.mode("overwrite").parquet(s"$cr/v$v"),
         () => bp.write.mode("overwrite").parquet(s"$pr/v$v"))
       return
@@ -316,13 +328,30 @@ object ClusterStream {
     // extra materialization job an eager checkpoint would add (r17)
     val comp = Dedup.connectedComponentsStar(mapped)
     // touched clusters → their merged label: min over member doc ids ==
-    // min over (batch ids, touched cids) because cid = min member id
-    val touched = comp
+    // min over (batch ids, touched cids) because cid = min member id.
+    // r18 (the fold's critical chain): touched is batch-bounded (one row
+    // per cid a pair endpoint resolves to), so ONE driver pull replaces
+    // the old eager checkpoint PLUS membersOf's separate cid collect —
+    // two serialized actions become one — and every downstream join sees
+    // a LocalRelation (smaller plans, the pushed `cid IN` comes free).
+    // A touched set wider than pushCidLimit keeps the distributed path.
+    val touchedPlan = comp
       .join(oldCids.select(col("cid").as("id")).distinct(), Seq("id"),
         "left_semi")
       .select(col("id").as("cid"), col("component").as("__nl"))
-      .localCheckpoint(true)
-    val oldMembers = membersOf(assigns, touched, pushCidLimit)
+    val touchedRows = touchedPlan.limit(pushCidLimit + 1).collect()
+    val (touched, touchedMembers) =
+      if (touchedRows.length <= pushCidLimit) {
+        import spark.implicits._
+        val local = touchedRows.map(r => (r.getLong(0), r.getLong(1)))
+          .toSeq.toDF("cid", "__nl")
+        val cids = touchedRows.map(_.getLong(0)).toSeq
+        (local, assigns.filter(col("cid").isin(cids: _*)))
+      } else {
+        val ck = touchedPlan.localCheckpoint(true)
+        (ck, membersOf(assigns, ck, pushCidLimit))
+      }
+    val oldMembers = touchedMembers
       .join(broadcast(touched), Seq("cid"))
       .select(col("id"), col("cid"), col("score"), col("__nl"))
       .localCheckpoint(true)
@@ -343,10 +372,10 @@ object ClusterStream {
       // assignment delta: every new doc + every relabeled old member
       () => oldMembers.filter(col("cid") =!= col("__nl"))
         .select(col("id"), col("__nl").as("cid"), col("score"),
-          lit(v).as("__v"))
+          SteadyLit.steadyLong(v).as("__v"))
         .unionAll(newInPairs.unionAll(newSingles)
           .select(col("id"), col("__nl").as("cid"), col("score"),
-            lit(v).as("__v")))
+            SteadyLit.steadyLong(v).as("__v")))
         .write.mode("overwrite").parquet(s"$ar/v$v"),
       // canonical delta: re-elect every touched label, kill merged-away
       // ones
@@ -354,7 +383,7 @@ object ClusterStream {
           col("score")), v)
         .unionByName(touched.filter(col("cid") =!= col("__nl"))
           .select(col("cid"), lit(-1L).as("keep_id"), lit(0.0).as("score"),
-            lit(0L).as("n_members"), lit(v).as("__v")))
+            lit(0L).as("n_members"), SteadyLit.steadyLong(v).as("__v")))
         .write.mode("overwrite").parquet(s"$cr/v$v"),
       () => bp.write.mode("overwrite").parquet(s"$pr/v$v"))
   }
@@ -498,13 +527,13 @@ object ClusterStream {
     graft.core.Par.run(
       () => resolved.filter(col("cid") =!= col("__nl"))
         .select(col("id"), col("__nl").as("cid"), col("score"),
-          lit(v).as("__v"))
+          SteadyLit.steadyLong(v).as("__v"))
         .write.mode("overwrite").parquet(s"$ar/v$v"),
       () => electCanon(resolved.select(col("id"), col("__nl").as("cid"),
           col("score")), v)
         .unionByName(affected.join(newLabels, Seq("cid"), "left_anti")
           .select(col("cid"), lit(-1L).as("keep_id"), lit(0.0).as("score"),
-            lit(0L).as("n_members"), lit(v).as("__v")))
+            lit(0L).as("n_members"), SteadyLit.steadyLong(v).as("__v")))
         .write.mode("overwrite").parquet(s"$cr/v$v"))
   }
 

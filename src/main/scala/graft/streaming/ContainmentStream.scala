@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.operators.Dedup
 
 /** Streaming frame-set CONTAINMENT index — the clipped-re-upload detector
@@ -61,7 +62,7 @@ object ContainmentStream {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no index versions at $root")
     Versions.maskTombstones(spark, root,
-      spark.read.parquet(versions.map(_._2.toString): _*), "id", upTo)
+      Versions.read(spark, root, versions.map(_._2.toString)), "id", upTo)
   }
 
   /** Retract ids from the set index ([[Versions.tombstone]] contract):
@@ -118,9 +119,13 @@ object ContainmentStream {
         if (grams.size <= pushGramLimit) idx.filter(col("g").isin(grams: _*))
         else idx
       }
+    // stageHits = false: trigger batches are trickle-sized and the
+    // pushed gram IN above already prunes the standing scans — the
+    // staging action costs more than the repeated pruned scans it
+    // replaces (r18 measured; the one-shot batch probes keep staging)
     val probe = Dedup.containmentIncrementalFromSets(bsets,
-        restricted, threshold)
-      .withColumn("batch", lit(batchId))
+        restricted, threshold, stageHits = false)
+      .withColumn("batch", SteadyLit.steadyLong(batchId))
     val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
     // independent per-trigger writes (distinct batch-id-named paths, any
     // completion subset redelivery-recoverable) — overlap them (guide §2.6)

@@ -61,7 +61,8 @@ object CorpusMaintenance {
     val base = versions.filter(_._1 <= batchId).lastOption
     val merged = base match {
       case Some((_, path)) =>
-        Curation.upsert(spark.read.parquet(path.toString), batch, keys)
+        Curation.upsert(Versions.read(spark, root, Seq(path.toString)),
+          batch, keys)
       case None => batch
     }
     merged.write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
@@ -95,7 +96,7 @@ object CorpusMaintenance {
     require(base.nonEmpty,
       s"deleteBatch on $root with no corpus version to delete from — " +
         "the corpus must exist before rows can be retracted")
-    spark.read.parquet(base.get._2.toString)
+    Versions.read(spark, root, Seq(base.get._2.toString))
       .join(broadcast(tombstones.select(keys.map(
         org.apache.spark.sql.functions.col): _*).distinct()),
         keys, "left_anti")

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.operators.TimeSeries
 
 /** Streaming per-key EWMA — [[TimeSeries.ewmaByKey]]'s stateful sibling
@@ -45,8 +46,8 @@ object EwmaStream {
           .filter(col("__rn") === 1).drop("__rn"))
       case None => versions
     }
-    val prior = spark.read
-      .parquet(current.filter(_._1 <= batchId).map(_._2.toString): _*)
+    val prior = Versions.read(spark, stateRoot,
+        current.filter(_._1 <= batchId).map(_._2.toString))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
           .orderBy(col("__v").desc)))
@@ -67,16 +68,20 @@ object EwmaStream {
                  THEN ${TimeSeries.ewmaFoldSql(alpha)}
                  ELSE ${TimeSeries.ewmaFoldSql(alpha,
                    seedSql = Some("__pe"))} END""").as("ewma"))
+      // one materialization feeds both writes (the ClusterStream bd/bp
+      // discipline): without it each overlapped write re-evaluates the
+      // groupBy + state join — overlapped wall, doubled cluster work
+      .localCheckpoint(true)
     // independent per-trigger writes (distinct batch-id-named paths, any
     // completion subset redelivery-recoverable) — overlap them (guide §2.6)
     graft.core.Par.run(
       () => updated
         .select(col(keyCol), col("n_events"), col("ewma"),
-          lit(batchId).as("batch"))
+          SteadyLit.steadyLong(batchId).as("batch"))
         .write.mode("overwrite").parquet(s"$outRoot/b$batchId"),
       () => updated
         .select(col(keyCol), col("n_events"), col("ewma"),
-          lit(batchId + 1).as("__v"))
+          SteadyLit.steadyLong(batchId + 1).as("__v"))
         .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}"))
   }
 

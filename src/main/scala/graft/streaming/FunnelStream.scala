@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.operators.TimeSeries
 
 /** Streaming funnel progression — [[TimeSeries.funnelStage]]'s stateful
@@ -42,8 +43,8 @@ object FunnelStream {
           .filter(col("__rn") === 1).drop("__rn"))
       case None => versions
     }
-    val prior = spark.read
-      .parquet(current.filter(_._1 <= batchId).map(_._2.toString): _*)
+    val prior = Versions.read(spark, stateRoot,
+        current.filter(_._1 <= batchId).map(_._2.toString))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
           .orderBy(col("__v").desc)))
@@ -61,14 +62,18 @@ object FunnelStream {
         expr(TimeSeries.funnelFoldSql(steps, seedSql = "__seed"))
           .as("stage"))
       .filter(col("stage") =!= col("stage_before"))
+      // one materialization feeds both writes (the ClusterStream bd/bp
+      // discipline): without it each overlapped write re-evaluates the
+      // groupBy + state join — overlapped wall, doubled cluster work
+      .localCheckpoint(true)
     // independent per-trigger writes (distinct batch-id-named paths, any
     // completion subset redelivery-recoverable) — overlap them (guide §2.6)
     graft.core.Par.run(
       () => advanced
-        .select(col(keyCol), col("stage"), lit(batchId).as("batch"))
+        .select(col(keyCol), col("stage"), SteadyLit.steadyLong(batchId).as("batch"))
         .write.mode("overwrite").parquet(s"$outRoot/b$batchId"),
       () => advanced
-        .select(col(keyCol), col("stage"), lit(batchId + 1).as("__v"))
+        .select(col(keyCol), col("stage"), SteadyLit.steadyLong(batchId + 1).as("__v"))
         .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}"))
   }
 

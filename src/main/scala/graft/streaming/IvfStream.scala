@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.operators.IvfRelational
 
 /** Streaming IVF index maintenance — the ANN sibling of
@@ -100,7 +101,8 @@ object IvfStream {
       s"$indexRoot/_params missing — writeStanding (which pins the " +
         "fingerprint of the bank the index was assigned under) before " +
         "appending or probing")
-    val pinRows = spark.read.parquet(s"$indexRoot/_params")
+    val pinRows = Versions.read(spark, s"$indexRoot/_params",
+      Seq(s"$indexRoot/_params"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // a pin written by the pre-r12 single-row format carries only bank_fp;
     // comparing it against today's (fp, n) would fail EVERY bank — even a
@@ -114,7 +116,8 @@ object IvfStream {
         "rebuildIndex into new roots (which re-pins (fp, n)) before " +
         "appending or probing")
     val pinned = (pinRows("bank_fp"), pinRows("bank_n"))
-    val actual = bankFingerprint(spark.read.parquet(s"$bankRoot/v0"))
+    val actual = bankFingerprint(Versions.read(spark, bankRoot,
+      Seq(s"$bankRoot/v0")))
     require(actual == pinned,
       s"bank at $bankRoot does not match the bank $indexRoot was built " +
         s"under (fingerprint/count $actual vs pinned $pinned) — assignments " +
@@ -134,7 +137,7 @@ object IvfStream {
     Versions.guardStandingWrite(spark, bankRoot)
     Versions.guardStandingWrite(spark, indexRoot)
     bank.write.mode("overwrite").parquet(s"$bankRoot/v0")
-    val frozen = spark.read.parquet(s"$bankRoot/v0")
+    val frozen = Versions.read(spark, bankRoot, Seq(s"$bankRoot/v0"))
     writeBankPin(spark, indexRoot, bankFingerprint(frozen))
     IvfRelational.assign(standing, frozen, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("cell"), col("v"))
@@ -160,26 +163,38 @@ object IvfStream {
       "writeStanding before starting the stream")
     // identity, not just shape: the v0-only guard above catches a MUTATED
     // bank root, this catches the WRONG one (or a same-named retrain) —
-    // one model-sized fold per batch
-    checkBank(spark, bankRoot, indexRoot)
-    // same fold parameters as compactStore: tombstoned vectors drop
-    // physically and the base stays cell-clustered — an auto-compacted
-    // root must not silently lose the pruning layout or pay the marker
-    // mask forever
-    autoCompactVersions.foreach(k =>
-      Versions.autoCompact(spark, indexRoot, batchId, k,
-        tombstoneIdCol = Some("neighbor_id"), clusterBy = Seq("cell")))
-    val bank = spark.read.parquet(s"$bankRoot/v0")
-    val delta = IvfRelational.assign(batch, bank, idCol, vecCol)
-      .select(col("id").as("neighbor_id"), col("cell"), col("v"))
-      .localCheckpoint(true)
+    // one model-sized fold per batch. r18: the guard chain (checkBank's
+    // two model-sized actions, then compaction) and the batch's assign
+    // STAGING are independent — overlap them (guide §2.6). Ordering
+    // holds: the staging is block-manager state, not store state, so a
+    // failing guard still fails before any store write; compaction still
+    // runs strictly after its own thunk's checkBank.
+    val staged = graft.core.Par.eval(Seq[() => AnyRef](
+      () => {
+        checkBank(spark, bankRoot, indexRoot)
+        // same fold parameters as compactStore: tombstoned vectors drop
+        // physically and the base stays cell-clustered — an auto-compacted
+        // root must not silently lose the pruning layout or pay the marker
+        // mask forever
+        autoCompactVersions.foreach(k =>
+          Versions.autoCompact(spark, indexRoot, batchId, k,
+            tombstoneIdCol = Some("neighbor_id"), clusterBy = Seq("cell")))
+        null
+      },
+      () => {
+        val bank = Versions.read(spark, bankRoot, Seq(s"$bankRoot/v0"))
+        IvfRelational.assign(batch, bank, idCol, vecCol)
+          .select(col("id").as("neighbor_id"), col("cell"), col("v"))
+          .localCheckpoint(true)
+      }))
+    val delta = staged(1).asInstanceOf[DataFrame]
     // delta FIRST: it is the correctness-bearing artifact; the growth
     // profile is advisory. The reverse order would let a crash between
     // the two writes leave a profile for a batch whose delta never
     // landed — phantom occupancy drift until redelivery overwrites both.
     delta.write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}")
     delta.groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", SteadyLit.steadyLong(batchId))
       .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
   }
 
@@ -195,8 +210,8 @@ object IvfStream {
     val versions = Versions.list(spark, indexRoot).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no index versions at $indexRoot")
     Versions.maskTombstones(spark, indexRoot,
-      spark.read.parquet(versions.map(_._2.toString): _*), "neighbor_id",
-      upTo)
+      Versions.read(spark, indexRoot, versions.map(_._2.toString)),
+      "neighbor_id", upTo)
   }
 
   /** Retract vector ids from the assignment index

@@ -88,8 +88,8 @@ object KMeansStream {
       case None => versions
     }
     // Carried state: newest row per (cell, pos) across versions <= batchId.
-    val prior = spark.read
-      .parquet(current.filter(_._1 <= batchId).map(_._2.toString): _*)
+    val prior = Versions.read(spark, stateRoot,
+        current.filter(_._1 <= batchId).map(_._2.toString))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("cell", "pos")
           .orderBy(col("__v").desc)))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 
 /** Streaming EXACT-fingerprint media index — the audio/video members of
   * the incremental family, completing the per-modality matrix
@@ -53,7 +54,8 @@ object MediaFpStream {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no index versions at $root")
     Versions.maskTombstones(spark, root,
-      spark.read.parquet(versions.map(_._2.toString): _*), "media_id", upTo)
+      Versions.read(spark, root, versions.map(_._2.toString)), "media_id",
+      upTo)
   }
 
   /** Retract ids from the fingerprint index ([[Versions.tombstone]]
@@ -136,7 +138,7 @@ object MediaFpStream {
         greatest(col("media_id"), col("new_id")).as("id_b"))
     val probe = inBatch.unionAll(cross)
       .dropDuplicates("id_a", "id_b")
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", SteadyLit.steadyLong(batchId))
     val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
     // independent per-trigger writes (distinct batch-id-named paths, any
     // completion subset redelivery-recoverable) — overlap them (guide §2.6)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.operators.Dedup
 
 /** Streaming MinHash near-duplicate filter — [[PassageStream]]'s sibling
@@ -80,12 +81,13 @@ object NearDupStream {
     // same per-store transforms as compactStores (band rows distinct,
     // docs plain union); both reads mask tombstoned ids
     // (Versions.maskTombstones — no-op plan when no takedown happened)
-    val idx = Versions.maskTombstones(spark, indexRoot, spark.read.parquet(
-      deltasOf(indexRoot, "band index", "id", _.distinct(),
-        Seq("band", "bucket")): _*), "id", batchId)
+    val idx = Versions.maskTombstones(spark, indexRoot,
+      Versions.read(spark, indexRoot,
+        deltasOf(indexRoot, "band index", "id", _.distinct(),
+          Seq("band", "bucket"))), "id", batchId)
     val existingDocs = Versions.maskTombstones(spark, docsRoot,
-      spark.read.parquet(
-        deltasOf(docsRoot, "docs store", idCol, identity, Nil): _*),
+      Versions.read(spark, docsRoot,
+        deltasOf(docsRoot, "docs store", idCol, identity, Nil)),
       idCol, batchId)
     val bBands = Dedup.minhashBandIndex(batch, idCol, textCol, numHashes,
       bands, shingleSize, seed).localCheckpoint(true)
@@ -101,7 +103,7 @@ object NearDupStream {
     val probe = Dedup.minhashPairsIncremental(batch, idCol, textCol,
         restricted, existingDocs, numHashes, bands, shingleSize, threshold,
         maxBucketSize, seed, newBandedOpt = Some(bBands))
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", SteadyLit.steadyLong(batchId))
     val pairs = if (materializePairs) probe.localCheckpoint(true) else probe
     // the three per-trigger writes are independent (distinct batch-id-named
     // paths; redelivery overwrites any completion subset deterministically)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.operators.Dedup
 
 /** Streaming duplicated-passage filter — the daily-ingest shape a
@@ -75,13 +76,13 @@ object PassageStream {
       case None => versions
     }
     val deltas = current.filter(_._1 <= batchId).map(_._2.toString)
-    val idx = spark.read.parquet(deltas: _*)
+    val idx = Versions.read(spark, indexRoot, deltas)
     // independent per-trigger writes (distinct batch-id-named paths, any
     // completion subset redelivery-recoverable) — overlap them (guide §2.6)
     graft.core.Par.run(
       () => Dedup.duplicatePassageStatsIncremental(batch, idCol, textCol,
           idx, windowTokens)
-        .withColumn("batch", lit(batchId))
+        .withColumn("batch", SteadyLit.steadyLong(batchId))
         .write.mode("overwrite").parquet(s"$outRoot/b$batchId"),
       () => Dedup.passageWindowIndex(batch, idCol, textCol, windowTokens)
         .write.mode("overwrite").parquet(s"$indexRoot/v${batchId + 1}"))

@@ -71,7 +71,7 @@ object PcaStream {
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no moment versions at $root")
-    foldMoments(spark.read.parquet(versions.map(_._2.toString): _*))
+    foldMoments(Versions.read(spark, root, versions.map(_._2.toString)))
   }
 
   /** The current model: fold deltas, solve on the driver — bit-identical

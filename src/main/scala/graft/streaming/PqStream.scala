@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.functions.VectorExpressions
 import graft.operators.Similarity
 
@@ -54,7 +55,7 @@ object PqStream {
     * discipline). */
   def banksOf(spark: SparkSession, bookRoot: String)
       : Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$bookRoot/v0")
+    val rows = Versions.read(spark, bookRoot, Seq(s"$bookRoot/v0"))
       .select(col("j"), col("code"), col("cv"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
@@ -102,10 +103,12 @@ object PqStream {
       s"$codesRoot/_params missing — writeStanding (which pins the " +
         "fingerprint of the codebook the codes were encoded under) " +
         "before appending or probing")
-    val pinRows = spark.read.parquet(s"$codesRoot/_params")
+    val pinRows = Versions.read(spark, s"$codesRoot/_params",
+      Seq(s"$codesRoot/_params"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val pinned = (pinRows("book_fp"), pinRows("book_n"))
-    val actual = bookFingerprint(spark.read.parquet(s"$bookRoot/v0"))
+    val actual = bookFingerprint(Versions.read(spark, bookRoot,
+      Seq(s"$bookRoot/v0")))
     require(actual == pinned,
       s"codebook at $bookRoot does not match the codebook $codesRoot " +
         s"was encoded under (fingerprint/count $actual vs pinned $pinned)" +
@@ -126,7 +129,7 @@ object PqStream {
       .write.mode("overwrite").parquet(s"$bookRoot/v0")
     val frozen = banksOf(spark, bookRoot)
     writeBookPin(spark, codesRoot,
-      bookFingerprint(spark.read.parquet(s"$bookRoot/v0")))
+      bookFingerprint(Versions.read(spark, bookRoot, Seq(s"$bookRoot/v0"))))
     Similarity.pqEncode(standing, frozen, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$codesRoot/v0")
   }
@@ -152,15 +155,28 @@ object PqStream {
         "NEW root and rebuild, never mutate a live codebook")
     Versions.guardAppend(spark, codesRoot, "codes store", batchId,
       "writeStanding before starting the stream")
-    checkBook(spark, bookRoot, codesRoot)
-    // same fold parameters as compactStore: tombstoned codes drop
-    // physically and the markers are consumed
-    autoCompactVersions.foreach(k =>
-      Versions.autoCompact(spark, codesRoot, batchId, k,
-        tombstoneIdCol = Some("neighbor_id")))
-    val banks = banksOf(spark, bookRoot)
-    val enc = Similarity.pqEncode(batch, banks, idCol, vecCol)
-      .localCheckpoint(true)
+    // r18: the guard chain (checkBook's two model-sized actions, then
+    // compaction) and the batch's encode STAGING are independent —
+    // overlap them (guide §2.6, the IvfStream.appendBatch shape). A
+    // failing guard still fails before any store write (the staging is
+    // block-manager state only).
+    val staged = graft.core.Par.eval(Seq[() => AnyRef](
+      () => {
+        checkBook(spark, bookRoot, codesRoot)
+        // same fold parameters as compactStore: tombstoned codes drop
+        // physically and the markers are consumed
+        autoCompactVersions.foreach(k =>
+          Versions.autoCompact(spark, codesRoot, batchId, k,
+            tombstoneIdCol = Some("neighbor_id")))
+        null
+      },
+      () => {
+        val b = banksOf(spark, bookRoot)
+        (b, Similarity.pqEncode(batch, b, idCol, vecCol)
+          .localCheckpoint(true))
+      }))
+    val (banks, enc) = staged(1)
+      .asInstanceOf[(Array[Array[Array[Double]]], DataFrame)]
     enc.write.mode("overwrite").parquet(s"$codesRoot/v${batchId + 1}")
     // the drift profile: reconstruction error of THIS batch under the
     // frozen books — sequential-fold doubles staged through DECIMAL so
@@ -173,7 +189,7 @@ object PqStream {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("__se").cast("decimal(38,18)")).cast("double")
           .as("err_sum"))
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", SteadyLit.steadyLong(batchId))
       .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
   }
 
@@ -185,8 +201,8 @@ object PqStream {
     val versions = Versions.list(spark, codesRoot).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no codes versions at $codesRoot")
     Versions.maskTombstones(spark, codesRoot,
-      spark.read.parquet(versions.map(_._2.toString): _*), "neighbor_id",
-      upTo)
+      Versions.read(spark, codesRoot, versions.map(_._2.toString)),
+      "neighbor_id", upTo)
   }
 
   /** Retract vector ids from the codes store ([[Versions.tombstone]]

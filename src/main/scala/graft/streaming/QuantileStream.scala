@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SteadyLit
 import graft.operators.Profiling
 
 /** Streaming quantile maintenance — the ORDER-STATISTICS member of the
@@ -63,7 +64,8 @@ object QuantileStream {
         s"${versions.map("v" + _._1).mkString(", ")}) — a count store is " +
         "bound to the bounds it was binned under; re-derive bounds into a " +
         "NEW root and rebuild, never mutate live bounds")
-    val row: Row = spark.read.parquet(s"$boundsRoot/v0").head()
+    val row: Row = Versions.read(spark, boundsRoot,
+      Seq(s"$boundsRoot/v0")).head()
     (row.getAs[Double]("mn"), row.getAs[Double]("mx"), row.getAs[Int]("bins"))
   }
 
@@ -107,7 +109,7 @@ object QuantileStream {
     Profiling.boundedBinCounts(b, colName, bins, mn, mx)
       .write.mode("overwrite").parquet(s"$countRoot/v${batchId + 1}")
     Profiling.boundsDrift(b, colName, mn, mx)
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", SteadyLit.steadyLong(batchId))
       .write.mode("overwrite").parquet(s"$profileRoot/b$batchId")
   }
 
@@ -118,7 +120,7 @@ object QuantileStream {
       upTo: Long): DataFrame = {
     val versions = Versions.list(spark, countRoot).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no count versions at $countRoot")
-    spark.read.parquet(versions.map(_._2.toString): _*)
+    Versions.read(spark, countRoot, versions.map(_._2.toString))
   }
 
   /** The folded bin-count relation over every delta `<= upTo` —

@@ -194,7 +194,7 @@ object RetrievalStream {
     // correction (redelivery-stable, the readAssignmentsMasked precedent)
     val alive = Versions.deadSet(spark, postRoot(root), upTo = batchId - 1)
       .fold(rel)(dead => rel.join(broadcast(dead), Seq("id"), "left_anti"))
-    spark.read.parquet(dlen.map(_._2.toString): _*)
+    Versions.read(spark, dlenRoot(root), dlen.map(_._2.toString))
       .join(broadcast(alive.select(col("id").as("doc_id"))), "doc_id")
       .agg((-count(lit(1))).cast("long").as("n_docs"),
         (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("total_dl"))
@@ -253,7 +253,7 @@ object RetrievalStream {
     require(dlen.nonEmpty,
       s"revive refused: ${dlenRoot(root)} is empty — the store predates " +
         "the takedown-capable layout")
-    spark.read.parquet(dlen.map(_._2.toString): _*)
+    Versions.read(spark, dlenRoot(root), dlen.map(_._2.toString))
       .join(broadcast(rel.select(col("id").as("doc_id"))), "doc_id")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_dl"))
@@ -275,7 +275,8 @@ object RetrievalStream {
     // [[readStats]]' orphan check still fails loud on an r marker with
     // no correction (a generic Versions.revive bypassing the verb)
     Versions.maskTombstones(spark, postRoot(root),
-      spark.read.parquet(versions.map(_._2.toString): _*), "doc_id", upTo)
+      Versions.read(spark, postRoot(root), versions.map(_._2.toString)),
+      "doc_id", upTo)
   }
 
   /** The assembled 1-row stats: exact integer fold of the version deltas
@@ -328,8 +329,8 @@ object RetrievalStream {
         "same bound (consumes the corrections); if a tombstoneFrom/" +
         "revive crashed and was never redelivered, the store is " +
         "permanently torn (rebuild via writeStanding)")
-    foldStats(spark.read.parquet(
-      (versions ++ corrections).map(_._2.toString): _*))
+    foldStats(Versions.read(spark, statsRoot(root),
+      (versions ++ corrections).map(_._2.toString)))
   }
 
   /** BM25 top-k over the assembled index — bit-identical to
@@ -377,8 +378,8 @@ object RetrievalStream {
       .filter(_._1 > upTo)
     if (pending.nonEmpty)
       Versions.deadSet(spark, postRoot(root), upTo).foreach { dead =>
-        val orphaned = spark.read
-          .parquet(pending.map(_._2.toString): _*).select(col("id"))
+        val orphaned = Versions.read(spark, s"${postRoot(root)}#d",
+            pending.map(_._2.toString)).select(col("id"))
           .join(dead, Seq("id"), "left_semi")
           .limit(5).collect().map(_.getLong(0))
         require(orphaned.isEmpty,

@@ -82,7 +82,8 @@ object SketchStream {
     require(fs.exists(p),
       s"$root/_params missing — writeStanding (which pins the sketch " +
         "parameters the store was built under) before reading or appending")
-    val stored = spark.read.parquet(s"$root/_params")
+    val stored = Versions.read(spark, s"$root/_params",
+      Seq(s"$root/_params"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     require(stored == params,
       s"sketch-parameter mismatch at $root: store built with $stored, " +
@@ -121,7 +122,7 @@ object SketchStream {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no register versions at $root")
     foldRegisters(groupCols)(
-      spark.read.parquet(versions.map(_._2.toString): _*))
+      Versions.read(spark, root, versions.map(_._2.toString)))
   }
 
   /** The live cardinality estimate — bit-identical to
@@ -187,7 +188,7 @@ object SketchStream {
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no counter versions at $root")
-    foldCounters(spark.read.parquet(versions.map(_._2.toString): _*))
+    foldCounters(Versions.read(spark, root, versions.map(_._2.toString)))
   }
 
   /** Live point estimates — bit-identical to [[Profiling.countMinLookup]]
@@ -251,7 +252,7 @@ object SketchStream {
       upTo: Long = Long.MaxValue): DataFrame = {
     val versions = Versions.list(spark, root).filter(_._1 <= upTo)
     require(versions.nonEmpty, s"no bloom versions at $root")
-    foldBits(spark.read.parquet(versions.map(_._2.toString): _*))
+    foldBits(Versions.read(spark, root, versions.map(_._2.toString)))
   }
 
   /** Live prefilter: rows of `probes` whose `keyCol` MIGHT be in the

@@ -279,17 +279,18 @@ object Takedown {
           .filter(col("id").isNotNull)
           .distinct()
           .coalesce(1).write.mode("overwrite").parquet(idsPath.toString)
-        if (spark.read.parquet(idsPath.toString).isEmpty) {
+        if (Versions.read(spark, s"$journalRoot#ids",
+            Seq(idsPath.toString)).isEmpty) {
           fs.delete(new Path(dir), true)
           throw new IllegalArgumentException(
             s"requirement failed: $what of an empty id set")
         }
       }
-      fanOut(spark.read.parquet(idsPath.toString))
+      fanOut(Versions.read(spark, s"$journalRoot#ids", Seq(idsPath.toString)))
       require(fs.createNewFile(committed) || fs.exists(committed),
         s"could not write the commit flag $committed — the fan-out is " +
           "complete but will re-run (harmlessly, idempotent) on recovery")
     }
-    spark.read.parquet(idsPath.toString)
+    Versions.read(spark, s"$journalRoot#ids", Seq(idsPath.toString))
   }
 }

@@ -230,6 +230,34 @@ object Versions {
     versions
   }
 
+  // --- schema-cached parquet reads (r18, guide §1.2: per-action cost) ----
+
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** `spark.read.parquet(paths)` with the schema CACHED per `cacheKey`
+    * after the first read: footer-based schema inference is ~60 ms of
+    * driver-side work PER READ (measured by `tools/PlanTax` — 103 vs
+    * 39 ms/action), and the lifecycle stores read their roots hundreds
+    * of times per query under a schema that is FIXED for the store's
+    * lifetime (every version/marker of a root shares it — the versioned-
+    * layout contract; compaction transforms are read-equivalent and
+    * schema-preserving). This caches METADATA only, never rows: each
+    * action still lists, scans and computes from the parquet files at
+    * hand. Key by the store root (markers under `<root>#d`), never by a
+    * path that can be rewritten with a different schema. */
+  def read(spark: SparkSession, cacheKey: String,
+      paths: Seq[String]): DataFrame = {
+    val cached = schemaCache.get(cacheKey)
+    if (cached != null) spark.read.schema(cached).parquet(paths: _*)
+    else {
+      val df = spark.read.parquet(paths: _*)
+      if (schemaCache.size > 4096) schemaCache.clear()
+      schemaCache.put(cacheKey, df.schema)
+      df
+    }
+  }
+
   def list(spark: SparkSession, root: String): Seq[(Long, Path)] =
     listPrefixed(spark, root, 'v')
 
@@ -334,7 +362,7 @@ object Versions {
       .distinct()
     val dir = s"$root/d$batchId"
     rel.coalesce(1).write.mode("overwrite").parquet(dir)
-    if (spark.read.parquet(dir).isEmpty) {
+    if (read(spark, s"$root#d", Seq(dir)).isEmpty) {
       val p = new Path(dir)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
       throw new IllegalArgumentException(
@@ -414,12 +442,13 @@ object Versions {
     else {
       val rs = listRevives(spark, root).filter(_._1 <= upTo)
       if (rs.isEmpty)
-        Some(spark.read.parquet(ds.map(_._2.toString): _*)
+        Some(read(spark, s"$root#d", ds.map(_._2.toString))
           .select(col("id")).distinct())
       else {
         def newest(dirs: Seq[(Long, Path)]): DataFrame = dirs
-          .map { case (b, p) => spark.read.parquet(p.toString)
-            .select(col("id"), lit(b).as("__b")) }
+          .map { case (b, p) => read(spark, s"$root#d", Seq(p.toString))
+            .select(col("id"),
+              graft.functions.SteadyLit.steadyLong(b).as("__b")) }
           .reduce(_ unionByName _)
           .groupBy(col("id"))
           .agg(max(col("__b")).as("__b"))
@@ -571,8 +600,8 @@ object Versions {
       // no-op (its rows are about to be dropped) — refuse loud
       val pending = listRevives(spark, root).filter(_._1 > upTo)
       if (pending.nonEmpty) deadSet(spark, root, upTo).foreach { dead =>
-        val orphaned = spark.read
-          .parquet(pending.map(_._2.toString): _*).select(col("id"))
+        val orphaned = read(spark, s"$root#d",
+            pending.map(_._2.toString)).select(col("id"))
           .join(dead, Seq("id"), "left_semi")
           .limit(5).collect().map(_.getLong(0))
         require(orphaned.isEmpty,
@@ -585,8 +614,8 @@ object Versions {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(rootPath, ".compact_tmp")
-    val folded = spark.read.parquet(
-      (merged.map(_._2.toString) ++ extraDirs.map(_.toString)): _*)
+    val folded = read(spark, root,
+      merged.map(_._2.toString) ++ extraDirs.map(_.toString))
     val masked = tombstoneIdCol match {
       case Some(idCol) => maskTombstones(spark, root, folded, idCol, upTo)
       case None        => folded

@@ -105,4 +105,46 @@ class FunctionsSpec extends SparkSpec {
     assert(p1.flatten.forall(x => x >= -1.0 && x <= 1.0))
     assert(VF.seededPlanes(4, 8, 43L) !== p1)
   }
+
+  test("steadyLong equals lit in value/type/nullability through codegen, " +
+      "filters and writes (r18: the plan-cache-friendly batch-id literal)") {
+    import graft.functions.SteadyLit.steadyLong
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.range(5)
+    val a = df.select(col("id"), steadyLong(7L).as("__v"))
+    val b = df.select(col("id"), lit(7L).as("__v"))
+    assert(a.schema === b.schema) // LongType, non-nullable, same names
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      b.collect().map(_.toString).sorted.toSeq)
+    // survives a downstream filter referencing the column (non-foldable,
+    // so the optimizer must NOT constant-fold it away incorrectly)
+    assert(a.filter(col("__v") === 7L).count() === 5)
+    assert(a.filter(col("__v") === 8L).count() === 0)
+    // parquet round-trip: the written bytes carry the plain long value
+    val out = java.nio.file.Files.createTempDirectory("steady_").toString
+    a.write.parquet(s"$out/p")
+    assert(spark.read.parquet(s"$out/p").filter(col("__v") === 7L)
+      .count() === 5)
+  }
+
+  test("Versions.read schema cache returns the same rows as a plain read " +
+      "and never crosses cache keys (r18)") {
+    import graft.streaming.Versions
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vread_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(s"$root/k1/v0")
+    Seq((9.5, true)).toDF("x", "ok").write.parquet(s"$root/k2/v0")
+    // first read infers and caches; second read uses the cached schema
+    val r1a = Versions.read(spark, s"$root/k1", Seq(s"$root/k1/v0"))
+    val r1b = Versions.read(spark, s"$root/k1", Seq(s"$root/k1/v0"))
+    assert(r1a.schema === r1b.schema)
+    assert(r1b.orderBy(col("id")).collect().map(_.toString).toSeq ===
+      spark.read.parquet(s"$root/k1/v0").orderBy(col("id")).collect()
+        .map(_.toString).toSeq)
+    // a different key infers its own schema — no cross-key poisoning
+    val r2 = Versions.read(spark, s"$root/k2", Seq(s"$root/k2/v0"))
+    assert(r2.schema.fieldNames.toSeq === Seq("x", "ok"))
+    assert(r2.count() === 1)
+  }
 }

@@ -230,15 +230,27 @@ object Bench {
     // the 1.25–1.5× band still pad the appendix to at least 5 entries; a
     // hard cap of 25 bounds a pathological all-inflated run (the cap, if
     // hit, is itself the signal the whole suite is contaminated).
-    val inflated = results
+    val meds = results
       .collect { case (name, r) if r.ok.nonEmpty =>
         (name, r.ok(r.ok.size / 2)) }
+    val inflated = meds
       .flatMap { case (name, med) => prior.get(name).filter(_ > 0.0)
         .map(pm => (name, med, med / pm)) }
       .filter { case (_, med, ratio) => med > 0.5 && ratio > 1.25 }
       .sortBy(-_._3)
     val mandatory = inflated.filter(_._3 > 1.5)
-    val isolated = (mandatory ++
+    // Round-18 widening (VERDICT r17 wrong #1): a query with NO named
+    // prior — it sat inside the previous artifact's "_others" bucket, or
+    // is new — could read arbitrarily inflated and never get the isolated
+    // re-run (r17's p73: 13.56 s suite median, ~2 s isolated truth, zero
+    // self-documentation because `prior` had no entry for it). Every
+    // prior-unnamed query whose suite median is large enough to matter
+    // (> 2 s) now joins the appendix; same 25-entry cap.
+    val unnamed = meds
+      .filter { case (name, med) => !prior.contains(name) && med > 2.0 }
+      .map { case (name, med) => (name, med, Double.PositiveInfinity) }
+      .sortBy(-_._2)
+    val isolated = (mandatory ++ unnamed ++
       inflated.filter(_._3 <= 1.5).take(math.max(0, 5 - mandatory.size)))
       .take(25)
       .map { case (name, med, _) =>
